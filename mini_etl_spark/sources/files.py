@@ -1,0 +1,109 @@
+"""File-format scans: CSV, JSON/JSONL, Parquet.
+
+All three are splittable, distributed scans (CSV/JSON line-splittable,
+Parquet row-group-splittable) — at 100 TB the scan parallelism comes from
+file splits, no driver involvement. ``mode="PERMISSIVE"`` is the default so
+corrupt records null out instead of failing the job — the row-level
+refinement of the reference's chunk-skip error mode (SURVEY §4.3.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+Source = Callable[[SparkSession], DataFrame]
+
+
+def read_csv(
+    path: str,
+    header: bool = True,
+    encoding: str = "utf-8",
+    schema: Any | None = None,
+    columns: list[str] | None = None,
+    infer_schema: bool = True,
+    **options: Any,
+) -> Source:
+    """CSV scan (⇐ CSVExtractor, extractors.py:19-76). ``columns`` maps the
+    reference's pandas ``usecols`` passthrough (tests/test_extractors.py:39-50)
+    to an explicit projection, which Catalyst prunes at the parser level.
+
+    Scale note: ``infer_schema`` costs an extra pass over the data — pass an
+    explicit ``schema`` for production scans.
+    """
+
+    def _read(spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.option("header", str(header).lower())
+            .option("encoding", encoding)
+            .option("mode", options.pop("mode", "PERMISSIVE"))
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif infer_schema:
+            reader = reader.option("inferSchema", "true")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.csv(path)
+        return df.select(*columns) if columns else df
+
+    return _read
+
+
+def read_json(
+    path: str,
+    lines: bool = True,
+    schema: Any | None = None,
+    columns: list[str] | None = None,
+    **options: Any,
+) -> Source:
+    """JSON scan (⇐ JSONExtractor, extractors.py:79-148). ``lines=True`` is
+    JSONL (splittable — the scale path); ``lines=False`` reads a JSON array
+    via multiLine mode (non-splittable per file: one task per file, fine for
+    many files, a bottleneck for one giant array — prefer JSONL)."""
+
+    def _read(spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if not lines:
+            reader = reader.option("multiLine", "true")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.json(path)
+        return df.select(*columns) if columns else df
+
+    return _read
+
+
+def read_parquet(
+    path: str,
+    columns: list[str] | None = None,
+    ns_timestamp_columns: list[str] | None = None,
+    **options: Any,
+) -> Source:
+    """Parquet scan (⇐ ParquetExtractor, extractors.py:223-282). The
+    reference's explicit column pruning (extractors.py:243,264-268) is
+    automatic in Catalyst; ``columns`` is still honored as a projection.
+    Predicate pushdown, row-group skipping and vectorized reads come free.
+
+    ``ns_timestamp_columns``: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    fields; listing them here reads nanos as int64 (legacy conf) and converts
+    to microsecond timestamps — all column-wise JVM expressions, no UDF."""
+
+    def _read(spark: SparkSession) -> DataFrame:
+        if ns_timestamp_columns:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = spark.read
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.parquet(path)
+        from pyspark.sql import functions as F
+
+        for c in ns_timestamp_columns or []:
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        return df.select(*columns) if columns else df
+
+    return _read

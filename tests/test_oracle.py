@@ -1,0 +1,91 @@
+"""Differential correctness: every declared query vs the DuckDB oracle.
+
+This mimics the driver's t2 gate (CORRECTNESS_r{N}.json): for each key in
+``__spark_entry__.queries()`` run the Spark DataFrame AND the matching
+``oracle_sql()`` string in DuckDB on the same parquet tables, then compare
+row count, column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from tests.conftest import SF_ORACLE  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if v == int(v) and abs(v) < 2**52:
+            return int(v)  # unify int-valued floats with ints across engines
+        return round(v, 9)
+    return v
+
+
+def _canon(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+QUERY_KEYS = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("key", QUERY_KEYS)
+def test_query_matches_oracle(spark, key):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark_df = queries[key](spark, SF_ORACLE).toPandas()
+    if key not in oracles:
+        assert len(spark_df) >= 0  # rows-only check (driver's weaker gate)
+        return
+    con = _duck(SF_ORACLE)
+    duck_df = con.execute(oracles[key]).df()
+    con.close()
+
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{key}: column mismatch {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    )
+    assert len(spark_df) == len(duck_df), (
+        f"{key}: row count {len(spark_df)} vs oracle {len(duck_df)}"
+    )
+    s_rows, d_rows = _canon(spark_df), _canon(duck_df)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{key}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
