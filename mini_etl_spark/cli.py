@@ -1,0 +1,101 @@
+"""Command-line interface.
+
+Reference parity (mini_etl/cli.py:27-252): ``run`` (with ``--dry-run``),
+``validate``, ``init`` (sample config generation, config.py:381-416), and
+``info``. The reference's ``ui`` (Streamlit dashboard) is out of engine
+scope (SURVEY §2.6). ``run`` boots a SparkSession and executes the compiled
+DataFrame pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import click
+
+from mini_etl_spark import __version__
+from mini_etl_spark.config import SAMPLE_CONFIG, ConfigLoader
+
+
+@click.group()
+@click.version_option(version=__version__, prog_name="mini-etl-spark")
+def main() -> None:
+    """mini-etl-spark: a PySpark-native data pipeline engine."""
+
+
+@main.command()
+@click.argument("config_path", type=click.Path(exists=True))
+@click.option("--dry-run", is_flag=True, help="Validate and build, but do not execute.")
+@click.option("--explain", is_flag=True, help="Print the optimized physical plan.")
+def run(config_path: str, dry_run: bool, explain: bool) -> None:
+    """Run a pipeline from a YAML/JSON config file."""
+    loader = ConfigLoader()
+    config = loader.load(config_path)
+    errors = config.validate()
+    if errors:
+        for e in errors:
+            click.echo(f"error: {e}", err=True)
+        sys.exit(1)
+    click.echo(f"config ok: {config.name}")
+    if dry_run:
+        click.echo("dry run — not executing")
+        return
+    pipeline = loader.build_pipeline(config)
+    if explain:
+        pipeline.explain("formatted")
+    stats = pipeline.run()
+    click.echo(
+        f"done: {stats['rows']} rows in {stats['duration']:.2f}s "
+        f"({stats['rows_per_second']:.0f} rows/s)"
+    )
+
+
+@main.command()
+@click.argument("config_path", type=click.Path(exists=True))
+def validate(config_path: str) -> None:
+    """Validate a pipeline config without running it."""
+    config = ConfigLoader().load(config_path)
+    errors = config.validate()
+    if errors:
+        for e in errors:
+            click.echo(f"error: {e}", err=True)
+        sys.exit(1)
+    click.echo(f"valid: {config.name}")
+
+
+@main.command()
+@click.option("--output", "-o", default="pipeline.yaml", help="Output path.")
+def init(output: str) -> None:
+    """Write a sample pipeline config."""
+    path = Path(output)
+    if path.exists():
+        click.echo(f"error: {path} already exists", err=True)
+        sys.exit(1)
+    path.write_text(SAMPLE_CONFIG)
+    click.echo(f"wrote {path}")
+
+
+@main.command()
+def info() -> None:
+    """Show engine / environment info."""
+    import pyspark
+
+    payload = {
+        "engine": "mini-etl-spark",
+        "version": __version__,
+        "pyspark": pyspark.__version__,
+        "python": sys.version.split()[0],
+        "sources": ["csv", "json", "jsonl", "parquet", "sql", "api", "excel", "memory"],
+        "sinks": ["csv", "json", "jsonl", "parquet", "sql", "excel", "null"],
+        "transformers": [
+            "filter", "rename", "select", "drop", "cast", "fillna",
+            "expression", "aggregate", "dedup", "sort", "limit",
+        ],
+    }
+    click.echo(json.dumps(payload, indent=2))
+
+
+if __name__ == "__main__":
+    main()

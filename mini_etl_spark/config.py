@@ -1,0 +1,260 @@
+"""YAML/JSON pipeline config compiler.
+
+Reference parity (mini_etl/core/config.py):
+
+- ``ConfigLoader.load`` ⇐ config.py:105-144 — YAML/JSON by suffix, env-var
+  substitution ``${VAR}`` / ``$VAR`` (config.py:103, 158-168), optional
+  nested ``pipeline:`` key (config.py:176-177).
+- ``PipelineConfig.validate`` ⇐ config.py:63-88 — name present, source type
+  in {csv,json,excel,parquet,sql,api}, sink type in
+  {csv,json,jsonl,parquet,sql,excel}, transformer whitelist (config.py:80-87).
+- ``build_pipeline`` ⇐ config.py:231-378 — type→factory dispatch producing a
+  runnable Pipeline.
+
+The config is the engine's declarative "query language": it compiles to
+DataFrame transformations, so Catalyst sees the whole plan (filter strings
+become real predicates, eligible for pushdown — unlike the reference, where
+a config filter was an opaque pandas eval).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from mini_etl_spark import operators as ops
+from mini_etl_spark.pipeline import Pipeline
+
+SOURCE_TYPES = {"csv", "json", "jsonl", "excel", "parquet", "sql", "api", "memory"}
+SINK_TYPES = {"csv", "json", "jsonl", "parquet", "sql", "excel", "null"}
+TRANSFORMER_TYPES = {
+    "filter", "rename", "select", "drop", "cast", "fillna",
+    "expression", "aggregate", "group", "dedup", "sort", "limit",
+}
+
+_ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
+
+
+def _substitute_env(text: str) -> str:
+    """``${VAR}`` / ``$VAR`` → environment value (⇐ config.py:158-168);
+    unknown vars are left as-is."""
+
+    def _sub(m: re.Match) -> str:
+        name = m.group(1) or m.group(2)
+        return os.environ.get(name, m.group(0))
+
+    return _ENV_RE.sub(_sub, text)
+
+
+@dataclass
+class ComponentConfig:
+    type: str
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    name: str
+    source: ComponentConfig | None = None
+    sink: ComponentConfig | None = None
+    transformers: list[ComponentConfig] = field(default_factory=list)
+    on_error: str = "raise"
+
+    def validate(self) -> list[str]:
+        """⇐ config.py:63-88 — returns a list of error strings (empty = ok)."""
+        errors: list[str] = []
+        if not self.name:
+            errors.append("pipeline name is required")
+        if self.source is None:
+            errors.append("source is required")
+        elif self.source.type not in SOURCE_TYPES:
+            errors.append(
+                f"unknown source type {self.source.type!r} (expected {sorted(SOURCE_TYPES)})"
+            )
+        if self.sink is None:
+            errors.append("sink is required")
+        elif self.sink.type not in SINK_TYPES:
+            errors.append(
+                f"unknown sink type {self.sink.type!r} (expected {sorted(SINK_TYPES)})"
+            )
+        for t in self.transformers:
+            if t.type not in TRANSFORMER_TYPES:
+                errors.append(
+                    f"unknown transformer type {t.type!r} (expected {sorted(TRANSFORMER_TYPES)})"
+                )
+        if self.on_error not in ("raise", "skip", "log"):
+            errors.append(f"invalid on_error {self.on_error!r}")
+        return errors
+
+
+class ConfigLoader:
+    """Load + parse + build (⇐ ConfigLoader, config.py:91-378)."""
+
+    def load(self, path: str | Path) -> PipelineConfig:
+        path = Path(path)
+        if not path.exists():
+            raise FileNotFoundError(f"config file not found: {path}")
+        text = _substitute_env(path.read_text())
+        if path.suffix in (".yaml", ".yml"):
+            import yaml
+
+            raw = yaml.safe_load(text)
+        elif path.suffix == ".json":
+            raw = json.loads(text)
+        else:
+            raise ValueError(f"unsupported config format {path.suffix!r} (yaml/json)")
+        return self.parse(raw)
+
+    def parse(self, raw: dict[str, Any]) -> PipelineConfig:
+        if not isinstance(raw, dict):
+            raise ValueError("config root must be a mapping")
+        if "pipeline" in raw:  # nested form (config.py:176-177)
+            raw = raw["pipeline"]
+
+        def _component(spec: dict[str, Any] | None) -> ComponentConfig | None:
+            if spec is None:
+                return None
+            spec = dict(spec)
+            missing = object()
+            ctype = spec.pop("type", missing)
+            if ctype is missing:
+                raise ValueError("component requires a type")
+            if ctype is None:
+                ctype = "null"  # YAML `type: null` parses as None — the null sink
+            return ComponentConfig(type=str(ctype).lower(), options=spec)
+
+        transformers = [
+            _component(t) for t in raw.get("transformers", raw.get("transforms", []))
+        ]
+        return PipelineConfig(
+            name=raw.get("name", ""),
+            source=_component(raw.get("source")),
+            sink=_component(raw.get("sink", raw.get("destination"))),
+            transformers=[t for t in transformers if t],
+            on_error=raw.get("on_error", "raise"),
+        )
+
+    # -- component builders (⇐ config.py:260-378) ---------------------------
+    def build_pipeline(self, config: PipelineConfig) -> Pipeline:
+        errors = config.validate()
+        if errors:
+            raise ValueError("invalid config: " + "; ".join(errors))
+        pipeline = Pipeline(config.name, on_error=config.on_error)
+        pipeline.set_source(self._build_source(config.source))
+        for t in config.transformers:
+            pipeline.add_transformer(self._build_transformer(t))
+        pipeline.set_sink(self._build_sink(config.sink))
+        return pipeline
+
+    def _build_source(self, spec: ComponentConfig):
+        from mini_etl_spark import sources as src
+
+        o = dict(spec.options)
+        path = o.pop("path", o.pop("filepath", None))
+        if spec.type == "csv":
+            return src.read_csv(path, **o)
+        if spec.type == "json":
+            return src.read_json(path, lines=o.pop("lines", False), **o)
+        if spec.type == "jsonl":
+            return src.read_json(path, lines=True, **o)
+        if spec.type == "parquet":
+            return src.read_parquet(path, **o)
+        if spec.type == "excel":
+            return src.read_excel(path, **o)
+        if spec.type == "sql":
+            url = o.pop("connection_string", o.pop("url", None))
+            return src.read_jdbc(url, **o)
+        if spec.type == "api":
+            url = o.pop("url", None)
+            return src.read_api(url, **o)
+        if spec.type == "memory":
+            return src.from_memory(o.pop("data"), **o)
+        raise ValueError(f"unknown source type {spec.type!r}")
+
+    def _build_transformer(self, spec: ComponentConfig):
+        o = dict(spec.options)
+        if spec.type == "filter":
+            # config "condition" string (config.py:305-311)
+            return ops.filter_rows(o.get("condition", o.get("expression")))
+        if spec.type == "rename":
+            return ops.rename_columns(o.get("columns", o))
+        if spec.type == "select":
+            return ops.select_columns(o.get("columns"), o.get("ignore_missing", True))
+        if spec.type == "drop":
+            return ops.drop_columns(o.get("columns"), o.get("ignore_missing", True))
+        if spec.type == "cast":
+            return ops.cast_types(o.get("columns", o))
+        if spec.type == "fillna":
+            return ops.fill_na(
+                value=o.get("value"),
+                columns=o.get("columns"),
+                method=o.get("method"),
+                order_by=o.get("order_by"),
+                partition_by=o.get("partition_by"),
+            )
+        if spec.type == "expression":
+            return ops.with_expression(o["expression"], o.get("filter_mode", False))
+        if spec.type in ("aggregate", "group"):
+            return ops.group_agg(o.get("group_by"), o.get("agg", o.get("aggregations")))
+        if spec.type == "dedup":
+            return ops.deduplicate(o.get("subset"), o.get("keep", "any"), o.get("order_by"))
+        if spec.type == "sort":
+            return ops.sort_rows(o.get("by"), o.get("ascending", True))
+        if spec.type == "limit":
+            return ops.limit(int(o.get("n", o.get("limit", 0))))
+        raise ValueError(f"unknown transformer type {spec.type!r}")
+
+    def _build_sink(self, spec: ComponentConfig):
+        from mini_etl_spark import sinks as snk
+
+        o = dict(spec.options)
+        path = o.pop("path", o.pop("filepath", None))
+        mode = o.pop("mode", o.pop("if_exists", "w"))
+        if spec.type == "csv":
+            return snk.to_csv(path, mode=mode, **o)
+        if spec.type == "json":
+            return snk.to_json(path, mode=mode, lines=o.pop("lines", False), **o)
+        if spec.type == "jsonl":
+            return snk.to_json(path, mode=mode, lines=True, **o)
+        if spec.type == "parquet":
+            return snk.to_parquet(path, mode=mode, **o)
+        if spec.type == "excel":
+            return snk.to_excel(path, **o)
+        if spec.type == "sql":
+            url = o.pop("connection_string", o.pop("url", None))
+            return snk.to_jdbc(url, o.pop("table"), mode=mode, **o)
+        if spec.type == "null":
+            return snk.null_sink()
+        raise ValueError(f"unknown sink type {spec.type!r}")
+
+
+SAMPLE_CONFIG = """\
+# mini-etl-spark pipeline config (⇐ reference `mini-etl init`, config.py:381-416)
+name: sample_pipeline
+on_error: raise
+
+source:
+  type: csv
+  path: input/data.csv        # env vars work: ${DATA_DIR}/data.csv
+  header: true
+
+transformers:
+  - type: filter
+    condition: "value > 100"
+  - type: rename
+    columns: {value: amount}
+  - type: cast
+    columns: {amount: float}
+  - type: aggregate
+    group_by: [category]
+    agg: {amount: [sum, mean], id: count}
+
+sink:
+  type: parquet
+  path: output/result.parquet
+  mode: overwrite
+"""

@@ -59,7 +59,7 @@ def group_agg(
     factory). Never collect — the result is itself a DataFrame.
     """
     keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
-    exprs: list[Column] = []
+    spec: list[tuple[str, str]] = []
     for col, fns in agg.items():
         fn_list = [fns] if isinstance(fns, str) else list(fns)
         for fn in fn_list:
@@ -69,11 +69,14 @@ def group_agg(
                     f"group_agg: unsupported aggregate {fn!r} "
                     f"(supported: {sorted(_AGG_FNS)})"
                 )
-            exprs.append(_AGG_FNS[key](col).alias(f"{col}_{key}"))
-    if not exprs:
+            spec.append((col, key))
+    if not spec:
         raise ValueError("group_agg: empty agg spec")
 
     def _apply(df: DataFrame) -> DataFrame:
+        # Column construction deferred: F.* needs an active SparkContext,
+        # and factories must be buildable before the session exists.
+        exprs = [_AGG_FNS[fn](col).alias(f"{col}_{fn}") for col, fn in spec]
         if keys:
             return df.groupBy(*keys).agg(*exprs)
         return df.agg(*exprs)

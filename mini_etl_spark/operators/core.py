@@ -71,11 +71,14 @@ def filter_rows(condition: str | Column) -> Transform:
     SQL strings go straight into Catalyst (`F.expr`) so the predicate is
     eligible for parquet/JDBC pushdown — unlike the reference, where only a
     hand-written SQL query could push down (extractors.py:340).
+
+    Column construction is deferred to apply time: ``F.expr`` needs an
+    active SparkContext, and factories must be buildable before the session
+    exists (e.g. compiling a config file).
     """
-    col = _to_column(condition)
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.filter(col)
+        return df.filter(_to_column(condition))
 
     return _apply
 

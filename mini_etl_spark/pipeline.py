@@ -58,7 +58,7 @@ class Pipeline:
         if on_error not in ("raise", "skip", "log"):
             raise ValueError(f"on_error must be raise|skip|log, got {on_error!r}")
         self.name = name
-        self.on_error = on_error
+        self.error_mode = on_error
         self._spark = spark
         self._source: Source | None = None
         self._transforms: list[Transform] = []
@@ -99,8 +99,7 @@ class Pipeline:
         self._on_complete.append(cb)
         return self
 
-    def on_error(self_or_cb, cb: Callable[[Exception], None]) -> "Pipeline":  # noqa: N805
-        self = self_or_cb
+    def on_error(self, cb: Callable[[Exception], None]) -> "Pipeline":
         self._on_error_cbs.append(cb)
         return self
 
@@ -138,10 +137,10 @@ class Pipeline:
             stats["errors"] = 1
             for cb in self._on_error_cbs:
                 cb(exc)
-            if self.on_error == "raise":
+            if self.error_mode == "raise":
                 raise
-            log = logger.error if self.on_error == "log" else logger.warning
-            log("pipeline %s failed (%s mode): %s", self.name, self.on_error, exc)
+            log = logger.error if self.error_mode == "log" else logger.warning
+            log("pipeline %s failed (%s mode): %s", self.name, self.error_mode, exc)
         duration = time.monotonic() - start
         stats["duration"] = duration
         stats["rows_per_second"] = stats["rows"] / duration if duration > 0 else 0.0
@@ -153,7 +152,7 @@ class Pipeline:
 
     # -- lifecycle helpers (reference: pipeline.py:248-270) ------------------
     def copy(self) -> "Pipeline":
-        clone = Pipeline(self.name, self.on_error, self._spark)
+        clone = Pipeline(self.name, self.error_mode, self._spark)
         clone._source = self._source
         clone._transforms = list(self._transforms)
         clone._sink = self._sink

@@ -163,7 +163,7 @@ class SchemaValidator:
             have = actual[col.name].simpleString()
             if have != want and (have, want) not in _WIDENING_OK and not self.coerce:
                 errors.append(f"column {col.name}: expected {want}, got {have}")
-        if self.schema.strict:
+        if self.schema.strict and not self.coerce:  # coercion drops extras instead
             declared = set(self.schema.column_names())
             extra = [c for c in df.columns if c not in declared]
             if extra:

@@ -1,0 +1,135 @@
+"""Config compiler tests (⇐ reference tests/test_config.py:19-80):
+YAML parse, env substitution, validation errors, end-to-end build+run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mini_etl_spark.config import ConfigLoader, SAMPLE_CONFIG
+
+YAML_CONFIG = """\
+name: test_pipeline
+source:
+  type: csv
+  path: "{src}"
+transformers:
+  - type: filter
+    condition: "value > 50"
+  - type: rename
+    columns: {{value: amount}}
+sink:
+  type: csv
+  path: "{out}"
+  mode: overwrite
+"""
+
+
+@pytest.fixture
+def csv_file(sample_pdf, tmp_path):
+    p = tmp_path / "in.csv"
+    sample_pdf.to_csv(p, index=False)
+    return p
+
+
+def test_yaml_load_build_run(spark, csv_file, tmp_path):
+    cfg_path = tmp_path / "p.yaml"
+    out = tmp_path / "out"
+    cfg_path.write_text(YAML_CONFIG.format(src=csv_file, out=out))
+    loader = ConfigLoader()
+    config = loader.load(cfg_path)
+    assert config.name == "test_pipeline"
+    assert config.validate() == []
+    pipeline = loader.build_pipeline(config)
+    stats = pipeline.run(spark)
+    assert stats["rows"] == 100  # all sample values are 100..199 > 50
+    back = spark.read.option("header", True).csv(str(out))
+    assert "amount" in back.columns
+
+
+def test_env_substitution(tmp_path, monkeypatch):
+    monkeypatch.setenv("MY_DATA_DIR", "/data/land")
+    cfg = tmp_path / "e.yaml"
+    cfg.write_text(
+        "name: env\nsource: {type: csv, path: '${MY_DATA_DIR}/x.csv'}\n"
+        "sink: {type: null}\n"
+    )
+    config = ConfigLoader().load(cfg)
+    assert config.source.options["path"] == "/data/land/x.csv"
+
+
+def test_env_substitution_unknown_left_alone(tmp_path):
+    cfg = tmp_path / "e.yaml"
+    cfg.write_text(
+        "name: env\nsource: {type: csv, path: '$NOT_SET_XYZ/x.csv'}\nsink: {type: null}\n"
+    )
+    config = ConfigLoader().load(cfg)
+    assert config.source.options["path"] == "$NOT_SET_XYZ/x.csv"
+
+
+def test_validation_errors():
+    loader = ConfigLoader()
+    config = loader.parse(
+        {
+            "name": "",
+            "source": {"type": "carrier-pigeon"},
+            "sink": {"type": "csv", "path": "x"},
+            "transformers": [{"type": "teleport"}],
+        }
+    )
+    errors = config.validate()
+    assert any("name" in e for e in errors)
+    assert any("carrier-pigeon" in e for e in errors)
+    assert any("teleport" in e for e in errors)
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        ConfigLoader().load("/nonexistent/pipeline.yaml")
+
+
+def test_nested_pipeline_key(tmp_path):
+    cfg = tmp_path / "n.yaml"
+    cfg.write_text(
+        "pipeline:\n  name: nested\n  source: {type: csv, path: x.csv}\n"
+        "  sink: {type: null}\n"
+    )
+    config = ConfigLoader().load(cfg)
+    assert config.name == "nested"
+    assert config.validate() == []
+
+
+def test_sample_config_is_valid():
+    import yaml
+
+    config = ConfigLoader().parse(yaml.safe_load(SAMPLE_CONFIG))
+    assert config.validate() == []
+
+
+def test_json_config(tmp_path):
+    cfg = tmp_path / "c.json"
+    cfg.write_text(
+        '{"name": "j", "source": {"type": "parquet", "path": "x"},'
+        ' "sink": {"type": "null"}}'
+    )
+    config = ConfigLoader().load(cfg)
+    assert config.validate() == []
+
+
+def test_aggregate_transformer_builds(spark, csv_file, tmp_path):
+    loader = ConfigLoader()
+    config = loader.parse(
+        {
+            "name": "agg",
+            "source": {"type": "csv", "path": str(csv_file)},
+            "transformers": [
+                {"type": "aggregate", "group_by": "category",
+                 "agg": {"value": ["sum", "mean"]}},
+                {"type": "sort", "by": "category"},
+            ],
+            "sink": {"type": "parquet", "path": str(tmp_path / "agg_out")},
+        }
+    )
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["rows"] == 5  # categories A..E

@@ -1,0 +1,142 @@
+"""Source/sink roundtrips per format — mirrors the reference's loader tests
+(write-then-read-back, tests/test_loaders.py:28-268)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from mini_etl_spark.sources import from_memory, read_csv, read_json, read_parquet
+from mini_etl_spark.sinks import (
+    callback_sink,
+    multi_sink,
+    null_sink,
+    to_csv,
+    to_json,
+    to_parquet,
+)
+
+
+def test_csv_roundtrip(spark, sample_pdf, tmp_path):
+    src = tmp_path / "in.csv"
+    sample_pdf.to_csv(src, index=False)
+    df = read_csv(str(src))(spark)
+    assert df.count() == 100
+    out = tmp_path / "out_csv"
+    to_csv(str(out), mode="overwrite")(df)
+    back = read_csv(str(out))(spark)
+    assert back.count() == 100
+    assert set(back.columns) == set(sample_pdf.columns)
+
+
+def test_csv_append_mode(spark, sample_pdf, tmp_path):
+    df = spark.createDataFrame(sample_pdf)
+    out = tmp_path / "out_csv"
+    to_csv(str(out), mode="w")(df)
+    to_csv(str(out), mode="a")(df)
+    assert read_csv(str(out))(spark).count() == 200
+
+
+def test_csv_special_chars(spark, tmp_path):
+    # ⇐ reference df_with_special_chars (conftest.py:163-170)
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "name": ['has,comma', 'has"quote', "has\nnewline"],
+            "desc": ["<html>", "a & b", "c > d"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = tmp_path / "special"
+    to_csv(str(out))(df)
+    back = read_csv(str(out), multiLine="true")(spark).toPandas()
+    assert sorted(back["name"]) == sorted(pdf["name"])
+
+
+def test_jsonl_roundtrip(spark, sample_pdf, tmp_path):
+    df = spark.createDataFrame(sample_pdf)
+    out = tmp_path / "out_jsonl"
+    to_json(str(out), lines=True)(df)
+    back = read_json(str(out), lines=True)(spark)
+    assert back.count() == 100
+
+
+def test_json_array_read_and_write(spark, sample_pdf, tmp_path):
+    src = tmp_path / "arr.json"
+    src.write_text(json.dumps(sample_pdf.head(10).to_dict(orient="records")))
+    df = read_json(str(src), lines=False)(spark)
+    assert df.count() == 10
+    out = tmp_path / "arr_out.json"
+    to_json(str(out), lines=False)(df)
+    payload = json.loads(out.read_text())
+    assert isinstance(payload, list) and len(payload) == 10
+
+
+def test_parquet_roundtrip_and_partitioned(spark, sample_pdf, tmp_path):
+    df = spark.createDataFrame(sample_pdf)
+    out = tmp_path / "plain"
+    to_parquet(str(out))(df)
+    assert read_parquet(str(out))(spark).count() == 100
+
+    part = tmp_path / "partitioned"
+    to_parquet(str(part), partition_by=["category"])(df)
+    # hive-style layout: one dir per category value
+    dirs = {p.name for p in part.iterdir() if p.is_dir()}
+    assert {"category=A", "category=B"}.issubset(dirs)
+    back = read_parquet(str(part))(spark)
+    assert back.count() == 100
+    # partition pruning: reading one category only scans that dir
+    pruned = back.filter("category = 'A'")
+    assert pruned.count() == 20
+
+
+def test_parquet_column_projection(spark, sample_pdf, tmp_path):
+    out = tmp_path / "proj"
+    to_parquet(str(out))(spark.createDataFrame(sample_pdf))
+    df = read_parquet(str(out), columns=["id", "value"])(spark)
+    assert df.columns == ["id", "value"]
+
+
+def test_from_memory_variants(spark, sample_pdf):
+    assert from_memory(sample_pdf)(spark).count() == 100
+    chunks = [sample_pdf.iloc[:50], sample_pdf.iloc[50:]]
+    assert from_memory(chunks)(spark).count() == 100
+    rows = [{"a": 1}, {"a": 2}]
+    assert from_memory(rows)(spark).count() == 2
+
+
+def test_multi_sink(spark, sample_pdf, tmp_path):
+    df = spark.createDataFrame(sample_pdf)
+    c, p = tmp_path / "multi_csv", tmp_path / "multi_pq"
+    multi_sink([to_csv(str(c)), to_parquet(str(p))])(df)
+    assert read_csv(str(c))(spark).count() == 100
+    assert read_parquet(str(p))(spark).count() == 100
+
+
+def test_null_sink(spark, sample_df):
+    null_sink()(sample_df)  # must simply not fail
+
+
+def test_callback_sink_driver_side(spark, sample_df):
+    seen: list[int] = []
+    done: list[bool] = []
+    callback_sink(lambda pdf: seen.append(len(pdf)), on_complete=lambda: done.append(True), driver_side=True)(sample_df)
+    assert sum(seen) == 100
+    assert done == [True]
+
+
+def test_read_csv_missing_file(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        read_csv(str(tmp_path / "nope.csv"))(spark).count()
+
+
+def test_excel_gated(spark, tmp_path):
+    from mini_etl_spark.sources import read_excel
+
+    with pytest.raises((NotImplementedError, FileNotFoundError, ValueError, ImportError, Exception)):
+        read_excel(str(tmp_path / "x.xlsx"))(spark)
