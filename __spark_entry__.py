@@ -235,6 +235,88 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale extensions: text analysis, dedup, similarity (mini_etl_spark.functions)
+# ---------------------------------------------------------------------------
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis battery: whitespace/BPE-ish token counts, stopword
+    language-ID, quality score, md5 set-fingerprint — all JVM-side column
+    expressions (functions/text.py), verified 1:1 against the DuckDB twin."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.add_text_features(docs).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "lang_id", "quality", "fingerprint"
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one hash-aggregate."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join (inverted index — no O(N²))."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(docs, threshold=0.5)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified. No SQL oracle
+    (xxhash64-based) — rows-only check here; the equivalence gate is the
+    pytest asserting LSH(verify) == exact jaccard_pairs on this table."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 grouping (no SQL oracle — xxhash64-based; rows-only)."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_dedup(docs)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    return list(emb.filter("vec_id = 0").first().embedding)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 around the vec_id=0 embedding —
+    TakeOrderedAndProject, no global sort."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _query_vector(spark, sf_dir), k=20)
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.3; the synthetic vectors
+    are near-orthogonal, so higher thresholds return nothing)."""
+    from mini_etl_spark.functions import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(emb, threshold=0.3)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-10 (rows-only: approximate by design;
+    recall vs brute force is asserted in pytest on planted clusters)."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -260,7 +342,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_batches": q_map_batches,
         "events_window": q_events_window,
         "topk_per_group": q_topk_per_group,
+        "text_features": q_text_features,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_dedup": q_simhash_dedup,
+        "cosine_topk": q_cosine_topk,
+        "cosine_pairs": q_cosine_pairs,
+        "lsh_topk": q_lsh_topk,
     }
+
+
+# DuckDB dialect building blocks for the text oracle — must mirror
+# mini_etl_spark/functions/text.py exactly (same tokenization, same CASE
+# chain, same rounding).
+_D_TOKENS = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
+    "t -> t != '')"
+)
+_D_STOP = {
+    "en": "['the','and','of','to','in','is','was','for','with','that']",
+    "de": "['der','die','das','und','ist','von','mit','nicht','ein','auf']",
+    "fr": "['le','la','les','et','est','dans','pour','que','une','des']",
+    "es": "['el','los','las','es','en','para','por','una','del','como']",
+}
+_D_SHINGLES = (
+    f"CASE WHEN len({_D_TOKENS}) >= 3 THEN "
+    f"list_distinct(list_transform(range(1, len({_D_TOKENS})-2+1), "
+    f"i -> array_to_string(({_D_TOKENS})[i:i+2], ' '))) "
+    "ELSE [] END"
+)
+# double-precision dot product of two float-list columns (positional unnest)
+def _d_dot(a: str, b: str) -> str:
+    return (
+        f"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
+        f"FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -377,4 +494,78 @@ def oracle_sql() -> dict[str, str]:
                   FROM customer)
             WHERE rank <= 3
         """,
+        "text_features": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CASE WHEN trim(text)='' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+                len(list_intersect({_D_TOKENS}, {_D_STOP['en']})) AS s_en,
+                len(list_intersect({_D_TOKENS}, {_D_STOP['de']})) AS s_de,
+                len(list_intersect({_D_TOKENS}, {_D_STOP['fr']})) AS s_fr,
+                len(list_intersect({_D_TOKENS}, {_D_STOP['es']})) AS s_es,
+                greatest(length(text),1)::DOUBLE AS n_chars,
+                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+                length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                md5(array_to_string(list_sort(list_distinct({_D_TOKENS})), ' ')) AS fingerprint
+              FROM documents)
+            SELECT doc_id, ws_tokens, bpe_tokens,
+              CASE WHEN s_en >= 1 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                   WHEN s_de >= 1 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= 1 AND s_fr >= s_es THEN 'fr'
+                   WHEN s_es >= 1 THEN 'es'
+                   ELSE 'unknown' END AS lang_id,
+              round(greatest(least(
+                  0.3*least(ws_tokens/100.0, 1.0) + 0.4*(n_alpha/n_chars)
+                  + 0.3*least(s_en/8.0, 1.0) - 0.2*(n_digit/n_chars),
+                  1.0), 0.0), 4) AS quality,
+              fingerprint
+            FROM f
+        """,
+        "exact_dedup": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (SELECT doc_id,
+                         md5(array_to_string(list_sort(list_distinct({_D_TOKENS})), ' ')) AS fp
+                  FROM documents)
+            GROUP BY fp
+        """,
+        "jaccard_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, sh, len(sh) AS sz
+              FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+              WHERE len(sh) > 0)
+            SELECT id_a, id_b, jaccard
+            FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         round(len(list_intersect(a.sh, b.sh))
+                               / (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                               4) AS jaccard
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5
+        """,
+        "cosine_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            d AS (
+              SELECT e.vec_id,
+                     {_d_dot('e.embedding', 'q.qv')} AS dot,
+                     sqrt({_d_dot('e.embedding', 'e.embedding')}) AS na,
+                     sqrt({_d_dot('q.qv', 'q.qv')}) AS nb
+              FROM embeddings e, q)
+            SELECT vec_id, round(dot/(na*nb), 4) AS cosine
+            FROM d ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "cosine_pairs": f"""
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+              FROM embeddings)
+            SELECT id_a, id_b, cosine
+            FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         round({_d_dot('a.embedding', 'b.embedding')}
+                               / (a.nrm * b.nrm), 4) AS cosine
+                  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.3
+        """,
+        # minhash_lsh_pairs / simhash_dedup / lsh_topk: xxhash64-based —
+        # no SQL oracle (rows-only driver check); equivalence asserted in
+        # tests/test_functions.py against the exact variants.
     }

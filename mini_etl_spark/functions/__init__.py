@@ -1,0 +1,19 @@
+"""Large-scale data-prep operators — the capability extension beyond the
+reference (BASELINE.json north star): the operations a 100 TB training-data
+pipeline needs, each designed partition-parallel with no driver
+materialization.
+
+- :mod:`text`       — language ID, quality scoring, token counting, document
+                      fingerprinting (all JVM-side column expressions)
+- :mod:`dedup`      — exact, n-gram Jaccard (inverted index), MinHash+LSH,
+                      SimHash, embedding-cosine near-dup
+- :mod:`similarity` — brute-force cosine top-k (exact baseline) and
+                      random-hyperplane LSH bucketed ANN (scale path)
+- :mod:`multimodal` — opaque binary columns with typed metadata; decode /
+                      feature-extract plumbing over mapInPandas (decode
+                      kernels stubbed: image/audio libs absent by design)
+"""
+
+from mini_etl_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["text", "dedup", "similarity", "multimodal"]

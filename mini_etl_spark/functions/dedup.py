@@ -1,0 +1,311 @@
+"""Deduplication at scale: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design stance for 100 TB:
+
+- **exact**: one hash-aggregate on a content fingerprint — the cheapest
+  global dedup; no sort, no window, skew-safe under AQE.
+- **jaccard_pairs**: *exact* similarity join via an inverted index on
+  shingles (explode → self-join on shingle → count shared per pair). Cost is
+  Σ|posting list|² per shingle, so hot shingles are capped (stop-shingle
+  removal via ``max_shingle_freq``) — the standard trick to keep the join
+  near-linear. This is the exactness oracle for the approximate paths.
+- **minhash_lsh_pairs**: MinHash signatures (k permutations of xxhash64) →
+  banded LSH buckets → candidates only where a band matches → exact Jaccard
+  verification of candidates. One shuffle per stage; candidate count ≈
+  true-pair count for reasonable (k, bands). The scale path.
+- **simhash64**: 64-bit SimHash per document; near-dups share simhash up to
+  a few bits — dedup/clustering key without pairwise joins at all.
+- **embedding_cosine_pairs**: exact pair join over embeddings (baseline);
+  at scale the LSH variant in :mod:`similarity` bounds the candidates.
+
+MinHash/SimHash use Spark's ``xxhash64`` (JVM-side, vectorizable). They are
+not expressible in DuckDB SQL, so their driver check is rows-only; their
+*correctness* gate is the self-differential pytest: LSH candidates ∪ verify
+== exact ``jaccard_pairs`` on the test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions.text import fingerprint, shingles
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per identical token-set fingerprint.
+    A single groupBy — the map-side partial aggregation makes this cheap
+    even when duplicates are rare."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def _pair_shingle_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(doc sizes, exploded doc↔shingle postings) — shared by exact Jaccard."""
+    sh = df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
+    sh = sh.withColumn("__size", F.size("__sh"))
+    sizes = sh.select("__id", "__size")
+    postings = sh.select("__id", F.explode("__sh").alias("__g"))
+    if max_shingle_freq is not None:
+        # stop-shingle removal: a shingle appearing in > max_shingle_freq docs
+        # contributes O(freq²) join pairs but ~no discriminative signal
+        freq = postings.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+        postings = postings.join(
+            F.broadcast(freq.filter(F.col("__f") > max_shingle_freq)),
+            on="__g",
+            how="left_anti",
+        )
+    return sizes, postings
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all (id_a < id_b) pairs with
+    |A∩B| / |A∪B| ≥ threshold. Inverted-index join — never materializes the
+    O(N²) pair space, only pairs sharing ≥1 shingle."""
+    sizes, postings = _pair_shingle_stats(df, text_col, id_col, n, max_shingle_freq)
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__sb"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared")
+                / (F.col("__sa") + F.col("__sb") - F.col("__shared")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Array of ``num_hashes`` longs, all JVM-side
+    (aggregate over the shingle array — no explode, no shuffle)."""
+    return F.array(
+        *[
+            F.aggregate(
+                col,
+                F.lit(2**63 - 1).cast("long"),
+                lambda acc, g: F.least(acc, F.xxhash64(g, F.lit(i))),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Approximate Jaccard join: MinHash → banded LSH → candidate pairs →
+    (optional) exact verification.
+
+    ``num_hashes/bands`` rows per band r gives the S-curve collision
+    probability 1-(1-s^r)^b; defaults (64, 16 → r=4) catch s ≥ ~0.5 with
+    high recall. With ``verify=True`` the output equals ``jaccard_pairs``
+    restricted to LSH candidates — precision 1.0, recall < 1 by the curve.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("minhash_lsh_pairs: bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    sig = docs.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    # band key = hash of the band's slice of the signature
+    band_rows = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__band.band", "__band.bucket")
+
+    a, b_ = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return candidates
+
+    # exact Jaccard verification of candidates only
+    sized = docs.select("__id", "__sh", F.size("__sh").alias("__size"))
+    verified = (
+        candidates.join(
+            sized.select(
+                F.col("__id").alias("id_a"),
+                F.col("__sh").alias("__sh_a"),
+                F.col("__size").alias("__sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            sized.select(
+                F.col("__id").alias("id_b"),
+                F.col("__sh").alias("__sh_b"),
+                F.col("__size").alias("__sb"),
+            ),
+            "id_b",
+        )
+        .withColumn("__shared", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared")
+                / (F.col("__sa") + F.col("__sb") - F.col("__shared")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(col: Column, text_mode: bool = True) -> Column:
+    """64-bit SimHash over token shingles (or any string array column):
+    bit j of the result = sign of Σ over elements of ±1 by the element's
+    xxhash64 bit j. Near-duplicate documents differ in few bits.
+
+    Pure column expressions: per-bit vote via aggregate over the array,
+    assembled with shiftleft/bitwise-or — no UDF, no shuffle.
+    """
+    arr = col
+
+    def bit_vote(j: int) -> Column:
+        # Σ ±1 per element for bit j
+        vote = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, g: acc
+            + F.when(F.shiftright(F.xxhash64(g), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    result = F.lit(0).cast("long")
+    for j in range(64):
+        result = result.bitwiseOR(F.shiftleft(bit_vote(j), j))
+    return result
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Group documents by exact SimHash64 value: one hash-aggregate, the
+    cheapest near-dup *key* (catch hamming-distance-0 clusters; for ≤k-bit
+    tolerance, band the 64 bits into k+1 chunks and join on chunk equality)."""
+    sh = df.select(
+        F.col(id_col).alias(id_col), shingles(text_col, n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    hashed = sh.withColumn("simhash", simhash64(F.col("__sh")))
+    return hashed.groupBy("simhash").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs over an ``array<float>`` column.
+
+    Baseline implementation is the exact pair join (id_a < id_b) with the
+    dot product as a JVM-side ``aggregate(zip_with(...))`` — fine up to ~10⁵
+    vectors; beyond that use similarity.lsh_bucket_candidates to bound the
+    pair space, then verify with this metric.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm.alias("__n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .withColumn("cosine", F.round(dot / (F.col("a.__n") * F.col("b.__n")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            "cosine",
+        )
+    )

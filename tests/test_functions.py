@@ -1,0 +1,247 @@
+"""Tests for the scale extensions (functions/): text analysis, dedup family,
+similarity search, multimodal plumbing.
+
+The exact operators are oracle-checked in test_oracle.py; here we test
+(a) golden semantics on tiny hand-built frames, and (b) the *approximate*
+operators differentially against their exact counterparts — LSH(verify)
+must equal exact Jaccard; ANN recall must be high on planted clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions import dedup as dd
+from mini_etl_spark.functions import multimodal as mm
+from mini_etl_spark.functions import similarity as sim
+from mini_etl_spark.functions import text as tx
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+# -- text ---------------------------------------------------------------------
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["Hello, World! the and 42nd", "", "  ", "one"]}))
+    out = df.select(
+        tx.tokens("text").alias("toks"),
+        tx.whitespace_token_count("text").alias("ws"),
+        tx.regex_token_count("text").alias("bpe"),
+    ).collect()
+    assert out[0].toks == ["hello", "world", "the", "and", "42nd"]
+    assert out[0].ws == 5
+    assert out[0].bpe == 8  # Hello , World ! the and 42 nd
+    assert out[1].ws == 0 and out[2].ws == 0
+    assert out[3].toks == ["one"]
+
+
+def test_language_id_golden(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the cat and the dog is in that house",
+                    "der hund und die katze ist nicht auf",
+                    "le chat est dans la maison pour que",
+                    "el perro es una mascota del vecino para",
+                    "zzz qqq xxx",
+                ]
+            }
+        )
+    )
+    out = [r.lang for r in df.select(tx.language_id("text").alias("lang")).collect()]
+    assert out == ["en", "de", "fr", "es", "unknown"]
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["alpha beta gamma", "gamma beta alpha beta", "alpha beta delta"]})
+    )
+    fps = [r.fp for r in df.select(tx.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]      # same token set → same fingerprint
+    assert fps[0] != fps[2]
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["one two", "a b c d"]}))
+    out = [r.sh for r in df.select(tx.shingles("text", 3).alias("sh")).collect()]
+    assert out[0] == []
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_quality_bounds(spark, docs):
+    stats = docs.select(
+        F.min(tx.quality_score("text")).alias("lo"),
+        F.max(tx.quality_score("text")).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+# -- dedup --------------------------------------------------------------------
+
+def test_exact_dedup_golden(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a b c", "c b a", "a b c!", "totally different words"],
+            }
+        )
+    )
+    out = dd.exact_dedup(df).collect()
+    groups = {r.doc_id: r.dup_count for r in out}
+    assert groups == {1: 3, 4: 1}  # docs 1,2,3 share the token set {a,b,c}
+
+
+def test_jaccard_pairs_golden(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "w1 w2 w3 w4 w5",        # shingles: {123,234,345}
+                    "w1 w2 w3 w4 w9",        # shingles: {123,234,349'}
+                    "x y z q r s",
+                ],
+            }
+        )
+    )
+    pairs = dd.jaccard_pairs(df, threshold=0.4).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b, p.jaccard) == (1, 2, 0.5)  # 2 shared / 4 union
+
+
+def test_minhash_lsh_equals_exact(spark, docs):
+    exact = {(r.id_a, r.id_b) for r in dd.jaccard_pairs(docs, threshold=0.5).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16).collect()
+    }
+    assert approx == exact  # verify-mode precision 1.0; recall 1.0 on this table
+
+
+def test_minhash_bands_must_divide():
+    with pytest.raises(ValueError):
+        dd.minhash_lsh_pairs(None, num_hashes=64, bands=7)
+
+
+def test_simhash_near_dups_collide(spark):
+    # identical token sequences → identical simhash; disjoint → different
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"],
+            }
+        )
+    )
+    out = dd.simhash_dedup(df).collect()
+    assert len(out) == 2
+    counts = sorted(r.dup_count for r in out)
+    assert counts == [1, 2]
+
+
+def test_embedding_cosine_pairs_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = dd.embedding_cosine_pairs(df, threshold=0.95).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].cosine > 0.99
+
+
+# -- similarity ---------------------------------------------------------------
+
+def test_cosine_topk_exact(spark, emb):
+    q = emb.filter("vec_id = 0").first().embedding
+    top = sim.cosine_topk(emb, q, k=5).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == 1.0
+    cosines = [r.cosine for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_recall_on_planted_clusters(spark):
+    # plant 10 clusters of 20 near-identical vectors; ANN must find
+    # same-cluster vectors for a cluster-member query
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 32))
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(20):
+            v = c + rng.standard_normal(32) * 0.01
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, cluster int, embedding array<float>")
+    query = [float(x) for x in centers[3]]
+    exact = {r.vec_id for r in sim.cosine_topk(df, query, k=10).collect()}
+    approx = {r.vec_id for r in sim.lsh_topk(df, query, k=10, num_planes=8).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9
+
+
+def test_lsh_buckets_deterministic(spark, emb):
+    b1 = sim.with_lsh_buckets(emb, num_planes=6, seed=11).select("vec_id", "lsh_bucket")
+    b2 = sim.with_lsh_buckets(emb, num_planes=6, seed=11).select("vec_id", "lsh_bucket")
+    assert b1.exceptAll(b2).count() == 0
+
+
+# -- multimodal ---------------------------------------------------------------
+
+def test_asset_schema_and_features(spark):
+    assets = mm.synthetic_assets(spark, n=60)
+    assert assets.schema == mm.ASSET_SCHEMA
+    feats = mm.extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows[:5]:
+        assert len(r.features) == mm.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+        assert len(r.content_sha256) == 64
+        assert r.n_bytes > 0
+    # deterministic: same asset id → same features across runs
+    again = {r.asset_id: r.features for r in mm.extract_features(mm.synthetic_assets(spark, n=60)).collect()}
+    first = {r.asset_id: r.features for r in rows}
+    assert again == first
+
+
+def test_feature_extraction_is_distributed(spark):
+    # repartition → multiple Arrow batches; output must be complete & stable
+    assets = mm.synthetic_assets(spark, n=90).repartition(8)
+    feats = mm.extract_features(assets)
+    assert feats.count() == 90
+
+
+def test_meta_filter(spark):
+    assets = mm.synthetic_assets(spark, n=90)
+    imgs = mm.filter_by_meta(assets, modality="image")
+    assert imgs.count() == 30
+    assert mm.filter_by_meta(assets, modality="audio").count() == 30
+
+
+def test_decode_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"xx", "png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"xx", "wav")
+    with pytest.raises(NotImplementedError):
+        mm.sample_video_frames(b"xx", "mp4")
