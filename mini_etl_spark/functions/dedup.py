@@ -30,7 +30,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mini_etl_spark.functions.text import fingerprint, shingles
+from mini_etl_spark.functions.text import fingerprint, shingles_from_tokens, tokens
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle array) with tokens materialized first — see
+    shingles_from_tokens for why the two-step projection matters."""
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .select(
+            F.col(id_col).alias("__id"),
+            shingles_from_tokens(F.col("__toks"), n).alias("__sh"),
+        )
+    )
 
 
 def exact_dedup(
@@ -56,9 +68,11 @@ def _pair_shingle_stats(
     n: int,
     max_shingle_freq: int | None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(doc sizes, exploded doc↔shingle postings) — shared by exact Jaccard."""
-    sh = df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
-    sh = sh.withColumn("__size", F.size("__sh"))
+    """(doc sizes, exploded doc↔shingle postings) — shared by exact Jaccard.
+    The shingled frame is persisted: sizes and postings both consume it, and
+    recomputing shingles is the dominant cost."""
+    sh = _shingled(df, text_col, id_col, n).withColumn("__size", F.size("__sh"))
+    sh = sh.persist()
     sizes = sh.select("__id", "__size")
     postings = sh.select("__id", F.explode("__sh").alias("__g"))
     if max_shingle_freq is not None:
@@ -147,10 +161,23 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("minhash_lsh_pairs: bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    sig = docs.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # persisted: consumed by signature banding and twice by verification.
+    # NO size>0 filter: empty shingle arrays vanish at the explode anyway,
+    # and a filter on the shingle column would defeat the materialization
+    # (ProjectCollapse substitutes the full expression into the predicate,
+    # doubling the shingle computation — measured 5x at sf0.1).
+    docs = _shingled(df, text_col, id_col, n).persist()
+
+    # signatures via explode + one vectorized HashAggregate with num_hashes
+    # min() columns — measured ~5× faster than num_hashes aggregate() HOFs
+    # over the array (which evaluate interpreted, outside codegen)
+    exploded = docs.select("__id", F.explode("__sh").alias("__g"))
+    sig = exploded.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64("__g", F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
     # band key = hash of the band's slice of the signature
     band_rows = sig.select(
@@ -164,7 +191,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                                    F.col(f"__h{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -256,13 +283,36 @@ def simhash_dedup(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Group documents by exact SimHash64 value: one hash-aggregate, the
-    cheapest near-dup *key* (catch hamming-distance-0 clusters; for ≤k-bit
-    tolerance, band the 64 bits into k+1 chunks and join on chunk equality)."""
-    sh = df.select(
-        F.col(id_col).alias(id_col), shingles(text_col, n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    hashed = sh.withColumn("simhash", simhash64(F.col("__sh")))
+    """Group documents by exact SimHash64 value — the cheapest near-dup
+    *key* (catches hamming-distance-0 clusters; for ≤k-bit tolerance, band
+    the 64 bits into k+1 chunks and join on chunk equality).
+
+    Computed explode-side: per (doc, shingle) emit ±1 votes for all 64 bits
+    in one projection, sum them in one vectorized HashAggregate, then pack
+    the sign bits. Same result as the per-row :func:`simhash64` expression
+    but ~an order of magnitude faster (64 array-aggregate HOFs evaluate
+    interpreted; the explode form stays in codegen). Docs with no shingles
+    drop out at the explode — same semantics as before."""
+    postings = _shingled(df, text_col, id_col, n).select(
+        "__id", F.explode("__sh").alias("__g")
+    )
+    votes = postings.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.xxhash64("__g"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{j}")
+            for j in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.when(F.col(f"__v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = packed.bitwiseOR(F.shiftleft(bit, j))
+    hashed = votes.select(F.col("__id").alias(id_col), packed.alias("simhash"))
     return hashed.groupBy("simhash").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
     )

@@ -129,19 +129,33 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(canonical.cast("binary"))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingles (distinct), the unit set for Jaccard/MinHash.
-    Implemented with transform+slice over the token array — JVM-side."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (distinct) from a *materialized* token array
+    column. ``toks`` MUST be a plain column reference (``withColumn`` it
+    first): every reference here re-evaluates the expression it's given, so
+    passing the raw ``tokens(text)`` expression turns O(len) into O(len²)
+    regex work — measured 5× slower at sf0.1.
+
+    Formulation: transform-with-index + element_at (out-of-range gives
+    null, concat_ws drops it), then slice off the trailing n-1 partial
+    grams. slice length 0 handles docs shorter than n."""
     count = F.size(toks)
-    # guard: sequence(1, x) with x<1 would generate a DESCENDING sequence
-    # (Spark's step defaults to -1 when start > stop) — short docs get []
-    idx = F.sequence(F.lit(1), count - F.lit(n - 1))
-    grams = F.when(
-        count >= F.lit(n),
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    grams = F.transform(
+        toks,
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.element_at(toks, i + F.lit(j)) for j in range(2, n + 1)]
+        ),
+    )
+    return F.array_distinct(
+        F.slice(grams, 1, F.greatest(count - F.lit(n - 1), F.lit(0)))
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles from raw text. Convenience form — fine for
+    small frames and tests; hot paths should materialize tokens first and
+    use :func:`shingles_from_tokens` (see dedup.py)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def add_text_features(

@@ -47,14 +47,18 @@ def deduplicate(
         if keep == "any":
             return df.dropDuplicates(cols)
         order_cols = [order_by] if isinstance(order_by, str) else list(order_by or [])
-        w = Window.partitionBy(*cols)
         if keep is False:
+            w = Window.partitionBy(*cols)
             marked = df.withColumn("__n", F.count(F.lit(1)).over(w))
             return marked.filter(F.col("__n") == 1).drop("__n")
-        ordering = [
-            F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_cols
-        ]
-        marked = df.withColumn("__rn", F.row_number().over(w.orderBy(*ordering)))
-        return marked.filter(F.col("__rn") == 1).drop("__rn")
+        # keep first/last as ONE hash aggregate: min_by/max_by of the whole
+        # row by the ordering key — no window, no per-partition sort, and
+        # map-side partial aggregation shrinks the shuffle to ≤1 row per
+        # (partition, key). Equivalent to row_number()==1 with deterministic
+        # results when the ordering key is unique within each group.
+        pick = F.min_by if keep == "first" else F.max_by
+        row = pick(F.struct(*df.columns), F.struct(*order_cols)).alias("__row")
+        picked = df.groupBy(*cols).agg(row)
+        return picked.select([F.col(f"__row.{c}").alias(c) for c in df.columns])
 
     return _apply

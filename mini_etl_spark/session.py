@@ -44,9 +44,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode = one JVM; driver memory is the only heap knob.
+        # No effect if a session already exists (builder reuses it).
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,37 @@
+"""Structured Streaming support (capability extension — SURVEY §2.3 notes
+the reference's "streaming" is chunked batch; real streams map to
+readStream + watermark + windows).
+
+The `events` test table (event_id, ts, user_id, event_type, value, props)
+stands in for a stream. Helpers here cover the canonical stateful shapes:
+
+- tumbling / sliding window aggregation with watermarked late-data handling
+- session windows (``F.session_window``) — streaming-native sessionization
+- batch sessionization (lag + gap cumsum) — same semantics on bounded data,
+  SQL-expressible, used as the oracle for the streaming path
+- a file→memory test harness that drives a stream to completion
+  synchronously (availableNow), so tests are deterministic
+
+Scale notes: watermarks bound state size (state store keeps only windows
+newer than watermark); key skew in groupBy(user) is the same shuffle-skew
+problem as batch and AQE does not apply to streaming — pick key salting at
+the source if a user is pathologically hot.
+"""
+
+from mini_etl_spark.streaming.events import (
+    batch_sessionize,
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "batch_sessionize",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,174 @@
+"""Streaming operators over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+# rejects; the stream reads it as int64 nanos (legacy conf) and converts.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch in tests; in production this would be Kafka/files landing).
+    ``ts`` is normalized to a microsecond timestamp column."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory; expose a single file
+        # through a temp dir containing a symlink (zero-copy)
+        link_dir = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(link_dir, os.path.basename(path)))
+        path = link_dir
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(path)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum. Late rows beyond the
+    watermark are dropped; state is bounded to ~watermark/window windows
+    per key."""
+    keys = keys if keys is not None else ["event_type"]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    windows — state and output scale by that factor; keep the ratio small
+    at scale."""
+    keys = keys if keys is not None else ["event_type"]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization: dynamic-length session windows closed by
+    ``gap`` of inactivity per key (F.session_window merges adjacent state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col(key),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def batch_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key: str = "user_id",
+) -> DataFrame:
+    """Bounded-data sessionization with identical semantics to the session
+    window: session starts where the gap to the previous event (per key)
+    exceeds ``gap_minutes``; session id = cumulative count of starts.
+
+    The classic lag+cumsum window pair — one shuffle on the key, and the
+    SQL-expressible oracle for the streaming path. Output: one row per
+    session with start/end/count/sum.
+    """
+    w = Window.partitionBy(key).orderBy("ts")
+    gap_s = gap_minutes * 60
+    marked = events.withColumn(
+        "__new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > F.lit(gap_s),
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "__session_seq",
+        F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy(key, "__session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .withColumnRenamed("__session_seq", "session_seq")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Test harness: drive the streaming query over all available input
+    synchronously and return the result as a batch DataFrame."""
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,112 @@
+"""Streaming tests: drive real streaming queries over the events parquet
+(availableNow → memory sink), and check streaming windows against their
+batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_spark import streaming as st
+from mini_etl_spark.sources import read_parquet
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return read_parquet(f"{SF_SMALL}/events.parquet", ns_timestamp_columns=["ts"])(spark)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return st.read_events_stream(spark, f"{SF_SMALL}/events.parquet")
+
+
+def test_tumbling_window_matches_batch(spark, events_batch, events_stream):
+    streamed = st.run_stream_to_memory(
+        st.tumbling_window_agg(events_stream, window="1 hour"), "tumble_test"
+    )
+    batch = (
+        events_batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_sliding_window_overlap(spark, events_stream):
+    out = st.run_stream_to_memory(
+        st.sliding_window_agg(events_stream, window="1 hour", slide="30 minutes"),
+        "slide_test",
+    )
+    # every event falls into 2 sliding windows → total count doubles
+    total_sliding = out.agg(F.sum("n_events")).collect()[0][0]
+    tumbled = st.run_stream_to_memory(
+        st.tumbling_window_agg(events_stream, window="1 hour"), "tumble_for_slide"
+    )
+    total_tumbling = tumbled.agg(F.sum("n_events")).collect()[0][0]
+    assert total_sliding == 2 * total_tumbling
+
+
+def test_session_window_stream_runs(spark, events_stream):
+    out = st.run_stream_to_memory(
+        st.session_window_agg(events_stream, gap="30 minutes"), "session_test"
+    )
+    assert out.count() > 0
+    row = out.first()
+    assert row.session_end >= row.session_start
+
+
+def test_batch_sessionize_semantics(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00",
+                    "2024-01-01 10:10",   # same session (gap 10m)
+                    "2024-01-01 11:30",   # new session (gap 80m)
+                    "2024-01-01 11:40",
+                    "2024-01-01 09:00",
+                ]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = st.batch_sessionize(df, gap_minutes=30).orderBy("user_id", "session_seq")
+    rows = out.collect()
+    assert [(r.user_id, r.n_events, r.value_sum) for r in rows] == [
+        (1, 2, 3.0),
+        (1, 2, 7.0),
+        (2, 1, 5.0),
+    ]
+
+
+def test_batch_sessionize_matches_session_window(spark, events_batch, events_stream):
+    """Session windows (streaming) and lag+cumsum (batch) must produce the
+    same sessions on bounded data."""
+    streamed = st.run_stream_to_memory(
+        st.session_window_agg(events_stream, gap="30 minutes"), "session_vs_batch"
+    ).select("user_id", "session_start", "n_events", "value_sum")
+    batch = st.batch_sessionize(events_batch, gap_minutes=30).select(
+        "user_id", "session_start", "n_events", "value_sum"
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
