@@ -235,6 +235,129 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window / time-series / advanced-join queries (Spark supersets of the
+# reference, each with a DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag + gap cumsum) over events — the bounded
+    twin of the streaming session window (streaming/events.py)."""
+    from mini_etl_spark.streaming import batch_sessionize
+
+    events = _t(spark, sf_dir, "events")
+    out = batch_sessionize(events, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): each click event picks up the value
+    of the user's most recent purchase at-or-before it. One shuffle on
+    (user_id, ts) — Spark has no native as-of join; DuckDB's ASOF JOIN is
+    the oracle."""
+    from mini_etl_spark.operators import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_value",
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/joins.py): lineitem quantities into
+    static bands — the equi-join-on-bucket decomposition, verified against
+    DuckDB's plain BETWEEN join."""
+    from mini_etl_spark.operators import range_join
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0.0, 9.999, "low"), (10.0, 24.999, "mid"), (25.0, 100.0, "high")],
+        "lo double, hi double, band string",
+    )
+    joined = range_join(lineitem, bands, "l_quantity", "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: l_linestatus values to columns (reference has no pivot; free
+    superset via DataFrame API)."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = (
+        df.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+    return out.na.fill({"qty_open": 0.0, "qty_filled": 0.0})
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("qty_sum"))
+        .na.fill({"l_returnflag": "(all)", "l_linestatus": "(all)"})
+    )
+
+
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-supplier quantity cumsum ordered by ship date — frame-
+    bounded window function (reference has no window functions at all)."""
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+def q_fillna_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional fill (fill_na method='ffill') with explicit ordering and
+    partitioning — the order-dependent operator done right (SURVEY §4.3.3)."""
+    events = _t(spark, sf_dir, "events")
+    sparse = events.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.round("value", 2)),
+    )
+    filled = ops.fill_na(
+        method="ffill",
+        columns=["purchase_value"],
+        order_by=["ts", "event_id"],
+        partition_by="user_id",
+    )(sparse)
+    return filled.select("event_id", "user_id", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
 # Scale extensions: text analysis, dedup, similarity (mini_etl_spark.functions)
 # ---------------------------------------------------------------------------
 
@@ -342,6 +465,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_batches": q_map_batches,
         "events_window": q_events_window,
         "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "running_window": q_running_window,
+        "fillna_ffill": q_fillna_ffill,
         "text_features": q_text_features,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -493,6 +623,76 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY c_acctbal DESC, c_custkey) AS rank
                   FROM customer)
             WHERE rank <= 3
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                 OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            seq AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM marked)
+            SELECT user_id, session_seq,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM seq GROUP BY user_id, session_seq
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            purchases AS (
+              SELECT user_id, ts, round(max(value), 2) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   p.purchase_value
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "range_join": """
+            SELECT band, count(*) AS n_rows, round(sum(l_quantity), 2) AS qty_sum
+            FROM lineitem
+            JOIN (VALUES (0.0, 9.999, 'low'), (10.0, 24.999, 'mid'),
+                         (25.0, 100.0, 'high')) AS b(lo, hi, band)
+              ON l_quantity BETWEEN lo AND hi
+            GROUP BY band
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_open,
+                   round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rollup": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS qty_sum
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "running_window": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(sum(l_quantity) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_qty
+            FROM lineitem
+        """,
+        "fillna_ffill": """
+            SELECT event_id, user_id,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN round(value, 2) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS purchase_value
+            FROM events
         """,
         "text_features": f"""
             WITH f AS (
