@@ -183,11 +183,20 @@ def fill_na(
 
     def _apply(df: DataFrame) -> DataFrame:
         if method is None:
+            # NullType (void) columns — e.g. inferred from an all-null input —
+            # are silently skipped by na.fill; replace them with the literal
+            per_col = value if isinstance(value, dict) else None
+            scope = list(per_col) if per_col is not None else (columns or df.columns)
+            out = df
+            for f in df.schema.fields:
+                if f.name in scope and f.dataType.typeName() == "void":
+                    fill = per_col[f.name] if per_col is not None else value
+                    out = out.withColumn(f.name, F.lit(fill))
             if isinstance(value, dict):
-                return df.na.fill(value)
+                return out.na.fill(value)
             if columns:
-                return df.na.fill(value, subset=columns)
-            return df.na.fill(value)
+                return out.na.fill(value, subset=columns)
+            return out.na.fill(value)
         order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
         if partition_by:
             part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)

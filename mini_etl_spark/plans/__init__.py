@@ -50,6 +50,8 @@ class PlanSummary:
 
 def summarize(df: DataFrame) -> PlanSummary:
     plan = physical_plan(df, "formatted")
+    # codegen stage markers only appear in simple mode in Spark 4 ("*(N) Op")
+    simple = physical_plan(df, "simple")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     schemas = re.findall(r"ReadSchema: (\S+)", plan)
     joins = re.findall(r"(\w*(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)\w*)", plan)
@@ -60,9 +62,21 @@ def summarize(df: DataFrame) -> PlanSummary:
         has_broadcast_join="BroadcastHashJoin" in plan,
         has_sort_merge_join="SortMergeJoin" in plan,
         exchanges=len(re.findall(r"\bExchange\b|\bShuffleExchange", plan)),
-        codegen_stages=len(re.findall(r"WholeStageCodegen", plan)),
+        codegen_stages=len(set(re.findall(r"\*\((\d+)\)", simple))),
         aqe="AdaptiveSparkPlan" in plan,
     )
+
+
+def executed_codegen_stages(df: DataFrame) -> int:
+    """Number of WholeStageCodegen stages in the FINAL (post-AQE) plan.
+
+    Runs ``collect()``: AQE finalizes (and annotates codegen) only after an
+    action runs on *this exact* Dataset — a write spawns a separate
+    execution and would leave this one un-finalized. Diagnostic use on
+    small/aggregated frames only; don't call on a huge result."""
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    return len(set(re.findall(r"\*\((\d+)\)", final)))
 
 
 def explain_summary(df: DataFrame) -> str:

@@ -31,6 +31,14 @@ def read_jdbc(
 ) -> Source:
     if (table is None) == (query is None):
         raise ValueError("read_jdbc: provide exactly one of table= or query=")
+    if partition_column is not None:
+        if table is None:
+            raise ValueError("read_jdbc: partitioned reads require table=, not query=")
+        if num_partitions is None or lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "read_jdbc: partition_column requires num_partitions, "
+                "lower_bound and upper_bound"
+            )
 
     def _read(spark: SparkSession) -> DataFrame:
         reader = spark.read.format("jdbc").option("url", url)
@@ -39,13 +47,6 @@ def read_jdbc(
         else:
             reader = reader.option("query", query)
         if partition_column is not None:
-            if table is None:
-                raise ValueError("read_jdbc: partitioned reads require table=, not query=")
-            if num_partitions is None or lower_bound is None or upper_bound is None:
-                raise ValueError(
-                    "read_jdbc: partition_column requires num_partitions, "
-                    "lower_bound and upper_bound"
-                )
             reader = (
                 reader.option("partitionColumn", partition_column)
                 .option("numPartitions", str(num_partitions))

@@ -140,3 +140,34 @@ def test_excel_gated(spark, tmp_path):
 
     with pytest.raises((NotImplementedError, FileNotFoundError, ValueError, ImportError, Exception)):
         read_excel(str(tmp_path / "x.xlsx"))(spark)
+
+
+def test_csv_permissive_corrupt_rows(spark, tmp_path):
+    """Row-level error handling (SURVEY §4.3.4): corrupt rows null out
+    under PERMISSIVE instead of failing the job or dropping a whole chunk."""
+    src = tmp_path / "bad.csv"
+    src.write_text("id,value\n1,10\n2,not_a_number\n3,30\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    df = read_csv(str(src), schema=schema, infer_schema=False)(spark)
+    rows = {r.id: r.value for r in df.collect()}
+    assert rows == {1: 10, 2: None, 3: 30}
+
+
+def test_jdbc_validation():
+    from mini_etl_spark.sources import read_jdbc
+
+    with pytest.raises(ValueError, match="exactly one"):
+        read_jdbc("jdbc:x")
+    with pytest.raises(ValueError, match="exactly one"):
+        read_jdbc("jdbc:x", table="t", query="q")
+    with pytest.raises(ValueError, match="partitioned reads require table"):
+        read_jdbc("jdbc:x", query="select 1", partition_column="id")
+    with pytest.raises(ValueError, match="requires num_partitions"):
+        read_jdbc("jdbc:x", table="t", partition_column="id")

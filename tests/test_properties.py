@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): operator invariants that must hold on
+arbitrary frames — a layer the reference lacked entirely (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mini_etl_spark import operators as ops
+from mini_etl_spark.functions import text as tx
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _df(spark, data):
+    pdf = pd.DataFrame(data, columns=["id", "cat", "val"])
+    return spark.createDataFrame(pdf.astype({"id": "int64", "cat": "object"}))
+
+
+@SLOW
+@given(data=rows)
+def test_dedup_any_idempotent_and_bounded(spark, data):
+    df = _df(spark, data)
+    once = ops.deduplicate(["cat"])(df)
+    twice = ops.deduplicate(["cat"])(once)
+    assert once.count() == twice.count()
+    assert once.count() <= min(df.count(), 3)  # ≤ distinct cats
+
+
+@SLOW
+@given(data=rows)
+def test_filter_partitions_rows(spark, data):
+    df = _df(spark, data)
+    hi = ops.filter_rows("id > 0")(df).count()
+    lo = ops.filter_rows("id <= 0")(df).count()
+    assert hi + lo == df.count()
+
+
+@SLOW
+@given(data=rows)
+def test_fillna_removes_all_nulls_and_preserves_values(spark, data):
+    df = _df(spark, data)
+    filled = ops.fill_na(0.0, columns=["val"])(df)
+    assert filled.filter("val IS NULL").count() == 0
+    # filled result == original with None replaced by 0.0 (values untouched)
+    expect = sorted(0.0 if r.val is None else r.val for r in df.collect())
+    got = sorted(r.val for r in filled.collect())
+    assert got == expect
+
+
+@SLOW
+@given(data=rows)
+def test_group_agg_count_totals(spark, data):
+    df = _df(spark, data)
+    agg = ops.group_agg("cat", {"id": "count"})(df)
+    total = sum(r.id_count for r in agg.collect())
+    assert total == df.count()
+
+
+@SLOW
+@given(data=rows)
+def test_sort_is_permutation_and_ordered(spark, data):
+    df = _df(spark, data)
+    out = [r.id for r in ops.sort_rows("id")(df).collect()]
+    assert out == sorted(r.id for r in df.collect())
+
+
+@SLOW
+@given(texts=st.lists(st.text(max_size=80), min_size=1, max_size=20))
+def test_fingerprint_is_token_set_invariant(spark, texts):
+    pdf = pd.DataFrame({"text": texts})
+    df = spark.createDataFrame(pdf)
+    rows_ = df.select(
+        tx.tokens("text").alias("toks"), tx.fingerprint("text").alias("fp")
+    ).collect()
+    by_set: dict[frozenset, set] = {}
+    for r in rows_:
+        by_set.setdefault(frozenset(r.toks), set()).add(r.fp)
+    # identical token set ⇒ identical fingerprint (and vice versa per md5)
+    assert all(len(fps) == 1 for fps in by_set.values())
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=40), min_size=1, max_size=15
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_shingles_properties(spark, texts, n):
+    pdf = pd.DataFrame({"text": texts})
+    df = spark.createDataFrame(pdf)
+    rows_ = df.select(
+        tx.tokens("text").alias("toks"), tx.shingles("text", n).alias("sh")
+    ).collect()
+    for r in rows_:
+        k = len(r.toks)
+        if k < n:
+            assert r.sh == []
+        else:
+            assert len(r.sh) <= k - n + 1  # distinct ≤ total grams
+            assert all(len(g.split(" ")) == n for g in r.sh)

@@ -1,0 +1,37 @@
+"""Fleet-wide plan audit: every declared query's physical plan must be free
+of accidental scale hazards — no CartesianProduct anywhere, and nested-loop
+joins only where a theta-join is the documented intent (cosine_pairs, the
+exact pair-join baseline whose scale path is LSH bucketing)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from mini_etl_spark import plans  # noqa: E402
+
+from tests.conftest import SF_SMALL  # noqa: E402
+
+INTENTIONAL_THETA_JOINS = {"cosine_pairs"}
+
+
+@pytest.mark.parametrize("key", sorted(entrymod.queries().keys()))
+def test_no_scale_hazards_in_plan(spark, key):
+    df = entrymod.queries()[key](spark, SF_SMALL)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{key}: cartesian product in plan"
+    if key not in INTENTIONAL_THETA_JOINS:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{key}: unexpected nested-loop join"
+        )
+
+
+def test_codegen_present_in_simple_agg(spark):
+    df = entrymod.queries()["group_agg"](spark, SF_SMALL)
+    assert plans.executed_codegen_stages(df) >= 2  # partial + final agg stages
