@@ -22,6 +22,11 @@ from mini_etl_spark.sources import read_parquet
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive runtime confs: the driver may run these queries in its own
+    # session. UTC keeps temporal output stable vs the DuckDB oracle;
+    # non-ANSI keeps casts lenient (the engine's documented semantics).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
     # read as int64 nanos and convert (see sources.files.read_parquet).
     ns_cols = ["ts"] if name == "events" else None
@@ -203,6 +208,44 @@ def q_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "lineitem")
     df = ops.map_batches(
         _derive, "l_orderkey bigint, l_linenumber int, charge_cents bigint"
+    )(df)
+    return df
+
+
+def q_schema_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaValidator coercion (schema.py): lenient casts + injected
+    default column + schema-ordered projection."""
+    from mini_etl_spark.schema import Schema, SchemaValidator
+
+    df = _t(spark, sf_dir, "supplier")
+    schema = Schema.from_dict(
+        {
+            "s_suppkey": "int",
+            "s_name": "str",
+            "s_acctbal": "int",                       # double→int lenient cast (truncates)
+            "s_region": {"dtype": "str", "default": "UNKNOWN"},  # injected
+        },
+        strict=True,
+    )
+    return SchemaValidator(schema, coerce=True).validate(df)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (Spark superset; the reference only had concat):
+    INTERSECT and EXCEPT of two supplier slices, tagged and unioned."""
+    supplier = _t(spark, sf_dir, "supplier")
+    lo = supplier.filter("s_suppkey <= 60").select("s_suppkey", "s_name")
+    hi = supplier.filter("s_suppkey > 40").select("s_suppkey", "s_name")
+    both = lo.intersect(hi).withColumn("tag", F.lit("both"))
+    only_lo = lo.exceptAll(hi).withColumn("tag", F.lit("lo_only"))
+    return both.unionByName(only_lo)
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (nunique → countDistinct)."""
+    df = _t(spark, sf_dir, "lineitem")
+    df = ops.group_agg(
+        "l_returnflag", {"l_orderkey": "nunique", "l_suppkey": "nunique"}
     )(df)
     return df
 
@@ -465,6 +508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_batches": q_map_batches,
         "events_window": q_events_window,
         "topk_per_group": q_topk_per_group,
+        "schema_coerce": q_schema_coerce,
+        "set_ops": q_set_ops,
+        "distinct_agg": q_distinct_agg,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -623,6 +669,29 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY c_acctbal DESC, c_custkey) AS rank
                   FROM customer)
             WHERE rank <= 3
+        """,
+        "schema_coerce": """
+            SELECT s_suppkey, s_name,
+                   TRY_CAST(trunc(s_acctbal) AS BIGINT) AS s_acctbal,
+                   'UNKNOWN' AS s_region
+            FROM supplier
+        """,
+        "set_ops": """
+            SELECT s_suppkey, s_name, 'both' AS tag FROM (
+              SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey <= 60
+              INTERSECT
+              SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey > 40)
+            UNION ALL
+            SELECT s_suppkey, s_name, 'lo_only' AS tag FROM (
+              SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey <= 60
+              EXCEPT ALL
+              SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey > 40)
+        """,
+        "distinct_agg": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS l_orderkey_nunique,
+                   count(DISTINCT l_suppkey)  AS l_suppkey_nunique
+            FROM lineitem GROUP BY l_returnflag
         """,
         "sessionize": """
             WITH marked AS (
