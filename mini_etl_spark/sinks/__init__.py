@@ -34,12 +34,14 @@ from mini_etl_spark.sinks.writers import (
     to_jdbc,
     to_json,
     to_parquet,
+    to_parquet_bucketed,
 )
 
 __all__ = [
     "to_csv",
     "to_json",
     "to_parquet",
+    "to_parquet_bucketed",
     "to_jdbc",
     "to_excel",
     "multi_sink",

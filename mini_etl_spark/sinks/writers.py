@@ -110,6 +110,35 @@ def to_parquet(
     return _write
 
 
+def to_parquet_bucketed(
+    table: str,
+    bucket_by: str | list[str],
+    num_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> Sink:
+    """Bucketed parquet table (``bucketBy`` + ``saveAsTable``): rows are
+    hash-partitioned into ``num_buckets`` files per partition by the bucket
+    keys and optionally sorted within buckets.
+
+    This is the 100 TB co-location tool: two tables bucketed the same way
+    join WITHOUT a shuffle (Catalyst sees the matching output partitioning
+    — asserted in tests/test_bucketing.py), and aggregations on the bucket
+    keys skip their exchange too. Costs one shuffle at write time; amortize
+    over many reads. Requires a metastore-backed table name rather than a
+    bare path (bucketing metadata lives in the catalog)."""
+
+    def _write(df: DataFrame) -> None:
+        keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        writer = df.write.mode(_spark_mode(mode)).bucketBy(num_buckets, *keys)
+        if sort_by is not None:
+            sort_keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            writer = writer.sortBy(*sort_keys)
+        writer.format("parquet").saveAsTable(table)
+
+    return _write
+
+
 def to_jdbc(
     url: str,
     table: str,

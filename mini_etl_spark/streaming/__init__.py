@@ -26,6 +26,7 @@ from mini_etl_spark.streaming.events import (
     sliding_window_agg,
     tumbling_window_agg,
 )
+from mini_etl_spark.streaming.stateful import running_totals
 
 __all__ = [
     "read_events_stream",
@@ -34,4 +35,5 @@ __all__ = [
     "session_window_agg",
     "batch_sessionize",
     "run_stream_to_memory",
+    "running_totals",
 ]

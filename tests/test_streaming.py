@@ -110,3 +110,41 @@ def test_batch_sessionize_matches_session_window(spark, events_batch, events_str
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): state must carry
+    across micro-batches — input split into 2 files, 1 file per trigger."""
+    from pyspark.sql import functions as F
+
+    src = read_parquet(f"{SF_SMALL}/events.parquet", ns_timestamp_columns=["ts"])(spark)
+    half = tmp_path / "stream_in"
+    a = src.filter("event_id % 2 = 0")
+    b = src.filter("event_id % 2 = 1")
+    a.coalesce(1).write.parquet(str(half / "f0"))
+    b.coalesce(1).write.parquet(str(half / "f1"))
+
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(half / "*"))
+    )
+    out = st.running_totals(stream, key="user_id", value_col="value")
+    query = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max(value_sum) AS s "
+        "FROM stateful_totals GROUP BY user_id"
+    )
+    expect = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
