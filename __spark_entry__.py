@@ -273,7 +273,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     )
-    df = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    # row_number is int in Spark but BIGINT in SQL engines — align width
+    df = df.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )
     return df.select("c_nationkey", "rank", "c_custkey", "c_acctbal")
 
 
@@ -703,8 +706,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             seq AS (
               SELECT user_id, ts, value,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+                     -- DuckDB sum(int) is HUGEINT; pin to BIGINT to match Spark
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS session_seq
               FROM marked)
             SELECT user_id, session_seq,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

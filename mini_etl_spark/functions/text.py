@@ -45,8 +45,12 @@ def whitespace_token_count(col: Column | str) -> Column:
     """Tokens by whitespace splitting of the trimmed text (0 for blank)."""
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(c)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, "\\s+"))
+    # long, not int: keeps output dtype identical to SQL oracles (DuckDB
+    # len() is BIGINT) so differential value-hashing never sees a width diff
+    return (
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, "\\s+")))
+        .cast("long")
     )
 
 
@@ -54,7 +58,7 @@ def regex_token_count(col: Column | str) -> Column:
     """BPE-ish token count: number of TOKEN_PATTERN matches (letter runs,
     digit runs, single punctuation marks)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, F.lit(TOKEN_PATTERN))
+    return F.regexp_count(c, F.lit(TOKEN_PATTERN)).cast("long")
 
 
 def language_id(col: Column | str, min_hits: int = 1) -> Column:

@@ -75,6 +75,14 @@ def test_query_matches_oracle(spark, key):
     assert sorted(spark_df.columns) == sorted(duck_df.columns), (
         f"{key}: column mismatch {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
     )
+
+    def _kind(dtype) -> str:
+        k = dtype.kind if hasattr(dtype, "kind") else "O"
+        return {"i": "num", "u": "num", "f": "num", "b": "bool", "M": "dt"}.get(k, "obj")
+
+    for col in spark_df.columns:
+        sk, dk = _kind(spark_df[col].dtype), _kind(duck_df[col].dtype)
+        assert sk == dk, f"{key}.{col}: dtype class {sk} vs oracle {dk}"
     assert len(spark_df) == len(duck_df), (
         f"{key}: row count {len(spark_df)} vs oracle {len(duck_df)}"
     )
