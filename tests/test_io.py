@@ -171,3 +171,16 @@ def test_jdbc_validation():
         read_jdbc("jdbc:x", query="select 1", partition_column="id")
     with pytest.raises(ValueError, match="requires num_partitions"):
         read_jdbc("jdbc:x", table="t", partition_column="id")
+
+
+def test_nested_json_structs(spark, tmp_path):
+    """Nested JSON carries through as real struct/array types (the
+    reference could only pass nested objects opaquely; SURVEY §1.2)."""
+    src = tmp_path / "nested.jsonl"
+    src.write_text(
+        '{"id": 1, "meta": {"tags": ["a", "b"], "score": 0.5}}\n'
+        '{"id": 2, "meta": {"tags": [], "score": 1.5}}\n'
+    )
+    df = read_json(str(src), lines=True)(spark)
+    rows = df.selectExpr("id", "meta.score AS score", "size(meta.tags) AS n_tags").collect()
+    assert {(r.id, r.score, r.n_tags) for r in rows} == {(1, 0.5, 2), (2, 1.5, 0)}
