@@ -9,8 +9,9 @@ triggers execution. Nothing materializes on the driver.
 Stats parity (pipeline.py:146-153): ``{rows, duration, rows_per_second,
 errors}`` — row count measured with ``df.observe`` (a streaming-safe
 accumulator evaluated during the one write job, no second scan). The
-reference's ``chunks`` counter has no clean distributed meaning; the closest
-honest analogue, the output partition count, is reported as ``partitions``.
+reference's ``chunks`` counter is intentionally not reported: it has no
+clean distributed meaning (partition counts shift under AQE), and SURVEY
+§3.1 marks it as an implementation detail.
 
 Error modes (pipeline.py:44, 162-191): the reference drops a whole failing
 *chunk* in skip mode — an artifact of chunked execution. Here (SURVEY §4.3.4)
@@ -90,6 +91,17 @@ class Pipeline:
             raise TypeError("sink must be DataFrame -> None")
         self._sink = sink
         return self
+
+    def with_schema(self, schema, coerce: bool = True, on_error: str = "raise") -> "Pipeline":
+        """Wire schema validation/coercion into the stream, as the reference
+        did with ``validate_schema=True`` (pipeline.py:134-135, 233-246).
+        Appended as a transform stage so it runs after prior transforms."""
+        from mini_etl_spark.schema import Schema, SchemaValidator
+
+        if isinstance(schema, dict):
+            schema = Schema.from_dict(schema)
+        validator = SchemaValidator(schema, coerce=coerce, on_error=on_error)
+        return self.add_transformer(validator.as_transform())
 
     def on_start(self, cb: Callable[[], None]) -> "Pipeline":
         self._on_start.append(cb)

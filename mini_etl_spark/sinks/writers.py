@@ -162,17 +162,27 @@ def to_jdbc(
     return _write
 
 
-def to_excel(path: str, sheet_name: str = "Sheet1", **kwargs: Any) -> Sink:
+def to_excel(
+    path: str, sheet_name: str = "Sheet1", mode: str = "w", **kwargs: Any
+) -> Sink:
     """Excel writer (⇐ ExcelLoader, loaders.py:381-450). Inherently
     driver-local (the reference fully buffered too, loaders.py:420-432);
-    raises cleanly when no Excel engine is installed."""
+    ``mode='a'`` replicates its append (re-read existing sheet + concat,
+    loaders.py:437-446). Raises cleanly when no Excel engine is installed."""
+    if mode not in ("w", "a"):
+        raise ValueError("to_excel: mode must be 'w' or 'a'")
 
     def _write(df: DataFrame) -> None:
+        import pandas as pd
+
         logger.warning("to_excel buffers the full result on the driver")
         pdf = df.toPandas()
         target = Path(path)
         target.parent.mkdir(parents=True, exist_ok=True)
         try:
+            if mode == "a" and target.exists():
+                existing = pd.read_excel(target, sheet_name=sheet_name)
+                pdf = pd.concat([existing, pdf], ignore_index=True)
             pdf.to_excel(target, sheet_name=sheet_name, index=False, **kwargs)
         except ImportError as exc:
             raise NotImplementedError(

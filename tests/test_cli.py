@@ -55,3 +55,23 @@ def test_run_dry_run(tmp_path, sample_pdf):
     result = CliRunner().invoke(main, ["run", str(cfg), "--dry-run"])
     assert result.exit_code == 0
     assert "dry run" in result.output
+
+
+def test_run_full_pipeline(tmp_path, sample_pdf, spark):
+    """Full (non-dry) CLI run: compiles config, executes on Spark, writes
+    output readable back — the complete declarative path end-to-end."""
+    src = tmp_path / "in.csv"
+    sample_pdf.to_csv(src, index=False)
+    out = tmp_path / "out"
+    cfg = tmp_path / "full.yaml"
+    cfg.write_text(
+        f"name: full\n"
+        f"source: {{type: csv, path: '{src}'}}\n"
+        f"transformers:\n"
+        f"  - {{type: filter, condition: 'value > 150'}}\n"
+        f"sink: {{type: parquet, path: '{out}', mode: overwrite}}\n"
+    )
+    result = CliRunner().invoke(main, ["run", str(cfg), "--explain"])
+    assert result.exit_code == 0, result.output
+    assert "done: 49 rows" in result.output
+    assert spark.read.parquet(str(out)).count() == 49

@@ -245,3 +245,38 @@ def test_decode_stubs_raise(spark):
         mm.decode_audio(b"xx", "wav")
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames(b"xx", "mp4")
+
+
+def test_minhash_signature_column_helper(spark):
+    """The per-row signature Column API (slow path, kept for composability)
+    must agree with the explode-based pipeline's collision behavior."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b c d e", "a b c d e", "x y z w v"]})
+    )
+    sh = df.withColumn("__toks", tx.tokens("text")).select(
+        "doc_id", tx.shingles_from_tokens(F.col("__toks"), 3).alias("sh")
+    )
+    sigs = {r.doc_id: r.sig for r in sh.select(
+        "doc_id", dd.minhash_signature(F.col("sh"), 16).alias("sig")
+    ).collect()}
+    assert sigs[1] == sigs[2]           # identical docs → identical signature
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == 16
+
+
+def test_simhash64_column_helper(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f", "a b c d e f"]})
+    )
+    sh = df.withColumn("__toks", tx.tokens("text")).select(
+        "doc_id", tx.shingles_from_tokens(F.col("__toks"), 3).alias("sh")
+    )
+    vals = [r.h for r in sh.select(dd.simhash64(F.col("sh")).alias("h")).collect()]
+    assert vals[0] == vals[1]
+    assert isinstance(vals[0], int)

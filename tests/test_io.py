@@ -184,3 +184,32 @@ def test_nested_json_structs(spark, tmp_path):
     df = read_json(str(src), lines=True)(spark)
     rows = df.selectExpr("id", "meta.score AS score", "size(meta.tags) AS n_tags").collect()
     assert {(r.id, r.score, r.n_tags) for r in rows} == {(1, 0.5, 2), (2, 1.5, 0)}
+
+
+def test_callback_sink_executor_side(spark, sample_df, tmp_path):
+    """Executor-side callbacks: one invocation per partition, observable via
+    filesystem side effects (callbacks run in executor processes, so driver
+    lists can't capture them)."""
+    import uuid
+
+    out_dir = tmp_path / "cb"
+    out_dir.mkdir()
+    path = str(out_dir)
+
+    def per_batch(pdf):
+        with open(f"{path}/{uuid.uuid4().hex}.cnt", "w") as fh:
+            fh.write(str(len(pdf)))
+
+    callback_sink(per_batch)(sample_df.repartition(4))
+    files = list(out_dir.glob("*.cnt"))
+    assert len(files) >= 1
+    assert sum(int(f.read_text()) for f in files) == 100
+
+
+def test_excel_append_gated(spark, sample_df, tmp_path):
+    from mini_etl_spark.sinks import to_excel
+
+    with pytest.raises((NotImplementedError, ValueError)):
+        to_excel(str(tmp_path / "x.xlsx"))(sample_df)
+    with pytest.raises(ValueError):
+        to_excel(str(tmp_path / "x.xlsx"), mode="r")

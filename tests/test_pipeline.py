@@ -122,3 +122,22 @@ def test_dataframe_without_sink(spark, sample_pdf):
     )
     df = p.dataframe(spark)
     assert df.count() == 2
+
+
+def test_with_schema_stage(spark):
+    """Schema validation wired into the pipeline stream (reference
+    validate_schema=True, pipeline.py:134-135)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id": ["1", "2", "zz"], "value": [1.0, 2.0, 3.0]})
+    p = (
+        Pipeline("schema")
+        .set_source(from_memory(pdf))
+        .with_schema({"id": "int", "value": "float", "extra": {"dtype": "str", "default": "x"}})
+        .set_sink(null_sink())
+    )
+    stats = p.run(spark)
+    assert stats["rows"] == 3
+    df = p.dataframe(spark)
+    assert df.columns == ["id", "value", "extra"]
+    assert [r.id for r in df.orderBy("value").collect()] == [1, 2, None]
