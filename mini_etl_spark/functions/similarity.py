@@ -104,6 +104,63 @@ def with_lsh_buckets(
     return df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product over
+    unit-normalized centroids) — the IVF coarse quantizer. Centroids are
+    folded into the plan as literals; assignment is an argmax over k
+    JVM-side dot products (one columnar pass, no UDF, no shuffle)."""
+    best_cell = F.lit(0)
+    best_score = _dot(F.col(vec_col), centroids[0].tolist())
+    for cell in range(1, len(centroids)):
+        score = _dot(F.col(vec_col), centroids[cell].tolist())
+        better = score > best_score
+        best_cell = F.when(better, F.lit(cell)).otherwise(best_cell)
+        best_score = F.when(better, score).otherwise(best_score)
+    return df.withColumn("ivf_cell", best_cell)
+
+
+def ivf_centroids_from_sample(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic centroid init: the k lowest-id vectors, unit-normalized.
+    A stand-in for k-means (Lloyd iterations would refine these with k more
+    passes — same assign primitive); good enough to demonstrate the IVF
+    partition-probe structure with reproducible cells."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    arr = np.array([list(r[0]) for r in rows], dtype="float64")
+    norms = np.linalg.norm(arr, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return arr / norms
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: scan only the ``nprobe`` cells whose centroids are most
+    similar to the query, then exact top-k within them. With a persisted/
+    written ``ivf_assign`` table this reduces a repeated-query scan to
+    ~nprobe/k of the data — the inverted-file ANN structure, index-free."""
+    q = np.asarray(query, dtype="float64")
+    scores = centroids @ q
+    probe_cells = [int(c) for c in np.argsort(-scores)[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    candidates = assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query: Sequence[float],

@@ -280,3 +280,29 @@ def test_simhash64_column_helper(spark):
     vals = [r.h for r in sh.select(dd.simhash64(F.col("sh")).alias("h")).collect()]
     assert vals[0] == vals[1]
     assert isinstance(vals[0], int)
+
+
+def test_ivf_topk_on_planted_clusters(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16))
+    rows, vid = [], 0
+    for ci, c in enumerate(centers):
+        for _ in range(25):
+            v = c + rng.standard_normal(16) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = sim.ivf_centroids_from_sample(df, k=8)
+    query = [float(x) for x in centers[2]]
+    exact = {r.vec_id for r in sim.cosine_topk(df, query, k=10).collect()}
+    ivf = {r.vec_id for r in sim.ivf_topk(df, query, cents, k=10, nprobe=3).collect()}
+    assert len(exact & ivf) / 10 >= 0.9
+
+
+def test_ivf_assign_deterministic_and_total(spark, emb):
+    cents = sim.ivf_centroids_from_sample(emb, k=4)
+    a1 = sim.ivf_assign(emb, cents).groupBy("ivf_cell").count().collect()
+    total = sum(r["count"] for r in a1)
+    assert total == emb.count()
+    a2 = sim.ivf_assign(emb, cents).groupBy("ivf_cell").count().collect()
+    assert sorted((r.ivf_cell, r["count"]) for r in a1) == sorted((r.ivf_cell, r["count"]) for r in a2)
