@@ -167,6 +167,60 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way fact join (customer ⋈ orders ⋈ lineitem) with
+    selective filters + revenue agg + top-10. The two fact joins are
+    sort-merge on their keys; the final top-k is TakeOrderedAndProject."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    df = (
+        customer.filter("c_mktsegment = 'BUILDING'")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter("o_orderdate < timestamp'1995-03-15 00:00:00'")
+        .filter("l_shipdate > timestamp'1995-03-15 00:00:00'")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return df
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region) with broadcast dimensions."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    df = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return df
+
+
 def q_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAG CONCAT (unionByName, dag.py:349-354) + UNION (concat+dedup,
     dag.py:60 — declared but unimplemented in the reference; implemented
@@ -506,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort": q_sort,
         "join_star": q_join_star,
         "join_outer": q_join_outer,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
         "union_concat": q_union_concat,
         "expression_derive": q_expression_derive,
         "map_batches": q_map_batches,
@@ -639,6 +695,34 @@ def oracle_sql() -> dict[str, str]:
                        sum(o_totalprice) AS total_spent
                 FROM orders GROUP BY o_custkey
             ) USING (c_custkey)
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "regional_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
         """,
         "union_concat": """
             SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey <= 60

@@ -116,6 +116,8 @@ def main() -> None:
         "b4_dag_concat_join_write": b4_dag_concat_join_write,
         "b5_csv_cast_fillna_write": b5_csv_cast_fillna_write,
         "q6_filter_expression": queries["filter_expression"],
+        "q3_shipping_priority": queries["shipping_priority"],
+        "q5_regional_revenue": queries["regional_revenue"],
         "join_star": queries["join_star"],
         "join_outer": queries["join_outer"],
         "expression_derive": queries["expression_derive"],
