@@ -304,6 +304,24 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_by_group (applyInPandas grouped transform): z-score of order
+    totals within each customer's order history — verified against the SQL
+    window-function twin."""
+    import pandas as pd
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["o_orderkey", "o_custkey"]].copy()
+        std = pdf["o_totalprice"].std()  # sample std, ddof=1 (== stddev_samp)
+        out["z"] = ((pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / std).round(4)
+        return out
+
+    df = _t(spark, sf_dir, "orders")
+    return ops.apply_by_group(
+        "o_custkey", _z, "o_orderkey bigint, o_custkey bigint, z double"
+    )(df)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation over the events table (batch form of the
     streaming tumbling window)."""
@@ -565,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_concat": q_union_concat,
         "expression_derive": q_expression_derive,
         "map_batches": q_map_batches,
+        "group_zscore": q_group_zscore,
         "events_window": q_events_window,
         "topk_per_group": q_topk_per_group,
         "schema_coerce": q_schema_coerce,
@@ -740,6 +759,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
                         AS BIGINT) AS charge_cents
             FROM lineitem
+        """,
+        "group_zscore": """
+            SELECT o_orderkey, o_custkey,
+                   round((o_totalprice - avg(o_totalprice) OVER w)
+                         / stddev_samp(o_totalprice) OVER w, 4) AS z
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey)
         """,
         "events_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

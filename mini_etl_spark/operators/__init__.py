@@ -11,6 +11,7 @@ dedup and sort are **global**, not chunk-local; order-dependent operations
 """
 
 from mini_etl_spark.operators.core import (
+    apply_by_group,
     cast_types,
     drop_columns,
     fill_na,
@@ -27,6 +28,7 @@ from mini_etl_spark.operators.sort import sort_rows
 from mini_etl_spark.operators.joins import asof_join, join, range_join
 
 __all__ = [
+    "apply_by_group",
     "filter_rows",
     "rename_columns",
     "select_columns",

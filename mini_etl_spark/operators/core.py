@@ -285,6 +285,28 @@ def map_batches(
     return _apply
 
 
+def apply_by_group(
+    group_by: str | list[str],
+    func: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: Any,
+) -> Transform:
+    """Grouped pandas transform (``applyInPandas``): ``func`` receives each
+    group's FULL pandas DataFrame and returns rows matching ``schema``.
+
+    The grouped sibling of :func:`map_batches` (SURVEY §2.2 maps the
+    reference's LambdaTransformer to mapInPandas, "grouped variants ⇒
+    applyInPandas"). One shuffle on the grouping keys; each group must fit
+    in executor memory — at 100 TB keep groups bounded (key design), or use
+    window functions for per-group arithmetic that doesn't need pandas.
+    """
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).applyInPandas(func, schema=schema)
+
+    return _apply
+
+
 def limit(n: int) -> Transform:
     """Row limit (no reference analogue; head/tail appear only in its tests)."""
 

@@ -176,3 +176,20 @@ def test_range_join(spark):
     out = range_join(points, ranges, "x", "lo", "hi", bucket_width=5.0)
     got = sorted((r.x, r.tag) for r in out.collect())
     assert got == [(1.0, "low"), (5.0, "mid")]
+
+
+def test_apply_by_group(spark):
+    from mini_etl_spark.operators import apply_by_group
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1, 2, 2, 2], "v": [1.0, 3.0, 10.0, 20.0, 30.0]})
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out["v"] = pdf["v"] - pdf["v"].mean()
+        return out
+
+    out = apply_by_group("g", demean, "g bigint, v double")(df)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [(1, -1.0), (1, 1.0), (2, -10.0), (2, 0.0), (2, 10.0)]
