@@ -308,12 +308,16 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """apply_by_group (applyInPandas grouped transform): z-score of order
     totals within each customer's order history — verified against the SQL
     window-function twin."""
+    import numpy as np
     import pandas as pd
 
     def _z(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["o_orderkey", "o_custkey"]].copy()
         std = pdf["o_totalprice"].std()  # sample std, ddof=1 (== stddev_samp)
-        out["z"] = ((pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / std).round(4)
+        z = ((pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / std).round(4)
+        # single-row group: pandas std(ddof=1) is NaN where stddev_samp is
+        # NULL — map non-finite to None so the SQL twin hashes identically
+        out["z"] = z.where(np.isfinite(z), None)
         return out
 
     df = _t(spark, sf_dir, "orders")
@@ -500,11 +504,14 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity join (inverted index — no O(N²))."""
+    """Exact 3-gram Jaccard similarity join (inverted index — no O(N²)).
+    Hot-shingle cap explicit: at the oracle SF no shingle approaches the
+    cap, so results equal the uncapped SQL twin; at corpus scale the cap
+    bounds the posting-list join."""
     from mini_etl_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    return dd.jaccard_pairs(docs, threshold=0.5)
+    return dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

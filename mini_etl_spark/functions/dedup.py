@@ -93,11 +93,21 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all (id_a < id_b) pairs with
     |A∩B| / |A∪B| ≥ threshold. Inverted-index join — never materializes the
-    O(N²) pair space, only pairs sharing ≥1 shingle."""
+    O(N²) pair space, only pairs sharing ≥1 shingle.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    documents before the join (stop-shingle removal). One hot shingle
+    ("of the and"-grade) otherwise contributes O(freq²) join rows — the
+    classic inverted-index blowup. Defaults ON (1000); pass ``None`` only
+    when the corpus is known skew-free AND exactness on stop-phrase-only
+    overlaps matters. Note the semantics: a dropped shingle no longer
+    counts toward |A∩B|, but document sizes |A|,|B| are unchanged, so
+    reported Jaccard is a lower bound for affected pairs — at freq > 1000
+    the discriminative loss is ~zero."""
     sizes, postings = _pair_shingle_stats(df, text_col, id_col, n, max_shingle_freq)
     a, b = postings.alias("a"), postings.alias("b")
     shared = (

@@ -212,12 +212,21 @@ def multi_sink(sinks: list[Sink]) -> Sink:
 
 def null_sink(counter: dict | None = None) -> Sink:
     """Dry-run sink (⇐ NullLoader, loaders.py:487-509): consume and discard,
-    optionally recording row count into ``counter``."""
+    optionally recording row count into ``counter``. The count rides on the
+    same job via ``observe`` — no second pass over the data."""
 
     def _write(df: DataFrame) -> None:
-        df.write.format("noop").mode("overwrite").save()
-        if counter is not None:
-            counter["rows"] = counter.get("rows", 0)
+        if counter is None:
+            df.write.format("noop").mode("overwrite").save()
+            return
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        counter["rows"] = counter.get("rows", 0) + obs.get["rows"]
 
     return _write
 
@@ -240,8 +249,18 @@ def callback_sink(
         if driver_side:
             import pandas as pd
 
-            for batch in df.toArrow().to_batches():
-                func(batch.to_pandas())
+            # toLocalIterator fetches ONE partition at a time — driver memory
+            # is bounded by a partition, never the full result. Rows are
+            # re-batched into pandas frames for the callback.
+            cols = df.columns
+            buf: list = []
+            for row in df.toLocalIterator(prefetchPartitions=False):
+                buf.append(row)
+                if len(buf) >= 10_000:
+                    func(pd.DataFrame.from_records(buf, columns=cols))
+                    buf = []
+            if buf:
+                func(pd.DataFrame.from_records(buf, columns=cols))
         else:
             def _per_partition(batches):
                 for pdf in batches:

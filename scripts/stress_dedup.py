@@ -77,6 +77,20 @@ def main() -> None:
     n_exact_groups = dd.exact_dedup(docs).count()
     t_fp = time.monotonic() - t0
 
+    # Skewed-corpus stress: the same corpus with one hot 6-token stop phrase
+    # appended to EVERY doc. Uncapped, its shingles' posting lists are length
+    # N → O(N²) join pairs (at 100k docs: 5e9 rows — a job-killer). With the
+    # default cap (1000) the hot shingles are dropped before the join and the
+    # pair count stays bounded by the genuine near-dup structure.
+    from pyspark.sql import functions as F
+
+    skewed = docs.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit("of the and in to a"))
+    )
+    t0 = time.monotonic()
+    skew_pairs = dd.jaccard_pairs(skewed, threshold=0.5).count()  # default cap
+    t_skew = time.monotonic() - t0
+
     recall = len(lsh_pairs & exact_pairs) / max(len(exact_pairs), 1)
     precision = (
         len(lsh_pairs & exact_pairs) / max(len(lsh_pairs), 1)
@@ -93,6 +107,8 @@ def main() -> None:
                 "lsh_precision": round(precision, 4),
                 "exact_dedup_sec": round(t_fp, 1),
                 "fingerprint_groups": n_exact_groups,
+                "skewed_capped_sec": round(t_skew, 1),
+                "skewed_capped_pairs": skew_pairs,
                 "lsh_docs_per_sec": int(n / t_lsh),
             }
         )

@@ -120,12 +120,32 @@ def test_null_sink(spark, sample_df):
     null_sink()(sample_df)  # must simply not fail
 
 
+def test_null_sink_counter(spark, sample_df):
+    counter: dict = {}
+    null_sink(counter)(sample_df)
+    assert counter["rows"] == sample_df.count()
+    null_sink(counter)(sample_df.limit(7))
+    assert counter["rows"] == sample_df.count() + 7  # accumulates
+
+
 def test_callback_sink_driver_side(spark, sample_df):
     seen: list[int] = []
     done: list[bool] = []
     callback_sink(lambda pdf: seen.append(len(pdf)), on_complete=lambda: done.append(True), driver_side=True)(sample_df)
     assert sum(seen) == 100
     assert done == [True]
+
+
+def test_callback_sink_driver_side_rebatches(spark):
+    """Driver-side streaming re-batches rows (10k per callback frame) while
+    fetching one partition at a time — content must round-trip exactly."""
+    df = spark.range(25_000).withColumnRenamed("id", "v").repartition(4)
+    seen: list = []
+    callback_sink(lambda pdf: seen.append(pdf), driver_side=True)(df)
+    assert sum(len(p) for p in seen) == 25_000
+    assert all(len(p) <= 10_000 for p in seen)
+    got = sorted(v for p in seen for v in p["v"].tolist())
+    assert got == list(range(25_000))
 
 
 def test_read_csv_missing_file(spark, tmp_path):
