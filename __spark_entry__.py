@@ -555,6 +555,23 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_cosine_pairs(emb, threshold=0.3)
 
 
+def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH + exact-cosine
+    verification — the at-scale path (equi-joins only, vs the O(N²) theta
+    join of ``cosine_pairs``). The seeded hyperplanes are folded into both
+    the Spark plan and the DuckDB oracle as literals, so the bucketing is
+    replicated bit-for-bit and the oracle is a FULL hash check, not
+    rows-only. Threshold 0.3 because the synthetic vectors are
+    near-orthogonal; recall vs the exact join is by the LSH S-curve and is
+    pytest-gated on planted clusters (test_functions.py)."""
+    from mini_etl_spark.functions import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs_lsh(
+        emb, threshold=0.3, num_planes=4, num_tables=4, dim=64
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-10 (rows-only: approximate by design;
     recall vs brute force is asserted in pytest on planted clusters)."""
@@ -610,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
+        "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "lsh_topk": q_lsh_topk,
     }
 
@@ -639,6 +657,29 @@ def _d_dot(a: str, b: str) -> str:
         f"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
         f"FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
     )
+
+
+def _d_lsh_tags(dim: int = 64, num_planes: int = 4, num_tables: int = 4,
+                seed: int = 42) -> str:
+    """DuckDB list of LSH bucket tags for the ``embedding`` column —
+    replicates similarity.tagged_lsh_buckets bit-for-bit: same seeded
+    hyperplanes (as full-precision literals), same sign-bit packing, same
+    ``bucket * num_tables + table`` tag encoding."""
+    from mini_etl_spark.functions.similarity import _table_planes
+
+    planes = _table_planes(dim, num_planes, num_tables, seed)
+    tag_exprs = []
+    for t in range(num_tables):
+        bits = []
+        for j in range(num_planes):
+            lit = "[" + ", ".join(repr(float(v)) for v in planes[t, j]) + "]"
+            dot = (
+                f"(SELECT sum(CAST(x AS DOUBLE) * y) "
+                f"FROM (SELECT unnest(embedding) AS x, unnest({lit}) AS y))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+        tag_exprs.append("(" + " + ".join(bits) + f") * {num_tables} + {t}")
+    return "[" + ", ".join(tag_exprs) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -954,6 +995,26 @@ def oracle_sql() -> dict[str, str]:
                          round({_d_dot('a.embedding', 'b.embedding')}
                                / (a.nrm * b.nrm), 4) AS cosine
                   FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.3
+        """,
+        "cosine_pairs_lsh": f"""
+            WITH tagged AS (
+              SELECT vec_id, unnest({_d_lsh_tags()}) AS tag FROM embeddings),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM tagged a JOIN tagged b
+                ON a.tag = b.tag AND a.vec_id < b.vec_id),
+            n AS (
+              SELECT vec_id, embedding,
+                     sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+              FROM embeddings)
+            SELECT id_a, id_b, cosine
+            FROM (SELECT id_a, id_b,
+                         round({_d_dot('a.embedding', 'b.embedding')}
+                               / (a.nrm * b.nrm), 4) AS cosine
+                  FROM cand
+                  JOIN n a ON cand.id_a = a.vec_id
+                  JOIN n b ON cand.id_b = b.vec_id)
             WHERE cosine >= 0.3
         """,
         # minhash_lsh_pairs / simhash_dedup / lsh_topk: xxhash64-based —

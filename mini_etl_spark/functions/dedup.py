@@ -338,8 +338,9 @@ def embedding_cosine_pairs(
 
     Baseline implementation is the exact pair join (id_a < id_b) with the
     dot product as a JVM-side ``aggregate(zip_with(...))`` — fine up to ~10⁵
-    vectors; beyond that use similarity.lsh_bucket_candidates to bound the
-    pair space, then verify with this metric.
+    vectors; beyond that use :func:`embedding_cosine_pairs_lsh` (bucketed
+    candidates via ``similarity.lsh_pair_candidates``, then the same exact
+    verification).
     """
     norm = F.sqrt(
         F.aggregate(
@@ -368,4 +369,72 @@ def embedding_cosine_pairs(
             F.col("b.__id").alias("id_b"),
             "cosine",
         )
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs AT SCALE: banded hyperplane-LSH candidate
+    generation (equi-join on bucket tags — ``similarity.lsh_pair_candidates``)
+    followed by exact cosine verification of candidates only. Mirrors
+    ``minhash_lsh_pairs``'s candidates→verify structure; precision is 1.0 by
+    construction, recall follows the (num_planes, num_tables) S-curve.
+
+    Output schema equals :func:`embedding_cosine_pairs` — (id_a, id_b,
+    cosine rounded to 4) — restricted to LSH candidates. Every join here is
+    an equi-join (no nested-loop, no cartesian)."""
+    from mini_etl_spark.functions.similarity import lsh_pair_candidates
+
+    candidates = lsh_pair_candidates(
+        df, vec_col, id_col, num_planes=num_planes, num_tables=num_tables,
+        seed=seed, dim=dim, multiprobe=multiprobe,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm.alias("__n"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__va"), F.col("__vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        candidates.join(
+            base.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", F.round(dot / (F.col("__na") * F.col("__nb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -104,6 +104,134 @@ def with_lsh_buckets(
     return df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes))
 
 
+def _table_planes(dim: int, num_planes: int, num_tables: int, seed: int) -> np.ndarray:
+    """num_tables independent hyperplane sets from ONE seeded draw —
+    shape (num_tables, num_planes, dim)."""
+    return random_hyperplanes(dim, num_planes * num_tables, seed).reshape(
+        num_tables, num_planes, dim
+    )
+
+
+def tagged_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    dim: int,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(``__id``, ``__tag``) rows — one tag per (hash table, bucket): the
+    banded form of hyperplane LSH used for PAIR generation (many independent
+    tables raise recall the way MinHash bands do; multiprobe is the
+    query-side analogue).
+
+    All ``num_tables × num_planes`` projections are computed in ONE
+    posexplode + vectorized HashAggregate (sum columns stay in whole-stage
+    codegen) — the same explode-side trick as ``minhash_lsh_pairs``; per-row
+    ``aggregate()`` HOFs evaluate interpreted and were measured ~5× slower.
+    For very high dims (≳512) a Pandas-UDF matmul would beat the explode;
+    at typical embedding dims the explode form wins on simplicity and stays
+    JVM-side. Tag = bucket * num_tables + table (buckets < 2^num_planes, so
+    tags never collide across tables)."""
+    planes = _table_planes(dim, num_planes, num_tables, seed)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    dots = exploded.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.col("__x").cast("double")
+                * F.element_at(
+                    F.array(*[F.lit(float(v)) for v in planes[t, j]]),
+                    F.col("__pos") + 1,
+                )
+            ).alias(f"__d_{t}_{j}")
+            for t in range(num_tables)
+            for j in range(num_planes)
+        ]
+    )
+    tags = []
+    for t in range(num_tables):
+        bucket = F.lit(0).cast("long")
+        for j in range(num_planes):
+            bit = F.when(
+                F.col(f"__d_{t}_{j}") >= 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+        tags.append(bucket * num_tables + t)
+    return dots.select("__id", F.explode(F.array(*tags)).alias("__tag"))
+
+
+def lsh_pair_candidates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for embedding near-dup dedup — the
+    at-scale replacement for the O(N²) pair join: ids collide iff they share
+    a bucket in ≥1 of the ``num_tables`` hash tables, so the join is an
+    equi-join on the tag (hash-partitioned, AQE-skew-safe), never a
+    cross product. Expected candidate volume ≈ Σ per-bucket C(n,2) ≈
+    N²/2^num_planes per table — tune ``num_planes`` to the corpus size.
+
+    ``multiprobe`` additionally probes all hamming-distance-1 buckets
+    (flipping each bit on side A only — bucket-flip symmetry makes that
+    cover both directions), trading num_planes× more A-side tags for
+    near-boundary recall.
+
+    Recall for pairs at cosine θ: per-table collision = (1-acos(θ)/π)^planes,
+    overall = 1-(1-table)^tables — e.g. cosine 0.95, 8 planes, 8 tables
+    → ~0.99."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("lsh_pair_candidates: empty DataFrame and no dim given")
+        dim = first["d"]
+    tagged = tagged_lsh_buckets(
+        df, vec_col, id_col, dim=dim, num_planes=num_planes,
+        num_tables=num_tables, seed=seed,
+    )
+    probe = tagged
+    if multiprobe:
+        # flipped variants: tag encodes bucket*T + t, so bit j of the bucket
+        # is bit j of (tag div T) — flip via xor on the bucket then re-tag
+        bucket = (F.col("__tag") / num_tables).cast("long")
+        table = F.col("__tag") % num_tables
+        flipped = tagged.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            bucket.bitwiseXOR(F.lit(1 << j)) * num_tables + table
+                        ).alias("t")
+                        for j in range(num_planes)
+                    ]
+                )
+            ).alias("__tag"),
+        )
+        probe = tagged.unionByName(flipped)
+    a, b = probe.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__tag") == F.col("b.__tag"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,

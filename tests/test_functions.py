@@ -199,6 +199,65 @@ def test_lsh_recall_on_planted_clusters(spark):
     assert recall >= 0.9
 
 
+def test_embedding_lsh_pairs_equals_exact_on_planted_dups(spark):
+    """The scale path must reproduce the exact O(N²) join's output on a
+    corpus of planted near-duplicates: 12 clusters of 5 tight copies
+    (pairwise cosine ≈ 0.9998) in 32-d — at 4 planes × 8 tables the
+    per-pair miss probability is ~1e-6, and the run is fully deterministic
+    (seeded planes, seeded data), so equality is stable."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((12, 32))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(5):
+            v = c + rng.standard_normal(32) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dd.embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dd.embedding_cosine_pairs_lsh(
+            df, threshold=0.95, num_planes=4, num_tables=8, dim=32
+        ).collect()
+    }
+    assert exact  # fixture must actually contain near-dup pairs
+    assert lsh == exact
+
+
+def test_lsh_pair_candidates_no_theta_join(spark, emb):
+    """The candidate join must be an equi-join — never BNLJ/cartesian."""
+    from mini_etl_spark import plans
+
+    out = dd.embedding_cosine_pairs_lsh(
+        emb, threshold=0.3, num_planes=4, num_tables=4, dim=64
+    )
+    plan = plans.physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_pair_candidates_multiprobe_superset(spark, emb):
+    base = {
+        (r.id_a, r.id_b)
+        for r in sim.lsh_pair_candidates(
+            emb, num_planes=6, num_tables=2, dim=64
+        ).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b)
+        for r in sim.lsh_pair_candidates(
+            emb, num_planes=6, num_tables=2, dim=64, multiprobe=True
+        ).collect()
+    }
+    assert base <= probed
+    assert len(probed) > len(base)  # hamming-1 probing must add candidates
+
+
 def test_lsh_buckets_deterministic(spark, emb):
     b1 = sim.with_lsh_buckets(emb, num_planes=6, seed=11).select("vec_id", "lsh_bucket")
     b2 = sim.with_lsh_buckets(emb, num_planes=6, seed=11).select("vec_id", "lsh_bucket")
