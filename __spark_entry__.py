@@ -532,6 +532,17 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_dedup(docs)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤3 near-dup pairs via pigeonhole banding (4 chunks of
+    16 bits; a pair within hamming 3 must agree on ≥1 chunk — recall 1.0).
+    No SQL oracle (xxhash64-based); the correctness gate is the pytest
+    equality vs a brute-force popcount join on this same table."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=3)
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = _t(spark, sf_dir, "embeddings")
     return list(emb.filter("vec_id = 0").first().embedding)
@@ -625,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dedup": q_simhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         "cosine_pairs_lsh": q_cosine_pairs_lsh,

@@ -287,22 +287,17 @@ def simhash64(col: Column, text_mode: bool = True) -> Column:
     return result
 
 
-def simhash_dedup(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
+def _simhash_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """Group documents by exact SimHash64 value — the cheapest near-dup
-    *key* (catches hamming-distance-0 clusters; for ≤k-bit tolerance, band
-    the 64 bits into k+1 chunks and join on chunk equality).
+    """(``__id``, ``simhash``) — the shared signature stage.
 
     Computed explode-side: per (doc, shingle) emit ±1 votes for all 64 bits
     in one projection, sum them in one vectorized HashAggregate, then pack
     the sign bits. Same result as the per-row :func:`simhash64` expression
     but ~an order of magnitude faster (64 array-aggregate HOFs evaluate
     interpreted; the explode form stays in codegen). Docs with no shingles
-    drop out at the explode — same semantics as before."""
+    drop out at the explode."""
     postings = _shingled(df, text_col, id_col, n).select(
         "__id", F.explode("__sh").alias("__g")
     )
@@ -322,9 +317,96 @@ def simhash_dedup(
             F.lit(0).cast("long")
         )
         packed = packed.bitwiseOR(F.shiftleft(bit, j))
-    hashed = votes.select(F.col("__id").alias(id_col), packed.alias("simhash"))
+    return votes.select("__id", packed.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Group documents by exact SimHash64 value — the cheapest near-dup
+    *key* (catches hamming-distance-0 clusters; :func:`simhash_pairs` is
+    the ≤k-bit-tolerance companion)."""
+    hashed = _simhash_frame(df, text_col, id_col, n).withColumnRenamed(
+        "__id", id_col
+    )
     return hashed.groupBy("simhash").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs at SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: the 64 bits are split into ``max_hamming + 1``
+    chunks — two hashes within hamming k must agree EXACTLY on ≥1 chunk, so
+    an equi-join on (chunk index, chunk value) finds every qualifying pair
+    (recall 1.0 by construction) while scanning only bucket collisions,
+    never the O(N²) pair space. Candidates are then verified with
+    ``bit_count(a XOR b) ≤ k``.
+
+    Output: (id_a, id_b, hamming)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("simhash_pairs: max_hamming must be in [0, 63]")
+    bands = max_hamming + 1
+    sh = _simhash_frame(df, text_col, id_col, n).persist()
+    width, extra = divmod(64, bands)
+    # band b covers [start, start+w): first `extra` bands get width+1 bits
+    starts, s = [], 0
+    for b in range(bands):
+        w = width + (1 if b < extra else 0)
+        starts.append((s, w))
+        s += w
+    def _chunk(start: int, w: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), start)
+        if w >= 64:  # single-band case: the whole word, no mask (1<<64 overflows)
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
+    band_rows = sh.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _chunk(start, w).alias("val"))
+                    for b, (start, w) in enumerate(starts)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.band", "__b.val")
+    a, b_ = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.join(
+            sh.select(F.col("__id").alias("id_a"), F.col("simhash").alias("__ha")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__hb")),
+            "id_b",
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

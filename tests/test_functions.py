@@ -155,6 +155,45 @@ def test_simhash_near_dups_collide(spark):
     assert counts == [1, 2]
 
 
+def test_simhash_pairs_equals_bruteforce(spark, docs):
+    """Pigeonhole banding must find EXACTLY the pairs a brute-force
+    popcount theta-join finds at hamming ≤ 3 (recall 1.0 by construction,
+    precision 1.0 by verification) — on the real documents table."""
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sh = dd._simhash_frame(docs, "text", "doc_id", 3)
+    a = sh.select(F.col("__id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_pairs_zero_hamming_matches_dedup(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b c d e f g h",
+                    "a b c d e f g h",
+                    "q r s t u v w x",
+                    "a b c d e f g h",
+                ],
+            }
+        )
+    )
+    pairs = {(r.id_a, r.id_b) for r in dd.simhash_pairs(df, max_hamming=0).collect()}
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+
+
 def test_embedding_cosine_pairs_golden(spark):
     df = spark.createDataFrame(
         [
