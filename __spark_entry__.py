@@ -592,6 +592,18 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, _query_vector(spark, sf_dir), k=10)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: spherical k-means coarse quantizer (Lloyd over the
+    distributed assign primitive) + nprobe cell scan. Rows-only check
+    (centroids are iterative float state, not SQL-expressible); recall
+    improvement vs the naive init is pytest-gated on planted clusters."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids_kmeans(emb, k=8, iters=3)
+    return sim.ivf_topk(emb, _query_vector(spark, sf_dir), cents, k=10, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -641,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 

@@ -258,14 +258,80 @@ def ivf_centroids_from_sample(
     id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic centroid init: the k lowest-id vectors, unit-normalized.
-    A stand-in for k-means (Lloyd iterations would refine these with k more
-    passes — same assign primitive); good enough to demonstrate the IVF
-    partition-probe structure with reproducible cells."""
+    The cheap stand-in — cells are only as good as the first k ids. Use
+    :func:`ivf_centroids_kmeans` for real cells (Lloyd iterations over the
+    same assign primitive); this remains for zero-pass bootstrapping."""
     rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     arr = np.array([list(r[0]) for r in rows], dtype="float64")
     norms = np.linalg.norm(arr, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return arr / norms
+
+
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 4,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Spherical k-means centroids for the IVF coarse quantizer — Lloyd
+    iterations built from the existing distributed primitives:
+
+    - **init**: k hash-spread vectors (order by ``xxhash64(id, seed)``) —
+      deterministic like the lowest-id stand-in but without its pathology
+      (the first k ids may all share a cluster).
+    - **assign**: :func:`ivf_assign` — argmax of k JVM-side dot products
+      with unit centroids ≡ argmax cosine; one columnar pass, no shuffle.
+    - **update**: per-cell mean of UNIT-normalized vectors (spherical
+      k-means — the right objective for cosine search) via one posexplode +
+      vectorized avg per (cell, dimension); the driver only ever holds
+      k × dim floats. Empty cells keep their previous centroid.
+
+    ``sample_fraction`` bounds each iteration's scan for huge corpora
+    (centroid quality needs a sample, not the full data)."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("__v"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    unit = base.withColumn("__n", norm).filter(F.col("__n") > 0)
+    unit = unit.select(
+        "__id", F.transform("__v", lambda x: x.cast("double") / F.col("__n")).alias("__v")
+    ).persist()
+
+    init_rows = (
+        unit.orderBy(F.xxhash64(F.col("__id"), F.lit(seed))).limit(k).select("__v").collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"ivf_centroids_kmeans: need >= {k} non-zero vectors")
+    centroids = np.array([list(r[0]) for r in init_rows], dtype="float64")
+
+    for _ in range(iters):
+        assigned = ivf_assign(unit, centroids, "__v")
+        sums = (
+            assigned.select("ivf_cell", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("ivf_cell", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["ivf_cell"], {})[r["__pos"]] = r["__m"]
+        for cell, dims in by_cell.items():
+            vec = np.array([dims[p] for p in sorted(dims)], dtype="float64")
+            nrm = float(np.linalg.norm(vec))
+            if nrm > 0:
+                new[cell] = vec / nrm
+        centroids = new
+    unit.unpersist()
+    return centroids
 
 
 def ivf_topk(

@@ -397,6 +397,45 @@ def test_ivf_topk_on_planted_clusters(spark):
     assert len(exact & ivf) / 10 >= 0.9
 
 
+def test_ivf_kmeans_improves_recall_over_naive_init(spark):
+    """The planted-cluster fixture is cluster-major by id, so the k
+    lowest-id 'centroids' all come from cluster 0 — the pathological case.
+    Lloyd iterations must recover real cells: recall at nprobe=1 must beat
+    the naive init and be high in absolute terms."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16))
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(25):
+            v = c + rng.standard_normal(16) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    query = [float(x) for x in centers[5]]
+    exact = {r.vec_id for r in sim.cosine_topk(df, query, k=10).collect()}
+
+    naive = sim.ivf_centroids_from_sample(df, k=8)
+    km = sim.ivf_centroids_kmeans(df, k=8, iters=4)
+    r_km = len(exact & {
+        r.vec_id for r in sim.ivf_topk(df, query, km, k=10, nprobe=1).collect()
+    }) / 10
+    assert r_km >= 0.9
+
+    # The naive init's failure mode is cell collapse (all 8 'centroids' come
+    # from cluster 0), so the probed cell contains most of the corpus — IVF
+    # prunes nothing. k-means must yield real cells: the scanned fraction at
+    # nprobe=1 drops to ~1/k while recall stays high.
+    def scanned(cents):
+        q = np.asarray(query)
+        probe = int(np.argmax(cents @ q))
+        return (
+            sim.ivf_assign(df, cents).filter(F.col("ivf_cell") == probe).count()
+        )
+    n_km, n_naive = scanned(km), scanned(naive)
+    assert n_km <= 30      # one planted cluster's worth — near-perfect cells
+    assert n_km < n_naive  # naive cells scan strictly more (49 when written)
+
+
 def test_ivf_assign_deterministic_and_total(spark, emb):
     cents = sim.ivf_centroids_from_sample(emb, k=4)
     a1 = sim.ivf_assign(emb, cents).groupBy("ivf_cell").count().collect()
