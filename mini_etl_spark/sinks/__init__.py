@@ -25,6 +25,7 @@ driver memory (SURVEY §4.2). Excel and JSON-array are inherently
 driver-local and warn, as the reference warned (loaders.py:129-133).
 """
 
+from mini_etl_spark.sinks.dbapi import to_dbapi
 from mini_etl_spark.sinks.writers import (
     callback_sink,
     multi_sink,
@@ -43,6 +44,7 @@ __all__ = [
     "to_parquet",
     "to_parquet_bucketed",
     "to_jdbc",
+    "to_dbapi",
     "to_excel",
     "multi_sink",
     "null_sink",

@@ -19,6 +19,7 @@ still honored as an eager projection hint.
 | from_memory   | InMemoryExtractor extractors.py:526-561     |
 """
 
+from mini_etl_spark.sources.dbapi import read_dbapi
 from mini_etl_spark.sources.files import read_csv, read_json, read_parquet
 from mini_etl_spark.sources.jdbc import read_jdbc
 from mini_etl_spark.sources.local import from_memory, read_excel
@@ -30,6 +31,7 @@ __all__ = [
     "read_parquet",
     "read_excel",
     "read_jdbc",
+    "read_dbapi",
     "read_api",
     "from_memory",
 ]
