@@ -574,12 +574,14 @@ def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated bit-for-bit and the oracle is a FULL hash check, not
     rows-only. Threshold 0.3 because the synthetic vectors are
     near-orthogonal; recall vs the exact join is by the LSH S-curve and is
-    pytest-gated on planted clusters (test_functions.py)."""
+    pytest-gated on planted clusters (test_functions.py). 8 planes × 8
+    tables: 256 buckets/table keeps the candidate volume ~N²/256 — the
+    corpus-size tuning the docstring prescribes."""
     from mini_etl_spark.functions import dedup as dd
 
     emb = _t(spark, sf_dir, "embeddings")
     return dd.embedding_cosine_pairs_lsh(
-        emb, threshold=0.3, num_planes=4, num_tables=4, dim=64
+        emb, threshold=0.3, num_planes=8, num_tables=8, dim=64
     )
 
 
@@ -684,7 +686,7 @@ def _d_dot(a: str, b: str) -> str:
     )
 
 
-def _d_lsh_tags(dim: int = 64, num_planes: int = 4, num_tables: int = 4,
+def _d_lsh_tags(dim: int = 64, num_planes: int = 8, num_tables: int = 8,
                 seed: int = 42) -> str:
     """DuckDB list of LSH bucket tags for the ``embedding`` column —
     replicates similarity.tagged_lsh_buckets bit-for-bit: same seeded

@@ -1,19 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark the engine's headline queries.
+"""Benchmark the engine's headline queries — PAIRED with the reference.
 
 Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "ref_queries": {...}, "ref_total_b1_b5": ..., "spark_total_b1_b5": ...,
+     "ratio_b1_b5": ...}
 
-Execution methodology: each query's full plan is forced with a noop-format
-write (computes everything, serializes nothing to the driver), after a JVM
-warm-up pass. Wall-clock per query; total is the headline metric.
+Methodology (round 2 — removes the round-1 ambiguity where the reference
+was measured in a separate session):
 
-The set covers the BASELINE.md B1-B5 shapes (scan/filter/project+write,
-global group-agg, dedup+sort, multi-source concat+join+write, csv
-cast/fillna roundtrip) plus the scale extensions (text features, exact and
-approximate dedup, similarity search).
+- The pandas reference (/root/reference, tqdm/tenacity stubbed) and the
+  Spark engine are measured **in the same process, same run, same data**.
+- Both sides get identical steady-state treatment for the paired B1–B5
+  set: one untimed warm pass, then the timed pass (Spark amortizes codegen
+  and scheduler warm-up, pandas amortizes the OS page cache — symmetric).
+- Spark extension queries (no reference counterpart) are timed single-pass
+  after a generic warm-up, exactly as in round 1.
+
+Execution is forced with a noop-format write (computes everything,
+serializes nothing to the driver); reference pipelines force via their own
+sinks (NullLoader where no file output is part of the shape).
 """
 
 from __future__ import annotations
@@ -24,10 +32,12 @@ import shutil
 import sys
 import tempfile
 import time
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REF_DIR = os.environ.get("SPARK_GRAFT_REF_DIR", "/root/reference")
 
 
 def _sf_from_dir(path: str) -> float:
@@ -42,9 +52,197 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    from pyspark.sql import functions as F
+# ---------------------------------------------------------------------------
+# Reference (pandas) side
+# ---------------------------------------------------------------------------
 
+def _stub_ref_deps() -> None:
+    """tqdm/tenacity are not installed here; the reference only needs
+    no-op shims of the symbols it imports."""
+    if "tqdm" not in sys.modules:
+        mod = types.ModuleType("tqdm")
+
+        class _Tqdm:
+            def __init__(self, iterable=None, **kwargs):
+                self._it = iterable
+
+            def __iter__(self):
+                return iter(self._it if self._it is not None else [])
+
+            def update(self, *a, **k):
+                pass
+
+            def set_postfix(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        mod.tqdm = _Tqdm
+        sys.modules["tqdm"] = mod
+    if "tenacity" not in sys.modules:
+        t = types.ModuleType("tenacity")
+
+        def _retry(*args, **kwargs):
+            if args and callable(args[0]):
+                return args[0]
+
+            def deco(fn):
+                return fn
+
+            return deco
+
+        t.retry = _retry
+        t.stop_after_attempt = lambda *a, **k: None
+        t.wait_exponential = lambda *a, **k: None
+        t.retry_if_exception_type = lambda *a, **k: None
+        t.before_sleep_log = lambda *a, **k: None
+        t.RetryError = RuntimeError
+        sys.modules["tenacity"] = t
+
+
+def _ref_pipelines(sf_dir: str, tmp: str, csv_in: str):
+    """The five BASELINE.md shapes as reference pipelines, built fresh per
+    call (StatefulAggTransformer and DAG nodes hold run state)."""
+    from mini_etl import (  # noqa: import after path/stub setup
+        CSVExtractor,
+        CastTypeTransformer,
+        CSVLoader,
+        ExpressionTransformer,
+        FillNATransformer,
+        ParquetExtractor,
+        ParquetLoader,
+        Pipeline,
+        RenameTransformer,
+        SelectColumnsTransformer,
+    )
+    from mini_etl import GroupAggTransformer
+    from mini_etl.components.loaders import NullLoader
+    from mini_etl.components.transformers import (
+        DeduplicateTransformer,
+        SortTransformer,
+        StatefulAggTransformer,
+    )
+    from mini_etl.core.dag import MergeStrategy, PipelineDAG
+
+    def b1():
+        (
+            Pipeline("b1", show_progress=False)
+            .set_source(ParquetExtractor(f"{sf_dir}/lineitem.parquet"))
+            .add_transformer(
+                ExpressionTransformer("l_discount >= 0.05 and l_quantity < 30", filter_mode=True)
+            )
+            .add_transformer(
+                SelectColumnsTransformer(
+                    ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+                )
+            )
+            .set_sink(ParquetLoader(os.path.join(tmp, "ref_b1.parquet")))
+            .run()
+        )
+
+    def b2():
+        # sum/sum/count: the reference's StatefulAggTransformer crashes when
+        # 'mean' is mixed with other aggs (transformers.py:437-449) —
+        # documented in BASELINE.md; the Spark twin computes mean too.
+        (
+            Pipeline("b2", show_progress=False)
+            .set_source(ParquetExtractor(f"{sf_dir}/lineitem.parquet"))
+            .add_transformer(
+                StatefulAggTransformer(
+                    group_by=["l_returnflag", "l_linestatus"],
+                    agg={"l_quantity": "sum", "l_extendedprice": "sum", "l_orderkey": "count"},
+                )
+            )
+            .set_sink(NullLoader())
+            .run()
+        )
+
+    def b3():
+        # NOTE (BASELINE.md): chunk-local dedup/sort — weaker semantics than
+        # the Spark twin's global dedup+sort; kept for shape parity.
+        (
+            Pipeline("b3", show_progress=False)
+            .set_source(ParquetExtractor(f"{sf_dir}/orders.parquet"))
+            .add_transformer(DeduplicateTransformer(subset=["o_custkey"], keep="first"))
+            .add_transformer(SortTransformer(by=["o_totalprice"], ascending=False))
+            .set_sink(NullLoader())
+            .run()
+        )
+
+    def b4():
+        dag = (
+            PipelineDAG("b4")
+            .add_source("o1", ParquetExtractor(f"{sf_dir}/orders.parquet"))
+            .add_source("o2", ParquetExtractor(f"{sf_dir}/orders.parquet"))
+            .add_merge("all_orders", MergeStrategy.CONCAT)
+            # GroupAggTransformer, not StatefulAgg: the reference DAG never
+            # calls finalize(), so stateful aggs emit nothing inside a DAG.
+            # CONCAT merges to a single chunk first, so the chunk-local agg
+            # is still global here.
+            .add_transform(
+                "per_cust",
+                GroupAggTransformer(
+                    group_by=["o_custkey"],
+                    agg={"o_totalprice": "sum", "o_orderkey": "count"},
+                ),
+            )
+            .add_source("cust", ParquetExtractor(f"{sf_dir}/customer.parquet"))
+            .add_transform("cust_keyed", RenameTransformer({"c_custkey": "o_custkey"}))
+            .add_merge("joined", MergeStrategy.JOIN, join_keys=["o_custkey"])
+            .add_sink("out", ParquetLoader(os.path.join(tmp, "ref_b4.parquet")))
+        )
+        (
+            dag.connect("o1", "all_orders")
+            .connect("o2", "all_orders")
+            .connect("all_orders", "per_cust")
+            .connect("per_cust", "joined")
+            .connect("cust", "cust_keyed")
+            .connect("cust_keyed", "joined")
+            .connect("joined", "out")
+        )
+        dag.run()
+
+    def b5():
+        (
+            Pipeline("b5", show_progress=False)
+            .set_source(CSVExtractor(csv_in))
+            .add_transformer(
+                CastTypeTransformer(
+                    {"l_quantity": "float", "l_extendedprice": "float", "l_orderkey": "int"}
+                )
+            )
+            .add_transformer(
+                FillNATransformer(value=0.0, columns=["l_quantity", "l_extendedprice"])
+            )
+            .set_sink(CSVLoader(os.path.join(tmp, "ref_b5.csv")))
+            .run()
+        )
+
+    return {"b1": b1, "b2": b2, "b3": b3, "b4": b4, "b5": b5}
+
+
+def measure_reference(sf_dir: str, tmp: str, csv_in: str) -> dict[str, float]:
+    _stub_ref_deps()
+    sys.path.insert(0, REF_DIR)
+    import logging
+
+    logging.getLogger("mini_etl").setLevel(logging.ERROR)
+    timings: dict[str, float] = {}
+    for name, fn in _ref_pipelines(sf_dir, tmp, csv_in).items():
+        fn()  # warm pass (page cache, imports) — symmetric with Spark's
+        fresh = _ref_pipelines(sf_dir, tmp, csv_in)[name]
+        t0 = time.monotonic()
+        fresh()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+def main() -> None:
     import __spark_entry__ as entry
     from mini_etl_spark.session import get_spark
     from mini_etl_spark.sources import read_csv, read_parquet
@@ -53,17 +251,31 @@ def main() -> None:
     from mini_etl_spark.dag import PipelineDAG
 
     spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="bench_out_")
     queries = entry.queries()
 
     # JVM/codegen warm-up (not timed)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # CSV input for the B5 shape (generated once from parquet, not timed)
+    # CSV input for the B5 shape. Spark reads the distributed form, the
+    # pandas reference reads a single file — same rows (generated once,
+    # not timed).
     csv_in = os.path.join(tmp, "lineitem_csv")
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
-        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
-    ).write.mode("overwrite").option("header", True).csv(csv_in)
+    csv_cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(*csv_cols).write.mode(
+        "overwrite"
+    ).option("header", True).csv(csv_in)
+    csv_in_single = os.path.join(tmp, "lineitem_single.csv")
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT {', '.join(csv_cols)} FROM '{SF_DIR}/lineitem.parquet') "
+        f"TO '{csv_in_single}' (HEADER)"
+    )
+
+    # ---- reference measurement (same run, same data) ----
+    ref_timings = measure_reference(SF_DIR, tmp, csv_in_single)
 
     def b1_scan_filter_project_write(spark, sf_dir):
         df = read_parquet(f"{sf_dir}/lineitem.parquet")(spark)
@@ -109,12 +321,14 @@ def main() -> None:
         to_csv(os.path.join(tmp, "b5"), mode="overwrite")(df)
         return None
 
-    bench_set: dict[str, object] = {
+    paired: dict[str, object] = {
         "b1_scan_filter_write": b1_scan_filter_project_write,
         "b2_group_agg": queries["group_agg"],
         "b3_dedup_sort": b3_dedup_sort,
         "b4_dag_concat_join_write": b4_dag_concat_join_write,
         "b5_csv_cast_fillna_write": b5_csv_cast_fillna_write,
+    }
+    extensions: dict[str, object] = {
         "q6_filter_expression": queries["filter_expression"],
         "q3_shipping_priority": queries["shipping_priority"],
         "q5_regional_revenue": queries["regional_revenue"],
@@ -127,20 +341,32 @@ def main() -> None:
         "exact_dedup": queries["exact_dedup"],
         "jaccard_pairs": queries["jaccard_pairs"],
         "minhash_lsh_pairs": queries["minhash_lsh_pairs"],
+        "simhash_pairs": queries["simhash_pairs"],
         "cosine_topk": queries["cosine_topk"],
+        "cosine_pairs_lsh": queries["cosine_pairs_lsh"],
         "lsh_topk": queries["lsh_topk"],
     }
 
-    timings: dict[str, float] = {}
-    for name, fn in bench_set.items():
-        t0 = time.monotonic()
+    def run_once(fn) -> None:
         result = fn(spark, SF_DIR)
         if result is not None:
             _force(result)
+
+    timings: dict[str, float] = {}
+    for name, fn in paired.items():
+        run_once(fn)  # steady-state warm pass (codegen, shuffle machinery)
+        t0 = time.monotonic()
+        run_once(fn)
+        timings[name] = round(time.monotonic() - t0, 3)
+    for name, fn in extensions.items():
+        t0 = time.monotonic()
+        run_once(fn)
         timings[name] = round(time.monotonic() - t0, 3)
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
+    spark_b = round(sum(timings[k] for k in paired), 3)
+    ref_b = round(sum(ref_timings.values()), 3)
     print(
         json.dumps(
             {
@@ -150,6 +376,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+                "ref_queries": ref_timings,
+                "ref_total_b1_b5": ref_b,
+                "spark_total_b1_b5": spark_b,
+                "ratio_b1_b5": round(spark_b / ref_b, 3) if ref_b else None,
+                "methodology": (
+                    "paired same-run measurement: pandas reference and Spark "
+                    "measured in one process on identical data; B1-B5 on both "
+                    "sides are steady-state (one untimed warm pass, then the "
+                    "timed pass); extension queries timed single-pass"
+                ),
             }
         )
     )
