@@ -29,7 +29,26 @@ def main() -> None:
 @click.argument("config_path", type=click.Path(exists=True))
 @click.option("--dry-run", is_flag=True, help="Validate and build, but do not execute.")
 @click.option("--explain", is_flag=True, help="Print the optimized physical plan.")
-def run(config_path: str, dry_run: bool, explain: bool) -> None:
+@click.option(
+    "--audit",
+    is_flag=True,
+    help="Print the plan audit (pushed filters, read schemas, join "
+    "strategies, exchange/codegen counts) before executing.",
+)
+@click.option(
+    "--stats-json", default=None, help="Write run stats/history to this JSON file."
+)
+@click.option(
+    "--stats-html", default=None, help="Write run stats/history to this HTML file."
+)
+def run(
+    config_path: str,
+    dry_run: bool,
+    explain: bool,
+    audit: bool,
+    stats_json: str | None,
+    stats_html: str | None,
+) -> None:
     """Run a pipeline from a YAML/JSON config file."""
     loader = ConfigLoader()
     config = loader.load(config_path)
@@ -39,10 +58,14 @@ def run(config_path: str, dry_run: bool, explain: bool) -> None:
             click.echo(f"error: {e}", err=True)
         sys.exit(1)
     click.echo(f"config ok: {config.name}")
+    pipeline = loader.build_pipeline(config) if not dry_run or audit else None
+    if audit and pipeline is not None:
+        from mini_etl_spark import plans
+
+        click.echo(f"audit: {plans.explain_summary(pipeline.dataframe())}")
     if dry_run:
         click.echo("dry run — not executing")
         return
-    pipeline = loader.build_pipeline(config)
     if explain:
         pipeline.explain("formatted")
     stats = pipeline.run()
@@ -50,6 +73,16 @@ def run(config_path: str, dry_run: bool, explain: bool) -> None:
         f"done: {stats['rows']} rows in {stats['duration']:.2f}s "
         f"({stats['rows_per_second']:.0f} rows/s)"
     )
+    if stats_json:
+        from mini_etl_spark.monitor import history_to_json
+
+        history_to_json(pipeline.history, stats_json)
+        click.echo(f"stats json: {stats_json}")
+    if stats_html:
+        from mini_etl_spark.monitor import history_to_html
+
+        history_to_html(pipeline.history, stats_html, title=config.name)
+        click.echo(f"stats html: {stats_html}")
 
 
 @main.command()

@@ -75,3 +75,46 @@ def test_run_full_pipeline(tmp_path, sample_pdf, spark):
     assert result.exit_code == 0, result.output
     assert "done: 49 rows" in result.output
     assert spark.read.parquet(str(out)).count() == 49
+
+
+def test_run_audit_and_stats(tmp_path, sample_pdf, spark):
+    """--audit surfaces the plan audit (pushdown/joins/exchanges) for config
+    pipelines; --stats-json/--stats-html leave inspectable run artifacts."""
+    src = tmp_path / "in.parquet"
+    spark.createDataFrame(sample_pdf).write.parquet(str(src))
+    out = tmp_path / "out"
+    cfg = tmp_path / "audited.yaml"
+    cfg.write_text(
+        f"name: audited\n"
+        f"source: {{type: parquet, path: '{src}'}}\n"
+        f"transformers:\n"
+        f"  - {{type: filter, condition: 'value > 150'}}\n"
+        f"sink: {{type: parquet, path: '{out}', mode: overwrite}}\n"
+    )
+    sj, sh = tmp_path / "stats.json", tmp_path / "stats.html"
+    result = CliRunner().invoke(
+        main,
+        ["run", str(cfg), "--audit", "--stats-json", str(sj), "--stats-html", str(sh)],
+    )
+    assert result.exit_code == 0, result.output
+    assert "audit:" in result.output
+    assert "pushed_filters" in result.output  # predicate reached the scan
+    import json
+
+    history = json.loads(sj.read_text())
+    assert len(history) == 1 and history[0]["rows"] == 49
+    assert "audited" in sh.read_text() and "<table>" in sh.read_text()
+
+
+def test_run_audit_dry_run(tmp_path, sample_pdf):
+    """--audit composes with --dry-run: plan is audited, nothing executes."""
+    src = tmp_path / "in.csv"
+    sample_pdf.to_csv(src, index=False)
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        f"name: dryaudit\nsource: {{type: csv, path: '{src}'}}\n"
+        f"sink: {{type: csv, path: '{tmp_path}/out'}}\n"
+    )
+    result = CliRunner().invoke(main, ["run", str(cfg), "--dry-run", "--audit"])
+    assert result.exit_code == 0, result.output
+    assert "audit:" in result.output and "dry run" in result.output

@@ -162,6 +162,35 @@ def test_excel_gated(spark, tmp_path):
         read_excel(str(tmp_path / "x.xlsx"))(spark)
 
 
+try:  # go green the moment an Excel engine appears in the environment
+    import openpyxl as _openpyxl  # noqa: F401
+except ImportError:
+    _openpyxl = None
+
+
+@pytest.mark.skipif(_openpyxl is None, reason="openpyxl not installed")
+def test_excel_roundtrip(spark, sample_df, tmp_path):
+    from mini_etl_spark.sinks import to_excel
+    from mini_etl_spark.sources import read_excel
+
+    target = tmp_path / "t.xlsx"
+    to_excel(str(target))(sample_df)
+    back = read_excel(str(target))(spark)
+    assert back.count() == sample_df.count()
+    assert set(back.columns) == set(sample_df.columns)
+
+
+@pytest.mark.skipif(_openpyxl is None, reason="openpyxl not installed")
+def test_excel_append_mode(spark, sample_df, tmp_path):
+    from mini_etl_spark.sinks import to_excel
+    from mini_etl_spark.sources import read_excel
+
+    target = tmp_path / "t.xlsx"
+    to_excel(str(target))(sample_df)
+    to_excel(str(target), mode="a")(sample_df.limit(10))
+    assert read_excel(str(target))(spark).count() == sample_df.count() + 10
+
+
 def test_csv_permissive_corrupt_rows(spark, tmp_path):
     """Row-level error handling (SURVEY §4.3.4): corrupt rows null out
     under PERMISSIVE instead of failing the job or dropping a whole chunk."""
