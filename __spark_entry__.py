@@ -532,6 +532,28 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_dedup(docs)
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list → duplicate GROUPS: distributed connected components
+    (iterative min-label propagation, one shuffle per round) over the exact
+    Jaccard pairs, with per-component sizes. The DuckDB oracle computes the
+    same components via a recursive transitive-closure CTE — an O(V·E)
+    formulation that is only viable at oracle scale, which is exactly why
+    the engine-side algorithm is the iterative one."""
+    from pyspark.sql import Window
+
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
+    comp = dd.connected_components(pairs)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤3 near-dup pairs via pigeonhole banding (4 chunks of
     16 bits; a pair within hamming 3 must agree on ≥1 chunk — recall 1.0).
@@ -648,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "near_dup_groups": q_near_dup_groups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dedup": q_simhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1000,6 +1023,37 @@ def oracle_sql() -> dict[str, str]:
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5
+        """,
+        # Transitive closure via recursive CTE — O(V·E), fine at oracle
+        # scale; the engine runs iterative min-label propagation instead.
+        "near_dup_groups": f"""
+            WITH RECURSIVE
+            s AS (
+              SELECT doc_id, sh, len(sh) AS sz
+              FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+              WHERE len(sh) > 0),
+            base AS (
+              SELECT id_a, id_b
+              FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           round(len(list_intersect(a.sh, b.sh))
+                                 / (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                                 4) AS jaccard
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              WHERE jaccard >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM base
+              UNION
+              SELECT id_b, id_a FROM base),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            comp AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS component
+              FROM reach GROUP BY src)
+            SELECT doc_id, component,
+                   count(*) OVER (PARTITION BY component) AS group_size
+            FROM comp
         """,
         "cosine_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

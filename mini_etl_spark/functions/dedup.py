@@ -18,6 +18,10 @@ Design stance for 100 TB:
   a few bits — dedup/clustering key without pairwise joins at all.
 - **embedding_cosine_pairs**: exact pair join over embeddings (baseline);
   at scale the LSH variant in :mod:`similarity` bounds the candidates.
+- **connected_components / drop_near_duplicates**: pair lists → duplicate
+  GROUPS (min-id representative per component) → deduped corpus. The last
+  step every near-dup pipeline needs; iterative min-label propagation,
+  each round one shuffle.
 
 MinHash/SimHash use Spark's ``xxhash64`` (JVM-side, vectorizable). They are
 not expressible in DuckDB SQL, so their driver check is rows-only; their
@@ -411,6 +415,85 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve a near-duplicate PAIR list into duplicate GROUPS:
+    (``node``, ``component``) where component = the minimum node id
+    reachable in the undirected pair graph (self included).
+
+    Iterative min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels — one equi-join + one
+    hash-aggregate (one shuffle) per round, converging in O(graph diameter)
+    rounds with a driver-side early exit when no label changes. Near-dup
+    graphs are unions of small dense clusters (diameter ≤ ~3), so this
+    runs 2-4 rounds in practice; ``max_iter`` bounds adversarial chains.
+    State per round is one (node, label) frame — never an edge closure, so
+    memory stays O(V + E) at any scale (the transitive-closure oracle the
+    driver checks against is O(V·E) and only viable at test size)."""
+    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges_fwd.unionByName(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr_min"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__nbr_min")).alias("label"),
+        )
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("__nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("__nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deduped corpus: keep one representative (the min-id member) per
+    near-dup component, plus every document that appears in no pair.
+    A broadcast-friendly anti-join against the non-representative ids."""
+    comp = connected_components(pairs, id_a, id_b)
+    to_drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(to_drop, id_col, "left_anti")
 
 
 def embedding_cosine_pairs(

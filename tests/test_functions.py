@@ -155,6 +155,56 @@ def test_simhash_near_dups_collide(spark):
     assert counts == [1, 2]
 
 
+def test_connected_components_path_graph(spark):
+    """A 6-node path (diameter 5) forces several propagation rounds; a
+    disjoint 2-cycle and an untouched pair check component separation."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    comp = {r.node: r.component for r in dd.connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_drop_near_duplicates_keeps_representatives(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(r.doc_id for r in dd.drop_near_duplicates(df, pairs).collect())
+    # components {0,3,5} -> keep 0; {1,2} -> keep 1; singletons 4,6,7 kept
+    assert kept == [0, 1, 4, 6, 7]
+
+
+def test_connected_components_equals_union_find(spark, docs):
+    """Engine components over the real documents' Jaccard pairs must equal
+    a driver-side union-find ground truth."""
+    pairs = dd.jaccard_pairs(docs, threshold=0.5)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    got = {r.node: r.component for r in dd.connected_components(pairs).collect()}
+    assert got == truth
+
+
 def test_simhash_pairs_equals_bruteforce(spark, docs):
     """Pigeonhole banding must find EXACTLY the pairs a brute-force
     popcount theta-join finds at hamming ≤ 3 (recall 1.0 by construction,
