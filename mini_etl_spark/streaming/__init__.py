@@ -24,6 +24,8 @@ from mini_etl_spark.streaming.events import (
     run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
+    stream_static_join,
+    streaming_dedup,
     tumbling_window_agg,
 )
 from mini_etl_spark.streaming.stateful import running_totals
@@ -34,6 +36,8 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "batch_sessionize",
+    "streaming_dedup",
+    "stream_static_join",
     "run_stream_to_memory",
     "running_totals",
 ]

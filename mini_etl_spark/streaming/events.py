@@ -155,6 +155,38 @@ def batch_sessionize(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only until
+    the watermark passes it, so duplicates arriving within the watermark
+    window collapse while state stays O(keys-per-watermark-window) — the
+    streaming twin of the batch ``deduplicate`` operator. Exactly-once
+    sinks plus at-least-once sources is the canonical use (replayed events
+    collapse here)."""
+    keys = keys if keys is not None else ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_join(
+    events: DataFrame,
+    static_df: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    broadcast_static: bool = True,
+) -> DataFrame:
+    """Enrich a stream with a STATIC dimension (the lookup-table pattern).
+    Stream-static joins need no watermark and keep no join state — each
+    micro-batch joins against the static side, broadcast by default so the
+    streaming side never shuffles. The static side is re-read per batch
+    only for file sources that change; a cached dimension is read once."""
+    right = F.broadcast(static_df) if broadcast_static else static_df
+    return events.join(right, on=on, how=how)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,

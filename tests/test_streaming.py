@@ -148,3 +148,42 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     )
     assert got.count() == expect.count()
     assert got.exceptAll(expect).count() == 0
+
+
+def test_streaming_dedup_collapses_replayed_batches(spark, tmp_path):
+    """An at-least-once source replaying every event (same rows in two
+    micro-batches) must collapse to exactly-once output under
+    dropDuplicatesWithinWatermark — equal to batch dropDuplicates."""
+    src = read_parquet(f"{SF_SMALL}/events.parquet", ns_timestamp_columns=["ts"])(spark)
+    replay = tmp_path / "replay_in"
+    src.coalesce(1).write.parquet(str(replay / "f0"))
+    src.coalesce(1).write.parquet(str(replay / "f1"))  # the replay
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay / "*"))
+    )
+    deduped = st.streaming_dedup(stream, keys=["event_id"], watermark="10 days")
+    out = st.run_stream_to_memory(deduped, "stream_dedup", output_mode="append")
+    assert out.count() == src.count()  # every duplicate collapsed
+    assert out.select("event_id").distinct().count() == src.count()
+
+
+def test_stream_static_join_matches_batch(spark, events_batch, events_stream):
+    """Stream-static broadcast enrichment must equal the batch join."""
+    static_dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    joined = st.stream_static_join(events_stream, static_dim, on="event_type")
+    streamed = st.run_stream_to_memory(
+        joined.select("event_id", "event_type", "category"),
+        "stream_static",
+        output_mode="append",
+    )
+    batch = events_batch.join(static_dim, "event_type").select(
+        "event_id", "event_type", "category"
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
