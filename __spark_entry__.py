@@ -479,6 +479,53 @@ def q_fillna_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("event_id", "user_id", "purchase_value")
 
 
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join (TPC-H Q22 flavor): high-balance customers with NO
+    orders, past a scalar-subquery threshold (global mean of positive
+    balances). Plans as scalar subquery + broadcast/shuffle LeftAnti —
+    plan shapes none of the other queries exercise."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter("c_acctbal > 0.0")
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()["a"]
+    )
+    rich = customer.filter(F.col("c_acctbal") > avg_bal)
+    out = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi-join: customers having ≥1 large-quantity order line
+    (EXISTS shape) — the dedup-free existence test."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    big = lineitem.filter("l_quantity >= 49")
+    big_orders = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+    out = customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    )
+    return out.select("c_custkey", "c_name")
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (median / p90, linear interpolation) —
+    core analytics op absent from the reference. At 100 TB you would reach
+    for approx_percentile (t-digest, mergeable); the exact form is the
+    oracle-matched baseline."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("qty_p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: text analysis, dedup, similarity (mini_etl_spark.functions)
 # ---------------------------------------------------------------------------
@@ -667,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "running_window": q_running_window,
         "fillna_ffill": q_fillna_ffill,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "percentiles": q_percentiles,
         "text_features": q_text_features,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -975,6 +1025,31 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS purchase_value
             FROM events
+        """,
+        "anti_join": """
+            SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_quantity >= 49))
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4)      AS qty_p50,
+                   round(quantile_cont(l_quantity, 0.9), 4)      AS qty_p90,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+            FROM lineitem GROUP BY l_returnflag
         """,
         "text_features": f"""
             WITH f AS (
