@@ -542,6 +542,18 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data hygiene pipeline — quality filter →
+    language filter → exact dedup (min-id per fingerprint) → near-dup
+    removal (Jaccard pairs → connected components → drop) — as one lazy
+    plan, with a full DuckDB oracle replicating all four stages (recursive
+    CTE for the component stage)."""
+    from mini_etl_spark.functions.corpus import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return clean_corpus(docs, min_quality=0.3, languages=("en",))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content fingerprint: one hash-aggregate."""
     from mini_etl_spark.functions import dedup as dd
@@ -718,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "percentiles": q_percentiles,
         "text_features": q_text_features,
+        "corpus_clean": q_corpus_clean,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
@@ -780,6 +793,37 @@ def _d_lsh_tags(dim: int = 64, num_planes: int = 8, num_tables: int = 8,
             bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
         tag_exprs.append("(" + " + ".join(bits) + f") * {num_tables} + {t}")
     return "[" + ", ".join(tag_exprs) + "]"
+
+
+# full text-features subquery (doc_id, ws_tokens, bpe_tokens, lang_id,
+# quality, fingerprint) — shared by the text_features and corpus_clean
+# oracles; mirrors functions/text.py exactly.
+_D_FEATURES = f"""(
+  SELECT doc_id, ws_tokens, bpe_tokens,
+    CASE WHEN s_en >= 1 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= 1 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= 1 AND s_fr >= s_es THEN 'fr'
+         WHEN s_es >= 1 THEN 'es'
+         ELSE 'unknown' END AS lang_id,
+    round(greatest(least(
+        0.3*least(ws_tokens/100.0, 1.0) + 0.4*(n_alpha/n_chars)
+        + 0.3*least(s_en/8.0, 1.0) - 0.2*(n_digit/n_chars),
+        1.0), 0.0), 4) AS quality,
+    fingerprint
+  FROM (
+    SELECT doc_id,
+      CASE WHEN trim(text)='' THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+      len(list_intersect({_D_TOKENS}, {_D_STOP['en']})) AS s_en,
+      len(list_intersect({_D_TOKENS}, {_D_STOP['de']})) AS s_de,
+      len(list_intersect({_D_TOKENS}, {_D_STOP['fr']})) AS s_fr,
+      len(list_intersect({_D_TOKENS}, {_D_STOP['es']})) AS s_es,
+      greatest(length(text),1)::DOUBLE AS n_chars,
+      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+      length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+      md5(array_to_string(list_sort(list_distinct({_D_TOKENS})), ' ')) AS fingerprint
+    FROM documents))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1052,32 +1096,50 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "text_features": f"""
-            WITH f AS (
-              SELECT doc_id,
-                CASE WHEN trim(text)='' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
-                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
-                len(list_intersect({_D_TOKENS}, {_D_STOP['en']})) AS s_en,
-                len(list_intersect({_D_TOKENS}, {_D_STOP['de']})) AS s_de,
-                len(list_intersect({_D_TOKENS}, {_D_STOP['fr']})) AS s_fr,
-                len(list_intersect({_D_TOKENS}, {_D_STOP['es']})) AS s_es,
-                greatest(length(text),1)::DOUBLE AS n_chars,
-                length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
-                length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-                md5(array_to_string(list_sort(list_distinct({_D_TOKENS})), ' ')) AS fingerprint
-              FROM documents)
-            SELECT doc_id, ws_tokens, bpe_tokens,
-              CASE WHEN s_en >= 1 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                   WHEN s_de >= 1 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
-                   WHEN s_fr >= 1 AND s_fr >= s_es THEN 'fr'
-                   WHEN s_es >= 1 THEN 'es'
-                   ELSE 'unknown' END AS lang_id,
-              round(greatest(least(
-                  0.3*least(ws_tokens/100.0, 1.0) + 0.4*(n_alpha/n_chars)
-                  + 0.3*least(s_en/8.0, 1.0) - 0.2*(n_digit/n_chars),
-                  1.0), 0.0), 4) AS quality,
-              fingerprint
-            FROM f
+            SELECT doc_id, ws_tokens, bpe_tokens, lang_id, quality, fingerprint
+            FROM {_D_FEATURES} f
+        """,
+        "corpus_clean": f"""
+            WITH RECURSIVE
+            feats AS (SELECT * FROM {_D_FEATURES}),
+            kept AS (
+              SELECT f.doc_id, f.lang_id, f.quality
+              FROM feats f
+              JOIN (SELECT fingerprint, min(doc_id) AS doc_id
+                    FROM feats
+                    WHERE quality >= 0.3 AND lang_id = 'en'
+                    GROUP BY fingerprint) r
+                ON f.fingerprint = r.fingerprint AND f.doc_id = r.doc_id
+              WHERE f.quality >= 0.3 AND f.lang_id = 'en'),
+            s AS (
+              SELECT d.doc_id, sh, len(sh) AS sz
+              FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents) d
+              JOIN kept k ON d.doc_id = k.doc_id
+              WHERE len(sh) > 0),
+            base AS (
+              SELECT id_a, id_b
+              FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           round(len(list_intersect(a.sh, b.sh))
+                                 / (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                                 4) AS jaccard
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+              WHERE jaccard >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM base
+              UNION
+              SELECT id_b, id_a FROM base),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            dropped AS (
+              SELECT doc_id
+              FROM (SELECT src AS doc_id, least(src, min(dst)) AS component
+                    FROM reach GROUP BY src)
+              WHERE doc_id != component)
+            SELECT doc_id, lang_id, quality
+            FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "exact_dedup": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -340,6 +340,8 @@ def main() -> None:
         "text_features": queries["text_features"],
         "exact_dedup": queries["exact_dedup"],
         "jaccard_pairs": queries["jaccard_pairs"],
+        "near_dup_groups": queries["near_dup_groups"],
+        "corpus_clean": queries["corpus_clean"],
         "minhash_lsh_pairs": queries["minhash_lsh_pairs"],
         "simhash_pairs": queries["simhash_pairs"],
         "cosine_topk": queries["cosine_topk"],

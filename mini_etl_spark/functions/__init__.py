@@ -12,8 +12,10 @@ materialization.
 - :mod:`multimodal` — opaque binary columns with typed metadata; decode /
                       feature-extract plumbing over mapInPandas (decode
                       kernels stubbed: image/audio libs absent by design)
+- :mod:`corpus`     — the composed cleaning pipeline (quality → language →
+                      exact dedup → near-dup removal) as one lazy plan
 """
 
-from mini_etl_spark.functions import dedup, multimodal, similarity, text
+from mini_etl_spark.functions import corpus, dedup, multimodal, similarity, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "corpus"]

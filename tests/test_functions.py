@@ -205,6 +205,30 @@ def test_connected_components_equals_union_find(spark, docs):
     assert got == truth
 
 
+def test_clean_corpus_stages(spark):
+    """Each hygiene stage must bite: low quality out, wrong language out,
+    exact dupes collapse to min id, near-dupes collapse to one rep."""
+    from mini_etl_spark.functions.corpus import clean_corpus
+
+    good = (
+        "the cat sat on the mat and the dog sat on the log while the sun "
+        "was high and the wind was low for hours that day in the field"
+    )
+    near = good.replace("dog", "fox")  # high Jaccard overlap with `good`
+    rows = [
+        (1, good),                      # kept (representative)
+        (2, good),                      # exact dup of 1 -> dropped
+        (3, near),                      # near dup of 1 -> dropped
+        (4, "12345 67890 11 22 33"),    # digits-only -> low quality
+        (5, "der hund ist auf und die katze ist nicht mit dem ball auf"),  # de
+        (6, "the quick brown fox jumps over the lazy dog and that is for "
+            "the birds to see in the morning with the others"),  # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = sorted(r.doc_id for r in clean_corpus(df).collect())
+    assert kept == [1, 6]
+
+
 def test_simhash_pairs_equals_bruteforce(spark, docs):
     """Pigeonhole banding must find EXACTLY the pairs a brute-force
     popcount theta-join finds at hamming ≤ 3 (recall 1.0 by construction,
