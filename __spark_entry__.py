@@ -542,6 +542,28 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked: documents' text bytes stand in
+    for opaque asset payloads (modality assigned by id), pushed through the
+    REAL mapInPandas Arrow-batch feature-extraction path. The sha256/byte
+    counts the kernel computes on executors are recomputed by DuckDB on the
+    same bytes — a full hash oracle over the binary pipeline (the fake
+    embedding array is deliberately dropped: it exists for shape tests)."""
+    from mini_etl_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = mm.extract_features(assets)
+    return feats.select("asset_id", "modality", "n_bytes", "content_sha256")
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-data hygiene pipeline — quality filter →
     language filter → exact dedup (min-id per fingerprint) → near-dup
@@ -730,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "percentiles": q_percentiles,
         "text_features": q_text_features,
+        "multimodal_features": q_multimodal_features,
         "corpus_clean": q_corpus_clean,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1098,6 +1121,15 @@ def oracle_sql() -> dict[str, str]:
         "text_features": f"""
             SELECT doc_id, ws_tokens, bpe_tokens, lang_id, quality, fingerprint
             FROM {_D_FEATURES} f
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS content_sha256
+            FROM documents
         """,
         "corpus_clean": f"""
             WITH RECURSIVE
