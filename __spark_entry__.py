@@ -542,6 +542,22 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary by document frequency (the vocab-building pass of
+    a tokenizer pipeline): distinct tokens per doc → explode → one count
+    aggregate → top-50 (TakeOrderedAndProject, no global sort)."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.array_distinct(tx.tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: documents' text bytes stand in
     for opaque asset payloads (modality assigned by id), pushed through the
@@ -752,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "percentiles": q_percentiles,
         "text_features": q_text_features,
+        "vocab_top_terms": q_vocab_top_terms,
         "multimodal_features": q_multimodal_features,
         "corpus_clean": q_corpus_clean,
         "exact_dedup": q_exact_dedup,
@@ -1121,6 +1138,14 @@ def oracle_sql() -> dict[str, str]:
         "text_features": f"""
             SELECT doc_id, ws_tokens, bpe_tokens, lang_id, quality, fingerprint
             FROM {_D_FEATURES} f
+        """,
+        "vocab_top_terms": f"""
+            SELECT term, count(*) AS doc_freq
+            FROM (SELECT doc_id, unnest(list_distinct({_D_TOKENS})) AS term
+                  FROM documents)
+            GROUP BY term
+            ORDER BY doc_freq DESC, term
+            LIMIT 50
         """,
         "multimodal_features": """
             SELECT doc_id AS asset_id,

@@ -34,6 +34,7 @@ from mini_etl_spark.sinks.writers import (
     to_excel,
     to_jdbc,
     to_json,
+    to_orc,
     to_parquet,
     to_parquet_bucketed,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "to_csv",
     "to_json",
     "to_parquet",
+    "to_orc",
     "to_parquet_bucketed",
     "to_jdbc",
     "to_dbapi",

@@ -110,6 +110,29 @@ def to_parquet(
     return _write
 
 
+def to_orc(
+    path: str,
+    mode: str = "w",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+    **options: Any,
+) -> Sink:
+    """ORC writer (format extension — see sources.read_orc). Same surface
+    as to_parquet."""
+
+    def _write(df: DataFrame) -> None:
+        writer = df.write.mode(_spark_mode(mode))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if compression:
+            writer = writer.option("compression", compression)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.orc(path)
+
+    return _write
+
+
 def to_parquet_bucketed(
     table: str,
     bucket_by: str | list[str],

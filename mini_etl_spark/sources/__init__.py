@@ -20,7 +20,7 @@ still honored as an eager projection hint.
 """
 
 from mini_etl_spark.sources.dbapi import read_dbapi
-from mini_etl_spark.sources.files import read_csv, read_json, read_parquet
+from mini_etl_spark.sources.files import read_csv, read_json, read_orc, read_parquet
 from mini_etl_spark.sources.jdbc import read_jdbc
 from mini_etl_spark.sources.local import from_memory, read_excel
 from mini_etl_spark.sources.api import read_api
@@ -29,6 +29,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_orc",
     "read_excel",
     "read_jdbc",
     "read_dbapi",

@@ -78,6 +78,25 @@ def read_json(
     return _read
 
 
+def read_orc(
+    path: str,
+    columns: list[str] | None = None,
+    **options: Any,
+) -> Source:
+    """ORC scan (format extension beyond the reference — ORC support ships
+    in Spark's classpath, so the columnar-format story isn't parquet-only).
+    Same pushdown/pruning/vectorization properties as parquet."""
+
+    def _read(spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.orc(path)
+        return df.select(*columns) if columns else df
+
+    return _read
+
+
 def read_parquet(
     path: str,
     columns: list[str] | None = None,

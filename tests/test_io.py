@@ -116,6 +116,20 @@ def test_multi_sink(spark, sample_pdf, tmp_path):
     assert read_parquet(str(p))(spark).count() == 100
 
 
+def test_orc_roundtrip_partitioned(spark, sample_pdf, tmp_path):
+    from mini_etl_spark.sinks import to_orc
+    from mini_etl_spark.sources import read_orc
+
+    df = spark.createDataFrame(sample_pdf)
+    out = tmp_path / "orc_out"
+    to_orc(str(out), partition_by=["category"])(df)
+    back = read_orc(str(out))(spark)
+    assert back.count() == 100
+    assert set(back.columns) == set(df.columns)
+    # partitioned layout on disk (hive-style directories)
+    assert any(p.name.startswith("category=") for p in out.iterdir())
+
+
 def test_null_sink(spark, sample_df):
     null_sink()(sample_df)  # must simply not fail
 
