@@ -29,8 +29,8 @@ from typing import Any
 from mini_etl_spark import operators as ops
 from mini_etl_spark.pipeline import Pipeline
 
-SOURCE_TYPES = {"csv", "json", "jsonl", "excel", "parquet", "sql", "api", "memory"}
-SINK_TYPES = {"csv", "json", "jsonl", "parquet", "sql", "excel", "null"}
+SOURCE_TYPES = {"csv", "json", "jsonl", "excel", "parquet", "orc", "sql", "api", "memory"}
+SINK_TYPES = {"csv", "json", "jsonl", "parquet", "orc", "sql", "excel", "null"}
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
     "expression", "aggregate", "group", "dedup", "sort", "limit",
@@ -163,6 +163,8 @@ class ConfigLoader:
             return src.read_json(path, lines=True, **o)
         if spec.type == "parquet":
             return src.read_parquet(path, **o)
+        if spec.type == "orc":
+            return src.read_orc(path, **o)
         if spec.type == "excel":
             return src.read_excel(path, **o)
         if spec.type == "sql":
@@ -222,6 +224,8 @@ class ConfigLoader:
             return snk.to_json(path, mode=mode, lines=True, **o)
         if spec.type == "parquet":
             return snk.to_parquet(path, mode=mode, **o)
+        if spec.type == "orc":
+            return snk.to_orc(path, mode=mode, **o)
         if spec.type == "excel":
             return snk.to_excel(path, **o)
         if spec.type == "sql":

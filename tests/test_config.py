@@ -48,6 +48,25 @@ def test_yaml_load_build_run(spark, csv_file, tmp_path):
     assert "amount" in back.columns
 
 
+def test_orc_config_pipeline(spark, csv_file, tmp_path):
+    """orc source/sink are first-class config vocabulary."""
+    orc_in = tmp_path / "in_orc"
+    spark.read.option("header", True).csv(str(csv_file)).write.orc(str(orc_in))
+    out = tmp_path / "out_orc"
+    cfg_path = tmp_path / "orc.yaml"
+    cfg_path.write_text(
+        f"name: orc_pipe\n"
+        f"source: {{type: orc, path: '{orc_in}'}}\n"
+        f"sink: {{type: orc, path: '{out}', mode: overwrite}}\n"
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg_path)
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["rows"] == 100
+    assert spark.read.orc(str(out)).count() == 100
+
+
 def test_env_substitution(tmp_path, monkeypatch):
     monkeypatch.setenv("MY_DATA_DIR", "/data/land")
     cfg = tmp_path / "e.yaml"
