@@ -479,6 +479,24 @@ def q_fillna_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("event_id", "user_id", "purchase_value")
 
 
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension revenue rollup through the part table (broadcast
+    dim join; the fact side never shuffles for the join) — TPC-H Q14/Q17
+    flavor over the available columns."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    df = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return df
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti-join (TPC-H Q22 flavor): high-balance customers with NO
     orders, past a scalar-subquery threshold (global mean of positive
@@ -764,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "running_window": q_running_window,
         "fillna_ffill": q_fillna_ffill,
+        "part_type_revenue": q_part_type_revenue,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "percentiles": q_percentiles,
@@ -1109,6 +1128,14 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS purchase_value
             FROM events
+        """,
+        "part_type_revenue": """
+            SELECT p_type, p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(avg(p_retailprice), 4) AS avg_retail,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type, p_brand
         """,
         "anti_join": """
             SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal

@@ -51,9 +51,11 @@ def clean_corpus(
     kept = feats.filter(
         (F.col("quality") >= min_quality) & F.col("lang_id").isin(list(languages))
     )
-    # exact dedup, keep min-id per fingerprint
+    # exact dedup, keep min-id per fingerprint. The survivor set feeds
+    # three consumers (pair generation, the anti-join left side, the final
+    # projection) — persist so the regex-heavy feature stage runs once.
     reps = kept.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    kept = kept.join(reps, ["fingerprint", id_col], "left_semi")
+    kept = kept.join(reps, ["fingerprint", id_col], "left_semi").persist()
     # near-dup removal among survivors
     pairs = dd.jaccard_pairs(
         kept,
