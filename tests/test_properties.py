@@ -96,6 +96,43 @@ def test_fingerprint_is_token_set_invariant(spark, texts):
     assert all(len(fps) == 1 for fps in by_set.values())
 
 
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(edges=edges_strategy)
+def test_connected_components_equals_union_find_property(spark, edges):
+    """On arbitrary small graphs, min-label propagation must agree with a
+    driver-side union-find (components keyed by min member)."""
+    from mini_etl_spark.functions import dedup as dd
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "id_a bigint, id_b bigint")
+    got = {r.node: r.component for r in dd.connected_components(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    assert got == truth
+
+
 @SLOW
 @given(
     texts=st.lists(
