@@ -576,6 +576,90 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals: duplicate bigram and
+    trigram fractions, mean word length, duplicate-line ratio (columnar,
+    zero-shuffle), plus top-token fraction (explode + two hash aggregates)
+    joined back on doc_id. All metrics have exact DuckDB twins."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = tx.add_repetition_features(docs).select(
+        "doc_id",
+        "rep_bigram_ratio",
+        "rep_trigram_ratio",
+        "mean_word_len",
+        "dup_line_ratio",
+    )
+    top = tx.top_token_fraction(docs)
+    return feats.join(top, "doc_id", "left")
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: the corpus text is clean by construction, so each row is
+    augmented with deterministic doc_id-derived PII (email/phone/SSN/IP) —
+    built identically in the DuckDB oracle — then redacted and counted.
+    One codegen projection of chained regexp_replace, RE2-safe patterns."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    pad3 = F.lpad(F.pmod("doc_id", F.lit(1000)).cast("string"), 3, "0")
+    pad4 = F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0")
+    raw = F.concat_ws(
+        " ",
+        F.lit("contact"),
+        F.concat(F.lit("user"), id_s, F.lit("@example.com")),
+        F.lit("tel"),
+        F.concat(F.lit("555-"), pad3, F.lit("-"), pad4),
+        F.lit("ssn"),
+        F.concat(F.lit("123-45-"), pad4),
+        F.lit("ip"),
+        F.concat(F.lit("10.0."), F.pmod("doc_id", F.lit(256)).cast("string"), F.lit(".7")),
+        F.substring("text", 1, 40),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        tx.redact_pii("raw").alias("clean"),
+        tx.pii_count("raw").alias("n_pii"),
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash bucket of the
+    stable key — reproducible across runs AND engines (row-level oracle
+    replays the exact same md5 arithmetic in DuckDB). The at-scale path is
+    a pushed-down filter on the split label."""
+    from mini_etl_spark.functions import splits as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        sp.hash_bucket("doc_id").alias("bucket"),
+        sp.split_assign(
+            "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (rebalance a multilingual
+    corpus): en→50%, de→100%, fr→25%, everything else dropped. One codegen
+    filter, no sampleBy randomness, same verdict per key in both engines."""
+    from mini_etl_spark.functions import splits as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = sp.stratified_sample(
+        docs.select("doc_id", "lang"),
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 1.0, "fr": 0.25},
+        seed=7,
+    )
+    return sampled.select("doc_id", "lang")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: documents' text bytes stand in
     for opaque asset payloads (modality assigned by id), pushed through the
@@ -788,6 +872,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "text_features": q_text_features,
         "vocab_top_terms": q_vocab_top_terms,
+        "doc_repetition": q_doc_repetition,
+        "pii_redaction": q_pii_redaction,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
         "corpus_clean": q_corpus_clean,
         "exact_dedup": q_exact_dedup,
@@ -823,6 +911,37 @@ _D_SHINGLES = (
     f"i -> array_to_string(({_D_TOKENS})[i:i+2], ' '))) "
     "ELSE [] END"
 )
+# DuckDB twin of splits.hash_bucket: first 8 hex chars of md5(seed\x1f key)
+# as a 32-bit int (built by positional hex-digit arithmetic — exact in
+# doubles, 16^8 < 2^53), mod NUM_BUCKETS.
+def _d_hash_bucket(key: str, seed: int) -> str:
+    h = f"md5('{seed}' || chr(31) || CAST({key} AS VARCHAR))"
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789abcdef', substr({h}, CAST(i AS INTEGER), 1)) - 1)"
+        " * pow(16, 8 - i))) AS BIGINT) % 10000"
+    )
+
+
+# DuckDB twins of text.redact_pii / text.pii_count, generated from the SAME
+# PII_PATTERNS list so the regexes can never drift between engines.
+def _d_pii_clean(col: str) -> str:
+    from mini_etl_spark.functions.text import PII_PATTERNS
+
+    expr = col
+    for _, pattern, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+    return expr
+
+
+def _d_pii_count(col: str) -> str:
+    from mini_etl_spark.functions.text import PII_PATTERNS
+
+    return " + ".join(
+        f"len(regexp_extract_all({col}, '{pattern}'))" for _, pattern, _ in PII_PATTERNS
+    )
+
+
 # double-precision dot product of two float-list columns (positional unnest)
 def _d_dot(a: str, b: str) -> str:
     return (
@@ -1173,6 +1292,72 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY doc_freq DESC, term
             LIMIT 50
+        """,
+        "doc_repetition": f"""
+            SELECT b.doc_id,
+                   CASE WHEN greatest(len(toks) - 1, 0) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(
+                               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                              i -> array_to_string(toks[i:i+1], ' '))))
+                             / CAST(len(toks) - 1 AS DOUBLE), 4) END AS rep_bigram_ratio,
+                   CASE WHEN greatest(len(toks) - 2, 0) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(
+                               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                              i -> array_to_string(toks[i:i+2], ' '))))
+                             / CAST(len(toks) - 2 AS DOUBLE), 4) END AS rep_trigram_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE round(length(array_to_string(toks, ''))
+                             / CAST(len(toks) AS DOUBLE), 4) END AS mean_word_len,
+                   CASE WHEN len(lns) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(lns))
+                             / CAST(len(lns) AS DOUBLE), 4) END AS dup_line_ratio,
+                   t.top_token_fraction
+            FROM (SELECT doc_id, {_D_TOKENS} AS toks,
+                         list_filter(list_transform(string_split(text, chr(10)),
+                                                    l -> trim(l)),
+                                     l -> l <> '') AS lns
+                  FROM documents) b
+            LEFT JOIN (
+                SELECT doc_id,
+                       round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_token_fraction
+                FROM (SELECT doc_id, tok, count(*) AS n
+                      FROM (SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents)
+                      GROUP BY doc_id, tok)
+                GROUP BY doc_id) t USING (doc_id)
+        """,
+        "pii_redaction": f"""
+            SELECT doc_id,
+                   {_d_pii_clean('raw')} AS clean,
+                   {_d_pii_count('raw')} AS n_pii
+            FROM (SELECT doc_id,
+                         concat_ws(' ', 'contact',
+                           'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                           'tel',
+                           '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                           'ssn',
+                           '123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                           'ip',
+                           '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                           substr(text, 1, 40)) AS raw
+                  FROM documents)
+        """,
+        "hash_split": f"""
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, {_d_hash_bucket('doc_id', 42)} AS bucket
+                  FROM documents)
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang, {_d_hash_bucket('doc_id', 7)} AS bucket
+                  FROM documents)
+            WHERE bucket < CASE lang WHEN 'en' THEN 5000
+                                     WHEN 'de' THEN 10000
+                                     WHEN 'fr' THEN 2500
+                                     ELSE 0 END
         """,
         "multimodal_features": """
             SELECT doc_id AS asset_id,

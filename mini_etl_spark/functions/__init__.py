@@ -14,8 +14,17 @@ materialization.
                       kernels stubbed: image/audio libs absent by design)
 - :mod:`corpus`     — the composed cleaning pipeline (quality → language →
                       exact dedup → near-dup removal) as one lazy plan
+- :mod:`splits`     — deterministic hash-based train/val/test assignment and
+                      (stratified) sampling, reproducible across engines
 """
 
-from mini_etl_spark.functions import corpus, dedup, multimodal, similarity, text
+from mini_etl_spark.functions import (
+    corpus,
+    dedup,
+    multimodal,
+    similarity,
+    splits,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "corpus"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "corpus", "splits"]

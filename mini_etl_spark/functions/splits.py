@@ -1,0 +1,97 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+``rand()``-based sampling is non-reproducible across runs/engines and
+re-rolls every row on retry; training-data pipelines instead assign each
+record to train/val/test (or keep/drop) by hashing a stable key. Everything
+here is a pure JVM column expression over ``md5`` — bit-identical in
+DuckDB, so every operator carries a differential oracle — and adding data
+never moves an existing record between splits (the property that matters
+when a 100 TB corpus grows incrementally).
+
+No reference parity: the reference has no split/sample operators — this is
+the training-data-pipeline extension (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_BUCKETS = 10_000  # fixed resolution: fractions quantized to 0.01%
+
+
+def hash_bucket(col: Column | str, seed: int = 42) -> Column:
+    """Uniform bucket in [0, NUM_BUCKETS) from md5 of (seed, key).
+
+    First 8 hex chars of md5 → 32-bit int → mod NUM_BUCKETS. md5 (not
+    xxhash64) on purpose: bit-identical across engines, so DuckDB oracles
+    can replay the exact assignment. The unit separator \\x1f delimits
+    seed from key so (seed=1, key='2x') never collides with (12, 'x').
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(
+        F.concat_ws("\x1f", F.lit(str(seed)), c.cast("string")).cast("binary")
+    )
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return (v % F.lit(NUM_BUCKETS)).cast("long")
+
+
+def split_assign(
+    col: Column | str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> Column:
+    """Split label ('train'/'val'/...) for the key column, proportional to
+    ``weights`` (normalized; insertion order fixes the bucket layout).
+    Pure projection — the 100 TB path is a filter on the result, which
+    Catalyst pushes into the scan alongside any partition pruning."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    b = hash_bucket(col, seed)
+    result: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(round(cum * NUM_BUCKETS))
+        branch = F.when(b < F.lit(bound), F.lit(name))
+        result = branch if result is None else result.when(b < F.lit(bound), F.lit(name))
+    last = F.lit(names[-1])
+    return last if result is None else result.otherwise(last)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose hash bucket
+    falls under ``fraction``. Same key → same verdict, every run, either
+    engine. Fraction is quantized to 1/NUM_BUCKETS."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bound = int(round(fraction * NUM_BUCKETS))
+    return df.where(hash_bucket(key_col, seed) < F.lit(bound))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sample: each stratum value gets its own
+    keep-fraction (e.g. downsample 'en' to 10%, keep all 'fr'). One
+    codegen filter — no per-stratum jobs, no ``sampleBy`` randomness."""
+    b = hash_bucket(key_col, seed)
+    s = F.col(strata_col)
+    bound: Column = F.lit(int(round(default_fraction * NUM_BUCKETS)))
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        bound = F.when(s == F.lit(value), F.lit(int(round(frac * NUM_BUCKETS)))).otherwise(bound)
+    return df.where(b < bound)

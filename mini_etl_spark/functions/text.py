@@ -133,12 +133,12 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(canonical.cast("binary"))
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Token n-gram shingles (distinct) from a *materialized* token array
-    column. ``toks`` MUST be a plain column reference (``withColumn`` it
-    first): every reference here re-evaluates the expression it's given, so
-    passing the raw ``tokens(text)`` expression turns O(len) into O(len²)
-    regex work — measured 5× slower at sf0.1.
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """All token n-grams (non-distinct, in order) from a *materialized*
+    token array column. ``toks`` MUST be a plain column reference
+    (``withColumn`` it first): every reference here re-evaluates the
+    expression it's given, so passing the raw ``tokens(text)`` expression
+    turns O(len) into O(len²) regex work — measured 5× slower at sf0.1.
 
     Formulation: transform-with-index + element_at (out-of-range gives
     null, concat_ws drops it), then slice off the trailing n-1 partial
@@ -150,9 +150,13 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
             " ", x, *[F.element_at(toks, i + F.lit(j)) for j in range(2, n + 1)]
         ),
     )
-    return F.array_distinct(
-        F.slice(grams, 1, F.greatest(count - F.lit(n - 1), F.lit(0)))
-    )
+    return F.slice(grams, 1, F.greatest(count - F.lit(n - 1), F.lit(0)))
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (distinct) from a *materialized* token array
+    column — see :func:`ngrams_from_tokens` for the evaluation caveat."""
+    return F.array_distinct(ngrams_from_tokens(toks, n))
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -160,6 +164,144 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     small frames and tests; hot paths should materialize tokens first and
     use :func:`shingles_from_tokens` (see dedup.py)."""
     return shingles_from_tokens(tokens(col), n)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied IN THIS ORDER — email first so its
+# digit/dot substrings can't be half-eaten by the ip/phone patterns.
+# Patterns are RE2-safe (no backreferences/lookaround) so the exact same
+# regexes run in DuckDB for the differential oracle; \b is supported by
+# both Java regex and RE2 as an ASCII word boundary.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, SSNs, IPv4 addresses, and NANP-style phone numbers
+    with typed placeholder tags. A chain of JVM `regexp_replace`s — one
+    codegen projection, no UDFs. Heuristic by design (recall-oriented
+    regexes, not a legal-grade scrubber); extend PII_PATTERNS for more."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_count(col: Column | str) -> Column:
+    """Total PII matches in the ORIGINAL text (each pattern counted
+    independently, non-overlapping left-to-right per pattern — identical
+    semantics in Java regex and RE2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for _, pattern, _ in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pattern))
+    return total.cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def lines_nonempty(col: Column | str) -> Column:
+    """Trimmed, non-empty lines of the text (split on ``\\n``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda line: F.trim(line)),
+        lambda line: line != F.lit(""),
+    )
+
+
+def duplicate_line_ratio_from_lines(lines: Column) -> Column:
+    """Fraction of non-empty lines that are repeats of an earlier line:
+    1 − distinct/total, 0.0 for line-less documents. High values flag
+    boilerplate (nav bars, repeated headers) — the classic Gopher
+    repetition filter. ``lines`` must be a materialized column
+    (see :func:`ngrams_from_tokens` for why)."""
+    n = F.size(lines)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n, 4
+        )
+    )
+
+
+def repeated_ngram_ratio_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Fraction of token n-grams that are repeats: 1 − distinct/total,
+    0.0 when the document has fewer than n tokens. Gopher-style
+    duplicate-n-gram signal; columnar, shuffle-free."""
+    total = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    distinct = F.size(F.array_distinct(ngrams_from_tokens(toks, n)))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - distinct.cast("double") / total, 4)
+    )
+
+
+def mean_word_length_from_tokens(toks: Column) -> Column:
+    """Mean token length (0.0 for token-less docs). Computed as
+    total-characters/num-tokens via ``concat_ws`` so it stays inside
+    codegen (no interpreted array-aggregate HOF)."""
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.length(F.concat_ws("", toks)).cast("double") / n, 4)
+    )
+
+
+def add_repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "",
+) -> DataFrame:
+    """Attach repetition/boilerplate quality signals:
+
+    - ``rep_bigram_ratio`` / ``rep_trigram_ratio`` — duplicate token-n-gram
+      fraction,
+    - ``mean_word_len`` — mean token length,
+    - ``dup_line_ratio`` — duplicate non-empty-line fraction.
+
+    Token and line arrays are materialized once and referenced multiple
+    times, which keeps CollapseProject from re-inlining the regex work
+    (single evaluation each); metrics themselves are pure codegen
+    expressions — zero shuffles, zero UDFs."""
+    c = F.col(text_col)
+    out = df.withColumns({"__toks": tokens(c), "__lines": lines_nonempty(c)})
+    toks, lns = F.col("__toks"), F.col("__lines")
+    out = out.withColumns(
+        {
+            f"{prefix}rep_bigram_ratio": repeated_ngram_ratio_from_tokens(toks, 2),
+            f"{prefix}rep_trigram_ratio": repeated_ngram_ratio_from_tokens(toks, 3),
+            f"{prefix}mean_word_len": mean_word_length_from_tokens(toks),
+            f"{prefix}dup_line_ratio": duplicate_line_ratio_from_lines(lns),
+        }
+    )
+    return out.drop("__toks", "__lines")
+
+
+def top_token_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "top_token_fraction",
+) -> DataFrame:
+    """Per document, the fraction of tokens taken by the single most
+    frequent token (Gopher's most-common-word filter). Documents with no
+    tokens are absent from the result (left-join it back if needed).
+
+    Relational formulation — explode → (doc, token) count → per-doc
+    max/sum — because an array-mode would need an interpreted aggregate
+    HOF. Two hash aggregates with map-side partials; scales linearly and
+    the per-doc cardinality is bounded by vocabulary size."""
+    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    per_tok = exploded.groupBy(id_col, "__tok").agg(F.count("*").alias("__n"))
+    return per_tok.groupBy(id_col).agg(
+        F.round(F.max("__n").cast("double") / F.sum("__n"), 4).alias(out_col)
+    )
 
 
 def add_text_features(

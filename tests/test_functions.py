@@ -517,3 +517,160 @@ def test_ivf_assign_deterministic_and_total(spark, emb):
     assert total == emb.count()
     a2 = sim.ivf_assign(emb, cents).groupBy("ivf_cell").count().collect()
     assert sorted((r.ivf_cell, r["count"]) for r in a1) == sorted((r.ivf_cell, r["count"]) for r in a2)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate metrics
+# ---------------------------------------------------------------------------
+
+def test_repetition_features_golden(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # 10 tokens, 9 bigrams (7 distinct), 8 trigrams (7 distinct)
+                    "the cat sat on the mat the cat sat again",
+                    "",
+                    "one two",  # 1 bigram, 0 trigrams
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r for r in tx.add_repetition_features(df).collect()}
+    assert out[1].rep_bigram_ratio == pytest.approx(1 - 7 / 9, abs=1e-4)
+    assert out[1].rep_trigram_ratio == pytest.approx(1 - 7 / 8, abs=1e-4)
+    assert out[1].mean_word_len == pytest.approx(31 / 10, abs=1e-4)
+    assert out[2].rep_bigram_ratio == 0.0 and out[2].mean_word_len == 0.0
+    assert out[3].rep_bigram_ratio == 0.0 and out[3].rep_trigram_ratio == 0.0
+
+
+def test_duplicate_line_ratio(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                # 4 non-empty lines, 3 distinct ('a' repeats; blanks dropped)
+                "text": ["a\nb\n\n  \na\nc", "single line"],
+            }
+        )
+    )
+    out = {r.doc_id: r.dup_line_ratio for r in tx.add_repetition_features(df).collect()}
+    assert out[1] == pytest.approx(0.25, abs=1e-4)
+    assert out[2] == 0.0
+
+
+def test_top_token_fraction_golden(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a a a b", ""]})
+    )
+    rows_ = tx.top_token_fraction(df).collect()
+    got = {r.doc_id: r.top_token_fraction for r in rows_}
+    assert got == {1: 0.75}  # token-less doc absent by contract
+
+
+def test_repetition_features_no_shuffle(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": ["a b c"]}))
+    plan = tx.add_repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_all_types(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "mail jo.doe+x@ex-ample.co.uk now",
+                    "ssn 123-45-6789 end",
+                    "host 192.168.0.1 up",
+                    "call 555-867-5309 or +1 555 123 4567",
+                    "no pii here at all",
+                ]
+            }
+        )
+    )
+    out = df.select(
+        tx.redact_pii("text").alias("clean"), tx.pii_count("text").alias("n")
+    ).collect()
+    assert out[0].clean == "mail <EMAIL> now" and out[0].n == 1
+    assert out[1].clean == "ssn <SSN> end" and out[1].n == 1
+    assert out[2].clean == "host <IP> up" and out[2].n == 1
+    assert "<PHONE>" in out[3].clean and out[3].n == 2
+    assert out[4].clean == "no pii here at all" and out[4].n == 0
+
+
+def test_redact_pii_does_not_eat_plain_numbers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["version 1.2.3 of 2024 costs 12-34 dollars"]})
+    )
+    out = df.select(tx.redact_pii("text").alias("clean")).collect()
+    assert out[0].clean == "version 1.2.3 of 2024 costs 12-34 dollars"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from mini_etl_spark.functions import splits as sp
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.k: r.s for r in df.select("k", sp.split_assign("k", w).alias("s")).collect()}
+    b = {r.k: r.s for r in df.select("k", sp.split_assign("k", w).alias("s")).collect()}
+    assert a == b  # same run-to-run
+    counts = pd.Series(list(a.values())).value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    # roughly proportional (hash-uniform over 2000 keys)
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+
+
+def test_hash_split_stable_under_growth(spark):
+    """Adding rows must never move an existing key between splits."""
+    from mini_etl_spark.functions import splits as sp
+
+    w = {"train": 0.9, "val": 0.1}
+    small = spark.range(500).withColumnRenamed("id", "k")
+    big = spark.range(5000).withColumnRenamed("id", "k")
+    a = {r.k: r.s for r in small.select("k", sp.split_assign("k", w).alias("s")).collect()}
+    b = {r.k: r.s for r in big.select("k", sp.split_assign("k", w).alias("s")).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_sample_fraction_and_subset(spark):
+    from mini_etl_spark.functions import splits as sp
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    kept10 = {r.k for r in sp.hash_sample(df, "k", 0.10).collect()}
+    kept30 = {r.k for r in sp.hash_sample(df, "k", 0.30).collect()}
+    assert kept10 <= kept30  # nested samples: raising the rate only adds rows
+    assert 0.07 <= len(kept10) / 4000 <= 0.13
+    with pytest.raises(ValueError):
+        sp.hash_sample(df, "k", 1.5)
+
+
+def test_stratified_sample_per_stratum(spark):
+    from mini_etl_spark.functions import splits as sp
+
+    pdf = pd.DataFrame(
+        {"k": range(3000), "g": ["a", "b", "c"] * 1000}
+    )
+    df = spark.createDataFrame(pdf)
+    out = sp.stratified_sample(df, "k", "g", {"a": 1.0, "b": 0.2}).toPandas()
+    by = out.groupby("g")["k"].count()
+    assert by.get("a", 0) == 1000          # keep-all stratum intact
+    assert 120 <= by.get("b", 0) <= 280    # ~20%
+    assert "c" not in by.index             # default fraction 0 drops stratum
+
+
+def test_split_seed_changes_assignment(spark):
+    from mini_etl_spark.functions import splits as sp
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = {r.k: r.b for r in df.select("k", sp.hash_bucket("k", seed=1).alias("b")).collect()}
+    b = {r.k: r.b for r in df.select("k", sp.hash_bucket("k", seed=2).alias("b")).collect()}
+    assert a != b
