@@ -531,6 +531,144 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_name")
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS rewritten as a left-semi join with a
+    compound (equi + range) condition — orders in a quarter that had at
+    least one line shipped after the order date. The semi join shuffles
+    once on the order key and never materializes lineitem columns."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        "o_orderdate >= timestamp'1996-01-01 00:00:00'"
+        " and o_orderdate < timestamp'1996-04-01 00:00:00'"
+    )
+    df = (
+        o.join(
+            lineitem,
+            (o.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    return df
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item reporting — customers ranked by
+    revenue lost to returns in a half-year window. Fact joins are
+    sort-merge on their keys, nation is broadcast, final top-20 is
+    TakeOrderedAndProject (no global sort)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    df = (
+        lineitem.filter("l_returnflag = 'R'")
+        .join(
+            orders.filter(
+                "o_orderdate >= timestamp'1996-01-01 00:00:00'"
+                " and o_orderdate < timestamp'1996-07-01 00:00:00'"
+            ),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+    return df
+
+
+def q_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode column — grouped by
+    l_linestatus): conditional CASE aggregation splitting shipped lines
+    into high/low order-priority counts within a ship-date year."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    df = (
+        lineitem.filter(
+            "l_shipdate >= timestamp'1997-01-01 00:00:00'"
+            " and l_shipdate < timestamp'1998-01-01 00:00:00'"
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+    return df
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one ship month —
+    conditional revenue ratio over the lineitem ⋈ part join. part is a
+    true dimension-to-fact join on the part key (AQE picks the strategy:
+    broadcast at test scale, shuffle join at 100 TB)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        lineitem.filter(
+            "l_shipdate >= timestamp'1997-09-01 00:00:00'"
+            " and l_shipdate < timestamp'1997-10-01 00:00:00'"
+        )
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+    return df
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges as a join residual — the classic constraint-propagation probe
+    (Catalyst extracts the common p_brand IN / quantity range predicates
+    and pushes them below the join)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    df = j.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return df
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (median / p90, linear interpolation) —
     core analytics op absent from the reference. At 100 TB you would reach
@@ -850,6 +988,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer": q_join_outer,
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
+        "order_priority": q_order_priority,
+        "returned_revenue": q_returned_revenue,
+        "priority_lines": q_priority_lines,
+        "promo_revenue": q_promo_revenue,
+        "brand_revenue": q_brand_revenue,
         "union_concat": q_union_concat,
         "expression_derive": q_expression_derive,
         "map_batches": q_map_batches,
@@ -1112,6 +1255,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey
             GROUP BY r_name, n_name
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "priority_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_linestatus
+        """,
+        "promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_revenue_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+        """,
+        "brand_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "union_concat": """
             SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey <= 60
