@@ -34,6 +34,9 @@ SINK_TYPES = {"csv", "json", "jsonl", "parquet", "orc", "sql", "excel", "null"}
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
     "expression", "aggregate", "group", "dedup", "sort", "limit",
+    # training-data-pipeline extensions (functions/ package)
+    "text_features", "repetition_features", "redact_pii",
+    "hash_split", "sample", "stratified_sample",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -208,6 +211,45 @@ class ConfigLoader:
             return ops.sort_rows(o.get("by"), o.get("ascending", True))
         if spec.type == "limit":
             return ops.limit(int(o.get("n", o.get("limit", 0))))
+        if spec.type == "text_features":
+            from mini_etl_spark.functions import text as tx
+
+            col, prefix = o.get("column", "text"), o.get("prefix", "")
+            return lambda df: tx.add_text_features(df, col, prefix)
+        if spec.type == "repetition_features":
+            from mini_etl_spark.functions import text as tx
+
+            col, prefix = o.get("column", "text"), o.get("prefix", "")
+            return lambda df: tx.add_repetition_features(df, col, prefix)
+        if spec.type == "redact_pii":
+            from mini_etl_spark.functions import text as tx
+
+            col = o.get("column", "text")
+            out = o.get("output", col)
+            return lambda df: df.withColumn(out, tx.redact_pii(col))
+        if spec.type == "hash_split":
+            from mini_etl_spark.functions import splits as sp
+
+            key = o["key"]
+            weights = o.get("weights", {"train": 0.9, "val": 0.05, "test": 0.05})
+            out, seed = o.get("output", "split"), int(o.get("seed", 42))
+            return lambda df: df.withColumn(out, sp.split_assign(key, weights, seed))
+        if spec.type == "sample":
+            from mini_etl_spark.functions import splits as sp
+
+            key, frac = o["key"], float(o["fraction"])
+            seed = int(o.get("seed", 42))
+            return lambda df: sp.hash_sample(df, key, frac, seed)
+        if spec.type == "stratified_sample":
+            from mini_etl_spark.functions import splits as sp
+
+            key, strata = o["key"], o["strata"]
+            fractions = {str(k): float(v) for k, v in o["fractions"].items()}
+            seed = int(o.get("seed", 42))
+            default = float(o.get("default_fraction", 0.0))
+            return lambda df: sp.stratified_sample(
+                df, key, strata, fractions, seed, default
+            )
         raise ValueError(f"unknown transformer type {spec.type!r}")
 
     def _build_sink(self, spec: ComponentConfig):

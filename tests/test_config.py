@@ -152,3 +152,46 @@ def test_aggregate_transformer_builds(spark, csv_file, tmp_path):
     )
     stats = loader.build_pipeline(config).run(spark)
     assert stats["rows"] == 5  # categories A..E
+
+
+def test_training_pipeline_config_vocab(spark, tmp_path):
+    """The training-data extensions are first-class config vocabulary:
+    a YAML pipeline can score, scrub, split, and sample a corpus."""
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, f"doc {i} mail a{i}@ex.com " + ("common words here " * 3)) for i in range(200)],
+        "doc_id bigint, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "out_docs"
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(
+        f"""
+name: corpus_prep
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: redact_pii
+    column: text
+  - type: text_features
+  - type: repetition_features
+  - type: hash_split
+    key: doc_id
+    weights: {{train: 0.8, holdout: 0.2}}
+  - type: sample
+    key: doc_id
+    fraction: 0.5
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg_path)
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    back = spark.read.parquet(str(out))
+    assert stats["rows"] == back.count()
+    assert 60 <= stats["rows"] <= 140  # ~50% deterministic sample
+    cols = set(back.columns)
+    assert {"quality", "lang_id", "rep_bigram_ratio", "split"} <= cols
+    assert back.filter("text like '%@ex.com%'").count() == 0  # PII gone
+    assert back.filter("text like '%<EMAIL>%'").count() == stats["rows"]
+    splits_seen = {r.split for r in back.select("split").distinct().collect()}
+    assert splits_seen <= {"train", "holdout"}
