@@ -669,6 +669,109 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_cheapest_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table — lineitem stands in): rows whose
+    price equals the per-part minimum, i.e. a correlated scalar subquery
+    hand-decorrelated the way Catalyst itself would: per-key aggregate +
+    equi join back on (key, min). Ties keep all rows, matching the SQL."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    mins = lineitem.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    df = (
+        lineitem.join(
+            mins,
+            (lineitem.l_partkey == mins.mk)
+            & (lineitem.l_extendedprice == mins.min_price),
+        )
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "s_name",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )
+    return df
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below 20% of their part's average quantity —
+    the correlated avg subquery decorrelated into a per-part aggregate
+    joined back, then a single global sum. Output is one row."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avgs = lineitem.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    df = (
+        lineitem.join(F.broadcast(part.filter("p_brand = 'Brand#12'")),
+                      lineitem.l_partkey == F.col("p_partkey"))
+        .join(avgs, lineitem.l_partkey == avgs.ak)
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return df
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (HAVING over a pre-aggregate), joined back to orders and
+    customer. The quantity rollup shuffles once on the order key; the
+    HAVING filter shrinks the join input before the fact join."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    df = (
+        orders.join(big, orders.o_orderkey == big.bk)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+    return df
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, counted per nation — expressed through the SQL surface so
+    Catalyst plans the scalar avg as a true scalar subquery (a separate
+    tiny job whose result is injected as a literal — no join, no driver
+    collect) and decorrelates NOT EXISTS into a broadcast anti join."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    customer.createOrReplaceTempView("v_dorm_customer")
+    orders.createOrReplaceTempView("v_dorm_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM v_dorm_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_dorm_customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM v_dorm_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= timestamp'2001-01-01 00:00:00')
+        GROUP BY c_nationkey
+        """
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (median / p90, linear interpolation) —
     core analytics op absent from the reference. At 100 TB you would reach
@@ -993,6 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
+        "cheapest_per_part": q_cheapest_per_part,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "dormant_customers": q_dormant_customers,
         "union_concat": q_union_concat,
         "expression_derive": q_expression_derive,
         "map_batches": q_map_batches,
@@ -1314,6 +1421,47 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "cheapest_per_part": """
+            SELECT l_partkey, l_orderkey, l_linenumber, s_name,
+                   round(l_extendedprice, 2) AS best_price
+            FROM lineitem l
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                     FROM lineitem l2
+                                     WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_rows
+            FROM lineitem l
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#12'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "large_volume_orders": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING round(sum(l_quantity), 2) > 250) b
+              ON o_orderkey = b.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "dormant_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY c_nationkey
         """,
         "union_concat": """
             SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey <= 60
