@@ -443,6 +443,42 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four grouping-set combos in
+    one pass (Expand + single hash aggregate, not four scans)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return (
+        df.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+        .na.fill({"l_returnflag": "(all)", "l_linestatus": "(all)"})
+    )
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + distribution window functions: per customer, each
+    order's gap in days from the previous order (lag), the next total
+    (lead), and the spend quartile (ntile) — one window partitioned by
+    customer, single shuffle."""
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).cast("long").alias("days_since_prev"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        F.ntile(4).over(
+            Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+        ).cast("long").alias("spend_quartile"),
+    )
+
+
 def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-supplier quantity cumsum ordered by ship date — frame-
     bounded window function (reference has no window functions at all)."""
@@ -1114,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "pivot": q_pivot,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "order_gaps": q_order_gaps,
         "running_window": q_running_window,
         "fillna_ffill": q_fillna_ffill,
         "part_type_revenue": q_part_type_revenue,
@@ -1581,6 +1619,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    round(sum(l_quantity), 2) AS qty_sum
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS price_sum
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "order_gaps": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                        AS BIGINT) AS days_since_prev,
+                   round(lead(o_totalprice) OVER w, 2) AS next_total,
+                   CAST(ntile(4) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice, o_orderkey)
+                        AS BIGINT) AS spend_quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "running_window": """
             SELECT l_suppkey, l_orderkey, l_linenumber,
