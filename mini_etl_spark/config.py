@@ -29,7 +29,10 @@ from typing import Any
 from mini_etl_spark import operators as ops
 from mini_etl_spark.pipeline import Pipeline
 
-SOURCE_TYPES = {"csv", "json", "jsonl", "excel", "parquet", "orc", "sql", "api", "memory"}
+SOURCE_TYPES = {
+    "csv", "json", "jsonl", "excel", "parquet", "orc", "sql", "api", "memory",
+    "text", "binary",
+}
 SINK_TYPES = {"csv", "json", "jsonl", "parquet", "orc", "sql", "excel", "null"}
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
@@ -178,6 +181,10 @@ class ConfigLoader:
             return src.read_api(url, **o)
         if spec.type == "memory":
             return src.from_memory(o.pop("data"), **o)
+        if spec.type == "text":
+            return src.read_text(path, **o)
+        if spec.type == "binary":
+            return src.read_binary_files(path, **o)
         raise ValueError(f"unknown source type {spec.type!r}")
 
     def _build_transformer(self, spec: ComponentConfig):

@@ -20,7 +20,14 @@ still honored as an eager projection hint.
 """
 
 from mini_etl_spark.sources.dbapi import read_dbapi
-from mini_etl_spark.sources.files import read_csv, read_json, read_orc, read_parquet
+from mini_etl_spark.sources.files import (
+    read_binary_files,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+)
 from mini_etl_spark.sources.jdbc import read_jdbc
 from mini_etl_spark.sources.local import from_memory, read_excel
 from mini_etl_spark.sources.api import read_api
@@ -30,6 +37,8 @@ __all__ = [
     "read_json",
     "read_parquet",
     "read_orc",
+    "read_text",
+    "read_binary_files",
     "read_excel",
     "read_jdbc",
     "read_dbapi",

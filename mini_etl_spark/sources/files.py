@@ -126,3 +126,47 @@ def read_parquet(
         return df.select(*columns) if columns else df
 
     return _read
+
+
+def read_text(
+    path: str,
+    whole_file: bool = False,
+    line_col: str = "value",
+    **options: Any,
+) -> Source:
+    """Raw text ingestion (corpus on-ramp beyond the reference): one row
+    per line, or per file with ``whole_file=True`` (``wholetext`` option —
+    one document per file, the common pre-chunking corpus layout). Globs
+    and directories work; partition parallelism follows file splits."""
+
+    def _read(spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.text(path, wholetext=whole_file)
+        return df.withColumnRenamed("value", line_col) if line_col != "value" else df
+
+    return _read
+
+
+def read_binary_files(
+    path: str,
+    glob: str | None = None,
+    **options: Any,
+) -> Source:
+    """Binary asset ingestion via Spark's built-in ``binaryFile`` source —
+    the multimodal on-ramp: each file becomes a row of (path,
+    modificationTime, length, content BINARY), ready for
+    ``functions.multimodal`` feature extraction. ``glob`` maps to
+    ``pathGlobFilter`` (e.g. ``*.png``); scans parallelize per file and
+    metadata-only queries (count, length stats) never read the bytes."""
+
+    def _read(spark: SparkSession) -> DataFrame:
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(path)
+
+    return _read

@@ -195,3 +195,22 @@ sink: {{type: parquet, path: '{out}', mode: overwrite}}
     assert back.filter("text like '%<EMAIL>%'").count() == stats["rows"]
     splits_seen = {r.split for r in back.select("split").distinct().collect()}
     assert splits_seen <= {"train", "holdout"}
+
+
+def test_text_source_config(spark, tmp_path):
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "d1.txt").write_text("alpha beta\ngamma\n")
+    out = tmp_path / "out_text"
+    cfg = tmp_path / "txt.yaml"
+    cfg.write_text(
+        f"name: txt_pipe\n"
+        f"source: {{type: text, path: '{src}', line_col: text}}\n"
+        f"transformers: [{{type: filter, condition: \"text like '%a%'\"}}]\n"
+        f"sink: {{type: parquet, path: '{out}', mode: overwrite}}\n"
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["rows"] == 2  # 'alpha beta' + 'gamma'

@@ -276,3 +276,60 @@ def test_excel_append_gated(spark, sample_df, tmp_path):
         to_excel(str(tmp_path / "x.xlsx"))(sample_df)
     with pytest.raises(ValueError):
         to_excel(str(tmp_path / "x.xlsx"), mode="r")
+
+
+# ---------------------------------------------------------------------------
+# text / binaryFile sources
+# ---------------------------------------------------------------------------
+
+def test_read_text_lines_and_whole(spark, tmp_path):
+    from mini_etl_spark.sources import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo doc body\n")
+    lines = read_text(str(d), line_col="text")(spark)
+    assert lines.columns == ["text"]
+    assert lines.count() == 3
+    whole = read_text(str(d), whole_file=True, line_col="text")(spark)
+    docs = sorted(r.text for r in whole.collect())
+    assert len(docs) == 2 and docs[1].startswith("solo doc")
+
+
+def test_read_binary_files_multimodal_onramp(spark, tmp_path):
+    """binaryFile rows feed functions.multimodal feature extraction
+    unchanged — the asset ingestion path is end-to-end real."""
+    import hashlib
+
+    from mini_etl_spark.functions import multimodal as mm
+    from mini_etl_spark.sources import read_binary_files
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    payloads = {"x.png": b"\x89PNG fake image bytes", "y.wav": b"RIFF fake audio"}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    (d / "skip.txt").write_bytes(b"not an asset")
+
+    df = read_binary_files(str(d), glob="*.{png,wav}")(spark)
+    assert {"path", "length", "content"} <= set(df.columns)
+    assert df.count() == 2
+
+    assets = df.select(
+        F.abs(F.xxhash64("path")).alias("asset_id"),
+        F.when(F.col("path").endswith(".png"), "image")
+        .otherwise("audio")
+        .alias("modality"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        "content",
+    )
+    names = {r.asset_id: r.name for r in assets.select("asset_id", "name").collect()}
+    feats = {
+        names[r.asset_id]: r
+        for r in mm.extract_features(assets.drop("name")).collect()
+    }
+    for name, data in payloads.items():
+        assert feats[name].n_bytes == len(data)
+        assert feats[name].content_sha256 == hashlib.sha256(data).hexdigest()
