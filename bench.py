@@ -347,6 +347,11 @@ def main() -> None:
         "cosine_topk": queries["cosine_topk"],
         "cosine_pairs_lsh": queries["cosine_pairs_lsh"],
         "lsh_topk": queries["lsh_topk"],
+        "doc_repetition": queries["doc_repetition"],
+        "pii_redaction": queries["pii_redaction"],
+        "hash_split": queries["hash_split"],
+        "returned_revenue": queries["returned_revenue"],
+        "brand_revenue": queries["brand_revenue"],
     }
 
     def run_once(fn) -> None:

@@ -90,14 +90,30 @@ def to_parquet(
     mode: str = "w",
     partition_by: list[str] | None = None,
     compression: str | None = None,
+    sort_by: list[str] | None = None,
+    sort_partitions: int | None = None,
     **options: Any,
 ) -> Sink:
     """Parquet writer (⇐ ParquetLoader, loaders.py:279-378). ``partition_by``
     maps its hive-style ``partition_cols`` (loaders.py:352-378) to Spark's
     native ``partitionBy`` — at scale, choose low-cardinality partition keys
-    (date, region), never high-cardinality ids."""
+    (date, region), never high-cardinality ids.
+
+    ``sort_by``: range-repartition + sort-within-partitions on these
+    columns before writing, so each output file covers a narrow value
+    range — parquet row-group min/max stats then let later scans with
+    predicates on those columns skip whole files (the poor man's
+    clustering; use for the 1-2 columns your queries filter on most).
+    ``sort_partitions`` pins the output file count (an explicit count is
+    exempt from AQE coalescing; default lets AQE size the shuffle)."""
 
     def _write(df: DataFrame) -> None:
+        if sort_by:
+            if sort_partitions:
+                df = df.repartitionByRange(sort_partitions, *sort_by)
+            else:
+                df = df.repartitionByRange(*sort_by)
+            df = df.sortWithinPartitions(*sort_by)
         writer = df.write.mode(_spark_mode(mode))
         if partition_by:
             writer = writer.partitionBy(*partition_by)

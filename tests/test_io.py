@@ -333,3 +333,46 @@ def test_read_binary_files_multimodal_onramp(spark, tmp_path):
     for name, data in payloads.items():
         assert feats[name].n_bytes == len(data)
         assert feats[name].content_sha256 == hashlib.sha256(data).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# layout maintenance: compaction + sorted writes
+# ---------------------------------------------------------------------------
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from mini_etl_spark.maintenance import compact_parquet, dataset_stats
+
+    src = str(tmp_path / "fragmented")
+    # simulate incremental-append drift: 64 tiny files
+    spark.range(64_000).repartition(64).write.parquet(src)
+    assert dataset_stats(spark, src)["n_files"] == 64
+
+    out = str(tmp_path / "compacted")
+    report = compact_parquet(spark, src, out, target_file_mb=1024)
+    assert report["after"]["n_files"] == 1  # tiny dataset -> one file
+    assert spark.read.parquet(out).count() == 64_000
+    assert report["before"]["total_bytes"] > 0
+
+
+def test_sorted_write_enables_file_skipping(spark, tmp_path):
+    """sort_by range-partitions the write so each file covers a narrow id
+    range; a selective filter then reads fewer files than exist."""
+    from mini_etl_spark.sinks import to_parquet
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "sorted")
+    df = spark.range(100_000).withColumn("v", F.col("id") % 7)
+    df = df.repartition(8)  # scrambled input
+    to_parquet(out, mode="overwrite", sort_by=["id"], sort_partitions=6)(df)
+    back = spark.read.parquet(out)
+    assert back.count() == 100_000
+    # each file must hold a contiguous, non-overlapping id range
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi < cur.lo
