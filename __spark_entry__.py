@@ -808,6 +808,23 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB cardinality/quantile path:
+    approx_count_distinct (HyperLogLog++) and approx_percentile (KLL-style
+    quantile sketch) per return flag, one partial+final aggregate, fixed
+    sketch memory per group regardless of data size. No SQL oracle (sketch
+    results are implementation-defined); tests/test_functions.py bounds
+    both against exact answers (≤5% relative error)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, 10000), 2
+        ).alias("approx_price_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (median / p90, linear interpolation) —
     core analytics op absent from the reference. At 100 TB you would reach
@@ -1158,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "percentiles": q_percentiles,
+        "approx_sketches": q_approx_sketches,
         "text_features": q_text_features,
         "vocab_top_terms": q_vocab_top_terms,
         "doc_repetition": q_doc_repetition,

@@ -674,3 +674,32 @@ def test_split_seed_changes_assignment(spark):
     a = {r.k: r.b for r in df.select("k", sp.hash_bucket("k", seed=1).alias("b")).collect()}
     b = {r.k: r.b for r in df.select("k", sp.hash_bucket("k", seed=2).alias("b")).collect()}
     assert a != b
+
+
+def test_approx_sketches_within_bounds(spark):
+    """HLL++ distinct counts and the quantile sketch must land within 5%
+    of exact answers on the oracle-scale data (rows-only driver check —
+    this pytest bound is the correctness gate)."""
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r.l_returnflag: r
+        for r in entrymod.queries()["approx_sketches"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_orders - e.orders) / e.orders <= 0.05
+        assert abs(a.approx_price_p50 - e.p50) / e.p50 <= 0.05
