@@ -808,6 +808,38 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: serialize a struct to a JSON payload column
+    (the shape of an ingested event blob), then parse fields back out with
+    get_json_object (path extraction) and from_json (typed schema parse).
+    All JVM-side; the DuckDB twin round-trips the same payloads with its
+    json_extract functions."""
+    orders = _t(spark, sf_dir, "orders")
+    payloads = orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("payload"),
+    )
+    parsed = payloads.select(
+        "o_orderkey",
+        F.get_json_object("payload", "$.status").alias("status"),
+        F.from_json(
+            "payload", "status string, total double, priority string"
+        ).alias("rec"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        "status",
+        F.round(F.col("rec.total"), 2).alias("total"),
+        F.col("rec.priority").alias("priority"),
+    )
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB cardinality/quantile path:
     approx_count_distinct (HyperLogLog++) and approx_percentile (KLL-style
@@ -1176,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "percentiles": q_percentiles,
         "approx_sketches": q_approx_sketches,
+        "json_extract": q_json_extract,
         "text_features": q_text_features,
         "vocab_top_terms": q_vocab_top_terms,
         "doc_repetition": q_doc_repetition,
@@ -1704,6 +1737,19 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.9), 4)      AS qty_p90,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "json_extract": """
+            SELECT o_orderkey,
+                   json_extract_string(payload, '$.status') AS status,
+                   round(CAST(json_extract(payload, '$.total') AS DOUBLE), 2)
+                       AS total,
+                   json_extract_string(payload, '$.priority') AS priority
+            FROM (SELECT o_orderkey,
+                         CAST(to_json(struct_pack(
+                             status := o_orderstatus,
+                             total := o_totalprice,
+                             priority := o_orderpriority)) AS VARCHAR) AS payload
+                  FROM orders)
         """,
         "text_features": f"""
             SELECT doc_id, ws_tokens, bpe_tokens, lang_id, quality, fingerprint

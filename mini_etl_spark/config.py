@@ -37,6 +37,7 @@ SINK_TYPES = {"csv", "json", "jsonl", "parquet", "orc", "sql", "excel", "null"}
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
     "expression", "aggregate", "group", "dedup", "sort", "limit",
+    "explode",
     # training-data-pipeline extensions (functions/ package)
     "text_features", "repetition_features", "redact_pii",
     "hash_split", "sample", "stratified_sample",
@@ -218,6 +219,10 @@ class ConfigLoader:
             return ops.sort_rows(o.get("by"), o.get("ascending", True))
         if spec.type == "limit":
             return ops.limit(int(o.get("n", o.get("limit", 0))))
+        if spec.type == "explode":
+            return ops.explode_column(
+                o["column"], o.get("output"), o.get("outer", False)
+            )
         if spec.type == "text_features":
             from mini_etl_spark.functions import text as tx
 

@@ -16,6 +16,7 @@ from mini_etl_spark.operators.core import (
     drop_columns,
     fill_na,
     filter_rows,
+    explode_column,
     limit,
     map_batches,
     rename_columns,
@@ -41,6 +42,7 @@ __all__ = [
     "sort_rows",
     "map_batches",
     "limit",
+    "explode_column",
     "join",
     "asof_join",
     "range_join",

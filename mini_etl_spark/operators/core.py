@@ -314,3 +314,24 @@ def limit(n: int) -> Transform:
         return df.limit(n)
 
     return _apply
+
+
+def explode_column(
+    column: str,
+    out_col: str | None = None,
+    outer: bool = False,
+) -> Transform:
+    """Unnest an array (or map) column into one row per element — the
+    normalize step for list-valued fields (tags, tokens, attachments).
+    ``outer=True`` keeps rows whose array is null/empty (element null),
+    matching SQL's LATERAL VIEW OUTER. Generates rows executor-side
+    (Generate node) — never a driver loop."""
+    from pyspark.sql import functions as F
+
+    def _apply(df: DataFrame) -> DataFrame:
+        fn = F.explode_outer if outer else F.explode
+        target = out_col or column
+        exploded = df.withColumn(target, fn(F.col(column)))
+        return exploded.drop(column) if out_col and out_col != column else exploded
+
+    return _apply

@@ -193,3 +193,18 @@ def test_apply_by_group(spark):
     out = apply_by_group("g", demean, "g bigint, v double")(df)
     got = sorted((r.g, r.v) for r in out.collect())
     assert got == [(1, -1.0), (1, 1.0), (2, -10.0), (2, 0.0), (2, 10.0)]
+
+
+def test_explode_column(spark):
+    from mini_etl_spark import operators as ops
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id int, tags array<string>"
+    )
+    inner = ops.explode_column("tags", "tag")(df)
+    assert sorted((r.id, r.tag) for r in inner.collect()) == [(1, "a"), (1, "b")]
+    assert inner.columns == ["id", "tag"]
+    outer = ops.explode_column("tags", "tag", outer=True)(df)
+    got = sorted((r.id, r.tag) for r in outer.collect())
+    assert got == [(1, "a"), (1, "b"), (2, None), (3, None)]
