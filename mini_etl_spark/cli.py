@@ -16,7 +16,13 @@ from pathlib import Path
 import click
 
 from mini_etl_spark import __version__
-from mini_etl_spark.config import SAMPLE_CONFIG, ConfigLoader
+from mini_etl_spark.config import (
+    SAMPLE_CONFIG,
+    SINK_TYPES,
+    SOURCE_TYPES,
+    TRANSFORMER_TYPES,
+    ConfigLoader,
+)
 
 
 @click.group()
@@ -120,12 +126,9 @@ def info() -> None:
         "version": __version__,
         "pyspark": pyspark.__version__,
         "python": sys.version.split()[0],
-        "sources": ["csv", "json", "jsonl", "parquet", "sql", "api", "excel", "memory"],
-        "sinks": ["csv", "json", "jsonl", "parquet", "sql", "excel", "null"],
-        "transformers": [
-            "filter", "rename", "select", "drop", "cast", "fillna",
-            "expression", "aggregate", "dedup", "sort", "limit",
-        ],
+        "sources": sorted(SOURCE_TYPES),
+        "sinks": sorted(SINK_TYPES),
+        "transformers": sorted(TRANSFORMER_TYPES),
     }
     click.echo(json.dumps(payload, indent=2))
 
