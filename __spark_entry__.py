@@ -808,6 +808,23 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): three measure columns unpivoted into
+    (metric, value) rows — an Expand node, rows×3 with no shuffle."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.round("value", 2).alias("value"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: serialize a struct to a JSON payload column
     (the shape of an ingested event blob), then parse fields back out with
@@ -1209,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "approx_sketches": q_approx_sketches,
         "json_extract": q_json_extract,
+        "unpivot": q_unpivot,
         "text_features": q_text_features,
         "vocab_top_terms": q_vocab_top_terms,
         "doc_repetition": q_doc_repetition,
@@ -1737,6 +1755,13 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.9), 4)      AS qty_p90,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+            FROM (SELECT l_orderkey, l_linenumber,
+                         l_quantity, l_extendedprice, l_discount
+                  FROM lineitem)
+            UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
         """,
         "json_extract": """
             SELECT o_orderkey,

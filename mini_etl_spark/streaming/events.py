@@ -204,3 +204,36 @@ def run_stream_to_memory(
     query.processAllAvailable()
     query.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_to_files(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Checkpointed file sink — the durable end of a streaming pipeline.
+
+    The checkpoint directory gives end-to-end exactly-once file output:
+    offsets commit only after a batch's files land, so a crashed or
+    restarted query resumes without duplicating or dropping batches
+    (restart-with-same-checkpoint is tested). ``available_now=True`` runs
+    as an incremental batch over all pending input and terminates — the
+    scheduled-ETL mode; pass False for a continuously running query.
+    Returns the StreamingQuery (already finished when both flags are on).
+    """
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query

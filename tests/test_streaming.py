@@ -187,3 +187,35 @@ def test_stream_static_join_matches_batch(spark, events_batch, events_stream):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stream_to_files_exactly_once_restart(spark, tmp_path):
+    """File sink + checkpoint: a restart with the same checkpoint must not
+    re-emit already-committed batches; new input is picked up."""
+    from mini_etl_spark.streaming.events import stream_to_files
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    spark.range(100).withColumnRenamed("id", "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("v bigint").parquet(str(src))
+    stream_to_files(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+
+    # restart with NO new input: nothing may be re-emitted
+    stream2 = spark.readStream.schema("v bigint").parquet(str(src))
+    stream_to_files(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+
+    # append new input, restart again: only the delta lands
+    spark.range(100, 130).withColumnRenamed("id", "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream3 = spark.readStream.schema("v bigint").parquet(str(src))
+    stream_to_files(stream3, out, ckpt)
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == list(range(130))
