@@ -153,3 +153,35 @@ def test_shingles_properties(spark, texts, n):
         else:
             assert len(r.sh) <= k - n + 1  # distinct ≤ total grams
             assert all(len(g.split(" ")) == n for g in r.sh)
+
+@SLOW
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200, unique=True),
+    w1=st.integers(min_value=1, max_value=8),
+    w2=st.integers(min_value=1, max_value=8),
+)
+def test_split_assign_is_total_partition(spark, keys, w1, w2):
+    """Every key lands in exactly one split, for any weight vector."""
+    from mini_etl_spark.functions import splits as sp
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    w = {"a": float(w1), "b": float(w2), "c": 1.0}
+    got = {r.k: r.s for r in df.select("k", sp.split_assign("k", w).alias("s")).collect()}
+    assert set(got) == set(keys)
+    assert set(got.values()) <= {"a", "b", "c"}
+
+
+@SLOW
+@given(texts=st.lists(st.text(alphabet="abcdefgh \n.,-", max_size=60), min_size=1, max_size=20))
+def test_redact_pii_noop_without_pii(spark, texts):
+    """Text with no digits and no '@' must pass through unchanged."""
+    import pandas as pd
+
+    from mini_etl_spark.functions import text as txf
+
+    pdf = pd.DataFrame({"text": texts})
+    df = spark.createDataFrame(pdf)
+    out = df.select("text", txf.redact_pii("text").alias("clean"),
+                    txf.pii_count("text").alias("n")).collect()
+    for r in out:
+        assert r.clean == r.text and r.n == 0
