@@ -808,6 +808,52 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): per user, the first
+    view, the first click strictly after it, the first purchase strictly
+    after that — three keyed aggregates + equi joins on user_id (every
+    shuffle on the same key), left-joined into per-user funnel depth and
+    step latencies. The product-analytics shape done relationally."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("long").alias("funnel_depth"),
+            (F.unix_timestamp("t_click") - F.unix_timestamp("t_view"))
+            .cast("long")
+            .alias("secs_view_to_click"),
+            (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view"))
+            .cast("long")
+            .alias("secs_view_to_purchase"),
+        )
+    )
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (melt): three measure columns unpivoted into
     (metric, value) rows — an Expand node, rows×3 with no shuffle."""
@@ -1227,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_sketches": q_approx_sketches,
         "json_extract": q_json_extract,
         "unpivot": q_unpivot,
+        "funnel": q_funnel,
         "text_features": q_text_features,
         "vocab_top_terms": q_vocab_top_terms,
         "doc_repetition": q_doc_repetition,
@@ -1755,6 +1802,31 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.9), 4)      AS qty_p90,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t_view
+                       FROM events WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t_click
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t_view
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                  GROUP BY e.user_id)
+            SELECT v.user_id,
+                   CAST(1 + CAST(c.t_click IS NOT NULL AS INT)
+                          + CAST(p.t_purchase IS NOT NULL AS INT) AS BIGINT)
+                       AS funnel_depth,
+                   CAST(floor(epoch(c.t_click)) AS BIGINT)
+                     - CAST(floor(epoch(v.t_view)) AS BIGINT)
+                       AS secs_view_to_click,
+                   CAST(floor(epoch(p.t_purchase)) AS BIGINT)
+                     - CAST(floor(epoch(v.t_view)) AS BIGINT)
+                       AS secs_view_to_purchase
+            FROM v
+            LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
         """,
         "unpivot": """
             SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
