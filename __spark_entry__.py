@@ -705,6 +705,76 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — supplier nation vs customer
+    nation for two fixed nations, by ship year. The same broadcast
+    dimension (nation) joins twice under different aliases; the
+    nation-pair disjunction is a post-join residual on broadcast columns."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    df = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return df
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose revenue equals the maximum
+    supplier revenue — aggregate → scalar max (SQL scalar subquery, a
+    separate tiny job) → equality filter, ties kept like the SQL."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.filter(
+            "l_shipdate >= timestamp'1996-01-01 00:00:00'"
+            " and l_shipdate < timestamp'1996-04-01 00:00:00'"
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    rev.createOrReplaceTempView("v_q15_revenue")
+    supplier.createOrReplaceTempView("v_q15_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, total_revenue
+        FROM v_q15_supplier
+        JOIN v_q15_revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM v_q15_revenue)
+        """
+    )
+
+
 def q_cheapest_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (no partsupp table — lineitem stands in): rows whose
     price equals the per-part minimum, i.e. a correlated scalar subquery
@@ -1244,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
+        "volume_shipping": q_volume_shipping,
+        "top_supplier": q_top_supplier,
         "cheapest_per_part": q_cheapest_per_part,
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_orders": q_large_volume_orders,
@@ -1575,6 +1647,33 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN supplier ON l_suppkey  = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                         AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "cheapest_per_part": """
             SELECT l_partkey, l_orderkey, l_linenumber, s_name,
