@@ -775,6 +775,43 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness = shipped >60 days after the
+    order date): suppliers who were the SOLE late shipper in a
+    multi-supplier order. The gnarliest subquery pattern — correlated
+    EXISTS (another supplier in the order) AND NOT EXISTS (another LATE
+    supplier) over the same fact — expressed through the SQL surface so
+    Catalyst decorrelates them into one semi and one anti join."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate").createOrReplaceTempView(
+        "v_q21_lines"
+    )
+    supplier.createOrReplaceTempView("v_q21_supplier")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM v_q21_lines l1
+        JOIN v_q21_supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM v_q21_lines l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM v_q21_lines l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
 def q_cheapest_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (no partsupp table — lineitem stands in): rows whose
     price equals the per-part minimum, i.e. a correlated scalar subquery
@@ -1316,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": q_brand_revenue,
         "volume_shipping": q_volume_shipping,
         "top_supplier": q_top_supplier,
+        "waiting_supplier": q_waiting_supplier,
         "cheapest_per_part": q_cheapest_per_part,
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_orders": q_large_volume_orders,
@@ -1674,6 +1712,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, total_revenue
             FROM supplier JOIN rev ON s_suppkey = supplier_no
             WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "waiting_supplier": """
+            WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT s_name, count(*) AS numwait
+            FROM l l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM l l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > l3.o_orderdate
+                                    + INTERVAL 60 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "cheapest_per_part": """
             SELECT l_partkey, l_orderkey, l_linenumber, s_name,
