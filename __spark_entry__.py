@@ -775,6 +775,67 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer — left outer
+    join (customers with zero orders kept) → per-customer count → count
+    histogram. Two aggregates; the second one's input is already tiny."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of PROMO-part volume
+    sold into one region, by order year — two nation roles (customer side
+    restricts to the region, supplier side labels the share), conditional
+    ratio aggregate."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        lineitem.join(
+            F.broadcast(part.filter("p_type = 'PROMO'")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("cn_key"))
+        .join(
+            F.broadcast(region.filter("r_name = 'EUROPE'")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+    return df
+
+
 def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: lateness = shipped >60 days after the
     order date): suppliers who were the SOLE late shipper in a
@@ -1354,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "top_supplier": q_top_supplier,
         "waiting_supplier": q_waiting_supplier,
+        "customer_distribution": q_customer_distribution,
+        "market_share": q_market_share,
         "cheapest_per_part": q_cheapest_per_part,
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_orders": q_large_volume_orders,
@@ -1712,6 +1775,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, total_revenue
             FROM supplier JOIN rev ON s_suppkey = supplier_no
             WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS mkt_share
+            FROM lineitem
+            JOIN part      ON l_partkey = p_partkey
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region    ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+            GROUP BY year(o_orderdate)
         """,
         "waiting_supplier": """
             WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
