@@ -976,6 +976,130 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table — supply cost stands in as 60% of
+    the part's retail price): profit per supplier nation per order year over
+    parts whose name contains 'red'. The part filter broadcasts, nation
+    broadcasts, and the orders join carries only (orderkey, orderdate) —
+    the wide fact never shuffles more than the needed columns."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    df = (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("red")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              lineitem.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+    return df
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value restricted to three
+    supplier nations, keeping parts above a fraction of the scoped total —
+    a scalar subquery inside HAVING. Through the SQL surface the shared
+    scoped relation is computed once per side, the threshold runs as a
+    separate tiny job, and the HAVING is a literal comparison on the
+    aggregate — no join against the total."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    lineitem.createOrReplaceTempView("v_q11_lineitem")
+    supplier.createOrReplaceTempView("v_q11_supplier")
+    nation.createOrReplaceTempView("v_q11_nation")
+    return spark.sql(
+        """
+        WITH scoped AS (
+          SELECT l_partkey, l_extendedprice * l_quantity AS v
+          FROM v_q11_lineitem JOIN v_q11_supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey IN (SELECT n_nationkey FROM v_q11_nation
+                                WHERE n_name IN ('NATION_1','NATION_2','NATION_3')))
+        SELECT l_partkey, round(sum(v), 2) AS value
+        FROM scoped GROUP BY l_partkey
+        HAVING sum(v) > (SELECT sum(v) * 0.001 FROM scoped)
+        """
+    )
+
+
+def q_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem's distinct (part, supplier) pairs stand in
+    for partsupp): supplier count per (brand, type, size) bucket, excluding
+    one brand, one type family, and suppliers with negative balances via
+    NOT IN. Catalyst plans the NOT IN as a null-aware broadcast anti join
+    (single-column key, tiny build side) and the distinct + count(distinct)
+    as two hash aggregates on the same shuffle key."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem.createOrReplaceTempView("v_q16_lineitem")
+    part.createOrReplaceTempView("v_q16_part")
+    supplier.createOrReplaceTempView("v_q16_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM v_q16_lineitem) ps
+        JOIN v_q16_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM v_q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+def q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 40% of some
+    'small *' part's 1995 volume — nested IN subqueries (part-name filter
+    feeding a grouped HAVING feeding a semi join on supplier). Catalyst
+    decorrelates both INs into semi joins; the per-part total reuses the
+    grouped relation rather than rescanning the fact."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem.createOrReplaceTempView("v_q20_lineitem")
+    part.createOrReplaceTempView("v_q20_part")
+    supplier.createOrReplaceTempView("v_q20_supplier")
+    return spark.sql(
+        """
+        WITH shipped AS (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+          FROM v_q20_lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM v_q20_part
+                              WHERE p_name LIKE 'small%')
+            AND l_shipdate >= timestamp'1995-01-01 00:00:00'
+            AND l_shipdate <  timestamp'1996-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey),
+        tot AS (SELECT l_partkey, sum(qty) AS total_qty
+                FROM shipped GROUP BY l_partkey)
+        SELECT s_suppkey, s_name FROM v_q20_supplier
+        WHERE s_suppkey IN (SELECT l_suppkey
+                            FROM shipped JOIN tot USING (l_partkey)
+                            WHERE qty > 0.4 * total_qty)
+        """
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): per user, the first
     view, the first click strictly after it, the first purchase strictly
@@ -1270,6 +1394,42 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
 
 
+def _contamination_splits(spark: SparkSession, sf_dir: str):
+    """50/50 deterministic hash split of the documents table — the
+    train/test halves every contamination query scans. A filter on the
+    md5-bucket projection, so both sides prune at the scan."""
+    from mini_etl_spark.functions import splits as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = sp.hash_bucket("doc_id")
+    train = docs.filter(bucket < 5000)
+    test = docs.filter(bucket >= 5000)
+    return train, test
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram contamination scan (the decontamination primitive
+    every eval-hygiene pipeline needs): test docs whose 3-gram CONTAINMENT
+    in some train doc ≥ 0.5, via the inverted-index join — never the
+    |train|×|test| pair space. Split is the deterministic md5 hash bucket,
+    so the DuckDB oracle replays the identical partition."""
+    from mini_etl_spark.functions import dedup as dd
+
+    train, test = _contamination_splits(spark, sf_dir)
+    return dd.contamination_pairs(train, test, threshold=0.5, max_shingle_freq=1000)
+
+
+def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated training corpus: train docs that leak ≥ 0.5 of any
+    test doc's 3-grams are anti-joined away; survivors keep their metadata.
+    The output is the corpus you'd actually train on."""
+    from mini_etl_spark.functions import dedup as dd
+
+    train, test = _contamination_splits(spark, sf_dir)
+    out = dd.decontaminate(train, test, threshold=0.5, max_shingle_freq=1000)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified. No SQL oracle
     (xxhash64-based) — rows-only check here; the equivalence gate is the
@@ -1421,6 +1581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_orders": q_large_volume_orders,
         "dormant_customers": q_dormant_customers,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "supplier_part_count": q_supplier_part_count,
+        "dominant_shippers": q_dominant_shippers,
         "union_concat": q_union_concat,
         "expression_derive": q_expression_derive,
         "map_batches": q_map_batches,
@@ -1458,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
+        "contamination": q_contamination,
+        "decontaminated": q_decontaminated,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dedup": q_simhash_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1861,6 +2027,54 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
             GROUP BY c_nationkey
         """,
+        "product_profit": """
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "important_parts": """
+            WITH scoped AS (
+              SELECT l_partkey, l_extendedprice * l_quantity AS v
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                                    WHERE n_name IN ('NATION_1','NATION_2','NATION_3')))
+            SELECT l_partkey, round(sum(v), 2) AS value
+            FROM scoped GROUP BY l_partkey
+            HAVING sum(v) > (SELECT sum(v) * 0.001 FROM scoped)
+        """,
+        "supplier_part_count": """
+            SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "dominant_shippers": """
+            WITH shipped AS (
+              SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+                AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey),
+            tot AS (SELECT l_partkey, sum(qty) AS total_qty
+                    FROM shipped GROUP BY l_partkey)
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey
+                                FROM shipped JOIN tot USING (l_partkey)
+                                WHERE qty > 0.4 * total_qty)
+        """,
         "union_concat": """
             SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_suppkey <= 60
             UNION
@@ -2240,6 +2454,42 @@ def oracle_sql() -> dict[str, str]:
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5
+        """,
+        # Containment (not Jaccard): |shared| / |test shingles|. The 50/50
+        # split replays the engine's md5 hash bucket exactly; all-pairs
+        # list_intersect is viable only at oracle scale — the engine side
+        # runs the inverted-index join instead.
+        "contamination": f"""
+            WITH s AS (
+              SELECT doc_id, {_D_SHINGLES} AS sh,
+                     {_d_hash_bucket('doc_id', 42)} AS bucket
+              FROM documents),
+            tr AS (SELECT doc_id, sh FROM s WHERE bucket < 5000 AND len(sh) > 0),
+            te AS (SELECT doc_id, sh, len(sh) AS sz
+                   FROM s WHERE bucket >= 5000 AND len(sh) > 0)
+            SELECT test_id, train_id, overlap
+            FROM (SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+                         round(len(list_intersect(tr.sh, te.sh)) / te.sz::DOUBLE,
+                               4) AS overlap
+                  FROM tr, te)
+            WHERE overlap >= 0.5
+        """,
+        "decontaminated": f"""
+            WITH s AS (
+              SELECT doc_id, lang, source, n_chars, {_D_SHINGLES} AS sh,
+                     {_d_hash_bucket('doc_id', 42)} AS bucket
+              FROM documents),
+            tr AS (SELECT * FROM s WHERE bucket < 5000),
+            te AS (SELECT doc_id, sh, len(sh) AS sz
+                   FROM s WHERE bucket >= 5000 AND len(sh) > 0),
+            bad AS (
+              SELECT DISTINCT tr.doc_id
+              FROM tr, te
+              WHERE len(tr.sh) > 0
+                AND round(len(list_intersect(tr.sh, te.sh)) / te.sz::DOUBLE, 4)
+                    >= 0.5)
+            SELECT doc_id, lang, source, n_chars
+            FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         # Transitive closure via recursive CTE — O(V·E), fine at oracle
         # scale; the engine runs iterative min-label propagation instead.

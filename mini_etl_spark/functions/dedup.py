@@ -141,6 +141,77 @@ def jaccard_pairs(
     return out
 
 
+def contamination_pairs(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Train/test n-gram contamination scan: for each TEST document, the
+    TRAIN documents whose shared distinct n-grams cover ≥ ``threshold`` of
+    the test document's n-grams. Returns (test_id, train_id, overlap).
+
+    The measure is *containment* (|A∩B| / |test|), not Jaccard — the
+    standard decontamination criterion: a short eval document quoted
+    verbatim inside a long training document scores 1.0 even though its
+    Jaccard similarity is tiny. Cost model is identical to
+    :func:`jaccard_pairs` — an inverted-index equi join on shingles, never
+    the O(|train|·|test|) pair space — with the hot-shingle cap applied to
+    the train side (a shingle in > ``max_shingle_freq`` train docs carries
+    no evidence of leakage, only join blowup; dropped shingles make the
+    reported overlap a lower bound)."""
+    tr_sizes, tr_post = _pair_shingle_stats(
+        train_df, text_col, id_col, n, max_shingle_freq
+    )
+    te_sizes, te_post = _pair_shingle_stats(test_df, text_col, id_col, n, None)
+    shared = (
+        tr_post.alias("a")
+        .join(te_post.alias("b"), F.col("a.__g") == F.col("b.__g"))
+        .groupBy(
+            F.col("b.__id").alias("test_id"), F.col("a.__id").alias("train_id")
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    te_sz = te_sizes.select(
+        F.col("__id").alias("test_id"), F.col("__size").alias("__sz")
+    )
+    return (
+        shared.join(te_sz, "test_id")
+        .withColumn(
+            "overlap",
+            F.round(F.col("__shared") / F.col("__sz").cast("double"), 4),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("test_id", "train_id", "overlap")
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Drop training documents contaminated by eval content: any train doc
+    that covers ≥ ``threshold`` of some test doc's n-grams is removed (the
+    eval set stays fixed; the training corpus is what gets cleaned). One
+    anti join over the :func:`contamination_pairs` result."""
+    bad = (
+        contamination_pairs(
+            train_df, test_df, text_col, id_col, n, threshold, max_shingle_freq
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train_df.join(bad, on=id_col, how="left_anti")
+
+
 def minhash_signature(col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for permutation i, min over shingles of
     xxhash64(shingle, seed=i). Array of ``num_hashes`` longs, all JVM-side

@@ -125,6 +125,45 @@ def test_jaccard_pairs_golden(spark):
     assert (p.id_a, p.id_b, p.jaccard) == (1, 2, 0.5)  # 2 shared / 4 union
 
 
+def test_contamination_containment_not_jaccard(spark):
+    # The eval doc is quoted verbatim inside a much longer train doc:
+    # containment = 1.0 even though Jaccard is small — the property that
+    # makes containment the right decontamination measure.
+    filler = " ".join(f"f{i}" for i in range(40))
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [f"{filler} w1 w2 w3 w4 w5", filler]})
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101], "text": ["w1 w2 w3 w4 w5", "a b c d e"]})
+    )
+    out = {
+        (r.test_id, r.train_id): r.overlap
+        for r in dd.contamination_pairs(train, test, threshold=0.5).collect()
+    }
+    assert out == {(100, 1): 1.0}  # doc 101 is clean; doc 2 shares nothing
+    jac = dd.jaccard_pairs(
+        train.unionByName(test), threshold=0.5
+    ).filter("id_a = 1 and id_b = 100")
+    assert jac.count() == 0  # Jaccard at the same threshold misses the quote
+
+
+def test_decontaminate_drops_leaky_train_docs(spark):
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["w1 w2 w3 w4 w5 tail tokens here", "p q r s t"]}
+        )
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["w1 w2 w3 w4 w5"]})
+    )
+    kept = sorted(
+        r.doc_id for r in dd.decontaminate(train, test, threshold=0.5).collect()
+    )
+    assert kept == [2]
+    # schema is the full train schema, untouched
+    assert dd.decontaminate(train, test).columns == train.columns
+
+
 def test_minhash_lsh_equals_exact(spark, docs):
     exact = {(r.id_a, r.id_b) for r in dd.jaccard_pairs(docs, threshold=0.5).collect()}
     approx = {
