@@ -507,10 +507,21 @@ def connected_components(
     State per round is one (node, label) frame — never an edge closure, so
     memory stays O(V + E) at any scale (the transitive-closure oracle the
     driver checks against is O(V·E) and only viable at test size)."""
-    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges_fwd.unionByName(
-        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # Both edge directions from ONE evaluation of `pairs` (explode, not a
+    # two-branch union — the pair list is usually an expensive similarity
+    # join, and a union would re-run that plan once per branch).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .persist()
+    )
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__nbr_min"))
@@ -526,24 +537,23 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("__nbr_label"))
         )
-        new_labels = (
+        # Carry the previous label alongside the new one so the convergence
+        # check is a filter over this (persisted) frame — no old-vs-new join,
+        # and the `count` action doubles as the cache materialization.
+        cand = (
             labels.join(nbr, labels.node == nbr.dst, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("__nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = cand.filter(F.col("label") < F.col("__old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = cand
         if changed == 0:
             break
     edges.unpersist()
