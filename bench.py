@@ -347,6 +347,8 @@ def main() -> None:
         "cosine_topk": queries["cosine_topk"],
         "cosine_pairs_lsh": queries["cosine_pairs_lsh"],
         "lsh_topk": queries["lsh_topk"],
+        "contamination": queries["contamination"],
+        "product_profit": queries["product_profit"],
         "doc_repetition": queries["doc_repetition"],
         "pii_redaction": queries["pii_redaction"],
         "hash_split": queries["hash_split"],
