@@ -1544,6 +1544,80 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, _query_vector(spark, sf_dir), cents, k=10, nprobe=3)
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 keyed merge (warehouse MERGE shape, beyond the reference's
+    if_exists= vocabulary): customers active since 1998-06-01 get their
+    account balance replaced by their recent spend and segment 'UPDATED';
+    big spenders (>400k) are deleted; everyone else passes through. The
+    delta is broadcast — the customer table never shuffles (two
+    BroadcastHashJoins + union)."""
+    from mini_etl_spark.operators.merge import merge_upsert
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    recent = (
+        orders.filter("o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    delta = (
+        recent.join(customer, recent.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.col("spend").alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+    )
+    return merge_upsert(
+        customer, delta, keys="c_custkey", delete_condition="c_acctbal > 400000"
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history merge: a current-only customer dimension (valid_from
+    1995-01-01) receives a delta re-labelling 1998 heavy spenders as
+    segment 'BIG98' effective 1998-06-01 — superseded rows are closed out
+    (valid_to stamped, is_current false), new versions appended, unchanged
+    keys untouched. One broadcast join against current rows + union; the
+    history side never shuffles."""
+    from mini_etl_spark.operators.merge import scd2_apply
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    target = (
+        customer.withColumn(
+            "valid_from", F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    big98 = (
+        orders.filter("o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter("spend > 300000")
+    )
+    delta = (
+        big98.join(customer, big98.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            F.lit("BIG98").alias("c_mktsegment"),
+            F.lit("1998-06-01 00:00:00").cast("timestamp").alias("eff"),
+        )
+    )
+    return scd2_apply(
+        target,
+        delta,
+        keys="c_custkey",
+        compare_cols=["c_mktsegment"],
+        effective_col="eff",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1618,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
+        "upsert": q_upsert,
+        "scd2": q_scd2,
         "corpus_clean": q_corpus_clean,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -2564,6 +2640,64 @@ def oracle_sql() -> dict[str, str]:
                   JOIN n a ON cand.id_a = a.vec_id
                   JOIN n b ON cand.id_b = b.vec_id)
             WHERE cosine >= 0.3
+        """,
+        "upsert": """
+            WITH delta AS (
+                SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                       round(sum(o.o_totalprice), 2) AS c_acctbal,
+                       'UPDATED' AS c_mktsegment
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+                GROUP BY c.c_custkey, c.c_name, c.c_nationkey
+            )
+            SELECT t.* FROM customer t
+            WHERE NOT EXISTS (SELECT 1 FROM delta d
+                              WHERE d.c_custkey = t.c_custkey)
+            UNION ALL
+            SELECT * FROM delta WHERE NOT (c_acctbal > 400000)
+        """,
+        "scd2": """
+            WITH target AS (
+                SELECT c.*, TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+                       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+                FROM customer c
+            ),
+            delta AS (
+                SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                       'BIG98' AS c_mktsegment,
+                       TIMESTAMP '1998-06-01 00:00:00' AS eff
+                FROM customer c
+                JOIN (SELECT o_custkey
+                      FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+                      GROUP BY o_custkey
+                      HAVING sum(o_totalprice) > 300000) b
+                  ON b.o_custkey = c.c_custkey
+            ),
+            changed AS (
+                SELECT d.* FROM delta d
+                LEFT JOIN target t
+                  ON d.c_custkey = t.c_custkey AND t.is_current
+                WHERE t.c_custkey IS NULL
+                   OR NOT (d.c_mktsegment IS NOT DISTINCT FROM t.c_mktsegment)
+            )
+            SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+                   t.c_mktsegment, t.valid_from, t.valid_to, t.is_current
+            FROM target t
+            WHERE t.is_current
+              AND NOT EXISTS (SELECT 1 FROM changed c
+                              WHERE c.c_custkey = t.c_custkey)
+            UNION ALL
+            SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+                   t.c_mktsegment, t.valid_from, c.eff AS valid_to,
+                   FALSE AS is_current
+            FROM target t JOIN changed c ON c.c_custkey = t.c_custkey
+            WHERE t.is_current
+            UNION ALL
+            SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                   c.c_mktsegment, c.eff AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+            FROM changed c
         """,
         # minhash_lsh_pairs / simhash_dedup / lsh_topk: xxhash64-based —
         # no SQL oracle (rows-only driver check); equivalence asserted in

@@ -27,6 +27,7 @@ from mini_etl_spark.operators.agg import group_agg
 from mini_etl_spark.operators.dedup import deduplicate
 from mini_etl_spark.operators.sort import sort_rows
 from mini_etl_spark.operators.joins import asof_join, join, range_join
+from mini_etl_spark.operators.merge import merge_upsert, scd2_apply
 
 __all__ = [
     "apply_by_group",
@@ -46,4 +47,6 @@ __all__ = [
     "join",
     "asof_join",
     "range_join",
+    "merge_upsert",
+    "scd2_apply",
 ]

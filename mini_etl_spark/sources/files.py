@@ -121,8 +121,18 @@ def read_parquet(
         df = reader.parquet(path)
         from pyspark.sql import functions as F
 
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         for c in ns_timestamp_columns or []:
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            # Normalize to a session-tz TimestampType regardless of how the
+            # file stored the instant: TIMESTAMP(NANOS) arrives as int64
+            # under the legacy conf (convert), TIMESTAMP_NTZ arrives naive
+            # (relabel — value-identical under the UTC session timezone),
+            # and a standard TIMESTAMP needs nothing.
+            if isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            elif isinstance(df.schema[c].dataType, TimestampNTZType):
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df.select(*columns) if columns else df
 
     return _read

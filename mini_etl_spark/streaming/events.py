@@ -6,38 +6,34 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-# rejects; the stream reads it as int64 nanos (legacy conf) and converts.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos since epoch
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch in tests; in production this would be Kafka/files landing).
-    ``ts`` is normalized to a microsecond timestamp column."""
+    ``ts`` is normalized to a microsecond timestamp column.
+
+    The stream schema is taken from the file footer (driver-side metadata
+    read, no data scan), so the source works whether ``ts`` was written as
+    TIMESTAMP(NANOS) (read as int64 under the legacy conf, then converted)
+    or as a standard micro/milli timestamp."""
     import os
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema  # footer-only read
     if os.path.isfile(path):
         # FileStreamSource requires a directory; expose a single file
         # through a temp dir containing a symlink (zero-copy)
         link_dir = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(os.path.abspath(path), os.path.join(link_dir, os.path.basename(path)))
         path = link_dir
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(path)
-    )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = spark.readStream.schema(schema).format("parquet").load(path)
+    if isinstance(schema["ts"].dataType, T.LongType):  # nanos since epoch
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks/windows want session-tz timestamps; NTZ→TZ is a no-op
+        # relabel under UTC session timezone
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
 
 
 def tumbling_window_agg(
