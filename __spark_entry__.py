@@ -2654,7 +2654,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM delta d
                               WHERE d.c_custkey = t.c_custkey)
             UNION ALL
-            SELECT * FROM delta WHERE NOT (c_acctbal > 400000)
+            SELECT * FROM delta d
+            WHERE NOT (c_acctbal > 400000
+                       AND EXISTS (SELECT 1 FROM customer t
+                                   WHERE t.c_custkey = d.c_custkey))
         """,
         "scd2": """
             WITH target AS (

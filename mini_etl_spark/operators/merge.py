@@ -42,18 +42,26 @@ def merge_upsert(
     broadcast_delta: bool = True,
 ) -> DataFrame:
     """SCD-1 merge: rows of ``delta`` replace same-keyed rows of ``target``;
-    new keys are inserted; target rows matching ``delete_condition`` (a SQL
-    predicate evaluated against delta-matched rows) are dropped.
+    new keys are inserted; delta rows matching ``delete_condition`` whose key
+    exists in ``target`` are dropped (warehouse ``WHEN MATCHED AND <cond>
+    THEN DELETE`` — the predicate never suppresses not-matched inserts).
 
     Equivalent SQL::
 
-        SELECT * FROM delta WHERE NOT (<delete_condition>)
+        SELECT d.* FROM delta d
+        WHERE NOT (<delete_condition>
+                   AND EXISTS (SELECT 1 FROM target t WHERE t.k = d.k))
         UNION ALL
         SELECT t.* FROM target t WHERE NOT EXISTS
             (SELECT 1 FROM delta d WHERE d.k = t.k)
 
     Columns must be union-compatible by name (extra/missing columns raise —
     a keyed merge with schema drift is almost always a bug upstream).
+
+    With ``delete_condition`` set, the matched-key set is computed with one
+    extra pass over ``target``'s key columns (a column-pruned scan + one
+    BroadcastHashJoin when ``broadcast_delta``) — the only way to know which
+    delta keys are matched without shuffling the fact-sized target.
     """
     keys = _key_list(keys)
     t_cols, d_cols = set(target.columns), set(delta.columns)
@@ -69,7 +77,18 @@ def merge_upsert(
     kept_target = target.join(delta_keys, on=keys, how="left_anti")
     incoming = delta
     if delete_condition is not None:
-        incoming = incoming.filter(~F.expr(delete_condition))
+        # WHEN MATCHED AND cond THEN DELETE: only matched delta rows are
+        # eligible; new-key rows are inserted regardless of the predicate.
+        matched_keys = target.select(*keys).join(
+            delta_keys, on=keys, how="left_semi"
+        ).distinct()
+        if broadcast_delta:
+            matched_keys = F.broadcast(matched_keys)
+        matched_delta = delta.join(matched_keys, on=keys, how="left_semi")
+        unmatched_delta = delta.join(matched_keys, on=keys, how="left_anti")
+        incoming = matched_delta.filter(~F.expr(delete_condition)).unionByName(
+            unmatched_delta
+        )
     return kept_target.unionByName(incoming.select(*target.columns))
 
 
@@ -83,6 +102,7 @@ def scd2_apply(
     valid_to: str = "valid_to",
     is_current: str = "is_current",
     broadcast_delta: bool = True,
+    dedupe_delta: bool = True,
 ) -> DataFrame:
     """SCD-2 merge: track history of ``compare_cols`` per key.
 
@@ -99,6 +119,21 @@ def scd2_apply(
     Unchanged-key delta rows are no-ops; historical target rows pass
     through untouched. One broadcast join against current rows + one
     union — the fact-sized history never shuffles.
+
+    Assumptions (enforced / guarded):
+
+    - **One delta row per key.** With ``dedupe_delta=True`` (default) the
+      delta is pre-aggregated to the latest row per key (``max_by`` on the
+      effective column — one hash-aggregate over the broadcast-sized delta)
+      so duplicate delta keys cannot mint multiple ``is_current`` versions.
+      Set ``dedupe_delta=False`` only when the delta is already unique.
+    - **Monotonic effective dates.** The effective timestamp must be ≥ the
+      current row's ``valid_from`` — an out-of-order delta (back-dated
+      change) would produce an inverted interval. The operator raises at
+      execution time (``assert_true`` on the closed rows, checked only on
+      the ≤ |delta| rows being closed) instead of silently corrupting the
+      dimension; apply back-dated corrections by rebuilding the affected
+      keys' history upstream.
     """
     keys = _key_list(keys)
     natural_cols = [c for c in target.columns if c not in (valid_from, valid_to, is_current)]
@@ -119,6 +154,16 @@ def scd2_apply(
     # BroadcastHashJoin (current streams, delta broadcast) yields the
     # matched pairs; new keys fall out of a small-vs-small anti join.
     d = delta.select(*natural_cols, effective_col)
+    if dedupe_delta:
+        payload = [c for c in natural_cols if c not in keys] + [effective_col]
+        d = (
+            d.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct(*payload), F.col(effective_col)).alias("__row")
+            )
+            .select(*keys, "__row.*")
+            .select(*natural_cols, effective_col)
+        )
     d_b = F.broadcast(d) if broadcast_delta else d
     cur_cmp = current.select(
         *keys, *[F.col(c).alias(f"__cur_{c}") for c in compare_cols]
@@ -140,13 +185,27 @@ def scd2_apply(
         changed_keys = F.broadcast(changed_keys)
 
     # Close out the superseded current rows; effective date comes from the
-    # (broadcast) changed set — at most one delta row per key is assumed
-    # (pre-aggregate the delta to latest-per-key upstream if not).
+    # (broadcast) changed set — one row per key, guaranteed by dedupe_delta
+    # (or by the caller when dedupe_delta=False).
     eff_by_key = changed.select(*keys, F.col(effective_col).alias("__eff"))
     if broadcast_delta:
         eff_by_key = F.broadcast(eff_by_key)
+    # assert_true returns NULL on success, so the filter keeps every row —
+    # but, unlike a dropped column, it cannot be pruned away by Catalyst.
+    ooo_guard = F.assert_true(
+        F.col("__eff") >= F.col(valid_from),
+        F.concat(
+            F.lit("scd2_apply: out-of-order delta — effective "),
+            F.col("__eff").cast("string"),
+            F.lit(f" < {valid_from} "),
+            F.col(valid_from).cast("string"),
+            F.lit(" for key "),
+            F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
+        ),
+    )
     closed = (
         current.join(eff_by_key, on=keys, how="inner")
+        .filter(ooo_guard.isNull())
         .withColumn(valid_to, F.col("__eff"))
         .withColumn(is_current, F.lit(False))
         .drop("__eff")

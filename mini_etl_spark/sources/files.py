@@ -132,6 +132,17 @@ def read_parquet(
             if isinstance(df.schema[c].dataType, LongType):
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
             elif isinstance(df.schema[c].dataType, TimestampNTZType):
+                # The NTZ→TimestampType cast interprets the naive wall-clock
+                # in the *session* timezone; it is value-identical only under
+                # UTC. The bundled session builder sets UTC — assert rather
+                # than silently shift instants for callers who didn't.
+                tz = spark.conf.get("spark.sql.session.timeZone")
+                if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                    raise ValueError(
+                        f"read_parquet(ns_timestamp_columns=[{c!r}]): converting "
+                        "TIMESTAMP_NTZ requires spark.sql.session.timeZone=UTC "
+                        f"(session has {tz!r}) — instants would silently shift."
+                    )
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df.select(*columns) if columns else df
 
