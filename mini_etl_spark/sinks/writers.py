@@ -207,7 +207,9 @@ def to_excel(
     """Excel writer (⇐ ExcelLoader, loaders.py:381-450). Inherently
     driver-local (the reference fully buffered too, loaders.py:420-432);
     ``mode='a'`` replicates its append (re-read existing sheet + concat,
-    loaders.py:437-446). Raises cleanly when no Excel engine is installed."""
+    loaders.py:437-446). Prefers pandas' engine (openpyxl) when installed;
+    otherwise falls back to the bundled pure-stdlib codec
+    (``mini_etl_spark.xlsx``)."""
     if mode not in ("w", "a"):
         raise ValueError("to_excel: mode must be 'w' or 'a'")
 
@@ -223,11 +225,13 @@ def to_excel(
                 existing = pd.read_excel(target, sheet_name=sheet_name)
                 pdf = pd.concat([existing, pdf], ignore_index=True)
             pdf.to_excel(target, sheet_name=sheet_name, index=False, **kwargs)
-        except ImportError as exc:
-            raise NotImplementedError(
-                "to_excel requires an Excel engine (openpyxl) which is not "
-                "installed in this environment"
-            ) from exc
+        except ImportError:  # openpyxl missing → stdlib codec
+            from mini_etl_spark.xlsx import read_xlsx, write_xlsx
+
+            if mode == "a" and target.exists():
+                existing = read_xlsx(str(target), sheet_name=sheet_name)
+                pdf = pd.concat([existing, pdf], ignore_index=True)
+            write_xlsx(pdf, str(target), sheet_name=sheet_name)
 
     return _write
 

@@ -39,16 +39,17 @@ def read_excel(
     **kwargs: Any,
 ) -> Source:
     """Excel scan (⇐ ExcelExtractor, extractors.py:151-220). Driver-side by
-    necessity; raises a clear error when no Excel engine is installed."""
+    necessity. Prefers pandas' engine (openpyxl) when installed; otherwise
+    falls back to the bundled pure-stdlib codec (``mini_etl_spark.xlsx``),
+    so the surface works in engine-less environments too."""
 
     def _read(spark: SparkSession) -> DataFrame:
         try:
             pdf = pd.read_excel(path, sheet_name=sheet_name, **kwargs)
-        except ImportError as exc:  # openpyxl missing
-            raise NotImplementedError(
-                "read_excel requires an Excel engine (openpyxl/xlrd) which is "
-                "not installed in this environment"
-            ) from exc
+        except ImportError:  # openpyxl missing → stdlib codec
+            from mini_etl_spark.xlsx import read_xlsx
+
+            pdf = read_xlsx(path, sheet_name=sheet_name)
         return spark.createDataFrame(pdf)
 
     return _read

@@ -169,21 +169,17 @@ def test_read_csv_missing_file(spark, tmp_path):
         read_csv(str(tmp_path / "nope.csv"))(spark).count()
 
 
-def test_excel_gated(spark, tmp_path):
+def test_excel_missing_file(spark, tmp_path):
     from mini_etl_spark.sources import read_excel
 
-    with pytest.raises((NotImplementedError, FileNotFoundError, ValueError, ImportError, Exception)):
+    with pytest.raises((FileNotFoundError, ValueError, ImportError, Exception)):
         read_excel(str(tmp_path / "x.xlsx"))(spark)
 
 
-try:  # go green the moment an Excel engine appears in the environment
-    import openpyxl as _openpyxl  # noqa: F401
-except ImportError:
-    _openpyxl = None
-
-
-@pytest.mark.skipif(_openpyxl is None, reason="openpyxl not installed")
 def test_excel_roundtrip(spark, sample_df, tmp_path):
+    """Live round-trip through the engine-agnostic path (pandas engine when
+    installed, bundled stdlib codec otherwise) — ⇐ the reference's
+    test_extractors/test_loaders Excel round-trips."""
     from mini_etl_spark.sinks import to_excel
     from mini_etl_spark.sources import read_excel
 
@@ -192,9 +188,13 @@ def test_excel_roundtrip(spark, sample_df, tmp_path):
     back = read_excel(str(target))(spark)
     assert back.count() == sample_df.count()
     assert set(back.columns) == set(sample_df.columns)
+    got = {r["id"]: (r["category"], r["value"], r["name"]) for r in back.collect()}
+    want = {
+        r["id"]: (r["category"], r["value"], r["name"]) for r in sample_df.collect()
+    }
+    assert got == want
 
 
-@pytest.mark.skipif(_openpyxl is None, reason="openpyxl not installed")
 def test_excel_append_mode(spark, sample_df, tmp_path):
     from mini_etl_spark.sinks import to_excel
     from mini_etl_spark.sources import read_excel
@@ -203,6 +203,70 @@ def test_excel_append_mode(spark, sample_df, tmp_path):
     to_excel(str(target))(sample_df)
     to_excel(str(target), mode="a")(sample_df.limit(10))
     assert read_excel(str(target))(spark).count() == sample_df.count() + 10
+
+
+def test_xlsx_codec_types_and_sheet_names(tmp_path):
+    """The stdlib codec itself: type fidelity (int/float/bool/str/None),
+    sheet lookup by name, shared-strings files from other producers."""
+    import pandas as pd
+
+    from mini_etl_spark.xlsx import read_xlsx, write_xlsx
+
+    pdf = pd.DataFrame(
+        {
+            "i": [1, 2, 3],
+            "f": [1.5, -2.25, 0.0],
+            "b": [True, False, True],
+            "s": ["plain", "x < y & z", "  padded  "],
+            "n": ["a", None, "c"],
+        }
+    )
+    target = tmp_path / "codec.xlsx"
+    write_xlsx(pdf, str(target), sheet_name="metrics")
+    back = read_xlsx(str(target), sheet_name="metrics")
+    assert list(back.columns) == ["i", "f", "b", "s", "n"]
+    assert back["i"].tolist() == [1, 2, 3]
+    assert back["f"].tolist() == [1.5, -2.25, 0.0]
+    assert back["b"].tolist() == [True, False, True]
+    assert back["s"].tolist() == ["plain", "x < y & z", "  padded  "]
+    assert back["n"].tolist() == ["a", None, "c"]
+    assert read_xlsx(str(target), sheet_name=0).shape == (3, 5)
+    with pytest.raises(ValueError, match="no sheet named"):
+        read_xlsx(str(target), sheet_name="nope")
+
+
+def test_xlsx_codec_shared_strings(tmp_path):
+    """Files from openpyxl/Excel store text in xl/sharedStrings.xml —
+    synthesize one and confirm the reader resolves the indirection."""
+    import zipfile
+
+    from mini_etl_spark.xlsx import read_xlsx, write_xlsx
+    import pandas as pd
+
+    base = tmp_path / "inline.xlsx"
+    write_xlsx(pd.DataFrame({"k": [1]}), str(base))
+    shared = tmp_path / "shared.xlsx"
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(base) as zin, zipfile.ZipFile(shared, "w") as zout:
+        for name in zin.namelist():
+            if name == "xl/worksheets/sheet1.xml":
+                zout.writestr(
+                    name,
+                    f'<worksheet xmlns="{ns}"><sheetData>'
+                    '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+                    '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+                    "</sheetData></worksheet>",
+                )
+            else:
+                zout.writestr(name, zin.read(name))
+        zout.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{ns}"><si><t>col</t></si>'
+            "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+        )
+    back = read_xlsx(str(shared))
+    assert list(back.columns) == ["col"]
+    assert back["col"].tolist() == ["rich"]
 
 
 def test_csv_permissive_corrupt_rows(spark, tmp_path):
@@ -269,11 +333,9 @@ def test_callback_sink_executor_side(spark, sample_df, tmp_path):
     assert sum(int(f.read_text()) for f in files) == 100
 
 
-def test_excel_append_gated(spark, sample_df, tmp_path):
+def test_excel_invalid_mode(spark, sample_df, tmp_path):
     from mini_etl_spark.sinks import to_excel
 
-    with pytest.raises((NotImplementedError, ValueError)):
-        to_excel(str(tmp_path / "x.xlsx"))(sample_df)
     with pytest.raises(ValueError):
         to_excel(str(tmp_path / "x.xlsx"), mode="r")
 
