@@ -1276,6 +1276,39 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(top, "doc_id", "left")
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (64-token windows every 48 tokens —
+    the context-window prep step before training): sequence → posexplode →
+    slice, one codegen stage, zero shuffles, zero UDFs. Exact DuckDB twin
+    via the shared tokenizer contract."""
+    from mini_etl_spark.functions import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents")
+    return ck.chunk_documents(docs, window=64, stride=48)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token bins, distributed over
+    deterministic id-range groups (bins never span groups) — the padding
+    eliminator every pretraining pipeline runs. Arrow-batched
+    applyInPandas inside each group; the DuckDB oracle replays the same
+    greedy walk as a recursive CTE."""
+    from mini_etl_spark.functions import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents")
+    return ck.pack_sequences(docs, max_tokens=256, group_size=100)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Lucene-style idf): top-15 documents for
+    ['vector','hash','merge']. Postings built for query terms only,
+    scalar stats broadcast, TakeOrderedAndProject top-k."""
+    from mini_etl_spark.functions import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents")
+    return ck.bm25_topk(docs, ["vector", "hash", "merge"], k=15)
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: the corpus text is clean by construction, so each row is
     augmented with deterministic doc_id-derived PII (email/phone/SSN/IP) —
@@ -1628,21 +1661,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness gate samples a prefix
+    # of this dict, so the first ~50 entries are a representative cross-
+    # section of the whole surface — core transformers, join/window/reshape
+    # operators, TPC-H flagships, and the LLM-pipeline extensions — with
+    # the remaining TPC-H shape variants and approximate-op variants after.
+    # Every entry, regardless of position, is differentially tested by
+    # tests/test_oracle.py.
     return {
+        # core transformer surface
         "group_agg": q_group_agg,
         "filter_expression": q_filter_expression,
         "select_rename_project": q_select_rename_project,
         "cast_lenient": q_cast_lenient,
         "fillna": q_fillna,
+        "fillna_ffill": q_fillna_ffill,
         "dedup_first": q_dedup_first,
-        "dedup_unique_only": q_dedup_unique_only,
         "sort": q_sort,
+        "union_concat": q_union_concat,
+        # joins / windows / reshapes
         "join_star": q_join_star,
         "join_outer": q_join_outer,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "anti_join": q_anti_join,
+        "topk_per_group": q_topk_per_group,
+        "running_window": q_running_window,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "unpivot": q_unpivot,
+        # lambda / schema / sets / sessions
+        "expression_derive": q_expression_derive,
+        "map_batches": q_map_batches,
+        "group_zscore": q_group_zscore,
+        "schema_coerce": q_schema_coerce,
+        "set_ops": q_set_ops,
+        "distinct_agg": q_distinct_agg,
+        "sessionize": q_sessionize,
+        "events_window": q_events_window,
+        # TPC-H flagship shapes
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
-        "order_priority": q_order_priority,
+        "product_profit": q_product_profit,
+        "market_share": q_market_share,
         "returned_revenue": q_returned_revenue,
+        "order_priority": q_order_priority,
+        # LLM training-data pipeline
+        "text_features": q_text_features,
+        "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "bm25_topk": q_bm25_topk,
+        "pii_redaction": q_pii_redaction,
+        "hash_split": q_hash_split,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "near_dup_groups": q_near_dup_groups,
+        "corpus_clean": q_corpus_clean,
+        "contamination": q_contamination,
+        "cosine_pairs_lsh": q_cosine_pairs_lsh,
+        "cosine_topk": q_cosine_topk,
+        "multimodal_features": q_multimodal_features,
+        # warehouse merge
+        "upsert": q_upsert,
+        "scd2": q_scd2,
+        # --- remaining TPC-H shape variants ---
+        "order_gaps": q_order_gaps,
+        "part_type_revenue": q_part_type_revenue,
+        "dedup_unique_only": q_dedup_unique_only,
+        "semi_join": q_semi_join,
+        "cube": q_cube,
+        "percentiles": q_percentiles,
+        "approx_sketches": q_approx_sketches,
+        "json_extract": q_json_extract,
+        "funnel": q_funnel,
+        "vocab_top_terms": q_vocab_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "decontaminated": q_decontaminated,
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
@@ -1650,62 +1745,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "waiting_supplier": q_waiting_supplier,
         "customer_distribution": q_customer_distribution,
-        "market_share": q_market_share,
         "cheapest_per_part": q_cheapest_per_part,
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_orders": q_large_volume_orders,
         "dormant_customers": q_dormant_customers,
-        "product_profit": q_product_profit,
         "important_parts": q_important_parts,
         "supplier_part_count": q_supplier_part_count,
         "dominant_shippers": q_dominant_shippers,
-        "union_concat": q_union_concat,
-        "expression_derive": q_expression_derive,
-        "map_batches": q_map_batches,
-        "group_zscore": q_group_zscore,
-        "events_window": q_events_window,
-        "topk_per_group": q_topk_per_group,
-        "schema_coerce": q_schema_coerce,
-        "set_ops": q_set_ops,
-        "distinct_agg": q_distinct_agg,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "pivot": q_pivot,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "order_gaps": q_order_gaps,
-        "running_window": q_running_window,
-        "fillna_ffill": q_fillna_ffill,
-        "part_type_revenue": q_part_type_revenue,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "percentiles": q_percentiles,
-        "approx_sketches": q_approx_sketches,
-        "json_extract": q_json_extract,
-        "unpivot": q_unpivot,
-        "funnel": q_funnel,
-        "text_features": q_text_features,
-        "vocab_top_terms": q_vocab_top_terms,
-        "doc_repetition": q_doc_repetition,
-        "pii_redaction": q_pii_redaction,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "multimodal_features": q_multimodal_features,
-        "upsert": q_upsert,
-        "scd2": q_scd2,
-        "corpus_clean": q_corpus_clean,
-        "exact_dedup": q_exact_dedup,
-        "jaccard_pairs": q_jaccard_pairs,
-        "near_dup_groups": q_near_dup_groups,
-        "contamination": q_contamination,
-        "decontaminated": q_decontaminated,
+        # approximate / hash-based variants (pytest equivalence gates)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dedup": q_simhash_dedup,
         "simhash_pairs": q_simhash_pairs,
-        "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
-        "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -2425,6 +2476,54 @@ def oracle_sql() -> dict[str, str]:
                       FROM (SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents)
                       GROUP BY doc_id, tok)
                 GROUP BY doc_id) t USING (doc_id)
+        """,
+        "doc_chunks": f"""
+            WITH t AS (SELECT doc_id, {_D_TOKENS} AS toks FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(1, len(toks)+1, 48)) AS start
+                  FROM t WHERE len(toks) >= 1)
+            SELECT doc_id, CAST((start-1)/48 AS BIGINT) AS chunk_id,
+                   array_to_string(list_slice(toks, start, start+63), ' ')
+                     AS chunk_text,
+                   len(list_slice(toks, start, start+63)) AS n_tokens
+            FROM s
+        """,
+        "pack_sequences": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, doc_id // 100 AS g, len({_D_TOKENS}) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id // 100
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            rec AS (
+              SELECT g, rn, doc_id, n_tokens, 0 AS bin, n_tokens AS cur
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.g, d.rn, d.doc_id, d.n_tokens,
+                     CASE WHEN rec.cur > 0 AND rec.cur + d.n_tokens > 256
+                          THEN rec.bin + 1 ELSE rec.bin END,
+                     CASE WHEN rec.cur > 0 AND rec.cur + d.n_tokens > 256
+                          THEN d.n_tokens ELSE rec.cur + d.n_tokens END
+              FROM rec JOIN d ON d.g = rec.g AND d.rn = rec.rn + 1)
+            SELECT doc_id, n_tokens, g * 1000000 + bin AS bin_id FROM rec
+        """,
+        "bm25_topk": f"""
+            WITH base AS (SELECT doc_id, {_D_TOKENS} AS toks FROM documents),
+            doclen AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+            post AS (
+              SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+              WHERE t IN ('vector','hash','merge') GROUP BY doc_id, t),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                      FROM doclen),
+            dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM post
+                      GROUP BY t)
+            SELECT doc_id, round(sum(
+                ln(1 + (n - dft + 0.5)/(dft + 0.5)) *
+                tf*(1.2+1)/(tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))), 4) AS score
+            FROM post JOIN dfreq USING (t) JOIN doclen USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 15
         """,
         "pii_redaction": f"""
             SELECT doc_id,

@@ -350,6 +350,9 @@ def main() -> None:
         "contamination": queries["contamination"],
         "product_profit": queries["product_profit"],
         "doc_repetition": queries["doc_repetition"],
+        "doc_chunks": queries["doc_chunks"],
+        "pack_sequences": queries["pack_sequences"],
+        "bm25_topk": queries["bm25_topk"],
         "pii_redaction": queries["pii_redaction"],
         "hash_split": queries["hash_split"],
         "returned_revenue": queries["returned_revenue"],
