@@ -1309,6 +1309,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ck.bm25_topk(docs, ["vector", "hash", "merge"], k=15)
 
 
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling under per-source token budgets (the corpus-assembly
+    weighting step): deterministic md5-order greedy take per source — one
+    window over (source, hash) — budgets sized so every source's cutoff
+    binds at the oracle SF."""
+    from mini_etl_spark.functions import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    return mx.mix_by_token_budget(
+        docs, {"src0": 800, "src1": 400, "src2": 2000}
+    ).select("doc_id", "source", "n_tokens")
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: global rank by md5(seed|id) —
+    same permutation every run and engine. Range-partitioned sort; at
+    scale, write ordered shards keyed by rank div shard_size."""
+    from mini_etl_spark.functions import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    return mx.shuffle_order(docs).select("doc_id", "shuffle_order")
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: the corpus text is clean by construction, so each row is
     augmented with deterministic doc_id-derived PII (email/phone/SSN/IP) —
@@ -1738,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "stratified_sample": q_stratified_sample,
         "decontaminated": q_decontaminated,
+        "token_mixture": q_token_mixture,
+        "corpus_shuffle": q_corpus_shuffle,
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
@@ -2524,6 +2549,29 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN stats
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "token_mixture": f"""
+            WITH sized AS (
+              SELECT doc_id, source, len({_D_TOKENS}) AS n_tokens,
+                     md5('42' || '|' || CAST(doc_id AS VARCHAR)) AS h,
+                     CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+                                 WHEN 'src2' THEN 2000 END AS budget
+              FROM documents WHERE source IN ('src0','src1','src2')),
+            cum AS (
+              SELECT doc_id, source, n_tokens, budget,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS c
+              FROM sized)
+            SELECT doc_id, source, n_tokens FROM cum
+            WHERE c - n_tokens < budget
+        """,
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5('42' || '|' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS shuffle_order
+            FROM documents
         """,
         "pii_redaction": f"""
             SELECT doc_id,

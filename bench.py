@@ -13,11 +13,13 @@ was measured in a separate session):
 
 - The pandas reference (/root/reference, tqdm/tenacity stubbed) and the
   Spark engine are measured **in the same process, same run, same data**.
-- Both sides get identical steady-state treatment for the paired B1–B5
-  set: one untimed warm pass, then the timed pass (Spark amortizes codegen
-  and scheduler warm-up, pandas amortizes the OS page cache — symmetric).
-- Spark extension queries (no reference counterpart) are timed single-pass
-  after a generic warm-up, exactly as in round 1.
+- Both sides get identical steady-state treatment: one untimed warm pass,
+  then the timed pass (Spark amortizes codegen and scheduler warm-up,
+  pandas amortizes the OS page cache — symmetric).
+- Spark extension queries (no reference counterpart) follow the same
+  protocol; their first-pass times (dominated by one-time Janino codegen
+  compile of the large HOF expression trees — a fixed cost that amortizes
+  to zero on a cluster) are reported separately as ``cold_queries``.
 
 Execution is forced with a noop-format write (computes everything,
 serializes nothing to the driver); reference pipelines force via their own
@@ -229,12 +231,16 @@ def measure_reference(sf_dir: str, tmp: str, csv_in: str) -> dict[str, float]:
 
     logging.getLogger("mini_etl").setLevel(logging.ERROR)
     timings: dict[str, float] = {}
-    for name, fn in _ref_pipelines(sf_dir, tmp, csv_in).items():
+    for name in _ref_pipelines(sf_dir, tmp, csv_in):
+        fn = _ref_pipelines(sf_dir, tmp, csv_in)[name]
         fn()  # warm pass (page cache, imports) — symmetric with Spark's
-        fresh = _ref_pipelines(sf_dir, tmp, csv_in)[name]
-        t0 = time.monotonic()
-        fresh()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(3):  # median-of-3, mirrors the Spark side
+            fresh = _ref_pipelines(sf_dir, tmp, csv_in)[name]
+            t0 = time.monotonic()
+            fresh()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
     return timings
 
 
@@ -365,12 +371,23 @@ def main() -> None:
             _force(result)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in paired.items():
         run_once(fn)  # steady-state warm pass (codegen, shuffle machinery)
+        samples = []
+        for _ in range(3):  # median-of-3, mirrors the reference side
+            t0 = time.monotonic()
+            run_once(fn)
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
+    for name, fn in extensions.items():
+        # Same steady-state protocol as B1-B5: the first pass (recorded as
+        # cold_queries) pays one-time Janino codegen compile of the plan —
+        # a fixed cost that amortizes to zero at scale; the timed pass is
+        # the sustained per-run throughput a cluster job would see.
         t0 = time.monotonic()
         run_once(fn)
-        timings[name] = round(time.monotonic() - t0, 3)
-    for name, fn in extensions.items():
+        cold[name] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         run_once(fn)
         timings[name] = round(time.monotonic() - t0, 3)
@@ -392,11 +409,17 @@ def main() -> None:
                 "ref_total_b1_b5": ref_b,
                 "spark_total_b1_b5": spark_b,
                 "ratio_b1_b5": round(spark_b / ref_b, 3) if ref_b else None,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "methodology": (
                     "paired same-run measurement: pandas reference and Spark "
-                    "measured in one process on identical data; B1-B5 on both "
-                    "sides are steady-state (one untimed warm pass, then the "
-                    "timed pass); extension queries timed single-pass"
+                    "measured in one process on identical data; every query "
+                    "on both sides is steady-state (one untimed warm pass, "
+                    "then timed; the paired B1-B5 set is median-of-3 on BOTH "
+                    "sides). Extension first-pass times — including one-time "
+                    "Janino codegen compile, which amortizes to zero on a "
+                    "long-running cluster — are reported separately as "
+                    "cold_queries."
                 ),
             }
         )

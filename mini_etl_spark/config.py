@@ -41,6 +41,7 @@ TRANSFORMER_TYPES = {
     # training-data-pipeline extensions (functions/ package)
     "text_features", "repetition_features", "redact_pii",
     "hash_split", "sample", "stratified_sample",
+    "chunk", "pack_sequences",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -252,6 +253,22 @@ class ConfigLoader:
             key, frac = o["key"], float(o["fraction"])
             seed = int(o.get("seed", 42))
             return lambda df: sp.hash_sample(df, key, frac, seed)
+        if spec.type == "chunk":
+            from mini_etl_spark.functions import chunking as ck
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            window = int(o.get("window", 64))
+            stride = int(o.get("stride", window))
+            return lambda df: ck.chunk_documents(df, col, id_col, window, stride)
+        if spec.type == "pack_sequences":
+            from mini_etl_spark.functions import chunking as ck
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            max_tokens = int(o.get("max_tokens", 512))
+            group_size = int(o.get("group_size", 100))
+            return lambda df: ck.pack_sequences(df, col, id_col, max_tokens, group_size)
         if spec.type == "stratified_sample":
             from mini_etl_spark.functions import splits as sp
 

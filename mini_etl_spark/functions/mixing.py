@@ -1,0 +1,92 @@
+"""Corpus mixing: deterministic source-weighted sampling under token
+budgets, and reproducible corpus shuffling for training order.
+
+The last step of training-corpus assembly: given cleaned, deduplicated
+documents from many sources, draw a mixture — "this run trains on 30B
+tokens of web, 5B of code, 1B of reference" — reproducibly, so reruns and
+engines agree document-for-document.
+
+Scale stance: everything is one window function over a (source,
+hash-order) partitioning — one shuffle, map-side nothing to combine, no
+driver state. Budgets are enforced per source independently, so skewed
+sources don't interact; the md5-order makes the selection a uniform
+random-but-deterministic sample of each source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions.text import tokens
+
+__all__ = ["mix_by_token_budget", "shuffle_order"]
+
+
+def _order_hash(key: Column, seed: int) -> Column:
+    """md5-derived deterministic order key — reproducible across engines
+    (DuckDB twin: ``md5(seed || '|' || key)``), unlike xxhash64."""
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+
+
+def mix_by_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Select documents per source until each source's token budget fills.
+
+    Documents are taken in deterministic md5 order (a uniform pseudo-random
+    permutation per seed); a document is kept while the budget has ANY room
+    left when it starts (running total of previously-taken tokens <
+    budget), so each source may overshoot by at most one document — the
+    standard greedy contract, and the one a SQL window replays exactly.
+    Sources absent from ``budgets`` are dropped.
+
+    Returns the selected rows with ``n_tokens`` attached. One window
+    (partitionBy source, orderBy hash) — a single shuffle at any scale.
+    """
+    if not budgets:
+        raise ValueError("mix_by_token_budget: budgets must be non-empty")
+    sized = df.withColumn(
+        "n_tokens", F.size(tokens(text_col)).cast("long")
+    ).filter(F.col(source_col).isin(list(budgets)))
+    budget_expr = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(int(b)))
+            for s, b in budgets.items()
+        ]
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(_order_hash(F.col(id_col), seed), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    return (
+        sized.withColumn("__cum", running)
+        .filter(F.col("__cum") - F.col("n_tokens") < budget_expr)
+        .drop("__cum")
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    order_col: str = "shuffle_order",
+) -> DataFrame:
+    """Attach a deterministic global shuffle rank (0-based) — the training-
+    order permutation. Same seed → same order, across runs and engines.
+
+    One range-partitioned sort on the md5 hash (the standard corpus-shuffle
+    plan; at scale, write the result partitioned by ``order_col div
+    docs_per_shard`` and readers stream shards in order).
+    """
+    w = Window.orderBy(_order_hash(F.col(id_col), seed), id_col)
+    return df.withColumn(order_col, F.row_number().over(w) - F.lit(1)).withColumn(
+        order_col, F.col(order_col).cast("long")
+    )

@@ -197,6 +197,61 @@ sink: {{type: parquet, path: '{out}', mode: overwrite}}
     assert splits_seen <= {"train", "holdout"}
 
 
+def test_chunk_pack_config_vocab(spark, tmp_path):
+    """Chunking and sequence packing run from YAML config."""
+    src = tmp_path / "docs2"
+    spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i % 5 + 1) * 3))) for i in range(40)],
+        "doc_id bigint, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "chunks_out"
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text(
+        f"""
+name: chunker
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: chunk
+    window: 6
+    stride: 4
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg_path)
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    back = spark.read.parquet(str(out))
+    assert set(back.columns) == {"doc_id", "chunk_id", "chunk_text", "n_tokens"}
+    assert back.filter("n_tokens > 6").count() == 0
+    assert stats["rows"] == back.count() > 40  # docs split into >1 chunk
+
+    out2 = tmp_path / "bins_out"
+    cfg2 = tmp_path / "p.yaml"
+    cfg2.write_text(
+        f"""
+name: packer
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: pack_sequences
+    max_tokens: 16
+    group_size: 10
+sink: {{type: parquet, path: '{out2}', mode: overwrite}}
+"""
+    )
+    config2 = loader.load(cfg2)
+    assert config2.validate() == []
+    loader.build_pipeline(config2).run(spark)
+    bins = spark.read.parquet(str(out2))
+    assert bins.count() == 40
+    from pyspark.sql import functions as F
+
+    assert (
+        bins.groupBy("bin_id").agg(F.sum("n_tokens").alias("s"))
+        .filter("s > 16").count() == 0
+    )
+
+
 def test_text_source_config(spark, tmp_path):
     src = tmp_path / "raw"
     src.mkdir()
