@@ -185,6 +185,12 @@ def bm25_topk(
         F.col("__tf")
         + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
     )
+    # (N, avgdl) attach via a broadcast of the 1-row stats aggregate; the
+    # plan is a BroadcastNestedLoopJoin by necessity (an equi-key would be
+    # constant-folded away), which is benign here: the build side is a
+    # single row, so the "nested loop" is one comparison per stream row —
+    # the standard scalar-subquery shape. Allow-listed as such in
+    # tests/test_query_plans_audit.py.
     scored = (
         post.join(F.broadcast(dfreq), "__t")
         .join(F.broadcast(stats))

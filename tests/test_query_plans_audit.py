@@ -20,13 +20,20 @@ from tests.conftest import SF_SMALL  # noqa: E402
 
 INTENTIONAL_THETA_JOINS = {"cosine_pairs"}
 
+# Queries that broadcast a ONE-ROW scalar aggregate (N, avgdl, thresholds…)
+# into the stream side. Spark plans these as BroadcastNestedLoopJoin because
+# a literal equi-key would constant-fold away; with a single build row the
+# "nested loop" is one comparison per stream row — the scalar-subquery
+# shape, not a scale hazard.
+SCALAR_BROADCAST_JOINS = {"bm25_topk"}
+
 
 @pytest.mark.parametrize("key", sorted(entrymod.queries().keys()))
 def test_no_scale_hazards_in_plan(spark, key):
     df = entrymod.queries()[key](spark, SF_SMALL)
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan, f"{key}: cartesian product in plan"
-    if key not in INTENTIONAL_THETA_JOINS:
+    if key not in INTENTIONAL_THETA_JOINS | SCALAR_BROADCAST_JOINS:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{key}: unexpected nested-loop join"
         )
