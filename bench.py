@@ -359,6 +359,8 @@ def main() -> None:
         "doc_chunks": queries["doc_chunks"],
         "pack_sequences": queries["pack_sequences"],
         "bm25_topk": queries["bm25_topk"],
+        "token_mixture": queries["token_mixture"],
+        "corpus_shuffle": queries["corpus_shuffle"],
         "pii_redaction": queries["pii_redaction"],
         "hash_split": queries["hash_split"],
         "returned_revenue": queries["returned_revenue"],

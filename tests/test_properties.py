@@ -185,3 +185,84 @@ def test_redact_pii_noop_without_pii(spark, texts):
                     txf.pii_count("text").alias("n")).collect()
     for r in out:
         assert r.clean == r.text and r.n == 0
+
+
+doc_texts = st.lists(
+    st.text(alphabet="abc xyz01 ", max_size=60), min_size=1, max_size=15
+)
+
+
+@SLOW
+@given(texts=doc_texts, window=st.integers(2, 6), stride=st.integers(1, 6))
+def test_chunks_preserve_token_stream(spark, texts, window, stride):
+    """With stride ≤ window, splicing the first `stride` tokens of each
+    chunk (plus the last chunk's tail) reproduces each document's token
+    stream exactly — chunking loses nothing and invents nothing."""
+    from mini_etl_spark.functions.chunking import chunk_documents
+    from mini_etl_spark.functions.text import tokens as tok_expr
+    import pyspark.sql.functions as F
+
+    stride = min(stride, window)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", tok_expr("text").alias("t")).collect()
+    }
+    chunks = chunk_documents(df, window=window, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in want.items():
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert got == []
+            continue
+        rebuilt: list[str] = []
+        for r in got[:-1]:
+            rebuilt.extend(r["chunk_text"].split()[:stride])
+        rebuilt.extend(got[-1]["chunk_text"].split())
+        assert rebuilt == toks, (doc_id, window, stride)
+
+
+@SLOW
+@given(
+    sizes=st.lists(st.integers(0, 30), min_size=1, max_size=30),
+    max_tokens=st.integers(5, 40),
+)
+def test_pack_sequences_totality_and_capacity(spark, sizes, max_tokens):
+    from mini_etl_spark.functions.chunking import pack_sequences
+    import pyspark.sql.functions as F
+
+    rows = [(i, " ".join("t" for _ in range(n))) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, max_tokens=max_tokens, group_size=10)
+    got = out.collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(len(sizes)))
+    # a bin exceeds capacity only if it holds a single oversized doc
+    per_bin: dict[int, list] = {}
+    for r in got:
+        per_bin.setdefault(r["bin_id"], []).append(r["n_tokens"])
+    for members in per_bin.values():
+        if sum(members) > max_tokens:
+            assert len(members) == 1 and members[0] > max_tokens
+
+
+@SLOW
+@given(
+    budget=st.integers(1, 400),
+    sizes=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+)
+def test_mixture_budget_overshoot_bounded(spark, budget, sizes):
+    """Selected token mass never exceeds budget + (largest single doc), and
+    growing the budget never drops a previously selected doc."""
+    from mini_etl_spark.functions.mixing import mix_by_token_budget
+
+    rows = [(i, "s", " ".join("t" for _ in range(n))) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = mix_by_token_budget(df, {"s": budget}).collect()
+    total = sum(r["n_tokens"] for r in got)
+    assert total <= budget + max(sizes)
+    bigger = mix_by_token_budget(df, {"s": budget + 50}).collect()
+    assert {r["doc_id"] for r in got} <= {r["doc_id"] for r in bigger}
