@@ -1,0 +1,30 @@
+"""The shipped example configs must load, validate, and run end-to-end
+against the test tables (⇐ the reference ships runnable sample configs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_etl_spark.config import ConfigLoader
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.mark.parametrize(
+    "name,env",
+    [
+        ("corpus_pipeline.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
+        ("chunk_pack.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
+        ("incremental_events.yaml", {"ORDERS_DIR": f"{SF_SMALL}/orders.parquet"}),
+    ],
+)
+def test_example_config_runs(spark, tmp_path, monkeypatch, name, env):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    loader = ConfigLoader()
+    config = loader.load(f"examples/{name}")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0
+    assert stats["rows"] > 0
