@@ -1309,6 +1309,40 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ck.bm25_topk(docs, ["vector", "hash", "merge"], k=15)
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the orders table arrives as
+    three deterministic hash slices; each slice is aggregated to mergeable
+    per-key state (sum/count/min/max — mean decomposes to sum+count), the
+    states merge, and the finalized result must equal a direct aggregate
+    over everything — the algebraic-aggregation contract that lets a 100 TB
+    rollup update in O(new data) instead of O(history)."""
+    from mini_etl_spark.functions import splits as sp
+    from mini_etl_spark.incremental import (
+        rollup_merge,
+        rollup_partial,
+        rollup_result,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    aggs = {"o_totalprice": ["sum", "mean", "max"], "o_orderkey": ["count"]}
+    bucket = sp.hash_bucket("o_orderkey")
+    slices = [
+        orders.filter(bucket < 3333),
+        orders.filter((bucket >= 3333) & (bucket < 6666)),
+        orders.filter(bucket >= 6666),
+    ]
+    state = rollup_merge([rollup_partial(s, keys, aggs) for s in slices], keys)
+    out = rollup_result(state, keys, aggs)
+    return out.select(
+        *keys,
+        F.round("o_totalprice_sum", 2).alias("price_sum"),
+        F.round("o_totalprice_mean", 4).alias("price_mean"),
+        F.col("o_totalprice_max").alias("price_max"),
+        F.col("o_orderkey_count").alias("n_orders"),
+    )
+
+
 def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture sampling under per-source token budgets (the corpus-assembly
     weighting step): deterministic md5-order greedy take per source — one
@@ -1763,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "token_mixture": q_token_mixture,
         "corpus_shuffle": q_corpus_shuffle,
+        "incremental_rollup": q_incremental_rollup,
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
@@ -2549,6 +2584,15 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN stats
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "incremental_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS price_sum,
+                   round(sum(o_totalprice) / count(o_orderkey), 4) AS price_mean,
+                   max(o_totalprice) AS price_max,
+                   count(o_orderkey) AS n_orders
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
         """,
         "token_mixture": f"""
             WITH sized AS (

@@ -88,3 +88,77 @@ class IncrementalBatch:
             save_watermark(self.state_path, new)
             return new
         return load_watermark(self.state_path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup (materialized-aggregate maintenance)
+# ---------------------------------------------------------------------------
+#
+# The companion to the cursor: a 100 TB fact table's dashboard aggregates
+# should not be recomputed from history every run. Aggregations over
+# sum/count/min/max (and mean, via sum+count decomposition) are ALGEBRAIC —
+# partial states merge associatively — so a rollup is maintained by
+# aggregating only the new slice and merging it into the stored state:
+# cost O(new data + state), never O(history).
+
+_MERGEABLE = {"sum", "count", "min", "max", "mean"}
+
+
+def _state_cols(aggs: dict[str, list[str]]) -> list[tuple[str, str]]:
+    """(col, fn) pairs of the stored state — mean decomposes to sum+count."""
+    out: list[tuple[str, str]] = []
+    for col, fns in aggs.items():
+        for fn in fns:
+            if fn not in _MERGEABLE:
+                raise ValueError(
+                    f"rollup: {fn!r} is not mergeable (supported: {sorted(_MERGEABLE)})"
+                )
+        needed = set(fns)
+        if "mean" in needed:
+            needed |= {"sum", "count"}
+            needed.discard("mean")
+        out.extend((col, fn) for fn in sorted(needed))
+    return out
+
+
+def rollup_partial(df: DataFrame, keys: list[str], aggs: dict[str, list[str]]) -> DataFrame:
+    """Aggregate one slice into mergeable per-key state
+    (``{col}__{fn}`` columns). One hash-aggregate with map-side combine."""
+    exprs = []
+    for col, fn in _state_cols(aggs):
+        agg_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[fn]
+        exprs.append(agg_fn(col).alias(f"{col}__{fn}"))
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def rollup_merge(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge partial states: union + one hash-aggregate with each column's
+    merge function (sum/count merge by sum; min/max by min/max)."""
+    from functools import reduce
+
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    exprs = []
+    for c in unioned.columns:
+        if c in keys:
+            continue
+        fn = c.rsplit("__", 1)[1]
+        merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[fn]
+        exprs.append(merge_fn(c).alias(c))
+    return unioned.groupBy(*keys).agg(*exprs)
+
+
+def rollup_result(
+    state: DataFrame, keys: list[str], aggs: dict[str, list[str]]
+) -> DataFrame:
+    """Finalize a state into the requested aggregate columns
+    (``{col}_{fn}``, matching group_agg's naming); mean = sum/count."""
+    exprs = [F.col(k) for k in keys]
+    for col, fns in aggs.items():
+        for fn in fns:
+            if fn == "mean":
+                exprs.append(
+                    (F.col(f"{col}__sum") / F.col(f"{col}__count")).alias(f"{col}_mean")
+                )
+            else:
+                exprs.append(F.col(f"{col}__{fn}").alias(f"{col}_{fn}"))
+    return state.select(*exprs)

@@ -75,3 +75,52 @@ def test_timestamp_cursor(spark, tmp_path):
 
     inc2 = IncrementalBatch(state, cursor_col="ts")
     assert inc2.filter_new(spark.read.parquet(src)).count() == 0
+
+
+def test_rollup_partial_merge_equals_direct(spark):
+    """Algebraic-aggregation contract: partial states over arbitrary
+    slices, merged, finalize to exactly the direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.incremental import (
+        rollup_merge,
+        rollup_partial,
+        rollup_result,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3 % 101).cast("double").alias("v"),
+    )
+    keys, aggs = ["k"], {"v": ["sum", "mean", "min", "max", "count"]}
+    slices = [
+        df.filter("id % 3 = 0"), df.filter("id % 3 = 1"), df.filter("id % 3 = 2")
+    ]
+    merged = rollup_result(
+        rollup_merge([rollup_partial(s, keys, aggs) for s in slices], keys),
+        keys,
+        aggs,
+    )
+    direct = df.groupBy("k").agg(
+        F.sum("v").alias("v_sum"),
+        F.mean("v").alias("v_mean"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.count("v").alias("v_count"),
+    )
+    m = {r["k"]: r for r in merged.collect()}
+    d = {r["k"]: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        for c in ["v_sum", "v_mean", "v_min", "v_max", "v_count"]:
+            assert abs(m[k][c] - d[k][c]) < 1e-9, (k, c)
+
+
+def test_rollup_rejects_non_mergeable(spark):
+    import pytest as _pytest
+
+    from mini_etl_spark.incremental import rollup_partial
+
+    df = spark.range(10).selectExpr("id as k", "id as v")
+    with _pytest.raises(ValueError, match="not mergeable"):
+        rollup_partial(df, ["k"], {"v": ["stddev"]})
