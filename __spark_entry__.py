@@ -1309,6 +1309,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ck.bm25_topk(docs, ["vector", "hash", "merge"], k=15)
 
 
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: keep each language's top 40% of documents by
+    quality score (absolute thresholds drift across languages; percentile
+    gates are how mixed corpora are actually filtered). One window per
+    (lang, quality) — a single shuffle; deterministic tie-break on doc_id."""
+    from pyspark.sql import Window
+
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = tx.add_text_features(docs).select("doc_id", "lang_id", "quality")
+    w = Window.partitionBy("lang_id").orderBy("quality", "doc_id")
+    return (
+        feats.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pr") >= 0.6)
+        .select("doc_id", "lang_id", "quality", "pr")
+    )
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-aggregate maintenance: the orders table arrives as
     three deterministic hash slices; each slice is aggregated to mergeable
@@ -1798,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mixture": q_token_mixture,
         "corpus_shuffle": q_corpus_shuffle,
         "incremental_rollup": q_incremental_rollup,
+        "quality_percentile": q_quality_percentile,
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
@@ -2584,6 +2604,14 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN stats
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "quality_percentile": f"""
+            SELECT doc_id, lang_id, quality, pr
+            FROM (SELECT doc_id, lang_id, quality,
+                         round(percent_rank() OVER (PARTITION BY lang_id
+                                 ORDER BY quality, doc_id), 6) AS pr
+                  FROM {_D_FEATURES} f)
+            WHERE pr >= 0.6
         """,
         "incremental_rollup": """
             SELECT o_orderstatus, o_orderpriority,
