@@ -219,3 +219,31 @@ def test_stream_to_files_exactly_once_restart(spark, tmp_path):
     stream_to_files(stream3, out, ckpt)
     got = sorted(r.v for r in spark.read.parquet(out).collect())
     assert got == list(range(130))
+
+
+def test_streaming_corpus_quality_filter(spark, tmp_path):
+    """The text operators are pure column expressions, so the corpus
+    quality/language gate runs unchanged under Structured Streaming —
+    stream-filter a document feed and compare against the batch twin."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.functions.text import add_text_features
+    from mini_etl_spark.streaming.events import run_stream_to_memory
+
+    src = tmp_path / "docfeed"
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(str(src))
+
+    def gate(df):
+        feats = add_text_features(df)
+        return feats.filter(
+            (F.col("quality") >= 0.3) & (F.col("lang_id") == "en")
+        ).select("doc_id", "lang_id", "quality")
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    got = run_stream_to_memory(
+        gate(stream), "corpus_gate", output_mode="append"
+    ).collect()
+    want = gate(docs).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in want)
+    assert len(want) > 0
