@@ -20,6 +20,7 @@ a config filter was an opaque pandas eval).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from dataclasses import dataclass, field
@@ -28,6 +29,8 @@ from typing import Any
 
 from mini_etl_spark import operators as ops
 from mini_etl_spark.pipeline import Pipeline
+
+logger = logging.getLogger(__name__)
 
 SOURCE_TYPES = {
     "csv", "json", "jsonl", "excel", "parquet", "orc", "sql", "api", "memory",
@@ -41,7 +44,7 @@ TRANSFORMER_TYPES = {
     # training-data-pipeline extensions (functions/ package)
     "text_features", "repetition_features", "redact_pii",
     "hash_split", "sample", "stratified_sample",
-    "chunk", "pack_sequences",
+    "chunk", "pack_sequences", "expect",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -269,6 +272,25 @@ class ConfigLoader:
             max_tokens = int(o.get("max_tokens", 512))
             group_size = int(o.get("group_size", 100))
             return lambda df: ck.pack_sequences(df, col, id_col, max_tokens, group_size)
+        if spec.type == "expect":
+            from mini_etl_spark.schema import check_expectations
+
+            rules = o["rules"]
+            on_violation = o.get("on_violation", "fail")
+
+            def _expect(df):
+                report = check_expectations(df, rules, fail=on_violation == "fail")
+                if on_violation == "log":
+                    bad = {
+                        c: {k: n for k, n in checks.items() if n}
+                        for c, checks in report.items()
+                        if any(checks.values())
+                    }
+                    if bad:
+                        logger.warning("expectation violations: %s", bad)
+                return df
+
+            return _expect
         if spec.type == "stratified_sample":
             from mini_etl_spark.functions import splits as sp
 

@@ -236,3 +236,73 @@ class SchemaValidator:
             return self.validate(df)
 
         return _apply
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (one aggregate pass)
+# ---------------------------------------------------------------------------
+
+def check_expectations(
+    df: DataFrame,
+    rules: dict[str, dict[str, Any]],
+    fail: bool = False,
+) -> dict[str, dict[str, int]]:
+    """Evaluate declarative quality gates in ONE aggregate job.
+
+    ``rules`` maps column → checks; supported checks per column:
+
+    - ``not_null: True`` — count of NULLs,
+    - ``min: x`` / ``max: x`` — count of values outside the bound,
+    - ``isin: [...]`` — count of values outside the allowed set,
+    - ``regex: pat`` — count of non-NULL values NOT matching,
+    - ``unique: True`` — duplicate count (count - distinct count).
+
+    Every check compiles to one conditional-sum column of a single
+    hash-aggregate — at 100 TB this is one scan regardless of rule count,
+    never a per-rule job. Returns ``{column: {check: violation_count}}``
+    (zero-violation checks included); with ``fail=True`` raises
+    :class:`SchemaValidationError` listing non-zero violations.
+    """
+    exprs: list = []
+    names: list[tuple[str, str]] = []
+
+    def add(col: str, check: str, cond) -> None:
+        exprs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"{col}__{check}"))
+        names.append((col, check))
+
+    for col, checks in rules.items():
+        c = F.col(col)
+        for check, arg in checks.items():
+            if check == "not_null" and arg:
+                add(col, "not_null", c.isNull())
+            elif check == "min":
+                add(col, "min", c < F.lit(arg))
+            elif check == "max":
+                add(col, "max", c > F.lit(arg))
+            elif check == "isin":
+                add(col, "isin", ~c.isin(list(arg)) | c.isNull())
+            elif check == "regex":
+                add(col, "regex", c.isNotNull() & ~c.rlike(arg))
+            elif check == "unique" and arg:
+                exprs.append(
+                    (F.count(c) - F.count_distinct(c)).alias(f"{col}__unique")
+                )
+                names.append((col, "unique"))
+            else:
+                raise ValueError(f"check_expectations: unknown check {check!r}")
+    if not exprs:
+        return {}
+    row = df.agg(*exprs).first()
+    report: dict[str, dict[str, int]] = {}
+    for col, check in names:
+        report.setdefault(col, {})[check] = int(row[f"{col}__{check}"] or 0)
+    if fail:
+        bad = [
+            f"{col}.{check}: {n} violations"
+            for col, checks in report.items()
+            for check, n in checks.items()
+            if n > 0
+        ]
+        if bad:
+            raise SchemaValidationError(bad)
+    return report

@@ -269,3 +269,49 @@ def test_text_source_config(spark, tmp_path):
     assert config.validate() == []
     stats = loader.build_pipeline(config).run(spark)
     assert stats["rows"] == 2  # 'alpha beta' + 'gamma'
+
+
+def test_expect_transformer_gates_pipeline(spark, tmp_path):
+    """Declarative data-quality gate: 'expect' fails the run on violations
+    and passes clean data through unchanged."""
+    src = tmp_path / "gated"
+    spark.createDataFrame(
+        [(1, 50.0), (2, 60.0), (3, 70.0)], "id int, score double"
+    ).write.parquet(str(src))
+    out = tmp_path / "gated_out"
+    cfg = tmp_path / "e.yaml"
+    cfg.write_text(
+        f"""
+name: gated
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: expect
+    rules:
+      id: {{not_null: true, unique: true}}
+      score: {{min: 0.0, max: 100.0}}
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["rows"] == 3 and stats["errors"] == 0
+
+    bad_cfg = tmp_path / "bad.yaml"
+    bad_cfg.write_text(
+        f"""
+name: gated_bad
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: expect
+    rules:
+      score: {{max: 55.0}}
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    from mini_etl_spark.schema import SchemaValidationError
+
+    with pytest.raises(Exception) as exc:
+        loader.build_pipeline(loader.load(bad_cfg)).run(spark)
+    assert "violations" in str(exc.value)

@@ -100,3 +100,38 @@ def test_as_transform_in_pipeline(spark, sample_pdf):
         .run(spark)
     )
     assert stats["rows"] == 100
+
+
+def test_check_expectations_one_pass_report(spark):
+    from mini_etl_spark.schema import SchemaValidationError, check_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a@x.com", "us"),
+            (2, -5.0, "bad", "us"),
+            (2, 200.0, None, "xx"),
+            (4, 50.0, "c@y.org", "de"),
+        ],
+        "id int, score double, email string, country string",
+    )
+    report = check_expectations(
+        df,
+        {
+            "id": {"not_null": True, "unique": True},
+            "score": {"min": 0.0, "max": 100.0},
+            "email": {"regex": r"^[^@]+@[^@]+\.[^@]+$"},
+            "country": {"isin": ["us", "de", "fr"]},
+        },
+    )
+    assert report == {
+        "id": {"not_null": 0, "unique": 1},
+        "score": {"min": 1, "max": 1},
+        "email": {"regex": 1},
+        "country": {"isin": 1},
+    }
+    with pytest.raises(SchemaValidationError, match="score.min"):
+        check_expectations(df, {"score": {"min": 0.0}}, fail=True)
+    assert check_expectations(df, {"id": {"not_null": True}}) == {
+        "id": {"not_null": 0}
+    }
+    assert check_expectations(df, {}) == {}
