@@ -1309,6 +1309,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ck.bm25_topk(docs, ["vector", "hash", "merge"], k=15)
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group spherical mean embeddings (pseudo-clusters = vec_id % 4),
+    flattened to (grp, pos, value) rows for engine-portable comparison.
+    Pooling is posexplode → hash-aggregate → position-sorted re-assembly —
+    no UDF, two shuffles; the pooling primitive behind cluster-scoped
+    semantic dedup."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "grp", F.pmod("vec_id", F.lit(4)).cast("long")
+    )
+    cents = sim.embedding_centroids(emb, "grp")
+    return cents.select(
+        "grp", "n_members", F.posexplode("centroid").alias("pos", "value")
+    ).select("grp", F.col("pos").cast("long").alias("pos"), "value", "n_members")
+
+
 def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative quality gate: keep each language's top 40% of documents by
     quality score (absolute thresholds drift across languages; percentile
@@ -1818,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "incremental_rollup": q_incremental_rollup,
         "quality_percentile": q_quality_percentile,
+        "embedding_centroids": q_embedding_centroids,
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
@@ -2604,6 +2622,29 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN stats
             GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 15
+        """,
+        "embedding_centroids": """
+            WITH idx AS (
+              SELECT vec_id % 4 AS grp, embedding,
+                     unnest(range(1, len(embedding)+1)) AS pos
+              FROM embeddings),
+            s AS (
+              SELECT grp, pos, sum(embedding[pos]) AS sv, count(*) AS n
+              FROM idx GROUP BY grp, pos),
+            c AS (
+              SELECT grp, list(sv / n ORDER BY pos) AS centroid,
+                     max(n) AS n_members
+              FROM s GROUP BY grp),
+            cidx AS (
+              SELECT grp, centroid, n_members,
+                     unnest(range(1, len(centroid)+1)) AS pos
+              FROM c)
+            SELECT grp, CAST(pos - 1 AS BIGINT) AS pos,
+                   round(centroid[pos]
+                         / sqrt(list_sum(list_transform(centroid, y -> y*y))), 6)
+                     AS value,
+                   n_members
+            FROM cidx
         """,
         "quality_percentile": f"""
             SELECT doc_id, lang_id, quality, pr

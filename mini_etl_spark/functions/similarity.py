@@ -397,3 +397,50 @@ def lsh_topk(
     bucketed = with_lsh_buckets(df, vec_col, num_planes, seed, dim=len(q))
     candidates = bucketed.filter(F.col("lsh_bucket").isin(probe))
     return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-group mean embedding (``group``, ``centroid``, ``n_members``) —
+    the pooling primitive behind cluster-scoped semantic dedup and
+    source-level representation analysis.
+
+    Relational formulation: posexplode → one hash-aggregate on
+    (group, position) → re-assemble with a position-sorted array_agg.
+    Two shuffles total, map-side partial sums, no UDF — the array never
+    rides through a Python worker. ``normalize=True`` scales each centroid
+    to unit L2 norm (spherical mean), the form cosine comparisons want.
+    """
+    pos_sum = (
+        df.select(group_col, F.posexplode(vec_col).alias("__pos", "__v"))
+        .groupBy(group_col, "__pos")
+        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    assembled = (
+        pos_sum.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", (F.col("__s") / F.col("__n")).alias("__m")))
+            ).alias("__pairs"),
+            F.first("__n").alias("n_members"),
+        )
+        .select(
+            group_col,
+            F.transform("__pairs", lambda p: p["__m"]).alias("centroid"),
+            "n_members",
+        )
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        assembled = assembled.select(
+            group_col,
+            F.transform("centroid", lambda x: F.round(x / nrm, 6)).alias("centroid"),
+            "n_members",
+        )
+    return assembled
