@@ -98,6 +98,10 @@ def pack_sequences(
     stable under corpus growth in other groups, and reproducible across
     runs and engines (the DuckDB twin replays the same walk as a recursive
     CTE). One shuffle (groupBy the range id), Arrow-batched pandas inside.
+
+    ``id_col`` values must be unique (they define the walk order); for
+    chunked input derive one first, e.g. ``doc_id * K + chunk_id`` — see
+    examples/chunk_pack.yaml.
     """
     if max_tokens < 1 or group_size < 1:
         raise ValueError("pack_sequences: max_tokens and group_size must be ≥ 1")
