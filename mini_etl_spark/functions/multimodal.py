@@ -1,12 +1,13 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, partition-parallel
-mapInPandas with Arrow batches, deterministic batch shapes. The *decode
-kernels* are stubbed by design: the image/audio libraries are not in this
-environment, so each kernel either raises ``NotImplementedError`` (real
-mode) or produces a deterministic fake (test mode) with the exact shapes a
-real decoder would emit. Swapping in Pillow/torchaudio/ffmpeg later touches
-ONLY the kernel body — the distributed plumbing is already correct.
+mapInPandas with Arrow batches, deterministic batch shapes. Decode kernels:
+codec-less formats decode NATIVELY (binary PPM and uncompressed 24-bit BMP
+by struct parsing; PCM WAV via the stdlib ``wave`` module — all tested
+end-to-end through the distributed plumbing); compressed formats
+(png/jpeg/mp3/video containers) raise ``NotImplementedError`` because the
+codec libraries are not in this environment — swapping in
+Pillow/torchaudio/ffmpeg later touches only the dispatch in each kernel.
 
 Layout convention (one row per asset):
 
@@ -62,21 +63,96 @@ FEATURE_SCHEMA = (
 )
 
 
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6): 'P6' <w> <h> <maxval> then raw RGB. Pure parsing —
+    the format exists precisely so tools can read images without codecs."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("decode_image: 16-bit PPM not supported")
+    pixels = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
+    return pixels.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): bottom-up BGR rows padded
+    to 4 bytes — fixed-layout struct parsing, no codec involved."""
+    import struct
+
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"decode_image: only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_offset + r * row_bytes
+        row = np.frombuffer(content, dtype=np.uint8, count=w * 3, offset=off)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR → RGB
+    img = np.stack(rows[::-1] if bottom_up else rows)
+    return img.copy()
+
+
 def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
-    """Decode encoded image bytes → HWC uint8 array. STUB: requires an image
-    library (Pillow/opencv) not present in this environment."""
+    """Decode image bytes → HWC uint8 RGB array.
+
+    Real pure-stdlib kernels for the codec-less formats (binary PPM,
+    uncompressed 24-bit BMP); compressed formats (png/jpeg/webp) still
+    raise — they need an image library (Pillow/opencv) this environment
+    lacks; swapping one in touches only this dispatch."""
+    if content[:2] == b"P6":
+        return _decode_ppm(bytes(content))
+    if content[:2] == b"BM":
+        return _decode_bmp(bytes(content))
     raise NotImplementedError(
-        "decode_image: no image codec in this environment — install Pillow "
-        "and replace this kernel body (plumbing above is ready)"
+        f"decode_image: format {fmt!r} needs an image codec (Pillow/opencv) "
+        "not present in this environment — PPM/BMP decode natively"
     )
 
 
 def decode_audio(content: bytes, fmt: str | None) -> np.ndarray:
-    """Decode encoded audio bytes → float32 waveform. STUB (no audio lib)."""
-    raise NotImplementedError(
-        "decode_audio: no audio codec in this environment — install "
-        "soundfile/torchaudio and replace this kernel body"
-    )
+    """Decode audio bytes → float32 waveform in [-1, 1] (mono: channels
+    averaged). PCM WAV decodes natively via the stdlib ``wave`` module;
+    compressed formats (mp3/flac/ogg) still raise — they need an audio
+    library this environment lacks."""
+    import io
+    import wave
+
+    if bytes(content[:4]) != b"RIFF":
+        raise NotImplementedError(
+            f"decode_audio: format {fmt!r} needs an audio codec "
+            "(soundfile/torchaudio) not present in this environment — "
+            "PCM WAV decodes natively"
+        )
+    with wave.open(io.BytesIO(bytes(content))) as wf:
+        n_ch, width, n_frames = wf.getnchannels(), wf.getsampwidth(), wf.getnframes()
+        raw = wf.readframes(n_frames)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype("float32") / 32768.0
+    elif width == 1:  # unsigned 8-bit
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype("float32") - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"decode_audio: {8 * width}-bit PCM not supported")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples
 
 
 def sample_video_frames(content: bytes, fmt: str | None, every_ms: int = 1000) -> list[np.ndarray]:

@@ -742,3 +742,92 @@ def test_approx_sketches_within_bounds(spark):
         a = approx[flag]
         assert abs(a.approx_orders - e.orders) / e.orders <= 0.05
         assert abs(a.approx_price_p50 - e.p50) / e.p50 <= 0.05
+
+
+def _ppm_bytes(w, h):
+    header = f"P6\n# test image\n{w} {h}\n255\n".encode()
+    pixels = bytes((x * 3 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    return header + pixels
+
+
+def _bmp_bytes(w, h):
+    import struct
+
+    row_bytes = (w * 3 + 3) & ~3
+    data = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytes(v for x in range(w) for v in ((y + x) % 256, x % 256, y % 256))  # BGR
+        data += row + b"\x00" * (row_bytes - w * 3)
+    offset = 14 + 40
+    size = offset + len(data)
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return file_header + info + data
+
+
+def _wav_bytes(n=100, rate=8000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            b"".join(
+                struct.pack("<h", int(16000 * math.sin(i / 5))) for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_decode_image_ppm_and_bmp_native():
+    img = mm.decode_image(_ppm_bytes(5, 4), "ppm")
+    assert img.shape == (4, 5, 3) and img.dtype.name == "uint8"
+    assert img[0, 0, 0] == 0 and img[0, 1, 0] == 3  # x*3+c pattern
+
+    bmp = mm.decode_image(_bmp_bytes(5, 4), "bmp")
+    assert bmp.shape == (4, 5, 3)
+    # RGB order restored from BGR: pixel (y=0, x=1) = (y%256, x%256, (y+x)%256)
+    assert tuple(bmp[0, 1]) == (0, 1, 1)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n", "png")
+
+
+def test_decode_audio_wav_native():
+    wave_form = mm.decode_audio(_wav_bytes(200), "wav")
+    assert wave_form.shape == (200,) and wave_form.dtype.name == "float32"
+    assert abs(float(wave_form[0])) < 1e-6  # sin(0) = 0
+    assert -1.0 <= float(wave_form.min()) and float(wave_form.max()) <= 1.0
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04\x00", "mp3")
+
+
+def test_extract_features_with_real_image_kernel(spark):
+    """Real decode in the distributed path: mean-RGB features computed from
+    actual PPM pixel data through mapInPandas."""
+    import numpy as np
+
+    rows = [
+        (i, "image", bytearray(_ppm_bytes(4 + i, 3)), ("ppm", 4 + i, 3, None, None))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+
+    def mean_rgb_kernel(content: bytes) -> np.ndarray:
+        img = mm.decode_image(content, "ppm")
+        feats = np.zeros(mm.FEATURE_DIM, dtype="float32")
+        feats[:3] = img.reshape(-1, 3).mean(axis=0) / 255.0
+        feats[3] = img.shape[1] / 1000.0  # width signal
+        return feats
+
+    out = {r["asset_id"]: r for r in mm.extract_features(df, kernel=mean_rgb_kernel).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        w = 4 + i
+        expected_r = sum((x * 3) % 256 for x in range(w)) / w / 255.0
+        assert abs(out[i]["features"][0] - expected_r) < 1e-5
+        assert abs(out[i]["features"][3] - w / 1000.0) < 1e-9
