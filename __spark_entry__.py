@@ -1782,7 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "pivot": q_pivot,
         "rollup": q_rollup,
-        "unpivot": q_unpivot,
+        "token_mixture": q_token_mixture,
         # lambda / schema / sets / sessions
         "expression_derive": q_expression_derive,
         "map_batches": q_map_batches,
@@ -1796,9 +1796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
         "product_profit": q_product_profit,
-        "market_share": q_market_share,
+        "quality_percentile": q_quality_percentile,
         "returned_revenue": q_returned_revenue,
-        "order_priority": q_order_priority,
+        "incremental_rollup": q_incremental_rollup,
         # LLM training-data pipeline
         "text_features": q_text_features,
         "doc_repetition": q_doc_repetition,
@@ -1831,11 +1831,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "stratified_sample": q_stratified_sample,
         "decontaminated": q_decontaminated,
-        "token_mixture": q_token_mixture,
         "corpus_shuffle": q_corpus_shuffle,
-        "incremental_rollup": q_incremental_rollup,
-        "quality_percentile": q_quality_percentile,
         "embedding_centroids": q_embedding_centroids,
+        "unpivot": q_unpivot,
+        "order_priority": q_order_priority,
+        "market_share": q_market_share,
         "priority_lines": q_priority_lines,
         "promo_revenue": q_promo_revenue,
         "brand_revenue": q_brand_revenue,
