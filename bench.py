@@ -361,6 +361,9 @@ def main() -> None:
         "bm25_topk": queries["bm25_topk"],
         "token_mixture": queries["token_mixture"],
         "corpus_shuffle": queries["corpus_shuffle"],
+        "quality_percentile": queries["quality_percentile"],
+        "incremental_rollup": queries["incremental_rollup"],
+        "embedding_centroids": queries["embedding_centroids"],
         "pii_redaction": queries["pii_redaction"],
         "hash_split": queries["hash_split"],
         "returned_revenue": queries["returned_revenue"],
