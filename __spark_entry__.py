@@ -1649,6 +1649,19 @@ def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic near-dup pairs (SemDeDup shape): seeded
+    random-projection cells bound the pair space to Σ|cell|²; exact cosine
+    verification within cells. Centroids are reproducible from (dim, k,
+    seed), so the DuckDB oracle replays the identical assignment — a full
+    hash oracle for a cluster-scoped dedup."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.random_unit_centroids(dim=64, k=8, seed=7)
+    return sim.cell_cosine_pairs(emb, cents, threshold=0.3)
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-10 (rows-only: approximate by design;
     recall vs brute force is asserted in pytest on planted clusters)."""
@@ -1833,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
+        "semantic_cell_pairs": q_semantic_cell_pairs,
         "unpivot": q_unpivot,
         "order_priority": q_order_priority,
         "market_share": q_market_share,
@@ -1916,6 +1930,24 @@ def _d_dot(a: str, b: str) -> str:
         f"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) "
         f"FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))"
     )
+
+
+def _d_cell_expr(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+    """DuckDB expression for the vector's cell id — replicates
+    similarity.ivf_assign over random_unit_centroids(dim, k, seed):
+    0-based index of the FIRST maximal centroid dot product."""
+    from mini_etl_spark.functions.similarity import random_unit_centroids
+
+    cents = random_unit_centroids(dim, k, seed)
+    dots = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(float(v)) for v in c) + "]"
+        dots.append(
+            f"(SELECT sum(CAST(x AS DOUBLE) * y) "
+            f"FROM (SELECT unnest(embedding) AS x, unnest({lit}) AS y))"
+        )
+    arr = "[" + ", ".join(dots) + "]"
+    return f"(SELECT list_position(d, list_max(d)) - 1 FROM (SELECT {arr} AS d))"
 
 
 def _d_lsh_tags(dim: int = 64, num_planes: int = 8, num_tables: int = 8,
@@ -2899,6 +2931,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM cand
                   JOIN n a ON cand.id_a = a.vec_id
                   JOIN n b ON cand.id_b = b.vec_id)
+            WHERE cosine >= 0.3
+        """,
+        "semantic_cell_pairs": f"""
+            WITH assigned AS (
+              SELECT vec_id, embedding, {_d_cell_expr()} AS cell,
+                     sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+              FROM embeddings)
+            SELECT id_a, id_b, cell, cosine
+            FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+                         round({_d_dot('a.embedding', 'b.embedding')}
+                               / (a.nrm * b.nrm), 4) AS cosine
+                  FROM assigned a
+                  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
         """,
         "upsert": """

@@ -444,3 +444,72 @@ def embedding_centroids(
             "n_members",
         )
     return assembled
+
+
+def random_unit_centroids(dim: int, k: int, seed: int = 7) -> np.ndarray:
+    """Seeded random unit vectors as fixed partitioning centroids — the
+    deterministic coarse quantizer (random-projection cells). Unlike
+    k-means centroids these are reproducible from (dim, k, seed) alone,
+    which lets an external engine replay cell assignment exactly."""
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(k, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def cell_cosine_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-scoped semantic near-dup pairs (the SemDeDup shape): assign
+    every vector to its nearest centroid cell, then exact cosine pairs
+    WITHIN each cell — an equi join on the cell id, so the pair space is
+    Σ|cell|² instead of N². Near-duplicates (cosine → 1) land in the same
+    cell almost surely, so recall loss is confined to pairs straddling a
+    cell boundary — the standard SemDeDup trade; use
+    :func:`mini_etl_spark.functions.dedup.embedding_cosine_pairs_lsh` when
+    boundary recall matters more than per-cell locality.
+
+    One columnar assignment pass (k JVM dot products, no UDF), one
+    shuffle on the cell id, exact zip_with cosine on candidates only.
+    """
+    assigned = ivf_assign(df, centroids, vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col("ivf_cell").alias("__cell"),
+        norm.alias("__n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.__v"), F.col("b.__v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .withColumn("cosine", F.round(dot / (F.col("a.__n") * F.col("b.__n")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__cell").alias("cell"),
+            "cosine",
+        )
+    )
