@@ -1326,6 +1326,37 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grp", F.col("pos").cast("long").alias("pos"), "value", "n_members")
 
 
+def q_line_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus hygiene, composed: each document is synthesized
+    into a 5-line page with an in-page duplicate banner and corpus-wide
+    banner+footer chrome (built identically in the DuckDB oracle) →
+    dedup_lines drops the repeat, strip_boilerplate_lines drops the
+    corpus-wide chrome (doc-frequency > 30%), leaving only the two
+    content lines — CCNet/C4-style cleaning as relational operators."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("cookie banner ok"),
+            F.substring("text", 1, 40),
+            F.lit("cookie banner ok"),
+            F.substring("text", 41, 40),
+            F.lit("copyright footer"),
+        ).alias("text"),
+    )
+    cleaned = tx.strip_boilerplate_lines(
+        tx.dedup_lines(synth), max_doc_frac=0.3
+    )
+    return cleaned.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+    )
+
+
 def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative quality gate: keep each language's top 40% of documents by
     quality score (absolute thresholds drift across languages; percentile
@@ -1847,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
         "semantic_cell_pairs": q_semantic_cell_pairs,
+        "line_hygiene": q_line_hygiene,
         "unpivot": q_unpivot,
         "order_priority": q_order_priority,
         "market_share": q_market_share,
@@ -2677,6 +2709,35 @@ def oracle_sql() -> dict[str, str]:
                      AS value,
                    n_members
             FROM cidx
+        """,
+        "line_hygiene": """
+            WITH synth AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), 'cookie banner ok', substr(text, 1, 40),
+                               'cookie banner ok', substr(text, 41, 40),
+                               'copyright footer') AS text
+              FROM documents),
+            l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+            li AS (SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS pos FROM l0),
+            lines AS (SELECT doc_id, pos, ls[pos] AS line FROM li),
+            d1 AS (SELECT doc_id, line, min(pos) AS pos
+                   FROM lines GROUP BY doc_id, line),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM synth),
+            dfq AS (SELECT line, count(*) AS dfc
+                    FROM (SELECT DISTINCT doc_id, line FROM d1
+                          WHERE trim(line) != '')
+                    GROUP BY line),
+            boiler AS (SELECT line FROM dfq, nd
+                       WHERE dfc >= 2 AND dfc > n * 0.3),
+            kept AS (SELECT doc_id, pos, line FROM d1
+                     WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                                       WHERE b.line = d1.line)),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(line, chr(10) ORDER BY pos) AS text
+                        FROM kept GROUP BY doc_id)
+            SELECT doc_id, text,
+                   len(string_split(text, chr(10))) AS n_lines
+            FROM rebuilt
         """,
         "quality_percentile": f"""
             SELECT doc_id, lang_id, quality, pr

@@ -321,3 +321,98 @@ def add_text_features(
             f"{prefix}fingerprint": fingerprint(c),
         }
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Intra-document line dedup: drop repeated lines, keeping each line's
+    FIRST occurrence in document order (menus, nav bars, and repeated
+    footers inside one page are the classic offenders).
+
+    Relational formulation so order is explicit and engine-portable:
+    posexplode lines → min(position) per (doc, line) → position-sorted
+    re-assembly. Two hash aggregates, map-side partials; the document
+    body never rides through a Python worker."""
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    firsts = lines.groupBy("__did", "__line").agg(F.min("__pos").alias("__pos"))
+    rebuilt = (
+        firsts.groupBy("__did")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("__clean")
+        )
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("__did"), "left")
+        .withColumn(out_col, F.coalesce("__clean", F.col(text_col)))
+        .drop("__did", "__clean")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.3,
+    min_doc_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/C4 move): a non-empty
+    line appearing in more than ``max_doc_frac`` of all documents (and at
+    least ``min_doc_count`` of them) is template chrome — cookie banners,
+    nav text, license footers — and is dropped from EVERY document, with
+    the survivors re-joined in original order.
+
+    Plan shape: one explode → per-(doc, line) dedup → line document-
+    frequency aggregate; the boilerplate line set is broadcast back as an
+    anti-join (it is vocabulary-sized, not corpus-sized). The total-doc
+    count rides in as a 1-row broadcast (scalar-subquery shape)."""
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    doc_freq = (
+        lines.filter(F.trim("__line") != "")
+        .select("__did", "__line")
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = (
+        doc_freq.join(F.broadcast(n_docs))
+        .filter(
+            (F.col("__df") >= F.lit(min_doc_count))
+            & (F.col("__df") > F.col("__n") * F.lit(max_doc_frac))
+        )
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(boiler), "__line", "left_anti")
+    rebuilt = kept.groupBy("__did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__clean")
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("__did"), "left")
+        .withColumn(out_col, F.coalesce("__clean", F.lit("")))
+        .drop("__did", "__clean")
+    )

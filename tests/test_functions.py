@@ -867,3 +867,33 @@ def test_cell_pairs_recall_on_planted_dups(spark):
     plan = plans.physical_plan(sim.cell_cosine_pairs(df, cents, threshold=0.95))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from mini_etl_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x\nx\nx"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in tx.dedup_lines(df).collect()}
+    assert got == {1: "a\nb\nc", 2: "x", 3: "solo"}
+
+
+def test_strip_boilerplate_lines_thresholds(spark):
+    from mini_etl_spark.functions import text as tx
+
+    # 'BANNER' in 4/5 docs (80% > 30%) → dropped; 'rare' in 1 doc → kept;
+    # empty lines never count as boilerplate
+    rows = [(i, f"BANNER\nbody {i}\n\ntail {i}") for i in range(4)]
+    rows.append((4, "rare\nbody 4"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in tx.strip_boilerplate_lines(df).collect()}
+    assert got[0] == "body 0\n\ntail 0"
+    assert got[4] == "rare\nbody 4"
+    # min_doc_count guards small corpora: with min_doc_count=5 nothing drops
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in tx.strip_boilerplate_lines(df, min_doc_count=5).collect()
+    }
+    assert kept[0] == "BANNER\nbody 0\n\ntail 0"
