@@ -362,6 +362,8 @@ def main() -> None:
         "token_mixture": queries["token_mixture"],
         "corpus_shuffle": queries["corpus_shuffle"],
         "quality_percentile": queries["quality_percentile"],
+        "semantic_cell_pairs": queries["semantic_cell_pairs"],
+        "line_hygiene": queries["line_hygiene"],
         "incremental_rollup": queries["incremental_rollup"],
         "embedding_centroids": queries["embedding_centroids"],
         "pii_redaction": queries["pii_redaction"],

@@ -44,7 +44,7 @@ TRANSFORMER_TYPES = {
     # training-data-pipeline extensions (functions/ package)
     "text_features", "repetition_features", "redact_pii",
     "hash_split", "sample", "stratified_sample",
-    "chunk", "pack_sequences", "expect",
+    "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -272,6 +272,22 @@ class ConfigLoader:
             max_tokens = int(o.get("max_tokens", 512))
             group_size = int(o.get("group_size", 100))
             return lambda df: ck.pack_sequences(df, col, id_col, max_tokens, group_size)
+        if spec.type == "dedup_lines":
+            from mini_etl_spark.functions import text as tx
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            return lambda df: tx.dedup_lines(df, col, id_col, o.get("output"))
+        if spec.type == "strip_boilerplate":
+            from mini_etl_spark.functions import text as tx
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            frac = float(o.get("max_doc_frac", 0.3))
+            min_docs = int(o.get("min_doc_count", 2))
+            return lambda df: tx.strip_boilerplate_lines(
+                df, col, id_col, frac, min_docs, o.get("output")
+            )
         if spec.type == "expect":
             from mini_etl_spark.schema import check_expectations
 
