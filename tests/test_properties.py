@@ -246,7 +246,10 @@ def test_pack_sequences_totality_and_capacity(spark, sizes, max_tokens):
         per_bin.setdefault(r["bin_id"], []).append(r["n_tokens"])
     for members in per_bin.values():
         if sum(members) > max_tokens:
-            assert len(members) == 1 and members[0] > max_tokens
+            # only an oversized doc overflows a bin; zero-token docs may
+            # share it (they occupy no capacity in the greedy walk)
+            nonzero = [m for m in members if m > 0]
+            assert len(nonzero) == 1 and nonzero[0] > max_tokens
 
 
 @SLOW
