@@ -1326,6 +1326,17 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grp", F.col("pos").cast("long").alias("pos"), "value", "n_members")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-likelihood quality proxy (KenLM-style filter without a
+    model): corpus-fit add-one-smoothed unigram LM, mean token log-prob
+    per document. One explode feeds both the vocabulary aggregate and the
+    per-doc join; scalar totals broadcast."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.unigram_logprob_score(docs)
+
+
 def q_line_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level corpus hygiene, composed: each document is synthesized
     into a 5-line page with an in-page duplicate banner and corpus-wide
@@ -1879,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "semantic_cell_pairs": q_semantic_cell_pairs,
         "line_hygiene": q_line_hygiene,
+        "lm_score": q_lm_score,
         "unpivot": q_unpivot,
         "order_priority": q_order_priority,
         "market_share": q_market_share,
@@ -2709,6 +2721,18 @@ def oracle_sql() -> dict[str, str]:
                      AS value,
                    n_members
             FROM cidx
+        """,
+        "lm_score": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents),
+            vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            totals AS (SELECT CAST(sum(c) AS DOUBLE) AS total,
+                              CAST(count(*) AS DOUBLE) AS vsize
+                       FROM vocab)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln((c + 1.0) / (total + vsize))), 4) AS lm_score
+            FROM toks JOIN vocab USING (tok) CROSS JOIN totals
+            GROUP BY doc_id
         """,
         "line_hygiene": """
             WITH synth AS (

@@ -416,3 +416,46 @@ def strip_boilerplate_lines(
         .withColumn(out_col, F.coalesce("__clean", F.lit("")))
         .drop("__did", "__clean")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lm_score",
+) -> DataFrame:
+    """Language-model quality proxy: mean unigram log-probability per
+    document, with the model fit on the corpus itself (add-one smoothing
+    over the observed vocabulary). The cheap, model-free stand-in for a
+    KenLM perplexity filter: gibberish and boilerplate-token soup score
+    low, fluent text scores near the corpus mode.
+
+    Returns (id, ``n_tokens``, ``lm_score`` = Σ ln p(tok) / n, rounded to
+    4; zero-token docs are absent). Plan: one explode feeds BOTH the
+    vocabulary aggregate and the per-doc join — corpus scans once; the
+    (token, count) model is vocabulary-sized and joins per token with
+    map-side partial sums. Scalar totals ride in as a 1-row broadcast."""
+    toks = df.select(
+        F.col(id_col).alias("__did"), F.explode(tokens(text_col)).alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__vsize"),
+    )
+    scored = (
+        toks.join(vocab, "__tok")
+        .join(F.broadcast(totals))
+        .select(
+            "__did",
+            (
+                F.log((F.col("__c") + 1.0) / (F.col("__total") + F.col("__vsize")))
+            ).alias("__lp"),
+        )
+        .groupBy("__did")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("__lp"), 4).alias(out_col),
+        )
+    )
+    return scored.withColumnRenamed("__did", id_col)

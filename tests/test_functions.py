@@ -897,3 +897,16 @@ def test_strip_boilerplate_lines_thresholds(spark):
         for r in tx.strip_boilerplate_lines(df, min_doc_count=5).collect()
     }
     assert kept[0] == "BANNER\nbody 0\n\ntail 0"
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    from mini_etl_spark.functions import text as tx
+
+    common = "the data table join " * 10
+    rows = [(i, common) for i in range(8)]
+    rows.append((8, "zzqx vvkw qqpl mmzt"))  # tokens seen nowhere else
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_score"] for r in tx.unigram_logprob_score(df).collect()}
+    assert len(got) == 9
+    assert got[8] < got[0]  # rare-token soup scores below the corpus mode
+    assert all(got[i] == got[0] for i in range(8))  # identical docs tie
