@@ -1700,7 +1700,7 @@ def q_semantic_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_spark.functions import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.random_unit_centroids(dim=64, k=8, seed=7)
+    cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
     return sim.cell_cosine_pairs(emb, cents, threshold=0.3)
 
 
@@ -1976,7 +1976,7 @@ def _d_dot(a: str, b: str) -> str:
     )
 
 
-def _d_cell_expr(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+def _d_cell_expr(dim: int = 64, k: int = 32, seed: int = 7) -> str:
     """DuckDB expression for the vector's cell id — replicates
     similarity.ivf_assign over random_unit_centroids(dim, k, seed):
     0-based index of the FIRST maximal centroid dot product."""

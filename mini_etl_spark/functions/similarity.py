@@ -253,15 +253,16 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (max dot product over
     unit-normalized centroids) — the IVF coarse quantizer. Centroids are
     folded into the plan as literals; assignment is an argmax over k
-    JVM-side dot products (one columnar pass, no UDF, no shuffle)."""
-    best_cell = F.lit(0)
-    best_score = _dot(F.col(vec_col), centroids[0].tolist())
-    for cell in range(1, len(centroids)):
-        score = _dot(F.col(vec_col), centroids[cell].tolist())
-        better = score > best_score
-        best_cell = F.when(better, F.lit(cell)).otherwise(best_cell)
-        best_score = F.when(better, score).otherwise(best_score)
-    return df.withColumn("ivf_cell", best_cell)
+    JVM-side dot products (one columnar pass, no UDF, no shuffle).
+
+    Formulated as array_position(dots, array_max(dots)) — first maximal
+    index wins (same tie rule as SQL list_position) — rather than a
+    when-chain: a chained argmax references its running best twice per
+    step, doubling the expression tree each centroid (OOM by k≈30); the
+    array form is linear in k."""
+    dots = F.array(*[_dot(F.col(vec_col), c.tolist()) for c in centroids])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return df.withColumn("ivf_cell", cell)
 
 
 def ivf_centroids_from_sample(
