@@ -1326,6 +1326,22 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("grp", F.col("pos").cast("long").alias("pos"), "value", "n_members")
 
 
+def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (64 md5 buckets, L2-normalized) —
+    the model-free featurizer that opens every embedding operator to a
+    plain text corpus. Flattened to (doc_id, pos, weight) scalar rows for
+    engine-portable comparison."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs = tx.hashed_doc_vectors(docs, dim=64)
+    return vecs.select(
+        "doc_id", "n_tokens", F.posexplode("embedding").alias("pos", "weight")
+    ).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "weight", "n_tokens"
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram log-likelihood quality proxy (KenLM-style filter without a
     model): corpus-fit add-one-smoothed unigram LM, mean token log-prob
@@ -1891,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_cell_pairs": q_semantic_cell_pairs,
         "line_hygiene": q_line_hygiene,
         "lm_score": q_lm_score,
+        "hashed_vectors": q_hashed_vectors,
         "unpivot": q_unpivot,
         "order_priority": q_order_priority,
         "market_share": q_market_share,
@@ -1940,12 +1957,12 @@ _D_SHINGLES = (
 # DuckDB twin of splits.hash_bucket: first 8 hex chars of md5(seed\x1f key)
 # as a 32-bit int (built by positional hex-digit arithmetic — exact in
 # doubles, 16^8 < 2^53), mod NUM_BUCKETS.
-def _d_hash_bucket(key: str, seed: int) -> str:
+def _d_hash_bucket(key: str, seed: int, num_buckets: int = 10000) -> str:
     h = f"md5('{seed}' || chr(31) || CAST({key} AS VARCHAR))"
     return (
         "CAST(list_sum(list_transform(range(1, 9), i -> "
         f"(strpos('0123456789abcdef', substr({h}, CAST(i AS INTEGER), 1)) - 1)"
-        " * pow(16, 8 - i))) AS BIGINT) % 10000"
+        f" * pow(16, 8 - i))) AS BIGINT) % {num_buckets}"
     )
 
 
@@ -2721,6 +2738,25 @@ def oracle_sql() -> dict[str, str]:
                      AS value,
                    n_members
             FROM cidx
+        """,
+        "hashed_vectors": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents),
+            c AS (
+              SELECT doc_id, {_d_hash_bucket('tok', 42, 64)} AS b,
+                     count(*) AS c
+              FROM toks GROUP BY doc_id, b),
+            d AS (
+              SELECT doc_id, sqrt(sum(c*c)) AS nrm, sum(c) AS n_tokens
+              FROM c GROUP BY doc_id),
+            grid AS (
+              SELECT doc_id, nrm, n_tokens, unnest(range(0, 64)) AS pos
+              FROM d)
+            SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos,
+                   round(coalesce(c.c, 0) / g.nrm, 6) AS weight,
+                   g.n_tokens
+            FROM grid g
+            LEFT JOIN c ON c.doc_id = g.doc_id AND c.b = g.pos
         """,
         "lm_score": f"""
             WITH toks AS (

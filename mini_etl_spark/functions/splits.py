@@ -20,10 +20,12 @@ from pyspark.sql import functions as F
 NUM_BUCKETS = 10_000  # fixed resolution: fractions quantized to 0.01%
 
 
-def hash_bucket(col: Column | str, seed: int = 42) -> Column:
-    """Uniform bucket in [0, NUM_BUCKETS) from md5 of (seed, key).
+def hash_bucket(
+    col: Column | str, seed: int = 42, num_buckets: int = NUM_BUCKETS
+) -> Column:
+    """Uniform bucket in [0, num_buckets) from md5 of (seed, key).
 
-    First 8 hex chars of md5 → 32-bit int → mod NUM_BUCKETS. md5 (not
+    First 8 hex chars of md5 → 32-bit int → mod num_buckets. md5 (not
     xxhash64) on purpose: bit-identical across engines, so DuckDB oracles
     can replay the exact assignment. The unit separator \\x1f delimits
     seed from key so (seed=1, key='2x') never collides with (12, 'x').
@@ -33,7 +35,7 @@ def hash_bucket(col: Column | str, seed: int = 42) -> Column:
         F.concat_ws("\x1f", F.lit(str(seed)), c.cast("string")).cast("binary")
     )
     v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    return (v % F.lit(NUM_BUCKETS)).cast("long")
+    return (v % F.lit(num_buckets)).cast("long")
 
 
 def split_assign(

@@ -459,3 +459,46 @@ def unigram_logprob_score(
         )
     )
     return scored.withColumnRenamed("__did", id_col)
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Model-free document vectors by the hashing trick: token counts
+    folded into ``dim`` md5 buckets, L2-normalized — a deterministic,
+    engine-reproducible featurizer that makes every embedding operator
+    (cosine top-k, cell-scoped dedup, centroid pooling) applicable to a
+    plain text corpus with no model at all.
+
+    Returns (id, ``out_col`` array<double> length ``dim``, ``n_tokens``).
+    Zero-token documents are absent. One explode → (doc, bucket) count →
+    per-doc map assembly; weights rounded to 6 so external engines can
+    replay bit-for-bit."""
+    from mini_etl_spark.functions.splits import hash_bucket
+
+    toks = df.select(
+        F.col(id_col).alias("__did"), F.explode(tokens(text_col)).alias("__tok")
+    )
+    counts = toks.groupBy(
+        "__did", hash_bucket("__tok", seed, dim).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = counts.groupBy("__did").agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__c"))).alias("__m"),
+        F.sqrt(F.sum(F.col("__c") * F.col("__c"))).alias("__nrm"),
+        F.sum("__c").cast("long").alias("n_tokens"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.coalesce(F.element_at("__m", i.cast("long")), F.lit(0)) / F.col("__nrm"),
+            6,
+        ),
+    )
+    return per_doc.select(
+        F.col("__did").alias(id_col), vec.alias(out_col), "n_tokens"
+    )

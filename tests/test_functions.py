@@ -910,3 +910,30 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
     assert len(got) == 9
     assert got[8] < got[0]  # rare-token soup scores below the corpus mode
     assert all(got[i] == got[0] for i in range(8))  # identical docs tie
+
+
+def test_hashed_vectors_feed_embedding_operators(spark):
+    """Composition: the hashing-trick featurizer makes text rows usable by
+    the embedding operators — near-identical documents get cosine ≈ 1 and
+    surface through cell_cosine_pairs with no model anywhere."""
+    from mini_etl_spark.functions import similarity as sim
+    from mini_etl_spark.functions import text as tx
+
+    rows = [
+        (0, "spark shuffles data across the cluster " * 4),
+        (1, "spark shuffles data across the cluster " * 4 + "extra token"),
+        (2, "completely different words about cooking pasta tonight"),
+        (3, "unrelated legal boilerplate governing license terms here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = tx.hashed_doc_vectors(df, dim=32)
+    assert vecs.count() == 4
+    nrm = vecs.selectExpr(
+        "doc_id", "round(aggregate(embedding, 0.0d, (a, x) -> a + x*x), 2) AS n2"
+    ).collect()
+    assert all(abs(r["n2"] - 1.0) < 0.01 for r in nrm)  # unit L2
+    cents = sim.random_unit_centroids(dim=32, k=4, seed=7)
+    pairs = sim.cell_cosine_pairs(
+        vecs, cents, threshold=0.9, vec_col="embedding", id_col="doc_id"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
