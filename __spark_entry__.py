@@ -1859,8 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_batches": q_map_batches,
         "group_zscore": q_group_zscore,
         "schema_coerce": q_schema_coerce,
-        "set_ops": q_set_ops,
-        "distinct_agg": q_distinct_agg,
+        "semantic_cell_pairs": q_semantic_cell_pairs,
+        "line_hygiene": q_line_hygiene,
         "sessionize": q_sessionize,
         "events_window": q_events_window,
         # TPC-H flagship shapes
@@ -1904,8 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
-        "semantic_cell_pairs": q_semantic_cell_pairs,
-        "line_hygiene": q_line_hygiene,
+        "set_ops": q_set_ops,
+        "distinct_agg": q_distinct_agg,
         "lm_score": q_lm_score,
         "hashed_vectors": q_hashed_vectors,
         "unpivot": q_unpivot,
