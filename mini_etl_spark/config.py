@@ -45,6 +45,7 @@ TRANSFORMER_TYPES = {
     "text_features", "repetition_features", "redact_pii",
     "hash_split", "sample", "stratified_sample",
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
+    "lm_score", "hashed_vectors", "mix",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -272,6 +273,33 @@ class ConfigLoader:
             max_tokens = int(o.get("max_tokens", 512))
             group_size = int(o.get("group_size", 100))
             return lambda df: ck.pack_sequences(df, col, id_col, max_tokens, group_size)
+        if spec.type == "lm_score":
+            from mini_etl_spark.functions import text as tx
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            out = o.get("output", "lm_score")
+            return lambda df: tx.unigram_logprob_score(df, col, id_col, out)
+        if spec.type == "hashed_vectors":
+            from mini_etl_spark.functions import text as tx
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            dim = int(o.get("dim", 64))
+            seed = int(o.get("seed", 42))
+            out = o.get("output", "embedding")
+            return lambda df: tx.hashed_doc_vectors(df, col, id_col, dim, seed, out)
+        if spec.type == "mix":
+            from mini_etl_spark.functions import mixing as mx
+
+            budgets = {str(k): int(v) for k, v in o["budgets"].items()}
+            src_col = o.get("source_column", "source")
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            seed = int(o.get("seed", 42))
+            return lambda df: mx.mix_by_token_budget(
+                df, budgets, src_col, col, id_col, seed
+            )
         if spec.type == "dedup_lines":
             from mini_etl_spark.functions import text as tx
 

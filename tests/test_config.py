@@ -315,3 +315,52 @@ sink: {{type: parquet, path: '{out}', mode: overwrite}}
     with pytest.raises(Exception) as exc:
         loader.build_pipeline(loader.load(bad_cfg)).run(spark)
     assert "violations" in str(exc.value)
+
+
+def test_corpus_scoring_config_vocab(spark, tmp_path):
+    """lm_score / hashed_vectors / mix run from YAML config."""
+    src = tmp_path / "docs3"
+    spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "code",
+          "common words here " * 3 + f"doc {i}") for i in range(40)],
+        "doc_id bigint, source string, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "scored_out"
+    cfg = tmp_path / "s.yaml"
+    cfg.write_text(
+        f"""
+name: scorer
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: mix
+    budgets: {{web: 60, code: 40}}
+  - type: lm_score
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    back = spark.read.parquet(str(out))
+    assert {"doc_id", "n_tokens", "lm_score"} <= set(back.columns)
+    assert 0 < stats["rows"] < 40  # budgets bind
+
+    out2 = tmp_path / "vec_out"
+    cfg2 = tmp_path / "v.yaml"
+    cfg2.write_text(
+        f"""
+name: vectorizer
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: hashed_vectors
+    dim: 16
+sink: {{type: parquet, path: '{out2}', mode: overwrite}}
+"""
+    )
+    config2 = loader.load(cfg2)
+    assert config2.validate() == []
+    loader.build_pipeline(config2).run(spark)
+    vecs = spark.read.parquet(str(out2))
+    assert vecs.count() == 40
+    assert vecs.selectExpr("size(embedding) AS s").filter("s != 16").count() == 0
