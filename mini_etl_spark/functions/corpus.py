@@ -66,3 +66,40 @@ def clean_corpus(
     )
     deduped = dd.drop_near_duplicates(kept, pairs, id_col=id_col)
     return deduped.select(id_col, "lang_id", "quality")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    cells: int = 32,
+    threshold: float = 0.9,
+    seed: int = 42,
+    method: str = "arrow",
+) -> DataFrame:
+    """Model-free semantic dedup, composed end-to-end: hashing-trick
+    document vectors → random-projection cells → in-cell cosine pairs →
+    connected components → keep the min-id representative per near-dup
+    group. The SemDeDup pipeline with zero model dependencies — every
+    stage is a verified primitive (`text.hashed_doc_vectors`,
+    `similarity.cell_cosine_pairs`, `dedup.drop_near_duplicates`).
+
+    Returns the KEPT rows of ``df`` (all original columns). Cost at scale:
+    one token explode, one cell shuffle, Σ|cell|² in-executor matmuls
+    (``method="arrow"``), one pair-graph contraction — the corpus itself
+    streams twice and never collects.
+    """
+    from mini_etl_spark.functions.similarity import (
+        cell_cosine_pairs,
+        random_unit_centroids,
+    )
+    from mini_etl_spark.functions.text import hashed_doc_vectors
+
+    vecs = hashed_doc_vectors(df, text_col, id_col, dim=dim, seed=seed).persist()
+    cents = random_unit_centroids(dim=dim, k=cells, seed=seed)
+    pairs = cell_cosine_pairs(
+        vecs, cents, threshold=threshold,
+        vec_col="embedding", id_col=id_col, method=method,
+    )
+    return dd.drop_near_duplicates(df, pairs, id_col=id_col)

@@ -963,3 +963,22 @@ def test_cell_pairs_arrow_matches_expr(spark):
     assert expr  # fixture produces pairs
     assert set(expr) == set(arrow)
     assert all(abs(expr[k] - arrow[k]) < 2e-4 for k in expr)
+
+
+def test_semantic_dedup_composed_pipeline(spark):
+    """semantic_dedup keeps one representative per planted paraphrase
+    cluster and every unique doc — the full model-free SemDeDup chain."""
+    from mini_etl_spark.functions.corpus import semantic_dedup
+
+    base = "spark shuffles data across the cluster nodes tonight "
+    rows = []
+    for i in range(3):  # cluster of 3 near-copies (ids 0,1,2)
+        rows.append((i, base * 5 + f"tail{i}"))
+    rows.append((3, "completely different words about cooking pasta"))
+    rows.append((4, "unrelated legal text governing license terms"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in semantic_dedup(df, dim=32, cells=4, threshold=0.9).collect()
+    )
+    assert kept == [0, 3, 4]  # min-id representative + uniques
