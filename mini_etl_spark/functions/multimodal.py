@@ -252,3 +252,54 @@ def synthetic_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HWC uint8 array — pure numpy index
+    arithmetic, no codec involved. The standard thumbnail/normalize step
+    before feature extraction or vision-model batching."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HWC uint8 RGB → binary PPM bytes (the codec-less interchange
+    format :func:`decode_image` reads back)."""
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def resize_assets(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """Partition-parallel image normalization: decode → nearest-neighbor
+    resize → re-encode (PPM), preserving every other column. Arrow batches
+    via mapInPandas; assets whose format has no native decoder pass
+    through unchanged (count them with a metadata filter upstream). The
+    shape of every image-normalization stage — swap the kernel body for
+    Pillow when codecs exist."""
+    import pandas as pd
+
+    out_schema = df.schema
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def _one(c):
+                if c is None:
+                    return c
+                try:
+                    img = decode_image(bytes(c), None)
+                except NotImplementedError:
+                    return c
+                return bytearray(encode_ppm(resize_image(img, width, height)))
+
+            pdf = pdf.copy()
+            pdf[content_col] = [_one(c) for c in pdf[content_col]]
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)

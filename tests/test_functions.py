@@ -982,3 +982,22 @@ def test_semantic_dedup_composed_pipeline(spark):
         for r in semantic_dedup(df, dim=32, cells=4, threshold=0.9).collect()
     )
     assert kept == [0, 3, 4]  # min-id representative + uniques
+
+
+def test_resize_assets_distributed_roundtrip(spark):
+    """Decode → resize → re-encode through mapInPandas: output PPMs decode
+    to the requested shape; non-decodable assets pass through unchanged."""
+    rows = [
+        (0, "image", bytearray(_ppm_bytes(8, 6)), ("ppm", 8, 6, None, None)),
+        (1, "image", bytearray(_bmp_bytes(10, 4)), ("bmp", 10, 4, None, None)),
+        (2, "image", bytearray(b"\x89PNG\r\nfake"), ("png", 9, 9, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {r["asset_id"]: bytes(r["content"]) for r in mm.resize_assets(df, 4, 3).collect()}
+    for aid in (0, 1):
+        img = mm.decode_image(out[aid], "ppm")
+        assert img.shape == (3, 4, 3)
+    assert out[2] == bytes(b"\x89PNG\r\nfake")  # no decoder → untouched
+    # nearest-neighbor correctness: resizing to the same size is identity
+    src = mm.decode_image(_ppm_bytes(5, 4), "ppm")
+    assert (mm.resize_image(src, 5, 4) == src).all()
