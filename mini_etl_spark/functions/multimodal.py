@@ -3,11 +3,13 @@
 The Spark-side plumbing is real and tested — schemas, partition-parallel
 mapInPandas with Arrow batches, deterministic batch shapes. Decode kernels:
 codec-less formats decode NATIVELY (binary PPM and uncompressed 24-bit BMP
-by struct parsing; PCM WAV via the stdlib ``wave`` module — all tested
-end-to-end through the distributed plumbing); compressed formats
-(png/jpeg/mp3/video containers) raise ``NotImplementedError`` because the
-codec libraries are not in this environment — swapping in
-Pillow/torchaudio/ffmpeg later touches only the dispatch in each kernel.
+by struct parsing; PCM WAV via the stdlib ``wave`` module; PPM-stream
+video walked frame-by-frame — all tested end-to-end through the
+distributed plumbing, including resize and frame-sampling operators);
+compressed formats (png/jpeg/mp3/mp4 containers) raise
+``NotImplementedError`` because the codec libraries are not in this
+environment — swapping in Pillow/torchaudio/ffmpeg later touches only
+the dispatch in each kernel.
 
 Layout convention (one row per asset):
 
@@ -63,9 +65,11 @@ FEATURE_SCHEMA = (
 )
 
 
-def _decode_ppm(content: bytes) -> np.ndarray:
+def _parse_ppm(content: bytes) -> tuple[np.ndarray, int]:
     """Binary PPM (P6): 'P6' <w> <h> <maxval> then raw RGB. Pure parsing —
-    the format exists precisely so tools can read images without codecs."""
+    the format exists precisely so tools can read images without codecs.
+    Returns (HWC array, total bytes consumed) so PPM *streams* can be
+    walked frame by frame."""
     pos, fields = 2, []
     while len(fields) < 3:
         while pos < len(content) and content[pos : pos + 1].isspace():
@@ -81,7 +85,11 @@ def _decode_ppm(content: bytes) -> np.ndarray:
     if maxval > 255:
         raise NotImplementedError("decode_image: 16-bit PPM not supported")
     pixels = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos + 1)
-    return pixels.reshape(h, w, 3).copy()
+    return pixels.reshape(h, w, 3).copy(), pos + 1 + w * h * 3
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    return _parse_ppm(content)[0]
 
 
 def _decode_bmp(content: bytes) -> np.ndarray:
@@ -155,12 +163,34 @@ def decode_audio(content: bytes, fmt: str | None) -> np.ndarray:
     return samples
 
 
-def sample_video_frames(content: bytes, fmt: str | None, every_ms: int = 1000) -> list[np.ndarray]:
-    """Sample frames from encoded video. STUB (no ffmpeg)."""
-    raise NotImplementedError(
-        "sample_video_frames: no ffmpeg in this environment — replace this "
-        "kernel body; frame-batch plumbing is ready"
-    )
+def sample_video_frames(
+    content: bytes, fmt: str | None, every_ms: int = 1000, fps: int = 25
+) -> list[np.ndarray]:
+    """Sample frames from a video byte stream at one frame per
+    ``every_ms`` milliseconds.
+
+    Real kernel for the codec-less case: a PPM-stream "video" (back-to-
+    back binary P6 frames — the uncompressed interchange form tools like
+    ffmpeg emit with ``-f image2pipe -vcodec ppm``), walked frame by
+    frame with the native PPM parser. Container formats (mp4/webm/mkv)
+    raise — they need ffmpeg/PyAV; swapping it in touches only the
+    dispatch below, the sampling arithmetic and distributed plumbing are
+    already exercised."""
+    if bytes(content[:2]) != b"P6":
+        raise NotImplementedError(
+            f"sample_video_frames: container format {fmt!r} needs ffmpeg/PyAV "
+            "not present in this environment — PPM streams decode natively"
+        )
+    frames: list[np.ndarray] = []
+    data, pos, idx = bytes(content), 0, 0
+    step = max(1, round(fps * every_ms / 1000))
+    while pos < len(data) and data[pos : pos + 2] == b"P6":
+        frame, consumed = _parse_ppm(data[pos:])
+        pos += consumed
+        if idx % step == 0:
+            frames.append(frame)
+        idx += 1
+    return frames
 
 
 def fake_feature_kernel(content: bytes) -> np.ndarray:
@@ -303,3 +333,41 @@ def resize_assets(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame binary, width int, height int"
+
+
+def sample_frames_assets(
+    df: DataFrame,
+    every_ms: int = 1000,
+    fps: int = 25,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Distributed frame sampling: one output row per sampled frame
+    (id, ``frame_idx``, PPM-encoded ``frame``, width, height). Assets
+    whose format has no native decoder are skipped (gate on them with a
+    metadata filter if they must error instead). mapInPandas — the frame
+    fan-out happens executor-side, the video bytes never move twice."""
+    import pandas as pd
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "frame_idx": [], "frame": [], "width": [], "height": []}
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                try:
+                    frames = sample_video_frames(bytes(content), None, every_ms, fps)
+                except NotImplementedError:
+                    continue
+                for i, fr in enumerate(frames):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(i)
+                    out["frame"].append(bytearray(encode_ppm(fr)))
+                    out["width"].append(fr.shape[1])
+                    out["height"].append(fr.shape[0])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)

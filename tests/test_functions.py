@@ -1001,3 +1001,25 @@ def test_resize_assets_distributed_roundtrip(spark):
     # nearest-neighbor correctness: resizing to the same size is identity
     src = mm.decode_image(_ppm_bytes(5, 4), "ppm")
     assert (mm.resize_image(src, 5, 4) == src).all()
+
+
+def test_sample_video_frames_ppm_stream(spark):
+    """A 10-frame PPM stream at 25 fps sampled every 200 ms keeps every
+    5th frame; the distributed operator fans frames out one per row."""
+    stream = b"".join(_ppm_bytes(4, 3) for _ in range(10))
+    frames = mm.sample_video_frames(stream, "ppm-stream", every_ms=200, fps=25)
+    assert len(frames) == 2  # indices 0 and 5
+    assert frames[0].shape == (3, 4, 3)
+    with pytest.raises(NotImplementedError):
+        mm.sample_video_frames(b"\x00\x00\x00 ftypmp42", "mp4")
+
+    rows = [
+        (0, "video", bytearray(stream), ("ppm-stream", 4, 3, None, 400)),
+        (1, "video", bytearray(b"\x00\x00\x00 ftypmp42"), ("mp4", None, None, None, 99)),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    got = mm.sample_frames_assets(df, every_ms=200, fps=25).collect()
+    assert sorted((r["asset_id"], r["frame_idx"]) for r in got) == [(0, 0), (0, 1)]
+    assert all(
+        mm.decode_image(bytes(r["frame"]), "ppm").shape == (3, 4, 3) for r in got
+    )
