@@ -45,7 +45,7 @@ TRANSFORMER_TYPES = {
     "text_features", "repetition_features", "redact_pii",
     "hash_split", "sample", "stratified_sample",
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
-    "lm_score", "hashed_vectors", "mix",
+    "lm_score", "hashed_vectors", "mix", "semantic_dedup",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -273,6 +273,18 @@ class ConfigLoader:
             max_tokens = int(o.get("max_tokens", 512))
             group_size = int(o.get("group_size", 100))
             return lambda df: ck.pack_sequences(df, col, id_col, max_tokens, group_size)
+        if spec.type == "semantic_dedup":
+            from mini_etl_spark.functions.corpus import semantic_dedup
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            dim = int(o.get("dim", 64))
+            cells = int(o.get("cells", 32))
+            thr = float(o.get("threshold", 0.9))
+            seed = int(o.get("seed", 42))
+            return lambda df: semantic_dedup(
+                df, col, id_col, dim, cells, thr, seed
+            )
         if spec.type == "lm_score":
             from mini_etl_spark.functions import text as tx
 

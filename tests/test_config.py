@@ -364,3 +364,31 @@ sink: {{type: parquet, path: '{out2}', mode: overwrite}}
     vecs = spark.read.parquet(str(out2))
     assert vecs.count() == 40
     assert vecs.selectExpr("size(embedding) AS s").filter("s != 16").count() == 0
+
+
+def test_semantic_dedup_config_vocab(spark, tmp_path):
+    src = tmp_path / "docs4"
+    base = "spark shuffles data across the cluster nodes tonight "
+    rows = [(i, base * 5 + f"tail{i}") for i in range(3)]
+    rows += [(3, "different words about cooking pasta"),
+             (4, "legal text governing license terms")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(str(src))
+    out = tmp_path / "sem_out"
+    cfg = tmp_path / "sd.yaml"
+    cfg.write_text(
+        f"""
+name: semdedup
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: semantic_dedup
+    dim: 32
+    cells: 4
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    kept = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert kept == [0, 3, 4]
