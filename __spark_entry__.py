@@ -1525,6 +1525,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang")
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (the C4 per-host move): at most 10 docs per
+    source, selected by deterministic md5 order so both engines pick the
+    identical subset. One shuffle on source; full hash oracle."""
+    from mini_etl_spark.functions import splits as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    return sp.cap_per_group(
+        docs.select("doc_id", "source"),
+        group_col="source",
+        key_col="doc_id",
+        cap=10,
+        seed=11,
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: documents' text bytes stand in
     for opaque asset payloads (modality assigned by id), pushed through the
@@ -1901,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "vocab_top_terms": q_vocab_top_terms,
         "stratified_sample": q_stratified_sample,
+        "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
@@ -2872,6 +2889,17 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'de' THEN 10000
                                      WHEN 'fr' THEN 2500
                                      ELSE 0 END
+        """,
+        "source_cap": """
+            SELECT doc_id, source
+            FROM (SELECT doc_id, source,
+                         row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('11' || chr(31)
+                                        || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 10
         """,
         "multimodal_features": """
             SELECT doc_id AS asset_id,

@@ -14,7 +14,7 @@ the training-data-pipeline extension (BASELINE.json north star).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_BUCKETS = 10_000  # fixed resolution: fractions quantized to 0.01%
@@ -97,3 +97,41 @@ def stratified_sample(
             raise ValueError(f"fraction for {value!r} must be in [0, 1]")
         bound = F.when(s == F.lit(value), F.lit(int(round(frac * NUM_BUCKETS)))).otherwise(bound)
     return df.where(b < bound)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col`` value, chosen
+    deterministically by md5(seed, key) order (key as tiebreak).
+
+    The per-domain / per-source frequency cap of web-corpus pipelines
+    (C4 and friends cap how much any one host contributes): without it a
+    handful of giant domains dominate the mixture. Hash order — not
+    arrival order — makes the selection reproducible across engines and
+    stable under repartitioning; ties cannot occur because the key
+    participates in the ordering.
+
+    Scale: one hash-partitioned window per group (a single shuffle on
+    ``group_col``); no global sort. row_number streams each group once,
+    so a skewed group costs its own size, never the corpus. If one group
+    is pathologically hot (>1 executor's worth of rows), pre-filter with
+    an aggregate count and only window the over-cap groups.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    order = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), F.col(key_col).cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(cap))
+        .drop("__rn")
+    )

@@ -706,6 +706,29 @@ def test_stratified_sample_per_stratum(spark):
     assert "c" not in by.index             # default fraction 0 drops stratum
 
 
+def test_cap_per_group(spark):
+    from mini_etl_spark.functions import splits as sp
+
+    pdf = pd.DataFrame(
+        {"k": range(300), "g": ["a"] * 200 + ["b"] * 90 + ["c"] * 10}
+    )
+    df = spark.createDataFrame(pdf)
+    out = sp.cap_per_group(df, "g", "k", cap=50).toPandas()
+    by = out.groupby("g")["k"].count()
+    assert by["a"] == 50 and by["b"] == 50
+    assert by["c"] == 10  # under-cap group untouched
+    # deterministic: same subset both runs, and a member of the cap=50
+    # selection for a group is also in the cap=80 selection (prefix property)
+    again = set(map(tuple, sp.cap_per_group(df, "g", "k", cap=50)
+                    .toPandas().itertuples(index=False)))
+    assert set(map(tuple, out.itertuples(index=False))) == again
+    k80 = set(sp.cap_per_group(df, "g", "k", cap=80).toPandas()["k"])
+    assert set(out["k"]) <= k80
+    assert sp.cap_per_group(df, "g", "k", cap=0).count() == 0
+    with pytest.raises(ValueError):
+        sp.cap_per_group(df, "g", "k", cap=-1)
+
+
 def test_split_seed_changes_assignment(spark):
     from mini_etl_spark.functions import splits as sp
 
