@@ -1736,6 +1736,20 @@ def q_semantic_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cell_cosine_pairs(emb, cents, threshold=0.3)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched approximate k-NN join (the RAG retrieval primitive): every
+    25th vector is a query; top-5 cosine neighbors searched in the query's
+    2 nearest random-projection cells. Deterministic centroids fold the
+    identical assignment into the DuckDB oracle — full hash check of an
+    ANN *join* (recall vs the exact scan is pytest-gated separately)."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    return sim.knn_join(q, emb, cents, k=5, nprobe=2, exclude_self=True)
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-10 (rows-only: approximate by design;
     recall vs brute force is asserted in pytest on planted clusters)."""
@@ -1948,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
         "lsh_topk": q_lsh_topk,
+        "knn_join": q_knn_join,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -2026,6 +2041,28 @@ def _d_cell_expr(dim: int = 64, k: int = 32, seed: int = 7) -> str:
         )
     arr = "[" + ", ".join(dots) + "]"
     return f"(SELECT list_position(d, list_max(d)) - 1 FROM (SELECT {arr} AS d))"
+
+
+def _d_probe_cells(nprobe: int, dim: int = 64, k: int = 32, seed: int = 7) -> str:
+    """DuckDB list of the vector's ``nprobe`` nearest cells — replicates
+    similarity.probe_cells: same centroid dots, same (−dot, index) struct
+    sort, so multi-probe assignment is identical in both engines."""
+    from mini_etl_spark.functions.similarity import random_unit_centroids
+
+    cents = random_unit_centroids(dim, k, seed)
+    dots = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(float(v)) for v in c) + "]"
+        dots.append(
+            f"(SELECT sum(CAST(x AS DOUBLE) * y) "
+            f"FROM (SELECT unnest(embedding) AS x, unnest({lit}) AS y))"
+        )
+    arr = "[" + ", ".join(dots) + "]"
+    return (
+        f"(SELECT list_slice(list_transform(list_sort("
+        f"list_transform(range(1, {k + 1}), j -> {{'nd': -d[j], 'i': j - 1}})"
+        f"), s -> s.i), 1, {nprobe}) FROM (SELECT {arr} AS d))"
+    )
 
 
 def _d_lsh_tags(dim: int = 64, num_planes: int = 8, num_tables: int = 8,
@@ -3094,6 +3131,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM assigned a
                   JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
+        """,
+        "knn_join": f"""
+            WITH corp AS (
+              SELECT vec_id, embedding, {_d_cell_expr()} AS cell,
+                     sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+              FROM embeddings),
+            qry AS (
+              SELECT vec_id, embedding,
+                     unnest({_d_probe_cells(2)}) AS cell,
+                     sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+              FROM embeddings WHERE vec_id % 25 = 0),
+            scored AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round({_d_dot('q.embedding', 'c.embedding')}
+                           / (q.nrm * c.nrm), 4) AS cosine
+              FROM qry q JOIN corp c
+                ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+            SELECT query_id, corpus_id, rank, cosine
+            FROM (SELECT query_id, corpus_id, cosine,
+                         row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, corpus_id) AS rank
+                  FROM scored)
+            WHERE rank <= 5
         """,
         "upsert": """
             WITH delta AS (

@@ -447,6 +447,118 @@ def embedding_centroids(
     return assembled
 
 
+def probe_cells(
+    vec_col: Column | str,
+    centroids: np.ndarray,
+    nprobe: int,
+) -> Column:
+    """Array of the ``nprobe`` cell ids whose centroids have the highest
+    dot product with the vector — the multi-probe generalization of
+    :func:`ivf_assign` (``nprobe=1`` reproduces its argmax, same
+    first-maximal tie rule via the (−dot, index) struct sort). Pure JVM
+    expression: k dots → struct array → ``array_sort`` → slice."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    entries = F.array(
+        *[
+            F.struct(
+                (-_dot(c, cent.tolist())).alias("nd"),
+                F.lit(i).alias("i"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(entries), 1, nprobe), lambda s: s["i"]
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batched approximate k-NN join — the retrieval primitive (RAG lookup,
+    cross-corpus linking): for EVERY query row, the ``k`` most
+    cosine-similar corpus rows, searched within the query's ``nprobe``
+    nearest coarse cells. Returns (query_id, corpus_id, rank, cosine),
+    rank 1 = most similar; ties broken by corpus id for engine-stable
+    output (cosine compared after round-4, so the order is replayable).
+
+    vs ``cosine_topk`` (one query vector, full scan) this amortizes a
+    whole query TABLE: corpus cell assignment is one columnar pass (write
+    it out once for repeated workloads), the join is an equi join on the
+    cell id, and per-query top-k is a hash-partitioned window — the pair
+    space is Σ(q_cell × c_cell), never |Q|×|C|. Recall follows the coarse
+    quantizer: neighbors in un-probed cells are missed (pytest-gated vs
+    the exact scan on planted clusters; raise ``nprobe`` to trade cost
+    for recall). With deterministic centroids
+    (:func:`random_unit_centroids`) the whole join is replayable in
+    external engines — the driver query carries a full hash oracle.
+
+    ``exclude_self`` drops query==corpus id matches (self-join usage).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
+
+    def _nrm(col: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.col(col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    corp = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.col("ivf_cell").alias("__cell"),
+        _nrm(vec_col).alias("__cn"),
+    )
+    qry = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_cells(vec_col, centroids, nprobe)).alias("__cell"),
+        _nrm(vec_col).alias("__qn"),
+    )
+    joined = qry.join(corp, "__cell")
+    if exclude_self:
+        joined = joined.filter(F.col("__qid") != F.col("__cid"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__cv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col("__qid").alias("query_id"),
+        F.col("__cid").alias("corpus_id"),
+        F.round(dot / (F.col("__qn") * F.col("__cn")), 4).alias("cosine"),
+    )
+    if nprobe > 1:
+        # a corpus vector can sit in several probed cells of one query
+        scored = scored.dropDuplicates(["query_id", "corpus_id"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select("query_id", "corpus_id", "rank", "cosine")
+    )
+
+
 def random_unit_centroids(dim: int, k: int, seed: int = 7) -> np.ndarray:
     """Seeded random unit vectors as fixed partitioning centroids — the
     deterministic coarse quantizer (random-projection cells). Unlike

@@ -351,6 +351,54 @@ def test_lsh_recall_on_planted_clusters(spark):
     assert recall >= 0.9
 
 
+def test_knn_join_recall_and_shape(spark):
+    """The batched ANN join must recover same-cluster neighbors: for every
+    cluster-member query, its top-5 exact neighbors live in the same tight
+    cluster, and with k-means-quality cells (here: one planted cluster per
+    centroid by construction) the cell-scoped join reaches them. Recall
+    measured against the exact per-query scan."""
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((8, 32))
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(25):
+            v = c + rng.standard_normal(32) * 0.01
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, cluster int, embedding array<float>"
+    )
+    cents = (centers / np.linalg.norm(centers, axis=1, keepdims=True))
+    queries = df.filter(F.col("vec_id") % 50 == 0)  # one per other cluster
+    out = sim.knn_join(
+        queries, df, cents, k=5, nprobe=1, exclude_self=True
+    ).toPandas()
+    # shape: exactly 5 ranked neighbors per query, ranks 1..5
+    per_q = out.groupby("query_id")["rank"].agg(["count", "min", "max"])
+    assert (per_q["count"] == 5).all()
+    assert (per_q["min"] == 1).all() and (per_q["max"] == 5).all()
+    assert (out["query_id"] != out["corpus_id"]).all()
+    # recall vs exact scan, per query
+    hits = tot = 0
+    for qid in per_q.index:
+        qvec = [float(x) for x in rows[int(qid)][2]]
+        exact = {
+            r.vec_id
+            for r in sim.cosine_topk(df, qvec, k=6).collect()
+            if r.vec_id != qid
+        }
+        approx = set(out[out["query_id"] == qid]["corpus_id"])
+        hits += len(exact & approx)
+        tot += 5
+    assert hits / tot >= 0.9
+    # nprobe=2 may only add candidates (monotone recall), never break shape
+    out2 = sim.knn_join(
+        queries, df, cents, k=5, nprobe=2, exclude_self=True
+    ).toPandas()
+    assert (out2.groupby("query_id")["rank"].count() == 5).all()
+
+
 def test_embedding_lsh_pairs_equals_exact_on_planted_dups(spark):
     """The scale path must reproduce the exact O(N²) join's output on a
     corpus of planted near-duplicates: 12 clusters of 5 tight copies
