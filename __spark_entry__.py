@@ -1594,6 +1594,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate token-span detection (substring-dedup family): doc
+    pairs sharing identical 5-token spans, with the count of shared spans
+    and the longest contiguous shared run (diagonal gaps-and-islands over
+    positional posting lists). Full hash oracle — the md5 span hashing,
+    first-occurrence dedup, and island arithmetic replay in DuckDB."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.duplicate_span_pairs(docs, width=5, max_span_freq=1000)
+
+
 def _contamination_splits(spark: SparkSession, sf_dir: str):
     """50/50 deterministic hash split of the documents table — the
     train/test halves every contamination query scans. A filter on the
@@ -1963,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "lsh_topk": q_lsh_topk,
         "knn_join": q_knn_join,
+        "duplicate_spans": q_duplicate_spans,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -3131,6 +3144,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM assigned a
                   JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
+        """,
+        "duplicate_spans": f"""
+            WITH toks AS (SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+            spans AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS h
+              FROM (SELECT doc_id, t, unnest(range(1, len(t)-5+2)) AS i
+                    FROM toks WHERE len(t) >= 5)),
+            s1 AS (SELECT doc_id, h, min(pos) AS pos
+                   FROM spans GROUP BY doc_id, h),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.pos AS pa, b.pos AS pb
+              FROM s1 a JOIN s1 b
+                ON a.h = b.h AND a.doc_id < b.doc_id),
+            runs AS (
+              SELECT id_a, id_b, pa - pb AS diag,
+                     pa - row_number() OVER (
+                       PARTITION BY id_a, id_b, pa - pb
+                       ORDER BY pa) AS island
+              FROM cand),
+            islands AS (
+              SELECT id_a, id_b, count(*) AS sz
+              FROM runs GROUP BY id_a, id_b, diag, island)
+            SELECT id_a, id_b, CAST(sum(sz) AS BIGINT) AS n_spans,
+                   CAST(max(sz) + 4 AS BIGINT) AS longest_run
+            FROM islands GROUP BY id_a, id_b
         """,
         "knn_join": f"""
             WITH corp AS (

@@ -141,6 +141,89 @@ def jaccard_pairs(
     return out
 
 
+def duplicate_span_pairs(
+    df: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_span_freq: int | None = 1000,
+    min_spans: int = 1,
+) -> DataFrame:
+    """Exact duplicate token-span detection between documents — the
+    substring-dedup family (find passages copied verbatim across a
+    corpus, the signal behind suffix-array training-data dedup). For
+    every document pair sharing at least ``min_spans`` identical
+    ``width``-token spans, returns ``(id_a, id_b, n_spans,
+    longest_run)`` where ``n_spans`` counts the distinct shared spans
+    and ``longest_run`` is the longest contiguous shared token run
+    implied by consecutively aligned spans (a run of r chained spans
+    covers r + width - 1 tokens).
+
+    Mechanics: positions are attached to every width-gram
+    (posexplode of :func:`~mini_etl_spark.functions.text.ngrams_from_tokens`),
+    hashed to md5 so only 32-byte keys shuffle; one posting per
+    (doc, span) — the FIRST in-doc occurrence — bounds internally
+    repetitive text; a doc-frequency cap drops boilerplate spans before
+    the inverted-index self-join (same O(freq²) guard as
+    :func:`jaccard_pairs`). Aligned runs fall on a common diagonal
+    (pos_a − pos_b); contiguity within a diagonal is the classic
+    gaps-and-islands grouping (pos − row_number), so the whole operator
+    is joins + windows — no UDF, no per-pair rescan of the text.
+
+    Scale: candidate volume is Σ freq² over surviving spans (capped);
+    the diagonal window shuffles candidates once on (pair, diagonal).
+    In-doc repeats count once, so a span repeated r times in one doc
+    contributes one posting, not r.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    from mini_etl_spark.functions.text import ngrams_from_tokens
+    from pyspark.sql import Window
+
+    toks = df.withColumn("__toks", tokens(text_col))
+    spans = toks.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(ngrams_from_tokens(F.col("__toks"), width)).alias(
+            "__p0", "__g"
+        ),
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).alias("__pos"),
+        F.md5(F.col("__g").cast("binary")).alias("__h"),
+    )
+    spans = spans.groupBy("__id", "__h").agg(F.min("__pos").alias("__pos"))
+    if max_span_freq is not None:
+        freq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+        spans = spans.join(
+            F.broadcast(freq.filter(F.col("__f") > max_span_freq)),
+            on="__h",
+            how="left_anti",
+        )
+    spans = spans.persist()
+    a = spans.select(
+        "__h", F.col("__id").alias("id_a"), F.col("__pos").alias("__pa")
+    )
+    b = spans.select(
+        "__h", F.col("__id").alias("id_b"), F.col("__pos").alias("__pb")
+    )
+    cand = a.join(b, "__h").filter(F.col("id_a") < F.col("id_b"))
+    w_run = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    runs = cand.select(
+        "id_a", "id_b", (F.col("__pa") - F.col("__pb")).alias("__diag"), "__pa"
+    ).withColumn("__island", F.col("__pa") - F.row_number().over(w_run))
+    islands = runs.groupBy("id_a", "id_b", "__diag", "__island").agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    return (
+        islands.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("__sz").alias("n_spans"),
+            (F.max("__sz") + F.lit(width - 1)).alias("longest_run"),
+        )
+        .filter(F.col("n_spans") >= F.lit(min_spans))
+    )
+
+
 def contamination_pairs(
     train_df: DataFrame,
     test_df: DataFrame,

@@ -351,6 +351,42 @@ def test_lsh_recall_on_planted_clusters(spark):
     assert recall >= 0.9
 
 
+def test_duplicate_span_pairs_semantics(spark):
+    """Hand-built corpus pins the span/run arithmetic: a 5-token shared
+    passage yields 3 chained width-3 spans (run 3+2=5 tokens); two
+    disjoint shared trigrams land on different diagonals (run stays 3);
+    in-doc repetition of a span counts once."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "x y c d e f g z"),
+            (2, "c d e q1 q2 q3 e f g"),
+            (3, "c d e c d e c d e"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): (r.n_spans, r.longest_run)
+        for r in dd.duplicate_span_pairs(docs, width=3).collect()
+    }
+    # d0~d1 share "c d e f g": spans cde, def, efg chained on one diagonal
+    assert out[(0, 1)] == (3, 5)
+    # d0~d2 share cde and efg at incompatible offsets: two 1-span islands
+    assert out[(0, 2)] == (2, 3)
+    # d0~d3: only cde (d3's repeats collapse to first occurrence)
+    assert out[(0, 3)] == (1, 3)
+    # min_spans filters the 1-span pairs
+    kept = {
+        (r.id_a, r.id_b)
+        for r in dd.duplicate_span_pairs(docs, width=3, min_spans=2).collect()
+    }
+    assert (0, 3) not in kept and (0, 1) in kept
+    with pytest.raises(ValueError):
+        dd.duplicate_span_pairs(docs, width=1)
+
+
 def test_knn_join_recall_and_shape(spark):
     """The batched ANN join must recover same-cluster neighbors: for every
     cluster-member query, its top-5 exact neighbors live in the same tight
