@@ -1606,6 +1606,20 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_pairs(docs, width=5, max_span_freq=1000)
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, the action: duplicated 5-token-or-longer
+    passages are excised from the later document (earliest stays whole).
+    The positional rebuild — index-aware token filter against the excision
+    ranges — replays in DuckDB for a full hash oracle over the cleaned
+    text itself."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.remove_duplicate_spans(docs, width=5, max_span_freq=1000).select(
+        "doc_id", "clean_text", "n_removed_tokens"
+    )
+
+
 def _contamination_splits(spark: SparkSession, sf_dir: str):
     """50/50 deterministic hash split of the documents table — the
     train/test halves every contamination query scans. A filter on the
@@ -1976,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "knn_join": q_knn_join,
         "duplicate_spans": q_duplicate_spans,
+        "span_removal": q_span_removal,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -3171,6 +3186,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(sum(sz) AS BIGINT) AS n_spans,
                    CAST(max(sz) + 4 AS BIGINT) AS longest_run
             FROM islands GROUP BY id_a, id_b
+        """,
+        "span_removal": f"""
+            WITH toks AS (SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+            spans AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(t[i:i+4], ' ')) AS h
+              FROM (SELECT doc_id, t, unnest(range(1, len(t)-5+2)) AS i
+                    FROM toks WHERE len(t) >= 5)),
+            s1 AS (SELECT doc_id, h, min(pos) AS pos
+                   FROM spans GROUP BY doc_id, h),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.pos AS pa, b.pos AS pb
+              FROM s1 a JOIN s1 b
+                ON a.h = b.h AND a.doc_id < b.doc_id),
+            runs AS (
+              SELECT id_a, id_b, pa - pb AS diag, pb,
+                     pb - row_number() OVER (
+                       PARTITION BY id_a, id_b, pa - pb
+                       ORDER BY pb) AS island
+              FROM cand),
+            rngs AS (
+              SELECT DISTINCT id_b, s, e
+              FROM (SELECT id_a, id_b, min(pb) AS s, max(pb) + 4 AS e
+                    FROM runs GROUP BY id_a, id_b, diag, island)
+              WHERE e - s + 1 >= 5),
+            byd AS (SELECT id_b, list({{'s': s, 'e': e}}) AS ranges
+                    FROM rngs GROUP BY id_b),
+            rebuilt AS (
+              SELECT tk.doc_id, tk.t,
+                     list_filter(tk.t, (x, i) -> len(list_filter(
+                       coalesce(byd.ranges,
+                                CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                       r -> i >= r.s AND i <= r.e)) = 0) AS kept
+              FROM toks tk LEFT JOIN byd ON tk.doc_id = byd.id_b)
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                   len(t) - len(kept) AS n_removed_tokens
+            FROM rebuilt
         """,
         "knn_join": f"""
             WITH corp AS (

@@ -141,6 +141,44 @@ def jaccard_pairs(
     return out
 
 
+def _span_postings(
+    df: DataFrame,
+    width: int,
+    text_col: str,
+    id_col: str,
+    max_span_freq: int | None,
+) -> DataFrame:
+    """(doc id, 1-based start position, md5 span hash) postings for every
+    width-token gram — one posting per (doc, span): the FIRST in-doc
+    occurrence (bounds internally repetitive text), with hot spans above
+    the doc-frequency cap anti-joined away before any pair join. Shared
+    by :func:`duplicate_span_pairs` and :func:`remove_duplicate_spans`."""
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    from mini_etl_spark.functions.text import ngrams_from_tokens
+
+    toks = df.withColumn("__toks", tokens(text_col))
+    spans = toks.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(ngrams_from_tokens(F.col("__toks"), width)).alias(
+            "__p0", "__g"
+        ),
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).alias("__pos"),
+        F.md5(F.col("__g").cast("binary")).alias("__h"),
+    )
+    spans = spans.groupBy("__id", "__h").agg(F.min("__pos").alias("__pos"))
+    if max_span_freq is not None:
+        freq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+        spans = spans.join(
+            F.broadcast(freq.filter(F.col("__f") > max_span_freq)),
+            on="__h",
+            how="left_anti",
+        )
+    return spans
+
+
 def duplicate_span_pairs(
     df: DataFrame,
     width: int = 8,
@@ -175,30 +213,9 @@ def duplicate_span_pairs(
     In-doc repeats count once, so a span repeated r times in one doc
     contributes one posting, not r.
     """
-    if width < 2:
-        raise ValueError(f"width must be >= 2, got {width}")
-    from mini_etl_spark.functions.text import ngrams_from_tokens
     from pyspark.sql import Window
 
-    toks = df.withColumn("__toks", tokens(text_col))
-    spans = toks.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(ngrams_from_tokens(F.col("__toks"), width)).alias(
-            "__p0", "__g"
-        ),
-    ).select(
-        "__id",
-        (F.col("__p0") + 1).alias("__pos"),
-        F.md5(F.col("__g").cast("binary")).alias("__h"),
-    )
-    spans = spans.groupBy("__id", "__h").agg(F.min("__pos").alias("__pos"))
-    if max_span_freq is not None:
-        freq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
-        spans = spans.join(
-            F.broadcast(freq.filter(F.col("__f") > max_span_freq)),
-            on="__h",
-            how="left_anti",
-        )
+    spans = _span_postings(df, width, text_col, id_col, max_span_freq)
     spans = spans.persist()
     a = spans.select(
         "__h", F.col("__id").alias("id_a"), F.col("__pos").alias("__pa")
@@ -221,6 +238,99 @@ def duplicate_span_pairs(
             (F.max("__sz") + F.lit(width - 1)).alias("longest_run"),
         )
         .filter(F.col("n_spans") >= F.lit(min_spans))
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_span_freq: int | None = 1000,
+    min_run: int | None = None,
+) -> DataFrame:
+    """Exact substring dedup, the *action*: cut every cross-document
+    duplicated passage out of the LATER document (larger id), keeping the
+    earliest occurrence in the corpus intact — the span-removal variant
+    of suffix-array training-data dedup (duplicated text is excised, the
+    documents themselves survive).
+
+    A passage is a maximal aligned island of chained ``width``-token
+    spans (same diagonal mechanics as :func:`duplicate_span_pairs`)
+    covering at least ``min_run`` tokens (default ``width``). The victim
+    doc's covered token range [start, end] is dropped; overlapping
+    ranges from different partners compose naturally (a token goes if
+    ANY range covers it). Returns every input row plus:
+
+    - ``clean_text`` — the surviving tokens, space-joined. NOTE: the
+      rebuild is over *canonical* tokens (lowercased alphanumeric, the
+      same contract every dedup operator here uses), so original casing/
+      punctuation/whitespace are not preserved — this operator belongs
+      after canonicalization in a corpus pipeline.
+    - ``n_removed_tokens`` — how many tokens were cut (0 for untouched
+      docs).
+
+    In-doc repeats of a span count once (first occurrence), so a passage
+    duplicated twice WITHIN one victim doc is only excised at its first
+    position. Scale: postings are the same bounded inverted index as the
+    pair detector; ranges per doc are tiny structs (collect_list over
+    islands, one shuffle on the victim id); the rebuild is a pure JVM
+    index-aware ``filter`` — no UDF touches the text.
+    """
+    if min_run is None:
+        min_run = width
+    if min_run < width:
+        raise ValueError(f"min_run must be >= width ({width}), got {min_run}")
+    from pyspark.sql import Window
+
+    spans = _span_postings(df, width, text_col, id_col, max_span_freq)
+    spans = spans.persist()
+    a = spans.select(
+        "__h", F.col("__id").alias("id_a"), F.col("__pos").alias("__pa")
+    )
+    b = spans.select(
+        "__h", F.col("__id").alias("id_b"), F.col("__pos").alias("__pb")
+    )
+    cand = a.join(b, "__h").filter(F.col("id_a") < F.col("id_b"))
+    w_run = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pb")
+    runs = cand.select(
+        "id_a", "id_b", (F.col("__pa") - F.col("__pb")).alias("__diag"), "__pb"
+    ).withColumn("__island", F.col("__pb") - F.row_number().over(w_run))
+    ranges = (
+        runs.groupBy("id_b", "__diag", "__island")
+        .agg(
+            F.min("__pb").cast("long").alias("__s"),
+            (F.max("__pb") + F.lit(width - 1)).cast("long").alias("__e"),
+        )
+        .filter(F.col("__e") - F.col("__s") + 1 >= F.lit(min_run))
+        .groupBy("id_b")
+        .agg(
+            F.collect_set(F.struct(F.col("__s").alias("s"), F.col("__e").alias("e"))).alias(
+                "__ranges"
+            )
+        )
+    )
+    out = df.join(
+        ranges, df[id_col] == ranges["id_b"], "left"
+    ).drop("id_b")
+    toks = tokens(text_col)
+    rng = F.coalesce(
+        F.col("__ranges"),
+        F.array().cast("array<struct<s:long,e:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            rng, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
+        ),
+    )
+    return (
+        out.withColumn("clean_text", F.concat_ws(" ", kept))
+        .withColumn(
+            "n_removed_tokens",
+            (F.size(toks) - F.size(kept)).cast("long"),
+        )
+        .drop("__ranges")
     )
 
 

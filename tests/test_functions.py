@@ -387,6 +387,40 @@ def test_duplicate_span_pairs_semantics(spark):
         dd.duplicate_span_pairs(docs, width=1)
 
 
+def test_remove_duplicate_spans(spark):
+    """The excision twin of duplicate_span_pairs: the earliest doc keeps
+    its text; later docs lose exactly the aligned duplicated ranges;
+    min_run bounds how short an excised passage may be."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "x y c d e f g z"),
+            (2, "c d e q1 q2 q3 e f g"),
+            (3, "p q r c d e s t"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in dd.remove_duplicate_spans(docs, width=3).collect()
+    }
+    assert out[0] == ("a b c d e f g h", 0)  # earliest occurrence intact
+    assert out[1] == ("x y z", 5)            # "c d e f g" excised
+    assert out[2] == ("q1 q2 q3", 6)         # two disjoint ranges excised
+    assert out[3] == ("p q r s t", 3)        # single trigram excised
+    # min_run=5: d3's 3-token island is below the bar and survives
+    out5 = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in dd.remove_duplicate_spans(docs, width=3, min_run=5).collect()
+    }
+    assert out5[3] == ("p q r c d e s t", 0)
+    assert out5[1] == ("x y z", 5)
+    with pytest.raises(ValueError):
+        dd.remove_duplicate_spans(docs, width=3, min_run=2)
+
+
 def test_knn_join_recall_and_shape(spark):
     """The batched ANN join must recover same-cluster neighbors: for every
     cluster-member query, its top-5 exact neighbors live in the same tight
