@@ -327,6 +327,19 @@ def main() -> None:
         to_csv(os.path.join(tmp, "b5"), mode="overwrite")(df)
         return None
 
+    def _knn_join_arrow(spark, sf_dir):
+        # the at-scale path of the same retrieval join the oracle checks:
+        # BLAS matmul kernels for assignment/probing/scoring
+        from mini_etl_spark.functions import similarity as sim
+        from pyspark.sql import functions as Fq
+
+        emb = read_parquet(f"{sf_dir}/embeddings.parquet")(spark)
+        cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
+        q = emb.filter(Fq.col("vec_id") % 25 == 0)
+        return sim.knn_join(
+            q, emb, cents, k=5, nprobe=2, exclude_self=True, method="arrow"
+        )
+
     paired: dict[str, object] = {
         "b1_scan_filter_write": b1_scan_filter_project_write,
         "b2_group_agg": queries["group_agg"],
@@ -368,6 +381,11 @@ def main() -> None:
         "embedding_centroids": queries["embedding_centroids"],
         "pii_redaction": queries["pii_redaction"],
         "hash_split": queries["hash_split"],
+        "source_cap": queries["source_cap"],
+        "duplicate_spans": queries["duplicate_spans"],
+        "span_removal": queries["span_removal"],
+        "knn_join": queries["knn_join"],
+        "knn_join_arrow": _knn_join_arrow,
         "returned_revenue": queries["returned_revenue"],
         "brand_revenue": queries["brand_revenue"],
     }

@@ -46,6 +46,7 @@ TRANSFORMER_TYPES = {
     "hash_split", "sample", "stratified_sample",
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
+    "cap_per_group", "remove_spans",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -311,6 +312,27 @@ class ConfigLoader:
             seed = int(o.get("seed", 42))
             return lambda df: mx.mix_by_token_budget(
                 df, budgets, src_col, col, id_col, seed
+            )
+        if spec.type == "cap_per_group":
+            from mini_etl_spark.functions import splits as sp
+
+            group = o["group"]
+            key = o.get("id", "doc_id")
+            cap = int(o["cap"])
+            seed = int(o.get("seed", 42))
+            return lambda df: sp.cap_per_group(df, group, key, cap, seed)
+        if spec.type == "remove_spans":
+            from mini_etl_spark.functions import dedup as dd
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            width = int(o.get("width", 8))
+            cap = o.get("max_span_freq", 1000)
+            cap = None if cap is None else int(cap)
+            min_run = o.get("min_run")
+            min_run = None if min_run is None else int(min_run)
+            return lambda df: dd.remove_duplicate_spans(
+                df, width, col, id_col, cap, min_run
             )
         if spec.type == "dedup_lines":
             from mini_etl_spark.functions import text as tx

@@ -481,6 +481,7 @@ def knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = False,
+    method: str = "expr",
 ) -> DataFrame:
     """Batched approximate k-NN join — the retrieval primitive (RAG lookup,
     cross-corpus linking): for EVERY query row, the ``k`` most
@@ -501,49 +502,104 @@ def knn_join(
     external engines — the driver query carries a full hash oracle.
 
     ``exclude_self`` drops query==corpus id matches (self-join usage).
+
+    ``method``: ``"expr"`` (default) runs assignment and scoring as JVM
+    column expressions — sequential-sum float semantics an external SQL
+    engine replays bit-for-bit (the oracle path). ``"arrow"`` runs one
+    BLAS matmul per Arrow batch for cell assignment, probing, and pair
+    scoring (the measured fast path for wide centroid sets — same trade
+    as :func:`cell_cosine_pairs`); result sets agree except for values
+    within float error of a rank boundary at the 4th decimal.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"knn_join: unknown method {method!r}")
 
-    def _nrm(col: str) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.col(col),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
+    if method == "arrow":
+        cents = np.asarray(centroids, dtype="float64")
+        n_probe = int(nprobe)
+
+        @pandas_udf("int")
+        def _cell(v: pd.Series) -> pd.Series:
+            X = np.stack(v.to_numpy()).astype("float64")
+            # first maximal index — same tie rule as ivf_assign
+            return pd.Series(np.argmax(X @ cents.T, axis=1).astype("int32"))
+
+        @pandas_udf("array<int>")
+        def _probes(v: pd.Series) -> pd.Series:
+            X = np.stack(v.to_numpy()).astype("float64")
+            D = X @ cents.T
+            # stable sort on -dot == (−dot, index) lexicographic order
+            order = np.argsort(-D, axis=1, kind="stable")[:, :n_probe]
+            return pd.Series(list(order.astype("int32")))
+
+        @pandas_udf("double")
+        def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            A = np.stack(a.to_numpy()).astype("float64")
+            B = np.stack(b.to_numpy()).astype("float64")
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            return pd.Series(np.round(num / den, 4))
+
+        corp = corpus.select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            _cell(F.col(vec_col)).alias("__cell"),
         )
+        qry = queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(_probes(F.col(vec_col))).alias("__cell"),
+        )
+        joined = qry.join(corp, "__cell")
+        if exclude_self:
+            joined = joined.filter(F.col("__qid") != F.col("__cid"))
+        scored = joined.select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("corpus_id"),
+            _cos(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    else:
+        def _nrm(col: str) -> Column:
+            return F.sqrt(
+                F.aggregate(
+                    F.col(col),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
 
-    corp = ivf_assign(corpus, centroids, vec_col).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).alias("__cv"),
-        F.col("ivf_cell").alias("__cell"),
-        _nrm(vec_col).alias("__cn"),
-    )
-    qry = queries.select(
-        F.col(id_col).alias("__qid"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(probe_cells(vec_col, centroids, nprobe)).alias("__cell"),
-        _nrm(vec_col).alias("__qn"),
-    )
-    joined = qry.join(corp, "__cell")
-    if exclude_self:
-        joined = joined.filter(F.col("__qid") != F.col("__cid"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__qv"), F.col("__cv"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = joined.select(
-        F.col("__qid").alias("query_id"),
-        F.col("__cid").alias("corpus_id"),
-        F.round(dot / (F.col("__qn") * F.col("__cn")), 4).alias("cosine"),
-    )
+        corp = ivf_assign(corpus, centroids, vec_col).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            F.col("ivf_cell").alias("__cell"),
+            _nrm(vec_col).alias("__cn"),
+        )
+        qry = queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(probe_cells(vec_col, centroids, nprobe)).alias("__cell"),
+            _nrm(vec_col).alias("__qn"),
+        )
+        joined = qry.join(corp, "__cell")
+        if exclude_self:
+            joined = joined.filter(F.col("__qid") != F.col("__cid"))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("__cv"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = joined.select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("corpus_id"),
+            F.round(dot / (F.col("__qn") * F.col("__cn")), 4).alias("cosine"),
+        )
     if nprobe > 1:
         # a corpus vector can sit in several probed cells of one query
         scored = scored.dropDuplicates(["query_id", "corpus_id"])

@@ -366,6 +366,44 @@ sink: {{type: parquet, path: '{out2}', mode: overwrite}}
     assert vecs.selectExpr("size(embedding) AS s").filter("s != 16").count() == 0
 
 
+def test_cap_and_span_removal_config_vocab(spark, tmp_path):
+    src = tmp_path / "docs5"
+    rows = [(i, "w x common passage tokens here live y z", f"s{i % 2}")
+            for i in range(6)]
+    rows[0] = (0, "alpha beta common passage tokens here live gamma", "s0")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).write.parquet(str(src))
+    out = tmp_path / "cap_out"
+    cfg = tmp_path / "cap.yaml"
+    cfg.write_text(
+        f"""
+name: caps
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: remove_spans
+    width: 3
+  - type: cap_per_group
+    group: source
+    cap: 2
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    got = spark.read.parquet(str(out)).collect()
+    assert len(got) == 4  # 2 per source after the cap
+    # the shared passage survives in at most the earliest doc (0); every
+    # later doc had it excised before the cap ran
+    survivors = [
+        r.doc_id for r in got
+        if "common passage tokens here live" in r.clean_text
+    ]
+    assert survivors in ([], [0])
+
+
 def test_semantic_dedup_config_vocab(spark, tmp_path):
     src = tmp_path / "docs4"
     base = "spark shuffles data across the cluster nodes tonight "

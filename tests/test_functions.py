@@ -467,6 +467,14 @@ def test_knn_join_recall_and_shape(spark):
         queries, df, cents, k=5, nprobe=2, exclude_self=True
     ).toPandas()
     assert (out2.groupby("query_id")["rank"].count() == 5).all()
+    # arrow path (BLAS matmul kernels) reproduces the expr path's ranking
+    arrow = sim.knn_join(
+        queries, df, cents, k=5, nprobe=2, exclude_self=True, method="arrow"
+    ).toPandas()
+    key = ["query_id", "corpus_id", "rank"]
+    assert set(map(tuple, arrow[key].itertuples(index=False))) == set(
+        map(tuple, out2[key].itertuples(index=False))
+    )
 
 
 def test_embedding_lsh_pairs_equals_exact_on_planted_dups(spark):
