@@ -1606,6 +1606,43 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_span_pairs(docs, width=5, max_span_freq=1000)
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample of the events stream, per event type:
+    hash-aggregate rollup, executor-side dense grid (sequence+explode),
+    linear interpolation across empty buckets. agg='max' (not avg) so the
+    bucket values are float-order-independent — the interpolation then
+    replays bit-for-bit in DuckDB for a full hash oracle (avg's partial
+    sums differ in the last ulp between engines and flip round-4 at
+    boundaries; exactness beats showcase here)."""
+    from mini_etl_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events")
+    return resample(
+        ev, "ts", "value", 3600, ["event_type"], agg="max", fill="linear"
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots: a synthetic 'today'
+    customer table (10%-of-keys deleted, every-7th balance bumped,
+    every-13th key re-inserted under a new id) diffed against the stored
+    snapshot — one full-outer join, labeled insert/update/delete rows.
+    Full hash oracle (the synthetic mutation replays in SQL)."""
+    from mini_etl_spark.operators.merge import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    modified = cust.filter(F.col("c_custkey") % 10 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return snapshot_diff(cust, modified.unionByName(inserts), "c_custkey")
+
+
 def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup, the action: duplicated 5-token-or-longer
     passages are excised from the later document (earliest stays whole).
@@ -1991,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "duplicate_spans": q_duplicate_spans,
         "span_removal": q_span_removal,
+        "snapshot_diff": q_snapshot_diff,
+        "resample": q_resample,
         "ivf_topk": q_ivf_topk,
     }
 
@@ -3186,6 +3225,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(sum(sz) AS BIGINT) AS n_spans,
                    CAST(max(sz) + 4 AS BIGINT) AS longest_run
             FROM islands GROUP BY id_a, id_b
+        """,
+        "resample": """
+            WITH agged AS (
+              SELECT event_type,
+                     CAST(to_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)
+                                       * 3600) AS TIMESTAMP) AS b,
+                     max(value) AS val, count(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            grid AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 3600 SECOND))
+                       AS b
+              FROM (SELECT event_type, min(b) AS lo, max(b) AS hi
+                    FROM agged GROUP BY 1)),
+            dense AS (
+              SELECT g.event_type, g.b, a.val,
+                     coalesce(a.n_events, 0) AS n_events
+              FROM grid g LEFT JOIN agged a
+                ON g.event_type = a.event_type AND g.b = a.b),
+            f AS (
+              SELECT event_type, b, val, n_events,
+                     last_value(CASE WHEN val IS NOT NULL
+                                     THEN {'t': epoch(b), 'v': val} END
+                                IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev,
+                     first_value(CASE WHEN val IS NOT NULL
+                                      THEN {'t': epoch(b), 'v': val} END
+                                 IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nxt
+              FROM dense)
+            SELECT event_type, b AS bucket_ts,
+                   round(CASE WHEN val IS NOT NULL THEN val
+                              WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                              THEN prev.v + (nxt.v - prev.v)
+                                   * (epoch(b) - prev.t) / (nxt.t - prev.t)
+                              ELSE coalesce(prev.v, nxt.v) END, 4) AS value,
+                   n_events
+            FROM f
+        """,
+        "snapshot_diff": """
+            WITH newsnap AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                          ELSE c_acctbal END AS c_acctbal,
+                     c_mktsegment
+              FROM customer WHERE c_custkey % 10 != 0
+              UNION ALL
+              SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+                     c_mktsegment
+              FROM customer WHERE c_custkey % 13 = 0
+            )
+            SELECT 'insert' AS change_type, n.*
+            FROM newsnap n
+            WHERE NOT EXISTS (SELECT 1 FROM customer o
+                              WHERE o.c_custkey = n.c_custkey)
+            UNION ALL
+            SELECT 'delete' AS change_type, o.*
+            FROM customer o
+            WHERE NOT EXISTS (SELECT 1 FROM newsnap n
+                              WHERE n.c_custkey = o.c_custkey)
+            UNION ALL
+            SELECT 'update' AS change_type, n.*
+            FROM newsnap n JOIN customer o USING (c_custkey)
+            WHERE NOT (n.c_name IS NOT DISTINCT FROM o.c_name
+                       AND n.c_nationkey IS NOT DISTINCT FROM o.c_nationkey
+                       AND n.c_acctbal IS NOT DISTINCT FROM o.c_acctbal
+                       AND n.c_mktsegment IS NOT DISTINCT FROM o.c_mktsegment)
         """,
         "span_removal": f"""
             WITH toks AS (SELECT doc_id, {_D_TOKENS} AS t FROM documents),

@@ -386,6 +386,8 @@ def main() -> None:
         "span_removal": queries["span_removal"],
         "knn_join": queries["knn_join"],
         "knn_join_arrow": _knn_join_arrow,
+        "snapshot_diff": queries["snapshot_diff"],
+        "resample": queries["resample"],
         "returned_revenue": queries["returned_revenue"],
         "brand_revenue": queries["brand_revenue"],
     }

@@ -111,3 +111,33 @@ def test_scd2_broadcast_false_matches_broadcast_true(spark):
     a = scd2_apply(_scd2_target(spark), delta, broadcast_delta=True, **kw)
     b = scd2_apply(_scd2_target(spark), delta, broadcast_delta=False, **kw)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_snapshot_diff_labels_and_values(spark):
+    from mini_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", None),
+         (4, "dave", 40.0)],
+        "k int, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "alice", 10.0),        # unchanged → dropped
+         (2, "bob", 25.0),          # update (value change)
+         (3, "carol", None),        # unchanged incl. null == null → dropped
+         (5, "erin", 50.0)],        # insert; 4 missing → delete
+        "k int, name string, bal double",
+    )
+    out = {r.k: (r.change_type, r.name, r.bal)
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {
+        2: ("update", "bob", 25.0),   # new side's values
+        4: ("delete", "dave", 40.0),  # old side's values
+        5: ("insert", "erin", 50.0),
+    }
+    # restricting compare columns hides the bal-only update
+    only_name = {r.k for r in
+                 snapshot_diff(old, new, "k", compare_columns=["name"]).collect()}
+    assert only_name == {4, 5}
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, "k", compare_columns=["nope"])

@@ -208,3 +208,47 @@ def test_explode_column(spark):
     outer = ops.explode_column("tags", "tag", outer=True)(df)
     got = sorted((r.id, r.tag) for r in outer.collect())
     assert got == [(1, "a"), (1, "b"), (2, None), (3, None)]
+
+
+def test_resample_fill_modes(spark):
+    """Dense-grid resample over a hand series: bucket flooring, gap
+    materialization, and each fill mode's contract."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.operators.timeseries import resample
+
+    rows = [
+        ("g", "2024-01-01 00:00:30", 10.0),   # bucket :00
+        ("g", "2024-01-01 00:00:45", 20.0),   # same bucket → avg 15
+        ("g", "2024-01-01 00:04:10", 55.0),   # bucket :04, 3-bucket gap
+        ("h", "2024-01-01 00:00:00", 1.0),    # second group, single bucket
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+
+    def run(fill):
+        out = resample(df, "ts", "v", 60, ["g"], agg="avg", fill=fill)
+        return {
+            (r.g, r.bucket_ts.strftime("%M")): (r.value, r.n_events)
+            for r in out.collect()
+        }
+
+    lin = run("linear")
+    assert lin[("g", "00")] == (15.0, 2)
+    assert lin[("g", "01")] == (25.0, 0)   # 15 → 55 over 4 steps
+    assert lin[("g", "02")] == (35.0, 0)
+    assert lin[("g", "03")] == (45.0, 0)
+    assert lin[("g", "04")] == (55.0, 1)
+    assert lin[("h", "00")] == (1.0, 1)
+    assert len(lin) == 6                   # grid spans min..max per group
+
+    ff = run("ffill")
+    assert ff[("g", "02")] == (15.0, 0)
+    zero = run("zero")
+    assert zero[("g", "02")] == (0.0, 0)
+    none = run("none")
+    assert none[("g", "02")] == (None, 0)
+    with pytest.raises(ValueError):
+        resample(df, "ts", "v", 60, fill="bogus")
+    with pytest.raises(ValueError):
+        resample(df, "ts", "v", 60, agg="median")
