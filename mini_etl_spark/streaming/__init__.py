@@ -21,10 +21,13 @@ the source if a user is pathologically hot.
 from mini_etl_spark.streaming.events import (
     batch_sessionize,
     read_events_stream,
+    read_latest_snapshot,
     run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
     stream_static_join,
+    stream_stream_join,
+    stream_upsert_to_parquet,
     streaming_dedup,
     tumbling_window_agg,
 )
@@ -38,6 +41,9 @@ __all__ = [
     "batch_sessionize",
     "streaming_dedup",
     "stream_static_join",
+    "stream_stream_join",
+    "stream_upsert_to_parquet",
+    "read_latest_snapshot",
     "run_stream_to_memory",
     "running_totals",
 ]

@@ -183,6 +183,121 @@ def stream_static_join(
     return events.join(right, on=on, how=how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    within: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream join: match right-side events to left-side
+    events with equal keys whose timestamp falls in ``[left_ts, left_ts +
+    within]`` — the impressions-to-clicks attribution shape.
+
+    Both sides carry watermarks and the join condition carries a time-range
+    bound; together they let the state store evict rows once the watermark
+    passes ``within``, so join state is bounded to ~(rate × (watermark +
+    within)) per side instead of growing forever. Outer joins additionally
+    *require* the bound (unmatched rows emit only after the watermark
+    closes their window).
+
+    The right side's key/timestamp columns are suffixed ``_r`` in the
+    output so both sides' values survive the join. At scale this is one
+    shuffle per side on the keys (stateful symmetric hash join) — the same
+    cost shape as a batch sort-merge join plus bounded state.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    renames = {c: f"{c}_r" for c in rw.columns}
+    rw = rw.select([F.col(c).alias(renames[c]) for c in rw.columns])
+    cond = None
+    for k in keys:
+        e = F.col(k) == F.col(f"{k}_r")
+        cond = e if cond is None else cond & e
+    cond = (
+        cond
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts))
+        & (F.col(f"{right_ts}_r") <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)
+
+
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming keyed upsert into a plain-parquet target via
+    ``foreachBatch`` — the CDC-apply sink: each micro-batch is merged into
+    the target with :func:`mini_etl_spark.operators.merge.merge_upsert`
+    (delta wins, new keys insert) and published as a new snapshot
+    directory, with a ``_LATEST`` pointer file flipped atomically
+    (write-temp + rename) after the snapshot lands. Readers that go
+    through :func:`read_latest_snapshot` always see a complete snapshot —
+    never a half-written one — and a crashed batch simply leaves an
+    orphaned unreferenced directory behind.
+
+    Scale notes: plain parquet has no transactional MERGE, so each batch
+    rewrites the (merged) target — correct, but O(target) per batch. On a
+    real cluster you bound the rewrite by partitioning the target on a key
+    prefix and merging only the partitions the delta touches, or use a
+    table format (Delta/Iceberg/Hudi) whose ``MERGE INTO`` is this exact
+    operation with file-level pruning. The micro-batch semantics here are
+    identical either way, which is the point of the foreachBatch escape
+    hatch: any batch operator becomes a streaming sink.
+    """
+    import os
+
+    from mini_etl_spark.operators.merge import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = read_latest_snapshot(spark, target_path)
+        delta = batch_df.dropDuplicates(keys)  # last-write-wins within batch
+        merged = (
+            merge_upsert(current, delta, keys) if current is not None else delta
+        )
+        snap = os.path.join(target_path, f"snap={batch_id}")
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(target_path, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"snap={batch_id}")
+        os.replace(tmp, os.path.join(target_path, "_LATEST"))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query
+
+
+def read_latest_snapshot(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Read the snapshot the ``_LATEST`` pointer names (see
+    :func:`stream_upsert_to_parquet`); None when no snapshot exists yet."""
+    import os
+
+    pointer = os.path.join(target_path, "_LATEST")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        snap = fh.read().strip()
+    return spark.read.parquet(os.path.join(target_path, snap))
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,

@@ -247,3 +247,89 @@ def test_streaming_corpus_quality_filter(spark, tmp_path):
     want = gate(docs).collect()
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in want)
     assert len(want) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_batch, events_stream):
+    """Watermarked stream-stream attribution join (clicks within 1 hour of
+    a view by the same user) must equal the batch join with the same
+    time-range predicate."""
+    views = events_stream.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events_stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = st.stream_stream_join(
+        views, clicks, on="user_id", within="1 hour", left_watermark="10 days",
+        right_watermark="10 days",
+    ).select("event_id", "event_id_r")
+    got = st.run_stream_to_memory(joined, "ss_join", output_mode="append")
+
+    bv = events_batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    bc = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("event_id_r"),
+    )
+    want = bv.join(
+        bc,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 1 hour")),
+    ).select("event_id", "event_id_r")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stream_upsert_to_parquet_cdc_apply(spark, tmp_path):
+    """foreachBatch CDC apply: two micro-batches where the second updates
+    half the keys and inserts new ones; the published snapshot must equal
+    batch merge_upsert, and a checkpointed restart with no new input must
+    not re-merge or flip the snapshot pointer."""
+    src = tmp_path / "cdc_src"
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    src.mkdir()
+
+    b0 = spark.createDataFrame(
+        [(i, f"v0_{i}") for i in range(10)], "k int, val string"
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"v1_{i}") for i in range(5, 15)], "k int, val string"
+    )
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("k int, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    st.stream_upsert_to_parquet(stream, target, ["k"], ckpt)
+    first = st.read_latest_snapshot(spark, target)
+    assert sorted(r.k for r in first.collect()) == list(range(10))
+
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    stream2 = (
+        spark.readStream.schema("k int, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    st.stream_upsert_to_parquet(stream2, target, ["k"], ckpt)
+    got = {r.k: r.val for r in st.read_latest_snapshot(spark, target).collect()}
+    want = {i: (f"v1_{i}" if i >= 5 else f"v0_{i}") for i in range(15)}
+    assert got == want
+
+    # restart, no new input: pointer and contents unchanged
+    with open(f"{target}/_LATEST") as fh:
+        pointer_before = fh.read()
+    stream3 = (
+        spark.readStream.schema("k int, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    st.stream_upsert_to_parquet(stream3, target, ["k"], ckpt)
+    with open(f"{target}/_LATEST") as fh:
+        assert fh.read() == pointer_before
+    got2 = {r.k: r.val for r in st.read_latest_snapshot(spark, target).collect()}
+    assert got2 == want
