@@ -1249,7 +1249,12 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.array_distinct(tx.tokens("text"))).alias("term"))
+        docs.withColumn("__terms", F.array_distinct(tx.tokens("text")))
+        # explode_outer + null filter: keeps Catalyst from pushing an
+        # inferred size()>0 filter below the projection and re-running
+        # the tokenizer per row (see text.exploded_tokens)
+        .select(F.explode_outer("__terms").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
@@ -1694,9 +1699,11 @@ def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-verified. No SQL oracle
-    (xxhash64-based) — rows-only check here; the equivalence gate is the
-    pytest asserting LSH(verify) == exact jaccard_pairs on this table."""
+    """MinHash+LSH near-dup candidates, exact-verified. The verify stage
+    re-scores candidates with TRUE Jaccard, and the pytest recall gate
+    (LSH(verify) == exact) holds on this corpus — so the exact
+    inverted-index Jaccard SQL is a full hash oracle for this query, even
+    though the banding itself is xxhash64-based."""
     from mini_etl_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
@@ -1704,11 +1711,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 grouping (no SQL oracle — xxhash64-based; rows-only)."""
+    """SimHash64 grouping in engine-portable (md5) signature mode: the
+    DuckDB oracle recomputes every 64-bit signature — shingle hash halves,
+    per-bit votes, sign packing — in SQL and hash-matches the groups.
+    Production uses the default xxhash64 mode (same machinery, faster
+    hash); the md5 mode exists precisely so the machinery is
+    differentially testable."""
     from mini_etl_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_dedup(docs)
+    return dd.simhash_dedup(docs, hash_fn="md5")
 
 
 def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1735,13 +1747,15 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤3 near-dup pairs via pigeonhole banding (4 chunks of
-    16 bits; a pair within hamming 3 must agree on ≥1 chunk — recall 1.0).
-    No SQL oracle (xxhash64-based); the correctness gate is the pytest
-    equality vs a brute-force popcount join on this same table."""
+    16 bits; a pair within hamming 3 must agree on ≥1 chunk — recall 1.0 by
+    construction, so the brute-force all-pairs popcount join IS an exact
+    oracle, not an approximation bound). md5 signature mode makes the
+    signatures SQL-recomputable; pytest additionally checks banding ==
+    brute-force in the fast xxhash64 mode."""
     from mini_etl_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=3)
+    return dd.simhash_pairs(docs, max_hamming=3, hash_fn="md5")
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -2063,6 +2077,36 @@ def _d_hash_bucket(key: str, seed: int, num_buckets: int = 10000) -> str:
         f"(strpos('0123456789abcdef', substr({h}, CAST(i AS INTEGER), 1)) - 1)"
         f" * pow(16, 8 - i))) AS BIGINT) % {num_buckets}"
     )
+
+
+def _d_simhash_ctes() -> str:
+    """DuckDB CTE chain recomputing dedup._simhash_frame(hash_fn='md5')
+    bit-for-bit: shingle → md5 hi/lo 32-bit halves → 64 per-bit ±1 vote
+    sums → sign-packed signed 64-bit word (bit 63 contributes -2^63, the
+    two's-complement identity, since DuckDB's << overflow-checks where
+    Spark's long arithmetic wraps). Generated, not hand-written, so the
+    64-term expressions cannot drift from the engine's loop."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j if j < 32 else j - 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(63)
+    )
+    packed = f"({packed}) + CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END"
+    return f"""
+            sh_g AS (
+              SELECT doc_id, unnest(sh) AS g
+              FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)),
+            sh_h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(g), 9, 8))::BIGINT AS lo
+              FROM sh_g),
+            sh_v AS (SELECT doc_id, {votes} FROM sh_h GROUP BY doc_id),
+            sh_p AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sh_v)
+    """
 
 
 # DuckDB twins of text.redact_pii / text.pii_count, generated from the SAME
@@ -3421,7 +3465,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
             FROM changed c
         """,
-        # minhash_lsh_pairs / simhash_dedup / lsh_topk: xxhash64-based —
-        # no SQL oracle (rows-only driver check); equivalence asserted in
-        # tests/test_functions.py against the exact variants.
+        # minhash_lsh_pairs: the driver query runs in exact-verify mode
+        # (candidates re-scored with true Jaccard), and the pytest recall
+        # gate (LSH(verify) == exact) holds on this corpus — so the exact
+        # inverted-index Jaccard join IS the oracle, identical to
+        # jaccard_pairs' SQL twin.
+        "minhash_lsh_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, sh, len(sh) AS sz
+              FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+              WHERE len(sh) > 0)
+            SELECT id_a, id_b, jaccard
+            FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         round(len(list_intersect(a.sh, b.sh))
+                               / (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                               4) AS jaccard
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5
+        """,
+        # simhash (md5 signature mode): DuckDB recomputes every signature
+        # from scratch — the full vote/pack machinery is differentially
+        # checked, not just the grouping.
+        "simhash_dedup": f"""
+            WITH {_d_simhash_ctes()}
+            SELECT simhash, min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM sh_p GROUP BY simhash
+        """,
+        # Pigeonhole banding has recall 1.0 by construction, so brute-force
+        # all-pairs popcount is an exact oracle (viable only at oracle SF;
+        # the engine never materializes the pair space).
+        "simhash_pairs": f"""
+            WITH {_d_simhash_ctes()}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sh_p a JOIN sh_p b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # approx_sketches / ivf_topk / lsh_topk: genuinely approximate
+        # (HLL internals / float-scored ANN) — rows-only driver check;
+        # recall gates live in tests/test_functions.py.
     }

@@ -397,15 +397,30 @@ def main() -> None:
         if result is not None:
             _force(result)
 
+    def clear_cached_state() -> None:
+        # Several operators persist() shared intermediates (shingle frames,
+        # span postings, hashed vectors); their blocks outlive the query.
+        # Across a 40+-query session the block manager fills with dead
+        # cached plans — later queries time 3-5× slower from eviction
+        # pressure and CacheManager plan-matching. A cluster job runs one
+        # query per session, so the honest steady-state protocol drops all
+        # cached state between queries (and between timed passes, so no
+        # pass reuses the warm pass's blocks via logical-plan matching).
+        spark.catalog.clearCache()  # DataFrame persist() → CacheManager
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()  # raw RDD persists (none expected, belt+braces)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in paired.items():
         run_once(fn)  # steady-state warm pass (codegen, shuffle machinery)
+        clear_cached_state()
         samples = []
         for _ in range(3):  # median-of-3, mirrors the reference side
             t0 = time.monotonic()
             run_once(fn)
             samples.append(time.monotonic() - t0)
+            clear_cached_state()
         timings[name] = round(sorted(samples)[1], 3)
     for name, fn in extensions.items():
         # Same steady-state protocol as B1-B5: the first pass (recorded as
@@ -415,9 +430,11 @@ def main() -> None:
         t0 = time.monotonic()
         run_once(fn)
         cold[name] = round(time.monotonic() - t0, 3)
+        clear_cached_state()
         t0 = time.monotonic()
         run_once(fn)
         timings[name] = round(time.monotonic() - t0, 3)
+        clear_cached_state()
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)

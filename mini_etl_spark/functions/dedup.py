@@ -532,10 +532,26 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash64(col: Column, text_mode: bool = True) -> Column:
+def _element_hash64(col: Column | str, hash_fn: str) -> Column:
+    """64-bit element hash for signature schemes. ``"xxhash64"`` is the
+    fast default (one JVM intrinsic); ``"md5"`` builds the word from two
+    32-bit halves of the md5 hex digest — slower, but byte-identical in
+    any engine with md5 (DuckDB, Postgres, pandas), which is what makes
+    SimHash signatures differentially testable across engines."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        hx = F.md5(col)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def simhash64(col: Column, text_mode: bool = True, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over token shingles (or any string array column):
     bit j of the result = sign of Σ over elements of ±1 by the element's
-    xxhash64 bit j. Near-duplicate documents differ in few bits.
+    hash bit j. Near-duplicate documents differ in few bits.
 
     Pure column expressions: per-bit vote via aggregate over the array,
     assembled with shiftleft/bitwise-or — no UDF, no shuffle.
@@ -548,7 +564,10 @@ def simhash64(col: Column, text_mode: bool = True) -> Column:
             arr,
             F.lit(0),
             lambda acc, g: acc
-            + F.when(F.shiftright(F.xxhash64(g), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.when(
+                F.shiftright(_element_hash64(g, hash_fn), j).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1),
         )
         return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
 
@@ -559,7 +578,7 @@ def simhash64(col: Column, text_mode: bool = True) -> Column:
 
 
 def _simhash_frame(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """(``__id``, ``simhash``) — the shared signature stage.
 
@@ -569,14 +588,23 @@ def _simhash_frame(
     but ~an order of magnitude faster (64 array-aggregate HOFs evaluate
     interpreted; the explode form stays in codegen). Docs with no shingles
     drop out at the explode."""
-    postings = _shingled(df, text_col, id_col, n).select(
-        "__id", F.explode("__sh").alias("__g")
+    # explode_outer + post-generate null filter, NOT explode: a plain
+    # explode makes Catalyst infer `size(__sh) > 0` and push it below the
+    # projections, re-inlining the whole tokenize+shingle chain into every
+    # element_at — O(tokens × full-retokenize) per doc (measured 5× on
+    # this stage). The filter on the generated column cannot sink.
+    postings = (
+        _shingled(df, text_col, id_col, n)
+        .select("__id", F.explode_outer("__sh").alias("__g"))
+        .filter(F.col("__g").isNotNull())
     )
+    # hash once per posting, vote all 64 bits off the same column
+    postings = postings.select("__id", _element_hash64("__g", hash_fn).alias("__h"))
     votes = postings.groupBy("__id").agg(
         *[
             F.sum(
                 F.when(
-                    F.shiftright(F.xxhash64("__g"), j).bitwiseAND(F.lit(1)) == 1, 1
+                    F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1)
             ).alias(f"__v{j}")
             for j in range(64)
@@ -596,11 +624,14 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Group documents by exact SimHash64 value — the cheapest near-dup
     *key* (catches hamming-distance-0 clusters; :func:`simhash_pairs` is
-    the ≤k-bit-tolerance companion)."""
-    hashed = _simhash_frame(df, text_col, id_col, n).withColumnRenamed(
+    the ≤k-bit-tolerance companion). ``hash_fn="md5"`` computes
+    engine-portable signatures (bit-identical in DuckDB — the driver's
+    differential oracle recomputes them in SQL)."""
+    hashed = _simhash_frame(df, text_col, id_col, n, hash_fn).withColumnRenamed(
         "__id", id_col
     )
     return hashed.groupBy("simhash").agg(
@@ -614,6 +645,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs at SimHash hamming distance ≤ ``max_hamming``.
 
@@ -628,7 +660,7 @@ def simhash_pairs(
     if not 0 <= max_hamming <= 63:
         raise ValueError("simhash_pairs: max_hamming must be in [0, 63]")
     bands = max_hamming + 1
-    sh = _simhash_frame(df, text_col, id_col, n).persist()
+    sh = _simhash_frame(df, text_col, id_col, n, hash_fn).persist()
     width, extra = divmod(64, bands)
     # band b covers [start, start+w): first `extra` bands get width+1 bits
     starts, s = [], 0

@@ -41,6 +41,25 @@ def tokens(col: Column | str) -> Column:
     return F.filter(parts, lambda t: t != F.lit(""))
 
 
+def exploded_tokens(
+    df: DataFrame, text_col: str, id_col: str, id_alias: str, tok_alias: str
+) -> DataFrame:
+    """(id, token) postings — one row per token occurrence.
+
+    Materializes the token array in its own projection and explodes with
+    ``explode_outer`` + a post-generate null filter instead of a plain
+    ``explode``: plain explode makes Catalyst infer ``size(tokens(x)) > 0``
+    and push it below the projection, re-inlining (and re-evaluating) the
+    regex tokenize chain per row. The null filter on the generated column
+    cannot sink, so the tokenizer runs exactly once per document.
+    Token-less documents are dropped, same as explode."""
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .select(F.col(id_col).alias(id_alias), F.explode_outer("__toks").alias(tok_alias))
+        .filter(F.col(tok_alias).isNotNull())
+    )
+
+
 def whitespace_token_count(col: Column | str) -> Column:
     """Tokens by whitespace splitting of the trimmed text (0 for blank)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -297,7 +316,7 @@ def top_token_fraction(
     max/sum — because an array-mode would need an interpreted aggregate
     HOF. Two hash aggregates with map-side partials; scales linearly and
     the per-doc cardinality is bounded by vocabulary size."""
-    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    exploded = exploded_tokens(df, text_col, id_col, id_col, "__tok")
     per_tok = exploded.groupBy(id_col, "__tok").agg(F.count("*").alias("__n"))
     return per_tok.groupBy(id_col).agg(
         F.round(F.max("__n").cast("double") / F.sum("__n"), 4).alias(out_col)
@@ -435,9 +454,7 @@ def unigram_logprob_score(
     vocabulary aggregate and the per-doc join — corpus scans once; the
     (token, count) model is vocabulary-sized and joins per token with
     map-side partial sums. Scalar totals ride in as a 1-row broadcast."""
-    toks = df.select(
-        F.col(id_col).alias("__did"), F.explode(tokens(text_col)).alias("__tok")
-    )
+    toks = exploded_tokens(df, text_col, id_col, "__did", "__tok")
     vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     totals = vocab.agg(
         F.sum("__c").cast("double").alias("__total"),
@@ -481,9 +498,7 @@ def hashed_doc_vectors(
     replay bit-for-bit."""
     from mini_etl_spark.functions.splits import hash_bucket
 
-    toks = df.select(
-        F.col(id_col).alias("__did"), F.explode(tokens(text_col)).alias("__tok")
-    )
+    toks = exploded_tokens(df, text_col, id_col, "__did", "__tok")
     counts = toks.groupBy(
         "__did", hash_bucket("__tok", seed, dim).alias("__b")
     ).agg(F.count(F.lit(1)).alias("__c"))
