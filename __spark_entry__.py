@@ -1262,6 +1262,40 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embeddings table —
+    the 4× storage lever for 100 TB embedding stores. One posexplode
+    aggregate for per-dim min/max (dimension-sized, broadcast back as
+    literals), then a pure codegen projection; floor(+0.5) half-up codes
+    replay bit-for-bit in DuckDB (full hash oracle). Flattened to
+    (vec_id, pos, code) scalar rows for engine-portable comparison."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.quantize_embeddings(emb, levels=256)
+    return q.select(
+        "vec_id", F.posexplode("codes").alias("pos", "code")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (the merge table as data): ONE distributed
+    pass reduces the corpus to a (word, count) histogram — the only
+    corpus-sized stage, map-side combined, output vocabulary-bounded —
+    then the classic merge loop runs driver-side over the histogram (its
+    working set is the vocabulary, never the corpus; frequency ties break
+    lexicographically so the result is a pure function of the histogram).
+    Iterative algorithm — no SQL oracle (rows-only driver check); the
+    cross-engine differential (DuckDB histogram → same loop) is
+    tests/test_bpe.py."""
+    from mini_etl_spark.functions import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = [(r.word, r["count"]) for r in bpe.word_histogram(docs).collect()]
+    merges = bpe.train_bpe_merges(hist, 50)
+    return bpe.merges_df(spark, merges)
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate signals: duplicate bigram and
     trigram fractions, mean word length, duplicate-line ratio (columnar,
@@ -2007,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "funnel": q_funnel,
         "vocab_top_terms": q_vocab_top_terms,
+        "bpe_vocab": q_bpe_vocab,
+        "embedding_quantize": q_embedding_quantize,
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
@@ -3501,7 +3537,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sh_p a JOIN sh_p b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
+        # Scalar quantization: per-dim min/max recomputed in SQL; the
+        # subtraction producing the range runs in DOUBLE on both sides
+        # (Spark collects float32-exact values and subtracts in Python
+        # doubles), so codes replay bit-for-bit.
+        "embedding_quantize": """
+            WITH pos AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding) AS x
+              FROM embeddings),
+            stats AS (
+              SELECT pos, min(x)::DOUBLE AS mn,
+                     max(x)::DOUBLE - min(x)::DOUBLE AS rng
+              FROM pos GROUP BY pos)
+            SELECT p.vec_id, p.pos,
+                   CASE WHEN s.rng = 0 THEN 0
+                        ELSE CAST(floor((p.x::DOUBLE - s.mn) / s.rng * 255.0 + 0.5)
+                                  AS INTEGER) END AS code
+            FROM pos p JOIN stats s USING (pos)
+        """,
         # approx_sketches / ivf_topk / lsh_topk: genuinely approximate
         # (HLL internals / float-scored ANN) — rows-only driver check;
         # recall gates live in tests/test_functions.py.
+        # bpe_vocab: iterative algorithm (driver merge loop over the
+        # distributed histogram) — rows-only here; the cross-engine
+        # differential (DuckDB histogram → identical loop) is
+        # tests/test_bpe.py.
     }

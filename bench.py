@@ -327,6 +327,16 @@ def main() -> None:
         to_csv(os.path.join(tmp, "b5"), mode="overwrite")(df)
         return None
 
+    def _cell_pairs_arrow(spark, sf_dir):
+        # the at-scale path of the same SemDeDup pair query the oracle
+        # checks: one numpy/BLAS matmul per cell instead of per-pair
+        # interpreted zip_with aggregates
+        from mini_etl_spark.functions import similarity as sim
+
+        emb = read_parquet(f"{sf_dir}/embeddings.parquet")(spark)
+        cents = sim.random_unit_centroids(dim=64, k=16, seed=11)
+        return sim.cell_cosine_pairs(emb, cents, threshold=0.9, method="arrow")
+
     def _knn_join_arrow(spark, sf_dir):
         # the at-scale path of the same retrieval join the oracle checks:
         # BLAS matmul kernels for assignment/probing/scoring
@@ -376,6 +386,7 @@ def main() -> None:
         "corpus_shuffle": queries["corpus_shuffle"],
         "quality_percentile": queries["quality_percentile"],
         "semantic_cell_pairs": queries["semantic_cell_pairs"],
+        "cell_pairs_arrow": _cell_pairs_arrow,
         "line_hygiene": queries["line_hygiene"],
         "incremental_rollup": queries["incremental_rollup"],
         "embedding_centroids": queries["embedding_centroids"],

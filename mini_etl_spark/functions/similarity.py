@@ -740,3 +740,54 @@ def _cell_cosine_pairs_arrow(
     return assigned.groupBy("ivf_cell").applyInPandas(
         _pairs, "id_a bigint, id_b bigint, cell bigint, cosine double"
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+    out_col: str = "codes",
+) -> DataFrame:
+    """Per-dimension scalar quantization to ``levels`` integer codes —
+    the storage/bandwidth lever for 100 TB embedding tables (float32 →
+    int8 is 4×; ANN recall loss is typically <1% at 256 levels).
+
+    Two-phase plan: (1) one aggregate pass computes per-dimension min/max
+    (``posexplode`` → hash aggregate — dimension-sized output, collected
+    to the driver like any scalar-stats broadcast); (2) codes are a pure
+    projection ``floor((x - min_d) / (max_d - min_d) * (levels-1) + 0.5)``
+    with the per-dim stats as literal arrays — zero additional shuffles,
+    whole-stage codegen. Constant dimensions (max == min) code to 0.
+
+    The arithmetic is plain float64 with half-up rounding via the
+    floor(+0.5) trick, so an external engine replays the codes
+    bit-for-bit (full-hash DuckDB oracle in the driver battery).
+
+    Returns (id, ``out_col`` array<int>). Dequantize with
+    ``x̂ = min_d + code * (max_d - min_d) / (levels-1)``.
+    """
+    stats = (
+        df.select(F.posexplode(vec_col).alias("__pos", "__x"))
+        .groupBy("__pos")
+        .agg(F.min("__x").alias("__mn"), F.max("__x").alias("__mx"))
+        .orderBy("__pos")
+        .collect()
+    )
+    mins = F.array(*[F.lit(float(r["__mn"])) for r in stats])
+    # 0.0 range sentinel for constant dims; guarded in the code expression
+    ranges = F.array(*[F.lit(float(r["__mx"]) - float(r["__mn"])) for r in stats])
+
+    def _code(x: Column, i: Column) -> Column:
+        rng = F.element_at(ranges, i + 1)
+        mn = F.element_at(mins, i + 1)
+        return F.when(rng == 0.0, F.lit(0)).otherwise(
+            F.floor(
+                (x.cast("double") - mn) / rng * F.lit(float(levels - 1)) + F.lit(0.5)
+            ).cast("int")
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), _code).alias(out_col),
+    )

@@ -1172,3 +1172,37 @@ def test_sample_video_frames_ppm_stream(spark):
     assert all(
         mm.decode_image(bytes(r["frame"]), "ppm").shape == (3, 4, 3) for r in got
     )
+
+
+def test_quantize_embeddings_codes_and_error(spark):
+    """int8 scalar quantization: codes in range, constant dims code to 0,
+    and dequantized vectors stay within half a quantization step per dim."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = sim.quantize_embeddings(emb, levels=256)
+    rows = {r.vec_id: r.codes for r in q.collect()}
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert rows.keys() == orig.keys()
+    dim = len(next(iter(orig.values())))
+    mins = [min(v[d] for v in orig.values()) for d in range(dim)]
+    maxs = [max(v[d] for v in orig.values()) for d in range(dim)]
+    for vid, codes in rows.items():
+        assert len(codes) == dim
+        for d, c in enumerate(codes):
+            assert 0 <= c <= 255
+            rng = maxs[d] - mins[d]
+            if rng == 0:
+                assert c == 0
+                continue
+            step = rng / 255.0
+            dequant = mins[d] + c * step
+            assert abs(dequant - orig[vid][d]) <= step / 2 + 1e-9
+
+
+def test_quantize_embeddings_constant_dim(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0]), (3, [1.0, 6.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: r.codes for r in sim.quantize_embeddings(df, levels=256).collect()}
+    assert all(c[0] == 0 for c in got.values())  # constant dim -> 0
+    assert got[1][1] == 0 and got[2][1] == 255  # endpoints hit the rails
