@@ -46,7 +46,7 @@ TRANSFORMER_TYPES = {
     "hash_split", "sample", "stratified_sample",
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
-    "cap_per_group", "remove_spans",
+    "cap_per_group", "remove_spans", "bpe_encode", "quantize",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -302,6 +302,40 @@ class ConfigLoader:
             seed = int(o.get("seed", 42))
             out = o.get("output", "embedding")
             return lambda df: tx.hashed_doc_vectors(df, col, id_col, dim, seed, out)
+        if spec.type == "bpe_encode":
+            from mini_etl_spark.functions import bpe
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            out = o.get("output", "bpe_tokens")
+            merges_path = o.get("merges_path")
+            num_merges = int(o.get("num_merges", 1000))
+
+            def _bpe(df):
+                if merges_path:
+                    rows = (
+                        df.sparkSession.read.parquet(merges_path)
+                        .orderBy("rank")
+                        .collect()
+                    )
+                    merges = [(r.left, r.right) for r in rows]
+                else:  # corpus-fit: train on the incoming frame itself
+                    hist = [
+                        (r.word, r["count"])
+                        for r in bpe.word_histogram(df, col, id_col).collect()
+                    ]
+                    merges = bpe.train_bpe_merges(hist, num_merges)
+                return bpe.apply_bpe(df, merges, col, id_col, out)
+
+            return _bpe
+        if spec.type == "quantize":
+            from mini_etl_spark.functions import similarity as sim
+
+            vec_col = o.get("column", "embedding")
+            id_col = o.get("id", "vec_id")
+            levels = int(o.get("levels", 256))
+            out = o.get("output", "codes")
+            return lambda df: sim.quantize_embeddings(df, vec_col, id_col, levels, out)
         if spec.type == "mix":
             from mini_etl_spark.functions import mixing as mx
 

@@ -430,3 +430,57 @@ sink: {{type: parquet, path: '{out}', mode: overwrite}}
     loader.build_pipeline(config).run(spark)
     kept = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
     assert kept == [0, 3, 4]
+
+
+def test_bpe_and_quantize_config_vocab(spark, tmp_path):
+    """bpe_encode (corpus-fit) and quantize run from YAML config."""
+    src = tmp_path / "docs_bpe"
+    spark.createDataFrame(
+        [(i, "the quick brown fox jumps " * 2 + f"doc {i}") for i in range(20)],
+        "doc_id bigint, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "bpe_out"
+    cfg = tmp_path / "b.yaml"
+    cfg.write_text(
+        f"""
+name: tokenizer
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: bpe_encode
+    num_merges: 30
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    back = spark.read.parquet(str(out))
+    assert back.count() == 20
+    row = back.filter("doc_id = 0").first()
+    assert any(len(s.replace("</w>", "")) > 1 for s in row.bpe_tokens)
+
+    vec_src = tmp_path / "vecs_q"
+    spark.createDataFrame(
+        [(i, [float(i), float(i) * 2.0, 7.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(str(vec_src))
+    out2 = tmp_path / "q_out"
+    cfg2 = tmp_path / "q.yaml"
+    cfg2.write_text(
+        f"""
+name: quantizer
+source: {{type: parquet, path: '{vec_src}'}}
+transformers:
+  - type: quantize
+    levels: 16
+sink: {{type: parquet, path: '{out2}', mode: overwrite}}
+"""
+    )
+    config2 = loader.load(cfg2)
+    assert config2.validate() == []
+    loader.build_pipeline(config2).run(spark)
+    codes = {r.vec_id: r.codes for r in spark.read.parquet(str(out2)).collect()}
+    assert len(codes) == 10
+    assert codes[0][0] == 0 and codes[9][0] == 15  # endpoints hit the rails
+    assert all(c[2] == 0 for c in codes.values())  # constant dim -> 0
