@@ -177,6 +177,8 @@ class ConfigLoader:
         if spec.type == "parquet":
             return src.read_parquet(path, **o)
         if spec.type == "orc":
+            if o.pop("stream", False):
+                raise ValueError("stream: true is supported for csv/json/parquet sources")
             return src.read_orc(path, **o)
         if spec.type == "excel":
             return src.read_excel(path, **o)

@@ -141,10 +141,33 @@ class Pipeline:
         stats: dict[str, Any] = {"name": self.name, "rows": 0, "errors": 0}
         try:
             df = self.dataframe(spark)
-            obs = Observation(f"stats_{uuid.uuid4().hex[:8]}")
-            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            self._sink(observed)
-            stats["rows"] = int(obs.get.get("rows", 0))
+            if df.isStreaming:
+                # Streaming pipelines: the sink runs a checkpointed
+                # availableNow query and returns it. Row stats come from a
+                # NAMED observe — the file sink reports numOutputRows=-1
+                # and the batch Observation API blocks, but named observed
+                # metrics ride in every micro-batch progress. Same
+                # pipeline definition, incremental execution — the config
+                # surface's `stream: true` flag.
+                obs_name = f"stats_{uuid.uuid4().hex[:8]}"
+                observed = df.observe(obs_name, F.count(F.lit(1)).alias("rows"))
+                query = self._sink(observed)
+                rows = 0
+                for p in getattr(query, "recentProgress", None) or []:
+                    metrics = (
+                        p.get("observedMetrics")
+                        if isinstance(p, dict)
+                        else p.observedMetrics
+                    ) or {}
+                    m = metrics.get(obs_name)
+                    if m is not None:
+                        rows += int(m["rows"] if not hasattr(m, "rows") else m.rows)
+                stats["rows"] = rows
+            else:
+                obs = Observation(f"stats_{uuid.uuid4().hex[:8]}")
+                observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                self._sink(observed)
+                stats["rows"] = int(obs.get.get("rows", 0))
         except Exception as exc:  # noqa: BLE001
             stats["errors"] = 1
             for cb in self._on_error_cbs:

@@ -32,18 +32,59 @@ def _spark_mode(mode: str) -> str:
     return _MODE_MAP[mode]
 
 
+def _write_stream(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    checkpoint: str | None,
+    options: dict,
+    partition_by: list[str] | None = None,
+):
+    """Streaming twin of the file writers: checkpointed availableNow
+    append — runs as an incremental batch over pending input and
+    terminates (exactly-once across restarts via the checkpoint; the
+    scheduled-ETL mode). Checkpoint defaults to ``<path>/_checkpoint`` —
+    the underscore prefix hides it from file-listing reads of the
+    output. Returns the finished StreamingQuery (progress carries sink
+    row counts for pipeline stats)."""
+    import os
+
+    writer = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint or os.path.join(path, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    query = writer.start()
+    query.awaitTermination()
+    return query
+
+
 def to_csv(
     path: str,
     mode: str = "w",
     header: bool = True,
     single_file: bool = False,
+    checkpoint: str | None = None,
     **options: Any,
 ) -> Sink:
     """CSV writer (⇐ CSVLoader, loaders.py:18-99). Parent dirs are created by
     Spark; header handling is per-file (the reference's first-chunk-only
-    header logic is a chunk artifact)."""
+    header logic is a chunk artifact). Streaming frames write through the
+    checkpointed availableNow path (append-only; ``mode`` is a batch
+    concept and is ignored)."""
 
     def _write(df: DataFrame) -> None:
+        if df.isStreaming:
+            return _write_stream(
+                df, path, "csv", checkpoint,
+                {"header": str(header).lower(), **options},
+            )
         out = df.coalesce(1) if single_file else df
         writer = out.write.mode(_spark_mode(mode)).option("header", str(header).lower())
         for k, v in options.items():
@@ -58,14 +99,20 @@ def to_json(
     mode: str = "w",
     lines: bool = True,
     single_file: bool = False,
+    checkpoint: str | None = None,
     **options: Any,
 ) -> Sink:
     """JSON writer (⇐ JSONLoader, loaders.py:102-194). ``lines=True`` (JSONL)
     is the distributed path. ``lines=False`` writes a single JSON array —
     driver-side and memory-bounded, warned against exactly as the reference
-    warns (loaders.py:129-133)."""
+    warns (loaders.py:129-133). Streaming frames write through the
+    checkpointed availableNow path (JSONL only)."""
 
     def _write(df: DataFrame) -> None:
+        if df.isStreaming:
+            if not lines:
+                raise ValueError("streaming JSON sink requires lines=True (JSONL)")
+            return _write_stream(df, path, "json", checkpoint, dict(options))
         if not lines:
             logger.warning(
                 "to_json(lines=False) buffers the full result on the driver; "
@@ -92,6 +139,7 @@ def to_parquet(
     compression: str | None = None,
     sort_by: list[str] | None = None,
     sort_partitions: int | None = None,
+    checkpoint: str | None = None,
     **options: Any,
 ) -> Sink:
     """Parquet writer (⇐ ParquetLoader, loaders.py:279-378). ``partition_by``
@@ -105,9 +153,24 @@ def to_parquet(
     predicates on those columns skip whole files (the poor man's
     clustering; use for the 1-2 columns your queries filter on most).
     ``sort_partitions`` pins the output file count (an explicit count is
-    exempt from AQE coalescing; default lets AQE size the shuffle)."""
+    exempt from AQE coalescing; default lets AQE size the shuffle).
+
+    Streaming frames write through the checkpointed availableNow path
+    (append-only micro-batches; ``sort_by`` is a batch-layout concept and
+    is rejected — compact/cluster the landed files with
+    ``maintenance.compact_parquet`` instead)."""
 
     def _write(df: DataFrame) -> None:
+        if df.isStreaming:
+            if sort_by:
+                raise ValueError(
+                    "to_parquet(sort_by=...) is batch-only; compact the "
+                    "streamed output with maintenance.compact_parquet"
+                )
+            opts = dict(options)
+            if compression:
+                opts["compression"] = compression
+            return _write_stream(df, path, "parquet", checkpoint, opts, partition_by)
         if sort_by:
             if sort_partitions:
                 df = df.repartitionByRange(sort_partitions, *sort_by)

@@ -17,6 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 Source = Callable[[SparkSession], DataFrame]
 
 
+def _stream_path(path: str) -> str:
+    """FileStreamSource wants a directory; expose a single file through a
+    temp dir containing a symlink (zero-copy)."""
+    import os
+    import tempfile
+
+    if not os.path.isfile(path):
+        return path
+    link_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(link_dir, os.path.basename(path)))
+    return link_dir
+
+
 def read_csv(
     path: str,
     header: bool = True,
@@ -24,6 +37,7 @@ def read_csv(
     schema: Any | None = None,
     columns: list[str] | None = None,
     infer_schema: bool = True,
+    stream: bool = False,
     **options: Any,
 ) -> Source:
     """CSV scan (⇐ CSVExtractor, extractors.py:19-76). ``columns`` maps the
@@ -32,21 +46,40 @@ def read_csv(
 
     Scale note: ``infer_schema`` costs an extra pass over the data — pass an
     explicit ``schema`` for production scans.
+
+    ``stream=True`` returns a Structured Streaming source over the same
+    path (files appearing later become micro-batches). Streams need a
+    fixed schema: pass ``schema``, or the factory runs one batch
+    inference pass up front (startup cost, documented trade).
     """
 
     def _read(spark: SparkSession) -> DataFrame:
-        reader = (
-            spark.read.option("header", str(header).lower())
-            .option("encoding", encoding)
-            .option("mode", options.pop("mode", "PERMISSIVE"))
-        )
-        if schema is not None:
-            reader = reader.schema(schema)
-        elif infer_schema:
-            reader = reader.option("inferSchema", "true")
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        df = reader.csv(path)
+        parse_mode = options.pop("mode", "PERMISSIVE")
+
+        def _configure(reader):
+            reader = (
+                reader.option("header", str(header).lower())
+                .option("encoding", encoding)
+                .option("mode", parse_mode)
+            )
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            return reader
+
+        if stream:
+            s = schema
+            if s is None:
+                s = _configure(
+                    spark.read.option("inferSchema", str(infer_schema).lower())
+                ).csv(path).schema
+            df = _configure(spark.readStream.schema(s)).csv(_stream_path(path))
+        else:
+            reader = _configure(spark.read)
+            if schema is not None:
+                reader = reader.schema(schema)
+            elif infer_schema:
+                reader = reader.option("inferSchema", "true")
+            df = reader.csv(path)
         return df.select(*columns) if columns else df
 
     return _read
@@ -57,22 +90,33 @@ def read_json(
     lines: bool = True,
     schema: Any | None = None,
     columns: list[str] | None = None,
+    stream: bool = False,
     **options: Any,
 ) -> Source:
     """JSON scan (⇐ JSONExtractor, extractors.py:79-148). ``lines=True`` is
     JSONL (splittable — the scale path); ``lines=False`` reads a JSON array
     via multiLine mode (non-splittable per file: one task per file, fine for
-    many files, a bottleneck for one giant array — prefer JSONL)."""
+    many files, a bottleneck for one giant array — prefer JSONL).
+
+    ``stream=True``: Structured Streaming source; schema comes from the
+    ``schema`` argument or one up-front batch inference pass."""
 
     def _read(spark: SparkSession) -> DataFrame:
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        if not lines:
-            reader = reader.option("multiLine", "true")
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        df = reader.json(path)
+        def _configure(reader):
+            if not lines:
+                reader = reader.option("multiLine", "true")
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            return reader
+
+        if stream:
+            s = schema if schema is not None else _configure(spark.read).json(path).schema
+            df = _configure(spark.readStream.schema(s)).json(_stream_path(path))
+        else:
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = _configure(reader).json(path)
         return df.select(*columns) if columns else df
 
     return _read
@@ -101,6 +145,7 @@ def read_parquet(
     path: str,
     columns: list[str] | None = None,
     ns_timestamp_columns: list[str] | None = None,
+    stream: bool = False,
     **options: Any,
 ) -> Source:
     """Parquet scan (⇐ ParquetExtractor, extractors.py:223-282). The
@@ -110,15 +155,24 @@ def read_parquet(
 
     ``ns_timestamp_columns``: Spark's parquet reader rejects TIMESTAMP(NANOS)
     fields; listing them here reads nanos as int64 (legacy conf) and converts
-    to microsecond timestamps — all column-wise JVM expressions, no UDF."""
+    to microsecond timestamps — all column-wise JVM expressions, no UDF.
+
+    ``stream=True``: Structured Streaming source over the same path (schema
+    pinned by a footer-only metadata read; later-arriving files become
+    micro-batches). The ns-timestamp normalization applies identically."""
 
     def _read(spark: SparkSession) -> DataFrame:
         if ns_timestamp_columns:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        reader = spark.read
+        if stream:
+            # footer-only metadata read pins the stream schema
+            s = spark.read.parquet(path).schema
+            reader = spark.readStream.schema(s)
+        else:
+            reader = spark.read
         for k, v in options.items():
             reader = reader.option(k, v)
-        df = reader.parquet(path)
+        df = reader.parquet(_stream_path(path) if stream else path)
         from pyspark.sql import functions as F
 
         from pyspark.sql.types import LongType, TimestampNTZType
