@@ -1100,6 +1100,27 @@ def q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the other canonical event-analytics shape next to
+    the funnel): users grouped by first-activity day, distinct active
+    users per (cohort, day-offset). Two hash aggregates + one equi join,
+    all shuffling on user_id — the cohort join reuses the first
+    aggregate's partitioning, so the fact table hashes once."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        days.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): per user, the first
     view, the first click strictly after it, the first purchase strictly
@@ -2040,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_sketches": q_approx_sketches,
         "json_extract": q_json_extract,
         "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "vocab_top_terms": q_vocab_top_terms,
         "bpe_vocab": q_bpe_vocab,
         "embedding_quantize": q_embedding_quantize,
@@ -2804,6 +2826,16 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             LEFT JOIN c ON v.user_id = c.user_id
             LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "retention_cohorts": """
+            WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                       FROM events GROUP BY user_id),
+            d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+            SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+                   count(DISTINCT d.user_id) AS active_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "unpivot": """
             SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value

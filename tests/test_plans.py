@@ -67,3 +67,31 @@ def test_orderby_limit_is_top_k(spark):
 def test_summary_renders(spark, lineitem):
     s = plans.explain_summary(ops.filter_rows("l_quantity < 5")(lineitem))
     assert "pushed_filters" in s
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A hive-partitioned fact joined to a filtered dimension on the
+    partition column must scan only the partitions the dimension filter
+    selects — Catalyst's dynamic partition pruning, the mechanism that
+    turns a 100 TB date-partitioned fact scan into a few partitions'
+    worth. Visible as a dynamicpruning expression in the fact scan's
+    PartitionFilters."""
+    from mini_etl_spark.sinks import to_parquet
+
+    fact_path = str(tmp_path / "fact_part")
+    lineitem = read_parquet(f"{SF_SMALL}/lineitem.parquet")(spark)
+    to_parquet(fact_path, mode="overwrite", partition_by=["l_returnflag"])(lineitem)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", "keep")], "flag string, label string"
+    )
+    joined = fact.join(
+        dim.filter(F.col("label") == "keep"),
+        fact.l_returnflag == dim.flag,
+    ).select("l_orderkey", "flag")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the join result is the pruned partition's rows only
+    want = lineitem.filter("l_returnflag = 'A'").count()
+    assert joined.count() == want > 0
