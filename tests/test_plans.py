@@ -95,3 +95,34 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     # and the join result is the pruned partition's rows only
     want = lineitem.filter("l_returnflag = 'A'").count()
     assert joined.count() == want > 0
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering: a selective filter on one side of a
+    shuffle join injects a bloom_filter_agg on that side and a might_contain
+    probe into the other side's scan — rows that cannot join are dropped
+    before the shuffle. At 100 TB this fires on default thresholds (the
+    application side must be scan-heavy); at test size we lower the
+    thresholds to prove the optimizer wiring."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = read_parquet(f"{SF_SMALL}/lineitem.parquet")(spark)
+        orders = read_parquet(f"{SF_SMALL}/orders.parquet")(spark).filter(
+            "o_totalprice > 400000"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
