@@ -269,3 +269,63 @@ def test_mixture_budget_overshoot_bounded(spark, budget, sizes):
     assert total <= budget + max(sizes)
     bigger = mix_by_token_budget(df, {"s": budget + 50}).collect()
     assert {r["doc_id"] for r in got} <= {r["doc_id"] for r in bigger}
+
+
+words_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdef", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(hist=words_strategy, n=st.integers(min_value=0, max_value=40))
+def test_bpe_merges_deterministic_and_reconstructive(hist, n):
+    """Pure-driver properties: training is a deterministic function of the
+    histogram (input order irrelevant), and encoding any trained word
+    reconstructs it exactly."""
+    from mini_etl_spark.functions import bpe
+
+    m1 = bpe.train_bpe_merges(hist, n)
+    m2 = bpe.train_bpe_merges(list(reversed(hist)), n)
+    assert m1 == m2
+    ranks = {p: i for i, p in enumerate(m1)}
+    for w, _ in hist:
+        syms = bpe._encode_word(w, ranks)
+        assert "".join(syms).replace(bpe.END, "") == w
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=15,
+    ),
+    levels=st.sampled_from([2, 16, 256]),
+)
+def test_quantize_codes_in_range_and_monotone(spark, vecs, levels):
+    """Codes stay in [0, levels-1] and preserve per-dimension order: if
+    x <= y in some dimension, code(x) <= code(y)."""
+    from mini_etl_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: r.codes for r in sim.quantize_embeddings(df, levels=levels).collect()}
+    assert got.keys() == {i for i in range(len(vecs))}
+    for codes in got.values():
+        assert all(0 <= c <= levels - 1 for c in codes)
+    for d in range(3):
+        order = sorted(range(len(vecs)), key=lambda i: vecs[i][d])
+        cs = [got[i][d] for i in order]
+        assert cs == sorted(cs)
