@@ -399,6 +399,9 @@ def main() -> None:
         "knn_join_arrow": _knn_join_arrow,
         "snapshot_diff": queries["snapshot_diff"],
         "resample": queries["resample"],
+        "retention_cohorts": queries["retention_cohorts"],
+        "embedding_quantize": queries["embedding_quantize"],
+        "bpe_vocab": queries["bpe_vocab"],
         "returned_revenue": queries["returned_revenue"],
         "brand_revenue": queries["brand_revenue"],
     }

@@ -16,6 +16,8 @@ from tests.conftest import SF_SMALL
         ("corpus_pipeline.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
         ("chunk_pack.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
         ("incremental_events.yaml", {"ORDERS_DIR": f"{SF_SMALL}/orders.parquet"}),
+        ("streaming_quality_gate.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
+        ("tokenize_corpus.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
     ],
 )
 def test_example_config_runs(spark, tmp_path, monkeypatch, name, env):
