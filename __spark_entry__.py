@@ -1283,6 +1283,22 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring — the billion-scale
+    compression path (dim float32 → m uint8 codes, 32× at dim=64/m=8):
+    per-subspace nearest-centroid codes (pure codegen distance
+    expressions + struct argmin), query-side lookup tables, distance =
+    m array lookups per row, TakeOrderedAndProject top-10. Seeded random
+    codebooks so the FULL chain (codes + LUT + ranking) replays in
+    DuckDB — a complete hash oracle; k-means-trained codebooks are the
+    quality path, pytest-gated (tests/test_functions.py)."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = sim.pq_random_codebooks(64, m=8, k=16, seed=13)
+    return sim.pq_adc_topk(emb, _query_vector(spark, sf_dir), cb, k=10)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension int8 scalar quantization of the embeddings table —
     the 4× storage lever for 100 TB embedding stores. One posexplode
@@ -2065,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "bpe_vocab": q_bpe_vocab,
         "embedding_quantize": q_embedding_quantize,
+        "pq_topk": q_pq_topk,
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
@@ -2164,6 +2181,46 @@ def _d_simhash_ctes() -> str:
               FROM sh_g),
             sh_v AS (SELECT doc_id, {votes} FROM sh_h GROUP BY doc_id),
             sh_p AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sh_v)
+    """
+
+
+def _d_pq_sql() -> str:
+    """DuckDB twin of pq_adc_topk over pq_random_codebooks(64, 8, 16, 13)
+    and the vec_id=0 query. Every float arithmetic chain is written with
+    the same left-associated term order as the Spark/driver side, so
+    codes, LUT values and rounded distances replay bit-for-bit. Generated
+    from the SAME codebook array — no drift possible."""
+    from mini_etl_spark.functions.similarity import pq_random_codebooks
+
+    cb = pq_random_codebooks(64, m=8, k=16, seed=13)
+    m, k, dsub = cb.shape
+
+    def sqdist(vec: str, s: int, j: int) -> str:
+        return " + ".join(
+            f"(CAST({vec}[{s * dsub + t + 1}] AS DOUBLE) - {float(cb[s][j][t])!r})"
+            f" * (CAST({vec}[{s * dsub + t + 1}] AS DOUBLE) - {float(cb[s][j][t])!r})"
+            for t in range(dsub)
+        )
+
+    code_parts, lut_parts = [], []
+    for s in range(m):
+        dists = ", ".join("(" + sqdist("embedding", s, j) + ")" for j in range(k))
+        code_parts.append(
+            "(SELECT list_position(d, list_min(d)) - 1 FROM (SELECT "
+            f"[{dists}] AS d)) AS c{s}"
+        )
+        qdists = ", ".join("(" + sqdist("q.embedding", s, j) + ")" for j in range(k))
+        lut_parts.append(f"[{qdists}] AS lut{s}")
+    code_cols = ", ".join(code_parts)
+    lut_cols = ", ".join(lut_parts)
+    score = " + ".join(f"l.lut{s}[c.c{s} + 1]" for s in range(m))
+    return f"""
+        WITH c AS (SELECT vec_id, {code_cols} FROM embeddings),
+        l AS (SELECT {lut_cols} FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        SELECT c.vec_id, round({score}, 6) AS adc_dist
+        FROM c, l
+        ORDER BY adc_dist ASC, c.vec_id ASC
+        LIMIT 10
     """
 
 
@@ -3588,6 +3645,9 @@ def oracle_sql() -> dict[str, str]:
                                   AS INTEGER) END AS code
             FROM pos p JOIN stats s USING (pos)
         """,
+        # PQ/ADC: seeded codebooks + identical left-assoc float chains
+        # make the entire compress-and-rank path SQL-replayable.
+        "pq_topk": _d_pq_sql(),
         # approx_sketches / ivf_topk / lsh_topk: genuinely approximate
         # (HLL internals / float-scored ANN) — rows-only driver check;
         # recall gates live in tests/test_functions.py.

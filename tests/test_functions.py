@@ -1206,3 +1206,42 @@ def test_quantize_embeddings_constant_dim(spark):
     got = {r.vec_id: r.codes for r in sim.quantize_embeddings(df, levels=256).collect()}
     assert all(c[0] == 0 for c in got.values())  # constant dim -> 0
     assert got[1][1] == 0 and got[2][1] == 255  # endpoints hit the rails
+
+
+def test_pq_trained_codebooks_beat_random(spark):
+    """PQ quality gate: k-means-trained codebooks must reconstruct the
+    corpus with lower squared error than seeded random codebooks, and
+    codes must be in range."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+
+    def mse(codebooks):
+        codes = {
+            r.vec_id: r.pq_codes
+            for r in sim.pq_codes(emb, codebooks).collect()
+        }
+        m, k, dsub = codebooks.shape
+        total = 0.0
+        for vid, v in vecs.items():
+            for s in range(m):
+                c = codebooks[s][codes[vid][s]]
+                d = v[s * dsub : (s + 1) * dsub] - c
+                total += float(d @ d)
+            assert all(0 <= cd < k for cd in codes[vid])
+        return total / len(vecs)
+
+    rand_cb = sim.pq_random_codebooks(64, m=8, k=8, seed=13)
+    trained_cb = sim.pq_train_codebooks(emb, m=8, k=8, iters=2)
+    assert trained_cb.shape == rand_cb.shape
+    assert mse(trained_cb) < mse(rand_cb)
+
+
+def test_pq_adc_topk_contains_near_neighbors(spark):
+    """ADC ranking sanity: the query itself (vec_id 0) must rank first
+    with (near-)zero distance under its own codebook quantization."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = list(emb.filter("vec_id = 0").first().embedding)
+    cb = sim.pq_random_codebooks(64, m=8, k=16, seed=13)
+    top = sim.pq_adc_topk(emb, q, cb, k=5).collect()
+    assert top[0].vec_id == 0
+    assert top[0].adc_dist == min(r.adc_dist for r in top)
