@@ -401,6 +401,7 @@ def main() -> None:
         "resample": queries["resample"],
         "retention_cohorts": queries["retention_cohorts"],
         "embedding_quantize": queries["embedding_quantize"],
+        "pq_topk": queries["pq_topk"],
         "bpe_vocab": queries["bpe_vocab"],
         "returned_revenue": queries["returned_revenue"],
         "brand_revenue": queries["brand_revenue"],
