@@ -65,9 +65,13 @@ def train_bpe_merges(
 
     Pure driver-side function (engine-independent — tested against a
     DuckDB-derived histogram). Pair counts update incrementally via a
-    pair→word inverted index, so each merge costs O(words containing the
-    winning pair), not O(vocabulary). Frequency ties break on the
+    pair→word inverted index, and the best pair comes from a max-heap
+    with lazy invalidation (stale/zero entries are discarded on pop) —
+    each merge costs O(words containing the winning pair · log pairs),
+    never a scan of the whole pair table. Frequency ties break on the
     lexicographically smallest pair for full determinism."""
+    import heapq
+
     words: dict[int, list] = {}   # word idx -> [symbols, count]
     for i, (w, c) in enumerate(histogram):
         words[i] = [list(_word_symbols(w)), int(c)]
@@ -79,30 +83,41 @@ def train_bpe_merges(
             pair_counts[(a, b)] += c
             pair_words[(a, b)].add(i)
 
+    # min-heap on (-count, pair): top = max count, ties -> smallest pair
+    heap = [(-cnt, pair) for pair, cnt in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def _bump(pair: tuple[str, str], delta: int) -> None:
+        cnt = pair_counts[pair] + delta
+        if cnt <= 0:
+            pair_counts.pop(pair, None)
+            pair_words.pop(pair, None)
+        else:
+            pair_counts[pair] = cnt
+            if delta > 0:  # stale smaller entries invalidate lazily
+                heapq.heappush(heap, (-cnt, pair))
+
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        best = None
-        for pair, cnt in pair_counts.items():
-            if cnt <= 0:
-                continue
-            # max count; tie -> lexicographically smallest pair
-            if (
-                best is None
-                or cnt > best[0]
-                or (cnt == best[0] and pair < best[1])
-            ):
-                best = (cnt, pair)
-        if best is None or best[0] <= 0:
-            break
-        pair = best[1]
+    while len(merges) < num_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        cur = pair_counts.get(pair, 0)
+        if cur <= 0:
+            continue  # dead pair
+        if -negc != cur:
+            # stale priority (decrements don't push): re-queue at the live
+            # count — stale entries are always >= live, so the pair keeps
+            # surfacing until its top-of-heap entry is exact
+            heapq.heappush(heap, (-cur, pair))
+            continue
         merges.append(pair)
         merged = pair[0] + pair[1]
-        for i in list(pair_words[pair]):
+        for i in list(pair_words.get(pair, ())):
             syms, c = words[i]
             # remove this word's old pair contributions
             for a, b in zip(syms, syms[1:]):
-                pair_counts[(a, b)] -= c
-                pair_words[(a, b)].discard(i)
+                if (a, b) != pair:
+                    pair_words[(a, b)].discard(i)
+                _bump((a, b), -c)
             # apply the merge left-to-right
             out, j = [], 0
             while j < len(syms):
@@ -115,7 +130,7 @@ def train_bpe_merges(
             words[i][0] = out
             # add the new contributions
             for a, b in zip(out, out[1:]):
-                pair_counts[(a, b)] += c
+                _bump((a, b), c)
                 pair_words[(a, b)].add(i)
         pair_counts.pop(pair, None)
         pair_words.pop(pair, None)

@@ -146,7 +146,11 @@ class Pipeline:
                 # availableNow query and returns it. Row stats come from a
                 # NAMED observe — the file sink reports numOutputRows=-1
                 # and the batch Observation API blocks, but named observed
-                # metrics ride in every micro-batch progress. Same
+                # metrics ride in every micro-batch progress. The session
+                # raises numRecentProgressUpdates to 10k so the ring
+                # buffer covers any availableNow backlog; a continuously
+                # running service should attach a StreamingQueryListener
+                # instead of reading recentProgress after the fact. Same
                 # pipeline definition, incremental execution — the config
                 # surface's `stream: true` flag.
                 obs_name = f"stats_{uuid.uuid4().hex[:8]}"

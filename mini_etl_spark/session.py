@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # streaming Pipeline stats sum observed metrics over recentProgress;
+        # the default ring buffer (100) would undercount runs with >100
+        # micro-batches — 10k covers any availableNow backlog job (a
+        # continuously-running service should attach a listener instead)
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
     )

@@ -19,14 +19,23 @@ Source = Callable[[SparkSession], DataFrame]
 
 def _stream_path(path: str) -> str:
     """FileStreamSource wants a directory; expose a single file through a
-    temp dir containing a symlink (zero-copy)."""
+    symlink dir (zero-copy). The dir name is DERIVED from the absolute
+    file path, not random: the checkpoint dedups files by absolute path,
+    so a restart must present the same path or the whole file would be
+    re-ingested as 'new' (and random temp dirs would leak, one per run)."""
+    import hashlib
     import os
     import tempfile
 
     if not os.path.isfile(path):
         return path
-    link_dir = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(link_dir, os.path.basename(path)))
+    abspath = os.path.abspath(path)
+    digest = hashlib.md5(abspath.encode()).hexdigest()[:16]
+    link_dir = os.path.join(tempfile.gettempdir(), f"mini_etl_stream_{digest}")
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, os.path.basename(path))
+    if not os.path.islink(link):
+        os.symlink(abspath, link)
     return link_dir
 
 

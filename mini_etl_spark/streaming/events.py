@@ -232,6 +232,7 @@ def stream_upsert_to_parquet(
     target_path: str,
     keys: list[str],
     checkpoint: str,
+    order_col: str | None = None,
     available_now: bool = True,
     await_termination: bool = True,
 ):
@@ -253,6 +254,12 @@ def stream_upsert_to_parquet(
     operation with file-level pruning. The micro-batch semantics here are
     identical either way, which is the point of the foreachBatch escape
     hatch: any batch operator becomes a streaming sink.
+
+    ``order_col``: version/timestamp column deciding last-write-wins when
+    one micro-batch carries several rows for a key (CDC streams mix
+    versions whenever file batching coalesces changes). Without it the
+    within-batch survivor is arbitrary — acceptable only for replayed
+    identical rows.
     """
     import os
 
@@ -261,7 +268,24 @@ def stream_upsert_to_parquet(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         current = read_latest_snapshot(spark, target_path)
-        delta = batch_df.dropDuplicates(keys)  # last-write-wins within batch
+        if order_col is not None:
+            # true last-write-wins: keep the row with the max order value
+            # per key (one hash aggregate over the batch)
+            payload = [c for c in batch_df.columns if c not in keys]
+            delta = (
+                batch_df.groupBy(*keys)
+                .agg(
+                    F.max_by(F.struct(*payload), F.col(order_col)).alias("__row")
+                )
+                .select(*keys, "__row.*")
+                .select(*batch_df.columns)
+            )
+        else:
+            # no ordering column: an ARBITRARY row per key survives when a
+            # batch carries several versions of one key — fine for
+            # idempotent replays, wrong for in-batch updates; pass
+            # order_col for CDC streams whose batches mix versions
+            delta = batch_df.dropDuplicates(keys)
         merged = (
             merge_upsert(current, delta, keys) if current is not None else delta
         )

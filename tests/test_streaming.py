@@ -395,3 +395,47 @@ sink: {{type: parquet, path: '{out}', checkpoint: '{tmp_path}/cckpt'}}
     stats = loader.build_pipeline(config).run(spark)
     assert stats["rows"] == 30
     assert spark.read.parquet(str(out)).count() == 30
+
+
+def test_stream_upsert_last_write_wins_within_batch(spark, tmp_path):
+    """A micro-batch carrying several versions of one key must keep the
+    max-order_col row, not an arbitrary one."""
+    src = tmp_path / "lww_src"
+    target = str(tmp_path / "lww_target")
+    src.mkdir()
+    rows = [(1, 0, "old"), (1, 5, "new"), (2, 1, "only"), (1, 3, "mid")]
+    spark.createDataFrame(rows, "k int, ver int, val string").coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    stream = spark.readStream.schema("k int, ver int, val string").parquet(str(src / "*"))
+    st.stream_upsert_to_parquet(
+        stream, target, ["k"], str(tmp_path / "lww_ckpt"), order_col="ver"
+    )
+    got = {r.k: (r.ver, r.val) for r in st.read_latest_snapshot(spark, target).collect()}
+    assert got == {1: (5, "new"), 2: (1, "only")}
+
+
+def test_single_file_stream_restart_not_reingested(spark, tmp_path):
+    """Checkpointed restart over a SINGLE-FILE streaming source must not
+    re-ingest the file (the symlink dir is derived from the file path, so
+    the checkpoint's seen-files log stays valid across runs)."""
+    from mini_etl_spark.pipeline import Pipeline
+    from mini_etl_spark.sinks import to_parquet
+
+    f = tmp_path / "single.csv"
+    f.write_text("v\n1\n2\n3\n")
+    out = str(tmp_path / "sf_out")
+
+    def run():
+        from mini_etl_spark.sources import read_csv
+
+        return (
+            Pipeline("single_file_stream")
+            .set_source(read_csv(str(f), stream=True, infer_schema=True))
+            .set_sink(to_parquet(out, checkpoint=str(tmp_path / "sf_ckpt")))
+            .run(spark)
+        )
+
+    assert run()["rows"] == 3
+    assert run()["rows"] == 0  # restart: nothing new
+    assert spark.read.parquet(out).count() == 3
