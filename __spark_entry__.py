@@ -1295,7 +1295,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_spark.functions import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = sim.pq_random_codebooks(64, m=8, k=16, seed=13)
+    cb = sim.pq_random_codebooks(64, m=8, k=8, seed=13)
     return sim.pq_adc_topk(emb, _query_vector(spark, sf_dir), cb, k=10)
 
 
@@ -2185,14 +2185,14 @@ def _d_simhash_ctes() -> str:
 
 
 def _d_pq_sql() -> str:
-    """DuckDB twin of pq_adc_topk over pq_random_codebooks(64, 8, 16, 13)
+    """DuckDB twin of pq_adc_topk over pq_random_codebooks(64, 8, 8, 13)
     and the vec_id=0 query. Every float arithmetic chain is written with
     the same left-associated term order as the Spark/driver side, so
     codes, LUT values and rounded distances replay bit-for-bit. Generated
     from the SAME codebook array — no drift possible."""
     from mini_etl_spark.functions.similarity import pq_random_codebooks
 
-    cb = pq_random_codebooks(64, m=8, k=16, seed=13)
+    cb = pq_random_codebooks(64, m=8, k=8, seed=13)
     m, k, dsub = cb.shape
 
     def sqdist(vec: str, s: int, j: int) -> str:

@@ -862,16 +862,42 @@ def pq_codes(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pq_codes",
+    method: str = "expr",
 ) -> DataFrame:
     """Assign each vector its PQ code word: per subspace, the index of the
-    nearest codebook centroid (squared L2). One pure-codegen projection —
-    m × k explicit distance expressions and an array-min struct argmin
-    (first minimal index on ties) — zero shuffles, zero UDFs.
+    nearest codebook centroid (squared L2). Zero shuffles either way.
 
-    At 100 TB this is the compression pass: dim float32 → m uint8 codes
-    (32× at dim=64, m=8) while ADC search keeps ~full-precision ranking
-    quality. Returns (id, ``out_col`` array<int>)."""
+    ``method="expr"``: m × k explicit distance expressions + array-min
+    struct argmin (first minimal index on ties) — pinned float order, so
+    an external SQL engine replays the codes bit-for-bit (the oracle
+    path). The expression tree grows as m·k·(dim/m); past ~500 terms
+    Janino refuses the generated method and evaluation falls back to
+    interpreted — keep m·k·dsub modest here, or use:
+
+    ``method="arrow"``: one numpy broadcast-subtract + argmin per Arrow
+    batch (the sanctioned dense-linear-algebra pandas_udf) — the 100 TB
+    compression pass at any codebook size; SIMD summation order may
+    differ from the expr path in the last ulp (tie-adjacent codes only).
+
+    Returns (id, ``out_col`` array<int>): dim float32 → m small codes
+    (32× at dim=64, m=8) while ADC keeps ~full-precision ranking."""
     m, k, dsub = codebooks.shape
+    if method == "arrow":
+        cb = codebooks.astype("float64")
+
+        @pandas_udf("array<int>")
+        def _codes(v: pd.Series) -> pd.Series:
+            X = np.stack(v.to_numpy()).astype("float64")  # batch × dim
+            out = np.empty((len(X), m), dtype="int32")
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]  # batch × dsub
+                d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = d.argmin(axis=1)  # first minimal index on ties
+            return pd.Series(list(out))
+
+        return df.select(F.col(id_col), _codes(F.col(vec_col)).alias(out_col))
+    if method != "expr":
+        raise ValueError(f"pq_codes: unknown method {method!r}")
     code_cols = []
     for s in range(m):
         cands = F.array(

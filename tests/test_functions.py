@@ -1245,3 +1245,13 @@ def test_pq_adc_topk_contains_near_neighbors(spark):
     top = sim.pq_adc_topk(emb, q, cb, k=5).collect()
     assert top[0].vec_id == 0
     assert top[0].adc_dist == min(r.adc_dist for r in top)
+
+
+def test_pq_codes_arrow_matches_expr(spark):
+    """The Arrow (scale) encoder must produce the same codes as the
+    expression (oracle) path on the test corpus."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cb = sim.pq_random_codebooks(64, m=8, k=8, seed=13)
+    a = {r.vec_id: list(r.pq_codes) for r in sim.pq_codes(emb, cb, method="expr").collect()}
+    b = {r.vec_id: list(r.pq_codes) for r in sim.pq_codes(emb, cb, method="arrow").collect()}
+    assert a == b
