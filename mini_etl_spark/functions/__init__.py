@@ -16,15 +16,25 @@ materialization.
                       exact dedup → near-dup removal) as one lazy plan
 - :mod:`splits`     — deterministic hash-based train/val/test assignment and
                       (stratified) sampling, reproducible across engines
+- :mod:`chunking`   — token-window chunking, greedy sequence packing, BM25
+- :mod:`mixing`     — per-source token-budget mixture, global shuffle order
+- :mod:`bpe`        — BPE vocabulary training (distributed histogram +
+                      driver merge loop) and corpus encoding
 """
 
 from mini_etl_spark.functions import (
+    bpe,
+    chunking,
     corpus,
     dedup,
+    mixing,
     multimodal,
     similarity,
     splits,
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "corpus", "splits"]
+__all__ = [
+    "text", "dedup", "similarity", "multimodal", "corpus", "splits",
+    "chunking", "mixing", "bpe",
+]

@@ -105,6 +105,11 @@ def pack_sequences(
     """
     if max_tokens < 1 or group_size < 1:
         raise ValueError("pack_sequences: max_tokens and group_size must be ≥ 1")
+    if group_size > 1_000_000:
+        # bin_id = group * 1e6 + bin-within-group; a group can emit up to
+        # group_size bins (one doc per bin), so a larger group would let
+        # bin ids collide across groups
+        raise ValueError("pack_sequences: group_size must be <= 1_000_000")
     schema = StructType(
         [
             StructField(id_col, LongType()),

@@ -297,7 +297,13 @@ def remove_duplicate_spans(
         "id_a", "id_b", (F.col("__pa") - F.col("__pb")).alias("__diag"), "__pb"
     ).withColumn("__island", F.col("__pb") - F.row_number().over(w_run))
     ranges = (
-        runs.groupBy("id_b", "__diag", "__island")
+        # id_a MUST key the island aggregation: island values (__pb −
+        # row_number within a partner's diagonal) are only meaningful per
+        # partner — two partners' islands on the same victim diagonal can
+        # collide numerically, and merging them would excise tokens
+        # between their runs that nobody actually shares (regression test
+        # covers the collision shape)
+        runs.groupBy("id_a", "id_b", "__diag", "__island")
         .agg(
             F.min("__pb").cast("long").alias("__s"),
             (F.max("__pb") + F.lit(width - 1)).cast("long").alias("__e"),
@@ -313,24 +319,30 @@ def remove_duplicate_spans(
     out = df.join(
         ranges, df[id_col] == ranges["id_b"], "left"
     ).drop("id_b")
-    toks = tokens(text_col)
     rng = F.coalesce(
         F.col("__ranges"),
         F.array().cast("array<struct<s:long,e:long>>"),
     )
-    kept = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            rng, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
+    # materialize tokens and the filtered survivors ONCE — referencing the
+    # raw tokens(text) expression from clean_text, size(toks) and
+    # size(kept) would re-run the regex tokenizer per reference (the
+    # CollapseProject re-inlining measured 5× on the simhash stage)
+    out = out.withColumn("__toks", tokens(text_col)).withColumn(
+        "__kept",
+        F.filter(
+            F.col("__toks"),
+            lambda x, i: ~F.exists(
+                rng, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
+            ),
         ),
     )
     return (
-        out.withColumn("clean_text", F.concat_ws(" ", kept))
+        out.withColumn("clean_text", F.concat_ws(" ", F.col("__kept")))
         .withColumn(
             "n_removed_tokens",
-            (F.size(toks) - F.size(kept)).cast("long"),
+            (F.size("__toks") - F.size("__kept")).cast("long"),
         )
-        .drop("__ranges")
+        .drop("__ranges", "__toks", "__kept")
     )
 
 

@@ -78,15 +78,47 @@ def shuffle_order(
     id_col: str = "doc_id",
     seed: int = 42,
     order_col: str = "shuffle_order",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Attach a deterministic global shuffle rank (0-based) — the training-
     order permutation. Same seed → same order, across runs and engines.
 
-    One range-partitioned sort on the md5 hash (the standard corpus-shuffle
-    plan; at scale, write the result partitioned by ``order_col div
-    docs_per_shard`` and readers stream shards in order).
+    Computed WITHOUT a global single-partition window (the naive
+    ``row_number over orderBy`` moves the whole corpus to one task):
+
+    1. range-partition on the (md5 hash, id) sort key;
+    2. one tiny aggregate collects per-partition row counts (driver holds
+       ``partitions`` ints) → cumulative offsets;
+    3. rank = offset[partition] + row_number within the partition.
+
+    Where the sampled range boundaries land cannot change the result —
+    the sort key is unique per row (id breaks ties), so offset + local
+    rank IS the global rank for any boundary placement. Costs one extra
+    count pass over the shuffled frame; at scale, write the result
+    partitioned by ``order_col div docs_per_shard`` and readers stream
+    shards in order.
     """
-    w = Window.orderBy(_order_hash(F.col(id_col), seed), id_col)
-    return df.withColumn(order_col, F.row_number().over(w) - F.lit(1)).withColumn(
-        order_col, F.col(order_col).cast("long")
+    key = _order_hash(F.col(id_col), seed)
+    spark = df.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rp = df.repartitionByRange(n_parts, key, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = {
+        r["__pid"]: r["__n"]
+        for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    offsets, acc = [], 0
+    for p in range(n_parts):
+        offsets.append(acc)
+        acc += sizes.get(p, 0)
+    off = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("__pid") + 1
+    )
+    w = Window.partitionBy("__pid").orderBy(key, id_col)
+    return (
+        rp.withColumn(
+            order_col, (off + F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .drop("__pid")
     )

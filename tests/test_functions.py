@@ -1255,3 +1255,39 @@ def test_pq_codes_arrow_matches_expr(spark):
     a = {r.vec_id: list(r.pq_codes) for r in sim.pq_codes(emb, cb, method="expr").collect()}
     b = {r.vec_id: list(r.pq_codes) for r in sim.pq_codes(emb, cb, method="arrow").collect()}
     assert a == b
+
+
+def test_remove_duplicate_spans_partner_island_collision(spark):
+    """Islands from DIFFERENT partner docs on the same victim diagonal can
+    collide numerically (pb − rank); they must NOT merge into one excision
+    range — the tokens between two partners' separate runs belong to the
+    victim alone. Regression for the missing id_a in the island groupBy."""
+    # width=2, diag=0 everywhere: partner A shares victim tokens 11-13,
+    # partner C shares victim tokens 2-6 AND 15-17. C's island key for the
+    # 15-16 spans is 15-5=10 == A's island key for 11-12 — the collision.
+    v = [f"b{i}" for i in range(1, 19)]
+    shared_x = ["x2", "x3", "x4", "x5", "x6"]     # victim positions 2-6
+    shared_y = ["y11", "y12", "y13"]              # victim positions 11-13
+    shared_z = ["z15", "z16", "z17"]              # victim positions 15-17
+    v[1:6] = shared_x
+    v[10:13] = shared_y
+    v[14:17] = shared_z
+    a = [f"a{i}" for i in range(1, 19)]
+    a[10:13] = shared_y
+    c = [f"c{i}" for i in range(1, 19)]
+    c[1:6] = shared_x
+    c[14:17] = shared_z
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(c)), (3, " ".join(v))],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dd.remove_duplicate_spans(docs, width=2).collect()}
+    kept = out[3].clean_text.split(" ")
+    # b14 sits BETWEEN A's run (11-13) and C's run (15-17): neither
+    # partner shares it, so it must survive; under the collision bug the
+    # merged range [11,17] excised it.
+    assert "b14" in kept
+    # the genuinely shared passages are excised
+    for tok in shared_x + shared_y + shared_z:
+        assert tok not in kept
+    assert out[1].n_removed_tokens == 0 and out[2].n_removed_tokens == 0
