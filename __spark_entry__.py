@@ -2737,11 +2737,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "sessionize": """
+            -- strict > at microsecond precision: Spark's session_window
+            -- MERGES adjacent sessions, so an event at exactly prev+gap
+            -- extends the session; fractional-second gaps compare exactly
             WITH marked AS (
               SELECT user_id, ts, value,
-                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                               - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                                 OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                     CASE WHEN epoch_us(ts)
+                               - lag(epoch_us(ts))
+                                 OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                           THEN 1 ELSE 0 END AS new_s
               FROM events),
             seq AS (

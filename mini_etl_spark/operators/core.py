@@ -329,7 +329,18 @@ def explode_column(
     from pyspark.sql import functions as F
 
     def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import MapType
+
         fn = F.explode_outer if outer else F.explode
+        if isinstance(df.schema[column].dataType, MapType):
+            # map explode yields TWO generator outputs (key, value) —
+            # withColumn can only alias one, so route through select
+            prefix = out_col or column
+            others = [c for c in df.columns if c != column]
+            return df.select(
+                *others,
+                fn(F.col(column)).alias(f"{prefix}_key", f"{prefix}_value"),
+            )
         target = out_col or column
         exploded = df.withColumn(target, fn(F.col(column)))
         return exploded.drop(column) if out_col and out_col != column else exploded

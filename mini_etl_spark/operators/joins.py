@@ -67,9 +67,11 @@ def asof_join(
 
     Implementation (no native Spark op — SURVEY guide "as-of join" pattern,
     built from primitives): tag both sides, union them, and run a single
-    window pass per ``by`` key ordered by ``on``; ``last(col, ignorenulls)``
-    carries the right side's values onto subsequent left rows. One shuffle on
-    (by, on) total — same cost shape as a sort-merge join, scales linearly.
+    window pass per ``by`` key ordered by ``on``; ``last(ignorenulls)`` over
+    a STRUCT of the right columns carries the most recent right ROW — whole,
+    never field-stitched across rows — onto subsequent left rows. One
+    shuffle on (by, on) total — same cost shape as a sort-merge join,
+    scales linearly.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("asof_join: direction must be backward|forward")
@@ -79,11 +81,22 @@ def asof_join(
     if overlap:
         raise ValueError(f"asof_join: right columns collide with left: {sorted(overlap)}")
 
-    l_tag = left.withColumn("__side", F.lit(1))
-    for c in rcols:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    # The right row rides the union as ONE struct (null on left rows), so
+    # last/first(ignorenulls) carries the whole row atomically — per-column
+    # windows would stitch fields from DIFFERENT right rows whenever a
+    # right column holds NULLs (the newest row's null field would fall back
+    # to an older row's value).
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r",
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in rcols
+            ) + ">"
+        ),
+    )
     r_tag = right.select(
-        *by_cols, on, *rcols,
+        *by_cols, on,
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in by_cols and c != on],
     ).withColumn("__side", F.lit(0))
@@ -96,20 +109,20 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols]
+        carried = F.last("__r", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*by_cols)
             .orderBy(F.col(on).asc(), F.col("__side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carried = [F.first(c, ignorenulls=True).over(w).alias(c) for c in rcols]
+        carried = F.first("__r", ignorenulls=True).over(w)
 
     out_cols = [c for c in left.columns]
     result = (
-        unioned.select(*out_cols, F.col("__side"), *carried)
+        unioned.select(*out_cols, F.col("__side"), carried.alias("__rc"))
         .filter(F.col("__side") == 1)
-        .drop("__side")
+        .select(*out_cols, *[F.col(f"__rc.{c}").alias(c) for c in rcols])
     )
     return result
 

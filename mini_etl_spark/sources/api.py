@@ -117,6 +117,15 @@ def read_api(
                     "timeout": timeout, "data_path": data_path,
                     "param": p.get("param", "page"),
                     "size_param": p.get("size_param"), "size": p.get("size"),
+                    # caller's retry policy rides to executors (numeric
+                    # fields only; retryable_exceptions keeps its default)
+                    "retry": {
+                        "max_attempts": retry.max_attempts,
+                        "initial_delay": retry.initial_delay,
+                        "max_delay": retry.max_delay,
+                        "backoff_factor": retry.backoff_factor,
+                        "jitter": retry.jitter,
+                    },
                 }
             )
 
@@ -131,7 +140,8 @@ def read_api(
                             call_params[cfg["size_param"]] = cfg["size"]
                         payload = _fetch_page(
                             cfg["url"], cfg["method"], cfg["headers"], call_params,
-                            cfg["body"], cfg["auth"], cfg["timeout"], RetryConfig(),
+                            cfg["body"], cfg["auth"], cfg["timeout"],
+                            RetryConfig(**cfg["retry"]),
                         )
                         rows.extend(_drill(payload, cfg["data_path"]))
                     if rows:

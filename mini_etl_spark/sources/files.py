@@ -63,7 +63,9 @@ def read_csv(
     """
 
     def _read(spark: SparkSession) -> DataFrame:
-        parse_mode = options.pop("mode", "PERMISSIVE")
+        # read, don't pop: sources are re-runnable factories — mutating the
+        # closed-over dict would drop the caller's parse mode on re-runs
+        parse_mode = options.get("mode", "PERMISSIVE")
 
         def _configure(reader):
             reader = (
@@ -72,7 +74,8 @@ def read_csv(
                 .option("mode", parse_mode)
             )
             for k, v in options.items():
-                reader = reader.option(k, v)
+                if k != "mode":
+                    reader = reader.option(k, v)
             return reader
 
         if stream:
@@ -171,17 +174,31 @@ def read_parquet(
     micro-batches). The ns-timestamp normalization applies identically."""
 
     def _read(spark: SparkSession) -> DataFrame:
+        prev_nanos = None
         if ns_timestamp_columns:
+            # scoped, not permanent: the conf is captured when the relation
+            # is ANALYZED (reader.parquet below), so restoring it right
+            # after keeps the side effect off every later read in the
+            # session (an unlisted NANOS column elsewhere should still
+            # raise Spark's unsupported-type error, not silently arrive
+            # as int64 nanos)
+            prev_nanos = spark.conf.get(
+                "spark.sql.legacy.parquet.nanosAsLong", "false"
+            )
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        if stream:
-            # footer-only metadata read pins the stream schema
-            s = spark.read.parquet(path).schema
-            reader = spark.readStream.schema(s)
-        else:
-            reader = spark.read
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        df = reader.parquet(_stream_path(path) if stream else path)
+        try:
+            if stream:
+                # footer-only metadata read pins the stream schema
+                s = spark.read.parquet(path).schema
+                reader = spark.readStream.schema(s)
+            else:
+                reader = spark.read
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            df = reader.parquet(_stream_path(path) if stream else path)
+        finally:
+            if prev_nanos is not None:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
         from pyspark.sql import functions as F
 
         from pyspark.sql.types import LongType, TimestampNTZType

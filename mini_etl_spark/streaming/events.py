@@ -15,18 +15,18 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     read, no data scan), so the source works whether ``ts`` was written as
     TIMESTAMP(NANOS) (read as int64 under the legacy conf, then converted)
     or as a standard micro/milli timestamp."""
-    import os
-    import tempfile
+    from mini_etl_spark.sources.files import _stream_path
 
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema  # footer-only read
-    if os.path.isfile(path):
-        # FileStreamSource requires a directory; expose a single file
-        # through a temp dir containing a symlink (zero-copy)
-        link_dir = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(os.path.abspath(path), os.path.join(link_dir, os.path.basename(path)))
-        path = link_dir
-    stream = spark.readStream.schema(schema).format("parquet").load(path)
+    try:
+        schema = spark.read.parquet(path).schema  # footer-only read
+        # deterministic symlink dir (checkpoints dedup by absolute path —
+        # a random dir per run would re-ingest the file on every restart)
+        path = _stream_path(path)
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     if isinstance(schema["ts"].dataType, T.LongType):  # nanos since epoch
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
@@ -123,14 +123,20 @@ def batch_sessionize(
     The classic lag+cumsum window pair — one shuffle on the key, and the
     SQL-expressible oracle for the streaming path. Output: one row per
     session with start/end/count/sum.
+
+    Boundary semantics match ``F.session_window`` exactly: Spark MERGES
+    adjacent sessions, so an event at exactly ``prev + gap`` EXTENDS the
+    session (strict ``>`` splits) — verified against the real operator in
+    tests; the comparison runs at microsecond precision (``unix_micros``),
+    not truncated seconds, so fractional-second gaps classify correctly.
     """
     w = Window.partitionBy(key).orderBy("ts")
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     marked = events.withColumn(
         "__new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            > F.lit(gap_s),
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > F.lit(gap_us),
             1,
         )
         .otherwise(0)

@@ -48,11 +48,12 @@ def running_totals(
             {"key": [keys[0]], "n_events": [n], "value_sum": [round(total, 2)]}
         )
 
+    key_type = events.schema[key].dataType.simpleString()  # any key type works
     return (
         events.groupBy(key)
         .applyInPandasWithState(
             _update,
-            outputStructType="key long, n_events long, value_sum double",
+            outputStructType=f"key {key_type}, n_events long, value_sum double",
             stateStructType="n long, total double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

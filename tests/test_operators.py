@@ -252,3 +252,23 @@ def test_resample_fill_modes(spark):
         resample(df, "ts", "v", 60, fill="bogus")
     with pytest.raises(ValueError):
         resample(df, "ts", "v", 60, agg="median")
+
+
+def test_asof_join_carries_whole_row_with_nulls(spark):
+    """The attached right row must be atomic: a NULL field in the most
+    recent right row must NOT fall back to an older row's value (the
+    per-column ignorenulls stitch bug)."""
+    from mini_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(3, "L")], "t bigint, tag string")
+    right = spark.createDataFrame(
+        [(1, 10.0, 5), (2, None, 7)], "t bigint, price double, qty bigint"
+    )
+    row = asof_join(left, right, on="t").first()
+    # most recent right row at t<=3 is (2, NULL, 7) — price must be NULL
+    assert row.qty == 7 and row.price is None
+
+    # forward direction: earliest right row >= t, atomically
+    left2 = spark.createDataFrame([(0, "L")], "t bigint, tag string")
+    row2 = asof_join(left2, right, on="t", direction="forward").first()
+    assert row2.price == 10.0 and row2.qty == 5

@@ -439,3 +439,35 @@ def test_single_file_stream_restart_not_reingested(spark, tmp_path):
     assert run()["rows"] == 3
     assert run()["rows"] == 0  # restart: nothing new
     assert spark.read.parquet(out).count() == 3
+
+
+def test_batch_sessionize_boundary_matches_session_window(spark):
+    """Boundary semantics pinned against the REAL operator: an event at
+    exactly prev + gap EXTENDS the session (Spark merges adjacent session
+    windows); one microsecond past the gap starts a new one. The batch
+    twin must agree on both."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def n_sessions(ts_strings):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(ts_strings),
+                "ts": pd.to_datetime(ts_strings),
+                "value": [1.0] * len(ts_strings),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        batch = st.batch_sessionize(df, gap_minutes=30).count()
+        sw = (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+        assert batch == sw, f"batch {batch} != session_window {sw} for {ts_strings}"
+        return batch
+
+    # exact boundary merges (10:30 touches [10:00, 10:30))
+    assert n_sessions(["2024-01-01 10:00:00.000000", "2024-01-01 10:30:00.000000"]) == 1
+    # one microsecond past the gap splits — requires micro precision
+    assert n_sessions(["2024-01-01 10:00:00.000000", "2024-01-01 10:30:00.000001"]) == 2
