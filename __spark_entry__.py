@@ -1993,6 +1993,57 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis exponential race, md5-seeded): take 500 documents preferring
+    long ones (weight = n_chars) — the "sample by quality score" move of
+    corpus curation, reproducible across engines. One TakeOrderedAndProject,
+    no global sort; full hash oracle replays the md5 + ln float chain."""
+    from mini_etl_spark.functions import splits as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    return sp.weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        n=500,
+        seed=13,
+    )
+
+
+def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour RANGE window over irregular events (max +
+    count of `value` in the last 3600s including the current event) — the
+    sliding metric a rows-frame cannot express. Epoch-microsecond range
+    frame, ANSI peer semantics; max/count (order-independent) so the
+    oracle replays bit-for-bit. One shuffle on user_id."""
+    from mini_etl_spark.operators.timeseries import rolling_window
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_window(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ts_col="ts",
+        value_col="value",
+        window_seconds=3600,
+        partition_cols=["user_id"],
+        aggs=("max", "count"),
+        round_to=None,
+    ).select(
+        "event_id", "user_id", "value_rolling_max", "value_rolling_count"
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: the 25 heaviest l_suppkey values with row count and
+    share of the fact table — the pre-flight check for choosing salted vs
+    broadcast vs plain shuffle joins at 100 TB. Partial+final aggregate,
+    broadcast scalar total, TakeOrderedAndProject top-n."""
+    from mini_etl_spark.operators.skew import key_skew_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_stats(li.select("l_suppkey"), "l_suppkey", top_n=25)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2083,6 +2134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_topk": q_pq_topk,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "rolling_hour": q_rolling_hour,
+        "key_skew": q_key_skew,
         "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3651,6 +3705,35 @@ def oracle_sql() -> dict[str, str]:
         # PQ/ADC: seeded codebooks + identical left-assoc float chains
         # make the entire compress-and-rank path SQL-replayable.
         "pq_topk": _d_pq_sql(),
+        # Exponential-race weighted sample: md5 uniform → ln(u)/w race key,
+        # top-500. Adjacent race keys differ by ≥1e-4 relative at corpus
+        # size vs ≤1-ulp ln() drift between engines, so the cutoff rank is
+        # stable and the selected SET matches exactly.
+        "weighted_sample": f"""
+            SELECT doc_id, source, n_chars
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     ln(({_d_hash_bucket('doc_id', 13, 1 << 32)} + 0.5)
+                        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS race
+              FROM documents WHERE n_chars > 0
+              ORDER BY race DESC, doc_id LIMIT 500)
+        """,
+        "rolling_hour": """
+            SELECT event_id, user_id,
+                   max(value) OVER w AS value_rolling_max,
+                   CAST(count(value) OVER w AS BIGINT) AS value_rolling_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND 0 FOLLOWING)
+        """,
+        "key_skew": """
+            SELECT l_suppkey, key_count,
+                   round(key_count / (SELECT count(*) FROM lineitem), 6)
+                       AS key_share
+            FROM (SELECT l_suppkey, count(*) AS key_count
+                  FROM lineitem GROUP BY l_suppkey)
+            ORDER BY key_count DESC, l_suppkey LIMIT 25
+        """,
         # approx_sketches / ivf_topk / lsh_topk: genuinely approximate
         # (HLL internals / float-scored ANN) — rows-only driver check;
         # recall gates live in tests/test_functions.py.

@@ -33,10 +33,12 @@ from mini_etl_spark.pipeline import Pipeline
 logger = logging.getLogger(__name__)
 
 SOURCE_TYPES = {
-    "csv", "json", "jsonl", "excel", "parquet", "orc", "sql", "api", "memory",
-    "text", "binary",
+    "csv", "json", "jsonl", "excel", "parquet", "orc", "xml", "sql", "api",
+    "memory", "text", "binary",
 }
-SINK_TYPES = {"csv", "json", "jsonl", "parquet", "orc", "sql", "excel", "null"}
+SINK_TYPES = {
+    "csv", "json", "jsonl", "parquet", "orc", "xml", "sql", "excel", "null",
+}
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
     "expression", "aggregate", "group", "dedup", "sort", "limit",
@@ -47,6 +49,7 @@ TRANSFORMER_TYPES = {
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
+    "weighted_sample",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -182,6 +185,8 @@ class ConfigLoader:
             return src.read_orc(path, **o)
         if spec.type == "excel":
             return src.read_excel(path, **o)
+        if spec.type == "xml":
+            return src.read_xml(path, **o)
         if spec.type == "sql":
             url = o.pop("connection_string", o.pop("url", None))
             return src.read_jdbc(url, **o)
@@ -415,6 +420,13 @@ class ConfigLoader:
             return lambda df: sp.stratified_sample(
                 df, key, strata, fractions, seed, default
             )
+        if spec.type == "weighted_sample":
+            from mini_etl_spark.functions import splits as sp
+
+            key, weight, n = o["key"], o["weight"], int(o["n"])
+            group = o.get("group")
+            seed = int(o.get("seed", 42))
+            return lambda df: sp.weighted_sample(df, key, weight, n, group, seed)
         raise ValueError(f"unknown transformer type {spec.type!r}")
 
     def _build_sink(self, spec: ComponentConfig):
@@ -435,6 +447,8 @@ class ConfigLoader:
             return snk.to_orc(path, mode=mode, **o)
         if spec.type == "excel":
             return snk.to_excel(path, **o)
+        if spec.type == "xml":
+            return snk.to_xml(path, mode=mode, **o)
         if spec.type == "sql":
             url = o.pop("connection_string", o.pop("url", None))
             return snk.to_jdbc(url, o.pop("table"), mode=mode, **o)

@@ -99,6 +99,52 @@ def stratified_sample(
     return df.where(b < bound)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    group_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis exponential race): each row draws a uniform u from
+    md5(seed, key) and competes with race key ``ln(u) / w``; the ``n``
+    largest win. Inclusion is distributed as sequential weighted draws
+    without replacement — the standard way to take "n docs, preferring
+    high quality-score" from a corpus reproducibly. Zero/negative weights
+    never win (filtered out). Same corpus + seed → same sample, every
+    run, either engine (the oracle replays the md5 + float chain).
+
+    Scale: the global form is one TakeOrderedAndProject (per-partition
+    top-n, no global sort); the grouped form is one hash-partitioned
+    window per ``group_col`` value.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    # 32-bit uniform from the same md5 machinery as hash_bucket (mod 2^32
+    # over a 32-bit value is the identity), centered to (0, 1) so ln(u)
+    # is finite.
+    v = hash_bucket(key_col, seed, num_buckets=1 << 32)
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    race = F.log(u) / F.col(weight_col).cast("double")
+    out = df.where(F.col(weight_col) > 0).withColumn("__race", race)
+    if group_col is None:
+        return (
+            out.orderBy(F.col("__race").desc(), F.col(key_col))
+            .limit(n)
+            .drop("__race")
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__race").desc(), F.col(key_col)
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.lit(n))
+        .drop("__race", "__rn")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

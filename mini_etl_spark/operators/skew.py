@@ -20,6 +20,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def key_skew_stats(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Skew diagnostic: the ``top_n`` heaviest key values with their row
+    counts and share of the table — the number you need BEFORE choosing a
+    join strategy at scale (a key holding >1% of a 100 TB fact table wants
+    a salted join or an AQE skew split; this query tells you which keys).
+
+    Output: key columns, ``key_count`` (rows for that key), ``key_share``
+    (fraction of all rows, 6 decimals), ordered heaviest-first with the
+    key as tiebreak.
+
+    Scale: one partial+final hash aggregate over the keys, the 1-row
+    total broadcast into the stream side (the scalar-subquery shape: one
+    comparison-free probe per row), and a TakeOrderedAndProject for the
+    top-n — no global sort, no driver collect.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_count"))
+    total = counts.agg(F.sum("key_count").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "key_count",
+            F.round(F.col("key_count") / F.col("__total"), 6).alias(
+                "key_share"
+            ),
+        )
+        .orderBy(F.col("key_count").desc(), *keys)
+        .limit(top_n)
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "resample"]
+__all__ = ["time_bucket", "resample", "rolling_window"]
 
 _AGGS = {
     "avg": F.avg,
@@ -42,6 +42,52 @@ def time_bucket(ts_col: Column | str, step_seconds: int) -> Column:
     return F.timestamp_seconds(
         (F.floor(F.unix_timestamp(c) / step) * step).cast("long")
     )
+
+
+def rolling_window(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    partition_cols: list[str] | None = None,
+    aggs: tuple[str, ...] = ("sum", "count"),
+    round_to: int | None = 2,
+) -> DataFrame:
+    """Trailing time-RANGE window: for every event, aggregate ``value_col``
+    over the ``window_seconds`` interval ending at (and including) the
+    event — "sum of spend in the last hour per user", the sliding metric
+    a per-row rows-frame window cannot express when events are irregular.
+
+    Frame semantics: RANGE over epoch **microseconds**, boundaries
+    inclusive, peers (identical timestamps) share a frame — the ANSI
+    RANGE contract, so a SQL engine replays it exactly.
+
+    Appends one ``{value_col}_rolling_{agg}`` column per agg. Scale: one
+    shuffle on ``partition_cols``; each partition is range-scanned once
+    with a sliding frame (Spark's WindowExec keeps only the in-frame
+    buffer). Unpartitioned use collapses to a single task — pass
+    partition columns for anything beyond diagnostic size.
+    """
+    allowed = {"sum", "avg", "min", "max", "count"}
+    bad = set(aggs) - allowed
+    if bad:
+        raise ValueError(f"rolling_window: unknown aggs {sorted(bad)}")
+    parts = list(partition_cols or [])
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = Window.partitionBy(*parts) if parts else Window.partitionBy()
+    w = base.orderBy(micros.alias("__us")).rangeBetween(
+        -int(window_seconds) * 1_000_000, 0
+    )
+    out = df
+    for agg in aggs:
+        if agg == "count":
+            col = F.count(value_col).over(w).cast("long")
+        else:
+            col = getattr(F, agg)(value_col).over(w)
+            if round_to is not None:
+                col = F.round(col, round_to)
+        out = out.withColumn(f"{value_col}_rolling_{agg}", col)
+    return out
 
 
 def resample(

@@ -37,6 +37,7 @@ from mini_etl_spark.sinks.writers import (
     to_orc,
     to_parquet,
     to_parquet_bucketed,
+    to_xml,
 )
 
 __all__ = [
@@ -44,6 +45,7 @@ __all__ = [
     "to_json",
     "to_parquet",
     "to_orc",
+    "to_xml",
     "to_parquet_bucketed",
     "to_jdbc",
     "to_dbapi",

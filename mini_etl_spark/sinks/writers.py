@@ -212,6 +212,32 @@ def to_orc(
     return _write
 
 
+def to_xml(
+    path: str,
+    mode: str = "w",
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    **options: Any,
+) -> Sink:
+    """XML writer (format extension — built-in ``xml`` data source in
+    Spark 4; see sources.read_xml). One XML document per partition file,
+    ``root_tag`` wrapping ``row_tag`` elements — distributed, no driver
+    funnel."""
+
+    def _write(df: DataFrame) -> None:
+        writer = (
+            df.write.mode(_spark_mode(mode))
+            .format("xml")
+            .option("rowTag", row_tag)
+            .option("rootTag", root_tag)
+        )
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.save(path)
+
+    return _write
+
+
 def to_parquet_bucketed(
     table: str,
     bucket_by: str | list[str],

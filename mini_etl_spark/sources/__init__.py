@@ -27,6 +27,7 @@ from mini_etl_spark.sources.files import (
     read_orc,
     read_parquet,
     read_text,
+    read_xml,
 )
 from mini_etl_spark.sources.jdbc import read_jdbc
 from mini_etl_spark.sources.local import from_memory, read_excel
@@ -37,6 +38,7 @@ __all__ = [
     "read_json",
     "read_parquet",
     "read_orc",
+    "read_xml",
     "read_text",
     "read_binary_files",
     "read_excel",

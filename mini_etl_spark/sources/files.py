@@ -153,6 +153,32 @@ def read_orc(
     return _read
 
 
+def read_xml(
+    path: str,
+    row_tag: str = "row",
+    columns: list[str] | None = None,
+    schema: Any = None,
+    **options: Any,
+) -> Source:
+    """XML scan (format extension — Spark 4 ships a built-in ``xml`` data
+    source, so no external package is needed). ``row_tag`` names the
+    repeating element that maps to one row; nested elements become struct
+    columns. Distributed parse like json/csv — each file split is parsed
+    executor-side, so a directory of XML files scales with the cluster.
+    """
+
+    def _read(spark: SparkSession) -> DataFrame:
+        reader = spark.read.format("xml").option("rowTag", row_tag)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(path)
+        return df.select(*columns) if columns else df
+
+    return _read
+
+
 def read_parquet(
     path: str,
     columns: list[str] | None = None,

@@ -484,3 +484,35 @@ sink: {{type: parquet, path: '{out2}', mode: overwrite}}
     assert len(codes) == 10
     assert codes[0][0] == 0 and codes[9][0] == 15  # endpoints hit the rails
     assert all(c[2] == 0 for c in codes.values())  # constant dim -> 0
+
+
+def test_xml_and_weighted_sample_config_vocab(spark, tmp_path):
+    """XML source/sink and the weighted_sample transformer run from YAML."""
+    src = tmp_path / "docs_xml"
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", float(1 + i)) for i in range(40)],
+        "doc_id bigint, source string, score double",
+    ).write.format("xml").option("rowTag", "doc").option(
+        "rootTag", "docs"
+    ).save(str(src))
+    out = tmp_path / "xml_out"
+    cfg = tmp_path / "x.yaml"
+    cfg.write_text(
+        f"""
+name: xml_sample
+source: {{type: xml, path: '{src}', row_tag: doc}}
+transformers:
+  - type: weighted_sample
+    key: doc_id
+    weight: score
+    n: 10
+sink: {{type: xml, path: '{out}', mode: overwrite, row_tag: doc}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    back = spark.read.format("xml").option("rowTag", "doc").load(str(out))
+    assert back.count() == 10
+    assert set(back.columns) == {"doc_id", "source", "score"}

@@ -1291,3 +1291,41 @@ def test_remove_duplicate_spans_partner_island_collision(spark):
     for tok in shared_x + shared_y + shared_z:
         assert tok not in kept
     assert out[1].n_removed_tokens == 0 and out[2].n_removed_tokens == 0
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    """Exponential-race weighted sample: deterministic under the seed,
+    heavier weights overrepresented, zero weights never selected, grouped
+    form caps per group."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.functions import splits as sp
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        # ids < 200 get weight 50, the rest weight 1; a handful weight 0
+        F.when(F.col("id") < 200, 50.0)
+        .when(F.col("id") % 100 == 99, 0.0)
+        .otherwise(1.0)
+        .alias("w"),
+        (F.col("id") % 4).alias("g"),
+    )
+    a = sorted(r.k for r in sp.weighted_sample(df, "k", "w", 300, seed=5).collect())
+    b = sorted(r.k for r in sp.weighted_sample(df, "k", "w", 300, seed=5).collect())
+    assert a == b and len(a) == 300
+    heavy = sum(1 for k in a if k < 200)
+    # 200 heavy keys at weight 50 vs ~1780 at weight 1: heavy keys should
+    # dominate the sample far beyond their 10% population share
+    assert heavy >= 150
+    assert all(k % 100 != 99 or k < 200 for k in a)  # zero weights excluded
+    c = sorted(r.k for r in sp.weighted_sample(df, "k", "w", 300, seed=6).collect())
+    assert a != c  # seed moves the sample
+
+    grouped = sp.weighted_sample(df, "k", "w", 10, group_col="g", seed=5)
+    counts = {r.g: r.c for r in grouped.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert counts == {0: 10, 1: 10, 2: 10, 3: 10}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sp.weighted_sample(df, "k", "w", 0)

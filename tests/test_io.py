@@ -438,3 +438,21 @@ def test_sorted_write_enables_file_skipping(spark, tmp_path):
     assert len(ranges) > 1
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev.hi < cur.lo
+
+
+def test_xml_roundtrip(spark, sample_df, tmp_path):
+    """Built-in Spark 4 XML source/sink: distributed write → read restores
+    rows; rowTag/rootTag honored; projection works through the reader."""
+    from mini_etl_spark.sinks import to_xml
+    from mini_etl_spark.sources import read_xml
+
+    path = str(tmp_path / "out_xml")
+    to_xml(path, row_tag="rec", root_tag="data")(sample_df)
+    back = read_xml(path, row_tag="rec")(spark)
+    assert back.count() == sample_df.count()
+    assert set(back.columns) == set(sample_df.columns)
+    left = sorted(sample_df.select(*sorted(sample_df.columns)).collect())
+    right = sorted(back.select(*sorted(sample_df.columns)).collect())
+    assert [tuple(r) for r in left] == [tuple(r) for r in right]
+    only = read_xml(path, row_tag="rec", columns=[sample_df.columns[0]])(spark)
+    assert only.columns == [sample_df.columns[0]]

@@ -272,3 +272,55 @@ def test_asof_join_carries_whole_row_with_nulls(spark):
     left2 = spark.createDataFrame([(0, "L")], "t bigint, tag string")
     row2 = asof_join(left2, right, on="t", direction="forward").first()
     assert row2.price == 10.0 and row2.qty == 5
+
+
+def test_rolling_window_time_range(spark):
+    """Trailing time-RANGE frame on a hand series: inclusive 1h boundary,
+    peers share a frame, per-partition isolation."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.operators.timeseries import rolling_window
+
+    rows = [
+        (1, "u", "2024-01-01 00:00:00", 10.0),
+        (2, "u", "2024-01-01 00:30:00", 20.0),
+        (3, "u", "2024-01-01 01:00:00", 5.0),   # exactly 1h after row 1 → includes it
+        (4, "u", "2024-01-01 02:30:01", 7.0),   # everything else out of range
+        (5, "u", "2024-01-01 02:30:01", 3.0),   # peer timestamp → shared frame
+        (6, "v", "2024-01-01 00:45:00", 100.0), # other partition untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.event_id: (r.value_rolling_sum, r.value_rolling_count)
+        for r in rolling_window(
+            df, "ts", "value", 3600, ["user_id"], aggs=("sum", "count")
+        ).collect()
+    }
+    assert out[1] == (10.0, 1)
+    assert out[2] == (30.0, 2)
+    assert out[3] == (35.0, 3)       # 1h-ago row included (inclusive bound)
+    assert out[4] == (10.0, 2)       # peers 4+5 share the frame
+    assert out[5] == (10.0, 2)
+    assert out[6] == (100.0, 1)
+    with pytest.raises(ValueError):
+        rolling_window(df, "ts", "value", 3600, aggs=("median",))
+
+
+def test_key_skew_stats(spark):
+    """Heavy-hitter diagnostic: counts, shares, ordering, top-n cut."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.operators.skew import key_skew_stats
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    out = key_skew_stats(df, "k", top_n=2).collect()
+    assert [(r.k, r.key_count, r.key_share) for r in out] == [
+        ("a", 6, 0.6),
+        ("b", 3, 0.3),
+    ]
+    with pytest.raises(ValueError):
+        key_skew_stats(df, "k", top_n=0)

@@ -25,7 +25,7 @@ INTENTIONAL_THETA_JOINS = {"cosine_pairs"}
 # a literal equi-key would constant-fold away; with a single build row the
 # "nested loop" is one comparison per stream row — the scalar-subquery
 # shape, not a scale hazard.
-SCALAR_BROADCAST_JOINS = {"bm25_topk", "line_hygiene", "lm_score"}
+SCALAR_BROADCAST_JOINS = {"bm25_topk", "line_hygiene", "lm_score", "key_skew"}
 
 
 @pytest.mark.parametrize("key", sorted(entrymod.queries().keys()))
