@@ -1993,6 +1993,35 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (the Dolma move): documents synthesized
+    into 3-paragraph pages — a corpus-wide intro, unique content, and a
+    paragraph shared within groups of 25 docs (built identically in the
+    oracle). Every shared paragraph survives only in its global first
+    (doc_id, position) occurrence; exact relational plan, full hash
+    oracle."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("shared introduction paragraph for every page"),
+            F.substring("text", 1, 60),
+            F.concat(
+                F.lit("group paragraph "), (F.col("doc_id") % 25).cast("string")
+            ),
+        ).alias("text"),
+    )
+    out = tx.dedup_paragraphs(synth, min_chars=5)
+    return out.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", "\n\n")).cast("long").alias("n_paras"),
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis–
     Spirakis exponential race, md5-seeded): take 500 documents preferring
@@ -2134,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_topk": q_pq_topk,
         "stratified_sample": q_stratified_sample,
+        "paragraph_dedup": q_paragraph_dedup,
         "weighted_sample": q_weighted_sample,
         "rolling_hour": q_rolling_hour,
         "key_skew": q_key_skew,
@@ -3705,6 +3735,45 @@ def oracle_sql() -> dict[str, str]:
         # PQ/ADC: seeded codebooks + identical left-assoc float chains
         # make the entire compress-and-rank path SQL-replayable.
         "pq_topk": _d_pq_sql(),
+        # Paragraph dedup: global winner per paragraph = row_number 1 over
+        # (doc_id, pos) — identical keep-set to the engine's min(struct)
+        # aggregate; positions are 1-based here vs 0-based in Spark, which
+        # only matters within each engine's own winner identity.
+        "paragraph_dedup": """
+            WITH synth AS (
+              SELECT doc_id,
+                     concat_ws(chr(10)||chr(10),
+                               'shared introduction paragraph for every page',
+                               substr(text, 1, 60),
+                               'group paragraph ' || CAST(doc_id % 25 AS VARCHAR)
+                     ) AS text
+              FROM documents),
+            p0 AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
+                   FROM synth),
+            pi AS (SELECT doc_id, ps, unnest(range(1, len(ps)+1)) AS pos
+                   FROM p0),
+            paras AS (SELECT doc_id, pos, ps[pos] AS para FROM pi),
+            winners AS (
+              SELECT para, doc_id AS wd, pos AS wp
+              FROM (SELECT para, doc_id, pos,
+                           row_number() OVER (PARTITION BY para
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM paras WHERE len(trim(para)) >= 5)
+              WHERE rn = 1),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.para
+              FROM paras p LEFT JOIN winners w ON p.para = w.para
+              WHERE len(trim(p.para)) < 5
+                 OR (p.doc_id = w.wd AND p.pos = w.wp)),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(para, chr(10)||chr(10)
+                                          ORDER BY pos) AS text
+                        FROM kept GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(r.text, '') AS text,
+                   len(string_split(coalesce(r.text, ''),
+                                    chr(10)||chr(10))) AS n_paras
+            FROM synth s LEFT JOIN rebuilt r USING (doc_id)
+        """,
         # Exponential-race weighted sample: md5 uniform → ln(u)/w race key,
         # top-500. Adjacent race keys differ by ≥1e-4 relative at corpus
         # size vs ≤1-ulp ln() drift between engines, so the cutoff rank is

@@ -47,6 +47,7 @@ TRANSFORMER_TYPES = {
     "text_features", "repetition_features", "redact_pii",
     "hash_split", "sample", "stratified_sample",
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
+    "dedup_paragraphs",
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample",
@@ -390,6 +391,16 @@ class ConfigLoader:
             min_docs = int(o.get("min_doc_count", 2))
             return lambda df: tx.strip_boilerplate_lines(
                 df, col, id_col, frac, min_docs, o.get("output")
+            )
+        if spec.type == "dedup_paragraphs":
+            from mini_etl_spark.functions import text as tx
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            sep = o.get("sep", "\n\n")
+            min_chars = int(o.get("min_chars", 1))
+            return lambda df: tx.dedup_paragraphs(
+                df, col, id_col, sep, min_chars, o.get("output")
             )
         if spec.type == "expect":
             from mini_etl_spark.schema import check_expectations

@@ -437,6 +437,69 @@ def strip_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-WIDE exact paragraph dedup (the Dolma/CCNet paragraph move):
+    each distinct paragraph keeps only its global first occurrence —
+    ordered by (``id_col``, position) — and is excised from every later
+    document, survivors re-joined in original order. Complements
+    ``dedup_lines`` (intra-document) and ``strip_boilerplate_lines``
+    (doc-frequency chrome): this is the cross-document form that kills
+    syndicated articles and quoted passages once, deterministically.
+    Paragraphs shorter than ``min_chars`` after trim are exempt (they'd
+    otherwise weld unrelated docs together on "Introduction").
+
+    ``sep`` is a Spark split REGEX; it doubles as the literal re-join
+    separator, so keep it metacharacter-free (the default ``\\n\\n`` is).
+
+    Plan: posexplode → one ``min(struct(id, pos))`` hash-aggregate picks
+    the global winner per paragraph (no corpus-wide window) → md5-keyed
+    equi-join back (narrow 32-byte shuffle keys, never the paragraph
+    body) → position-sorted reassembly. The winner frame is distinct-
+    paragraph-sized; every shuffle keys on paragraph-hash or doc id."""
+    out_col = out_col or text_col
+    paras = (
+        df.select(
+            F.col(id_col).alias("__did"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "__pos", "__para"
+            ),
+        )
+        .withColumn("__h", F.md5(F.col("__para").cast("binary")))
+        .withColumn(
+            "__elig", F.length(F.trim("__para")) >= F.lit(int(min_chars))
+        )
+    )
+    winners = (
+        paras.filter("__elig")
+        .groupBy("__h")
+        .agg(F.min(F.struct("__did", "__pos")).alias("__w"))
+    )
+    kept = paras.join(winners, "__h", "left").where(
+        ~F.col("__elig") | (F.struct("__did", "__pos") == F.col("__w"))
+    )
+    rebuilt = kept.groupBy("__did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("__clean")
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("__did"), "left")
+        .withColumn(out_col, F.coalesce("__clean", F.lit("")))
+        .drop("__did", "__clean")
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

@@ -1329,3 +1329,26 @@ def test_weighted_sample_determinism_and_bias(spark):
 
     with _pytest.raises(ValueError):
         sp.weighted_sample(df, "k", "w", 0)
+
+
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    """Cross-document paragraph dedup: global first (doc_id, pos) wins,
+    later occurrences excised, short paragraphs exempt, doc order kept."""
+    from mini_etl_spark.functions import text as tx
+
+    rows = [
+        (1, "alpha paragraph one\n\nshared syndicated passage\n\nok"),
+        (2, "shared syndicated passage\n\nbeta unique paragraph\n\nok"),
+        (3, "shared syndicated passage\n\nshared syndicated passage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.text for r in tx.dedup_paragraphs(df, min_chars=5).collect()}
+    # doc 1 holds the first occurrence → untouched ("ok" is < 5 chars, exempt)
+    assert out[1] == "alpha paragraph one\n\nshared syndicated passage\n\nok"
+    # doc 2 loses the shared paragraph but keeps its own + the short one
+    assert out[2] == "beta unique paragraph\n\nok"
+    # doc 3 was nothing but the duplicate (twice) → empty
+    assert out[3] == ""
+    # deterministic: second run identical
+    again = {r.doc_id: r.text for r in tx.dedup_paragraphs(df, min_chars=5).collect()}
+    assert out == again
