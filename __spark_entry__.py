@@ -2109,6 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "topk_per_group": q_topk_per_group,
         "running_window": q_running_window,
+        "rolling_hour": q_rolling_hour,
+        "key_skew": q_key_skew,
         "pivot": q_pivot,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -2136,6 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pii_redaction": q_pii_redaction,
         "hash_split": q_hash_split,
+        "weighted_sample": q_weighted_sample,
+        "paragraph_dedup": q_paragraph_dedup,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
@@ -2163,10 +2167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_topk": q_pq_topk,
         "stratified_sample": q_stratified_sample,
-        "paragraph_dedup": q_paragraph_dedup,
-        "weighted_sample": q_weighted_sample,
-        "rolling_hour": q_rolling_hour,
-        "key_skew": q_key_skew,
         "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
         "corpus_shuffle": q_corpus_shuffle,

@@ -392,6 +392,10 @@ def main() -> None:
         "embedding_centroids": queries["embedding_centroids"],
         "pii_redaction": queries["pii_redaction"],
         "hash_split": queries["hash_split"],
+        "weighted_sample": queries["weighted_sample"],
+        "paragraph_dedup": queries["paragraph_dedup"],
+        "rolling_hour": queries["rolling_hour"],
+        "key_skew": queries["key_skew"],
         "source_cap": queries["source_cap"],
         "duplicate_spans": queries["duplicate_spans"],
         "span_removal": queries["span_removal"],

@@ -369,6 +369,73 @@ def ivf_topk(
     return cosine_topk(candidates, query, k, vec_col, id_col)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray | None = None,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+    **kmeans_kwargs,
+) -> np.ndarray:
+    """Materialize an IVF index on disk: ``{path}/centroids`` (one row per
+    cell) and ``{path}/vectors`` — the corpus with its ``ivf_cell``
+    assignment, written hive-PARTITIONED BY cell. That layout is the
+    point: a probe of ``nprobe`` cells becomes parquet partition pruning,
+    so repeated queries read ~nprobe/k of the FILES, not a full scan with
+    a post-filter. Build once (one assignment pass + one partitioned
+    write), serve many (:func:`ivf_topk_indexed`).
+
+    Trains spherical k-means centroids via :func:`ivf_centroids_kmeans`
+    unless ``centroids`` is passed. Returns the centroid matrix."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = ivf_centroids_kmeans(
+            df, k=k, vec_col=vec_col, id_col=id_col, **kmeans_kwargs
+        )
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "ivf_cell int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    ivf_assign(df, centroids, vec_col).write.mode(mode).partitionBy(
+        "ivf_cell"
+    ).parquet(f"{path}/vectors")
+    return np.asarray(centroids, dtype="float64")
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix of a :func:`build_ivf_index` index (cell-ordered)."""
+    rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("ivf_cell").collect()
+    )
+    return np.array([list(r.centroid) for r in rows], dtype="float64")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve a top-k query from a persisted IVF index: pick the ``nprobe``
+    nearest cells driver-side (k tiny dot products against the loaded
+    centroids), then scan ONLY those hive partitions of the vectors table
+    — the ``ivf_cell`` filter prunes at file-listing time, so the job
+    reads nprobe cells' worth of parquet and nothing else."""
+    cents = load_ivf_centroids(spark, path)
+    q = np.asarray(query, dtype="float64")
+    probe = [int(c) for c in np.argsort(-(cents @ q))[:nprobe]]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    candidates = vectors.filter(F.col("ivf_cell").isin(probe))
+    return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query: Sequence[float],

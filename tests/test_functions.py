@@ -1352,3 +1352,39 @@ def test_dedup_paragraphs_global_first_occurrence(spark):
     # deterministic: second run identical
     again = {r.doc_id: r.text for r in tx.dedup_paragraphs(df, min_chars=5).collect()}
     assert out == again
+
+
+def test_ivf_index_build_and_serve(spark, tmp_path):
+    """Persisted IVF index: build writes cell-partitioned vectors +
+    centroids; indexed serving equals the in-memory ivf_topk AND prunes
+    partitions at the scan (only the probed cells' files are listed)."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 12))
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(30):
+            v = c + rng.standard_normal(12) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "ivf_index")
+    cents = sim.build_ivf_index(df, path, k=6, iters=3)
+
+    # layout: hive dirs per cell, centroids round-trip exactly
+    import os
+    dirs = {d for d in os.listdir(f"{path}/vectors") if d.startswith("ivf_cell=")}
+    assert len(dirs) >= 2
+    assert np.allclose(sim.load_ivf_centroids(spark, path), cents)
+
+    query = [float(x) for x in centers[1]]
+    served = sim.ivf_topk_indexed(spark, path, query, k=10, nprobe=2)
+    direct = sim.ivf_topk(df, query, cents, k=10, nprobe=2)
+    assert {r.vec_id for r in served.collect()} == {
+        r.vec_id for r in direct.collect()
+    }
+    # partition pruning is visible in the physical plan's PartitionFilters
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_cell" in plan
+    from mini_etl_spark import plans as pl
+    phys = pl.physical_plan(served)
+    assert "PartitionFilters" in phys and "ivf_cell" in phys.split("PartitionFilters")[1][:200]
