@@ -50,7 +50,7 @@ TRANSFORMER_TYPES = {
     "dedup_paragraphs",
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
-    "weighted_sample",
+    "weighted_sample", "validate",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -421,6 +421,24 @@ class ConfigLoader:
                 return df
 
             return _expect
+        if spec.type == "validate":
+            from mini_etl_spark.operators.validate import split_valid, validate_rows
+
+            rules = {str(k): str(v) for k, v in o["rules"].items()}
+            mode = o.get("mode", "filter")
+            col = o.get("violations_column", "violations")
+            if mode == "label":
+                return lambda df: validate_rows(df, rules, col)
+            if mode == "filter":
+                return lambda df: split_valid(df, rules, col)[0]
+            if mode == "quarantine":
+                # keep ONLY the violating rows (labeled) — pair this node
+                # with a `filter`-mode branch over the same source, or use
+                # split_valid directly through the DAG API.
+                return lambda df: split_valid(df, rules, col)[1]
+            raise ValueError(
+                f"validate: mode must be label|filter|quarantine, got {mode!r}"
+            )
         if spec.type == "stratified_sample":
             from mini_etl_spark.functions import splits as sp
 

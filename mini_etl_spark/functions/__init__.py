@@ -27,6 +27,7 @@ from mini_etl_spark.functions import (
     chunking,
     corpus,
     dedup,
+    dedup_index,
     mixing,
     multimodal,
     similarity,
@@ -35,6 +36,6 @@ from mini_etl_spark.functions import (
 )
 
 __all__ = [
-    "text", "dedup", "similarity", "multimodal", "corpus", "splits",
-    "chunking", "mixing", "bpe",
+    "text", "dedup", "dedup_index", "similarity", "multimodal", "corpus",
+    "splits", "chunking", "mixing", "bpe",
 ]

@@ -1,0 +1,256 @@
+"""Persisted MinHash signature index — incremental near-dup at corpus scale.
+
+``dedup.minhash_lsh_pairs`` answers "which pairs inside THIS frame are
+near-duplicates" — one self-join over the whole corpus. A production
+training-data pipeline has the other shape: the corpus is already deduped
+and *new batches arrive continuously*; each batch must be checked against
+everything ingested so far WITHOUT re-scanning (or even re-hashing) the
+historical text. The standard answer is a persisted signature index
+(build-once serve-many, the same pattern as ``similarity.ivf_index_write``
+for vectors):
+
+- ``minhash_index_write``  — one pass over the corpus text → parquet index:
+  per-doc MinHash signatures (wide ``h0..h{k-1}`` columns, so band probes
+  column-prune) + banded LSH bucket postings (hive-partitioned by ``band``).
+- ``minhash_index_dedup``  — signatures for the NEW batch only, an
+  equi-join against the bucket postings, and signature-agreement scoring
+  of the candidates. Historical text is never touched; the index rows
+  read are only the buckets the batch actually collides with.
+- ``minhash_index_append`` — after accepting the batch, append its
+  signatures/postings so the next batch sees it. Appending parquet files
+  is atomic-enough for a single-writer ingest loop; concurrent writers
+  should serialize appends (same contract as any parquet dataset).
+
+Scale notes (100 TB): the index is O(docs × num_hashes × 8 bytes) — ~0.5 KB
+per document at the default 64 hashes, i.e. ~3 orders of magnitude smaller
+than the text it summarizes. The batch-vs-index join shuffles only
+(band, bucket, id) postings; est-Jaccard scoring joins the (tiny) candidate
+pair list back to the two signature tables. Nothing in the flow depends on
+corpus size except the bucket-postings join, which is an equi-join AQE can
+re-plan. Hot buckets (boilerplate shingle sets) are capped with
+``max_bucket_freq`` exactly like ``jaccard_pairs``' hot-shingle cap.
+
+``hash_fn="md5"`` builds engine-portable signatures (two 32-bit halves of
+md5, the ``dedup._element_hash64`` scheme) so an external engine — and the
+DuckDB differential oracle — can replay the index bit-for-bit; the default
+``xxhash64`` is the fast JVM-intrinsic path. Estimated Jaccard is the
+signature agreement fraction — the textbook unbiased MinHash estimator —
+so scoring needs no shingle sets at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions.dedup import _element_hash64, _shingled
+
+__all__ = [
+    "minhash_index_write",
+    "minhash_index_append",
+    "minhash_index_dedup",
+    "minhash_signatures",
+]
+
+_META = "_minhash_meta.json"
+
+
+def _seeded_hash(col: Column, i: int, hash_fn: str) -> Column:
+    """Per-permutation element hash: xxhash64's native seed argument, or a
+    seed-prefixed md5 (portable — any engine can replay ``md5(i || ':' || g)``)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(i))
+    return _element_hash64(F.concat(F.lit(f"{i}:"), col), hash_fn)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signatures: explode shingles once, then ONE
+    vectorized HashAggregate with ``num_hashes`` min() columns (the measured
+    ~5× winner over per-hash ``aggregate()`` HOFs — see ``minhash_lsh_pairs``).
+    Documents with no shingles (< n tokens) produce no row: they cannot
+    near-duplicate anything under shingle Jaccard."""
+    docs = _shingled(df, text_col, id_col, n)
+    exploded = docs.select("__id", F.explode("__sh").alias("__g"))
+    return exploded.groupBy("__id").agg(
+        *[
+            F.min(_seeded_hash(F.col("__g"), i, hash_fn)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _band_postings(
+    sig: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(id, band, bucket) postings. Bucket key is the band-slice digest:
+    xxhash64 of the joined slice in fast mode (8-byte shuffle keys), the
+    raw joined string in md5 mode (portable; a few dozen bytes)."""
+    rows_per_band = num_hashes // bands
+    def _slice(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.xxhash64(joined).cast("string") if hash_fn == "xxhash64" else joined
+
+    return sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _slice(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__band.band", "__band.bucket")
+
+
+def _write_parts(
+    sig: DataFrame, path: str, id_col: str, meta: dict, mode: str
+) -> None:
+    num_hashes, bands, hash_fn = meta["num_hashes"], meta["bands"], meta["hash_fn"]
+    # persist: signatures are consumed by both the signature table write and
+    # the posting write — without it the shingle scan runs twice.
+    sig = sig.persist()
+    try:
+        sig.withColumnRenamed("__id", id_col).write.mode(mode).parquet(
+            os.path.join(path, "signatures")
+        )
+        _band_postings(sig, num_hashes, bands, hash_fn).withColumnRenamed(
+            "__id", id_col
+        ).write.mode(mode).partitionBy("band").parquet(os.path.join(path, "bands"))
+    finally:
+        sig.unpersist()
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Build the index from the current corpus (overwrites ``path``)."""
+    if num_hashes % bands != 0:
+        raise ValueError("minhash_index_write: bands must divide num_hashes")
+    meta = {
+        "text_col": text_col,
+        "id_col": id_col,
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "hash_fn": hash_fn,
+    }
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    os.makedirs(path, exist_ok=True)
+    _write_parts(sig, path, id_col, meta, mode="overwrite")
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as f:
+        return json.load(f)
+
+
+def minhash_index_append(df: DataFrame, path: str) -> None:
+    """Append an accepted batch to the index (ids must be new — the index
+    never rewrites history; re-ingesting an id duplicates its postings)."""
+    meta = _read_meta(path)
+    sig = minhash_signatures(
+        df, meta["text_col"], meta["id_col"], meta["n"], meta["num_hashes"],
+        meta["hash_fn"],
+    )
+    _write_parts(sig, path, meta["id_col"], meta, mode="append")
+
+
+def minhash_index_dedup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    max_bucket_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs between ``batch`` and the indexed corpus:
+    (``batch_id``, ``corpus_id``, ``est_jaccard``), est_jaccard = fraction
+    of agreeing MinHash components (rounded to 4 places), filtered to
+    ``>= threshold``. The corpus text is never read — only bucket postings
+    the batch collides with, plus the candidates' signature rows.
+
+    ``max_bucket_freq`` drops index buckets holding more than that many
+    corpus docs before the join (broadcast anti-join on the hot-bucket
+    list) — boilerplate shingle-sets otherwise contribute O(freq) pairs
+    *per batch doc*, the same blowup ``jaccard_pairs`` caps."""
+    meta = _read_meta(path)
+    id_col, num_hashes = meta["id_col"], meta["num_hashes"]
+
+    corpus_bands = spark.read.parquet(os.path.join(path, "bands"))
+    corpus_sig = spark.read.parquet(os.path.join(path, "signatures"))
+    if max_bucket_freq is not None:
+        hot = (
+            corpus_bands.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_freq)
+            .select("band", "bucket")
+        )
+        corpus_bands = corpus_bands.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+
+    b_sig = minhash_signatures(
+        batch, meta["text_col"], id_col, meta["n"], num_hashes, meta["hash_fn"]
+    ).persist()
+    b_bands = _band_postings(b_sig, num_hashes, meta["bands"], meta["hash_fn"])
+
+    candidates = (
+        b_bands.withColumnRenamed("__id", "batch_id")
+        .join(
+            corpus_bands.withColumnRenamed(id_col, "corpus_id"),
+            ["band", "bucket"],
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+
+    agreement = sum(
+        (F.col(f"__b_h{i}") == F.col(f"__c_h{i}")).cast("int") for i in range(num_hashes)
+    )
+    scored = (
+        candidates.join(
+            b_sig.select(
+                F.col("__id").alias("batch_id"),
+                *[F.col(f"h{i}").alias(f"__b_h{i}") for i in range(num_hashes)],
+            ),
+            "batch_id",
+        )
+        .join(
+            corpus_sig.select(
+                F.col(id_col).alias("corpus_id"),
+                *[F.col(f"h{i}").alias(f"__c_h{i}") for i in range(num_hashes)],
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "est_jaccard", F.round(agreement / F.lit(float(num_hashes)), 4)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )
+    return scored

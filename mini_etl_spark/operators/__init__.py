@@ -27,7 +27,12 @@ from mini_etl_spark.operators.agg import group_agg
 from mini_etl_spark.operators.dedup import deduplicate
 from mini_etl_spark.operators.sort import sort_rows
 from mini_etl_spark.operators.joins import asof_join, join, range_join
-from mini_etl_spark.operators.merge import merge_upsert, scd2_apply
+from mini_etl_spark.operators.merge import merge_upsert, scd2_apply, scd2_snapshot
+from mini_etl_spark.operators.validate import (
+    quarantine_stats,
+    split_valid,
+    validate_rows,
+)
 
 __all__ = [
     "apply_by_group",
@@ -49,4 +54,8 @@ __all__ = [
     "range_join",
     "merge_upsert",
     "scd2_apply",
+    "scd2_snapshot",
+    "validate_rows",
+    "split_valid",
+    "quarantine_stats",
 ]

@@ -24,10 +24,10 @@ sort, no driver materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "scd2_apply", "snapshot_diff"]
+__all__ = ["merge_upsert", "scd2_apply", "scd2_snapshot", "snapshot_diff"]
 
 
 def _key_list(keys: str | list[str]) -> list[str]:
@@ -226,6 +226,39 @@ def scd2_apply(
         .unionByName(closed.select(*out_cols))
         .unionByName(new_versions.select(*out_cols))
     )
+
+
+def scd2_snapshot(
+    df: DataFrame,
+    as_of,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    drop_validity: bool = False,
+) -> DataFrame:
+    """Point-in-time view of an SCD-2 dimension (the read-side twin of
+    :func:`scd2_apply`): the one version of each key whose validity
+    interval covers ``as_of`` — ``valid_from <= as_of`` and
+    (``valid_to`` IS NULL or ``valid_to > as_of``). Keys first effective
+    after ``as_of`` vanish, exactly as the dimension looked then.
+
+    Interval convention matches ``scd2_apply``: ``valid_from`` inclusive,
+    ``valid_to`` exclusive (a row closed at T is superseded by the row
+    effective at T). ``as_of`` may be a Python date/datetime, an ISO
+    string, or a Column.
+
+    Scale: a pure filter — pushed into the parquet scan, prunes
+    partitions when the dimension is partitioned on the validity dates,
+    no shuffle, no window. ``drop_validity=True`` removes the three
+    bookkeeping columns for a business-facing view.
+    """
+    as_of_col = as_of if isinstance(as_of, Column) else F.lit(as_of)
+    out = df.filter(
+        (F.col(valid_from) <= as_of_col)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > as_of_col))
+    )
+    if drop_validity:
+        out = out.drop(valid_from, valid_to, "is_current")
+    return out
 
 
 def snapshot_diff(

@@ -1,0 +1,128 @@
+"""Persisted MinHash index (functions.dedup_index): build / probe / append,
+candidate equivalence with the in-frame LSH join, and md5 portability mode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions import dedup as dd
+from mini_etl_spark.functions.dedup_index import (
+    minhash_index_append,
+    minhash_index_dedup,
+    minhash_index_write,
+    minhash_signatures,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (2, "machine learning systems require large curated training corpora today"),
+    (3, "completely unrelated text about cooking pasta with garlic and olive oil"),
+]
+BATCH = [
+    # exact duplicate of corpus doc 1
+    (101, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    # near-duplicate of corpus doc 2 (one word changed)
+    (102, "machine learning systems require large curated training datasets today"),
+    # novel
+    (103, "quantum chemistry simulations on lattice models diverge rapidly here"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def index_path(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("mhidx") / "index")
+
+
+def test_index_build_probe_append(spark, index_path):
+    minhash_index_write(_df(spark, CORPUS), index_path, num_hashes=32, bands=8)
+    pairs = minhash_index_dedup(
+        spark, index_path, _df(spark, BATCH), threshold=0.5
+    )
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert (101, 1) in got  # exact dup: est_jaccard = 1.0
+    assert (102, 2) in got  # near dup
+    assert not any(b == 103 for b, _ in got)  # novel doc matches nothing
+    exact = pairs.filter("batch_id = 101").first()
+    assert exact["est_jaccard"] == 1.0
+
+    # append the novel doc, then a re-submission of it must be caught
+    minhash_index_append(_df(spark, [(103, BATCH[2][1])]), index_path)
+    again = minhash_index_dedup(
+        spark, index_path, _df(spark, [(201, BATCH[2][1])]), threshold=0.9
+    )
+    assert {(r["batch_id"], r["corpus_id"]) for r in again.collect()} == {(201, 103)}
+
+
+def test_index_candidates_match_inframe_lsh(spark, tmp_path):
+    """Same hash chain + banding as minhash_lsh_pairs: the index probe must
+    produce exactly the cross-split candidate pairs the in-frame LSH
+    self-join finds on corpus ∪ batch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+
+    path = str(tmp_path / "idx")
+    minhash_index_write(corpus, path, num_hashes=64, bands=16)
+    idx_pairs = minhash_index_dedup(
+        spark, path, batch, threshold=0.0, max_bucket_freq=None
+    )
+    got = {(r["batch_id"], r["corpus_id"]) for r in idx_pairs.collect()}
+
+    cands = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, verify=False
+    )
+    want = set()
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    for r in cands.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a in batch_ids) != (b in batch_ids):  # cross-split pairs only
+            want.add((a, b) if a in batch_ids else (b, a))
+    assert got == want
+    assert len(got) > 0  # fixture contains planted near-dups
+
+
+def test_signature_agreement_estimates_jaccard(spark):
+    # identical docs agree on every component; unrelated docs on almost none
+    sig = minhash_signatures(
+        _df(spark, [(1, CORPUS[0][1]), (2, CORPUS[0][1]), (3, CORPUS[2][1])]),
+        num_hashes=64,
+    )
+    rows = {r["__id"]: [r[f"h{i}"] for i in range(64)] for r in sig.collect()}
+    same = sum(a == b for a, b in zip(rows[1], rows[2]))
+    diff = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert same == 64
+    assert diff < 16
+
+
+def test_md5_mode_is_engine_portable_and_finds_dups(spark, tmp_path):
+    path = str(tmp_path / "idx_md5")
+    minhash_index_write(
+        _df(spark, CORPUS), path, num_hashes=16, bands=4, hash_fn="md5"
+    )
+    pairs = minhash_index_dedup(spark, path, _df(spark, BATCH), threshold=0.5)
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert (101, 1) in got and (102, 2) in got
+
+
+def test_hot_bucket_cap_drops_boilerplate(spark, tmp_path):
+    # 60 identical corpus docs form one giant bucket per band; with the cap
+    # at 10 the batch copy of that text yields zero candidates, so the join
+    # volume is bounded even when boilerplate floods the index.
+    rows = [(i, "standard legal disclaimer text repeated on every page of site")
+            for i in range(60)]
+    path = str(tmp_path / "idx_hot")
+    minhash_index_write(_df(spark, rows), path, num_hashes=32, bands=8)
+    batch = _df(spark, [(999, rows[0][1])])
+    capped = minhash_index_dedup(spark, path, batch, threshold=0.5,
+                                 max_bucket_freq=10)
+    assert capped.count() == 0
+    uncapped = minhash_index_dedup(spark, path, batch, threshold=0.5,
+                                   max_bucket_freq=None)
+    assert uncapped.count() == 60
