@@ -12,6 +12,7 @@ representation-stable across engines.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1993,6 +1994,74 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time view of the SCD-2 dimension built by q_scd2, as of the
+    1998-06-01 effective instant: changed keys show their new BIG98 version
+    (valid_from inclusive), unchanged keys their original row — the
+    boundary semantics (valid_to exclusive) differentially checked. Pure
+    filter on top of the merge plan: no extra shuffle."""
+    from mini_etl_spark.operators.merge import scd2_snapshot
+
+    return scd2_snapshot(q_scd2(spark, sf_dir), "1998-06-01 00:00:00")
+
+
+_VALIDATE_RULES = {
+    "discount_low": "l_discount <= 0.05",
+    "qty_small": "l_quantity <= 30",
+    "tax_bounded": "l_tax <= 0.06",
+}
+
+
+def q_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level validation with quarantine routing: every lineitem row is
+    scored against three named rules in ONE codegen projection (NULL-safe:
+    an unknown verdict is a violation), and the quarantined rows come back
+    labeled with exactly the rules they failed. The full-hash oracle
+    replays the per-rule CASE chain and the label aggregation."""
+    from mini_etl_spark.operators.validate import split_valid
+
+    li = _t(spark, sf_dir, "lineitem")
+    _, quarantine = split_valid(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+        ),
+        _VALIDATE_RULES,
+    )
+    return quarantine.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join("violations", ",").alias("violated"),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a PERSISTED MinHash index (continuous-
+    ingestion shape: the historical text is hashed once at index build and
+    never re-read). Corpus = doc_id % 10 != 0, batch = the rest; md5
+    signature mode (16 hashes / 4 bands) so DuckDB replays the entire
+    chain — signatures, band buckets, candidate join, and the agreement
+    estimator — bit-for-bit. est_jaccard = agreeing-component fraction."""
+    import hashlib
+    import tempfile
+
+    from mini_etl_spark.functions.dedup_index import (
+        minhash_index_dedup,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "mini_etl_mh_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    minhash_index_write(
+        corpus, path, num_hashes=16, bands=4, hash_fn="md5"
+    )
+    return minhash_index_dedup(spark, path, batch, threshold=0.5)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph dedup (the Dolma move): documents synthesized
     into 3-paragraph pages — a corpus-wide intro, unique content, and a
@@ -2097,10 +2166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_rename_project": q_select_rename_project,
         "cast_lenient": q_cast_lenient,
         "fillna": q_fillna,
-        "fillna_ffill": q_fillna_ffill,
         "dedup_first": q_dedup_first,
         "sort": q_sort,
         "union_concat": q_union_concat,
+        "validated": q_validated,
         # joins / windows / reshapes
         "join_star": q_join_star,
         "join_outer": q_join_outer,
@@ -2110,17 +2179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "running_window": q_running_window,
         "rolling_hour": q_rolling_hour,
-        "key_skew": q_key_skew,
         "pivot": q_pivot,
-        "rollup": q_rollup,
-        "token_mixture": q_token_mixture,
         # lambda / schema / sets / sessions
         "expression_derive": q_expression_derive,
         "map_batches": q_map_batches,
         "group_zscore": q_group_zscore,
         "schema_coerce": q_schema_coerce,
-        "semantic_cell_pairs": q_semantic_cell_pairs,
-        "line_hygiene": q_line_hygiene,
         "sessionize": q_sessionize,
         "events_window": q_events_window,
         # TPC-H flagship shapes
@@ -2145,13 +2209,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "corpus_clean": q_corpus_clean,
         "contamination": q_contamination,
+        "incremental_dedup": q_incremental_dedup,
         "cosine_pairs_lsh": q_cosine_pairs_lsh,
         "cosine_topk": q_cosine_topk,
-        "multimodal_features": q_multimodal_features,
         # warehouse merge
         "upsert": q_upsert,
         "scd2": q_scd2,
-        # --- remaining TPC-H shape variants ---
+        "scd2_snapshot": q_scd2_snapshot,
+        # --- remaining operator variants (all oracle-tested in pytest) ---
+        "fillna_ffill": q_fillna_ffill,
+        "key_skew": q_key_skew,
+        "rollup": q_rollup,
+        "token_mixture": q_token_mixture,
+        "semantic_cell_pairs": q_semantic_cell_pairs,
+        "line_hygiene": q_line_hygiene,
+        "multimodal_features": q_multimodal_features,
         "order_gaps": q_order_gaps,
         "part_type_revenue": q_part_type_revenue,
         "dedup_unique_only": q_dedup_unique_only,
@@ -2226,6 +2298,64 @@ _D_SHINGLES = (
     f"i -> array_to_string(({_D_TOKENS})[i:i+2], ' '))) "
     "ELSE [] END"
 )
+def _d_md5_64(x: str) -> str:
+    """DuckDB twin of dedup._element_hash64(hash_fn='md5'): two 32-bit md5
+    halves packed into one signed 64-bit word. Spark's shiftleft(hi,32)
+    wraps in two's complement; DuckDB's << overflow-checks, so the wrap is
+    made explicit (hi reinterpreted signed-32, then an exact multiply)."""
+    hi = f"('0x' || substr(md5({x}), 1, 8))::BIGINT"
+    lo = f"('0x' || substr(md5({x}), 9, 8))::BIGINT"
+    return (
+        f"(({hi} - CASE WHEN {hi} >= 2147483648 THEN 4294967296 ELSE 0 END)"
+        f" * 4294967296 + {lo})"
+    )
+
+
+def _d_minhash_incremental_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Full DuckDB replay of q_incremental_dedup's index chain: md5-seeded
+    MinHash signatures for corpus and batch, band buckets (joined slice
+    strings), the (band,bucket) candidate equi-join, and the signature-
+    agreement Jaccard estimator. Generated so the 16 min-hash expressions
+    cannot drift from dedup_index.minhash_signatures' loop."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        "MIN({h}) AS h{i}".format(h=_d_md5_64(f"'{i}:' || g"), i=i)
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN bs.h{i} = cs.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+        WITH g AS (
+          SELECT doc_id, unnest(sh) AS g
+          FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)),
+        sig AS (SELECT doc_id, {mins} FROM g GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+          FROM bands bb JOIN bands cb
+            ON bb.band = cb.band AND bb.bucket = cb.bucket
+          WHERE bb.doc_id % 10 = 0 AND cb.doc_id % 10 != 0)
+        SELECT batch_id, corpus_id,
+               round(({agree}) / {float(num_hashes)}, 4) AS est_jaccard
+        FROM cand
+        JOIN sig bs ON bs.doc_id = batch_id
+        JOIN sig cs ON cs.doc_id = corpus_id
+        WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    """
+
+
 # DuckDB twin of splits.hash_bucket: first 8 hex chars of md5(seed\x1f key)
 # as a 32-bit int (built by positional hex-digit arithmetic — exact in
 # doubles, 16^8 < 2^53), mod NUM_BUCKETS.
@@ -3677,6 +3807,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
             FROM changed c
         """,
+        # scd2_snapshot: the scd2 dimension filtered to the one version per
+        # key covering the as-of instant (valid_from inclusive, valid_to
+        # exclusive) — the boundary case, since the snapshot sits exactly
+        # at the delta's effective timestamp.
+        "scd2_snapshot": """
+            WITH target AS (
+                SELECT c.*, TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+                       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+                FROM customer c
+            ),
+            delta AS (
+                SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                       'BIG98' AS c_mktsegment,
+                       TIMESTAMP '1998-06-01 00:00:00' AS eff
+                FROM customer c
+                JOIN (SELECT o_custkey
+                      FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+                      GROUP BY o_custkey
+                      HAVING sum(o_totalprice) > 300000) b
+                  ON b.o_custkey = c.c_custkey
+            ),
+            changed AS (
+                SELECT d.* FROM delta d
+                LEFT JOIN target t
+                  ON d.c_custkey = t.c_custkey AND t.is_current
+                WHERE t.c_custkey IS NULL
+                   OR NOT (d.c_mktsegment IS NOT DISTINCT FROM t.c_mktsegment)
+            ),
+            dim AS (
+                SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+                       t.c_mktsegment, t.valid_from, t.valid_to, t.is_current
+                FROM target t
+                WHERE t.is_current
+                  AND NOT EXISTS (SELECT 1 FROM changed c
+                                  WHERE c.c_custkey = t.c_custkey)
+                UNION ALL
+                SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+                       t.c_mktsegment, t.valid_from, c.eff AS valid_to,
+                       FALSE AS is_current
+                FROM target t JOIN changed c ON c.c_custkey = t.c_custkey
+                WHERE t.is_current
+                UNION ALL
+                SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+                       c.c_mktsegment, c.eff AS valid_from,
+                       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+                FROM changed c
+            )
+            SELECT * FROM dim
+            WHERE valid_from <= TIMESTAMP '1998-06-01 00:00:00'
+              AND (valid_to IS NULL
+                   OR valid_to > TIMESTAMP '1998-06-01 00:00:00')
+        """,
+        # validated: per-row rule evaluation with NULL-as-violation
+        # semantics; the label is the comma-joined list of failed rules in
+        # declaration order.
+        "validated": """
+            SELECT l_orderkey, l_linenumber,
+                   array_to_string(list_filter([
+                       CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE)
+                            THEN 'discount_low' END,
+                       CASE WHEN NOT coalesce(l_quantity <= 30, FALSE)
+                            THEN 'qty_small' END,
+                       CASE WHEN NOT coalesce(l_tax <= 0.06, FALSE)
+                            THEN 'tax_bounded' END
+                   ], x -> x IS NOT NULL), ',') AS violated
+            FROM lineitem
+            WHERE NOT coalesce(l_discount <= 0.05, FALSE)
+               OR NOT coalesce(l_quantity <= 30, FALSE)
+               OR NOT coalesce(l_tax <= 0.06, FALSE)
+        """,
+        "incremental_dedup": _d_minhash_incremental_sql(),
         # minhash_lsh_pairs: the driver query runs in exact-verify mode
         # (candidates re-scored with true Jaccard), and the pytest recall
         # gate (LSH(verify) == exact) holds on this corpus — so the exact
