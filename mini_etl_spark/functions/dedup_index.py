@@ -80,7 +80,14 @@ def minhash_signatures(
     Documents with no shingles (< n tokens) produce no row: they cannot
     near-duplicate anything under shingle Jaccard."""
     docs = _shingled(df, text_col, id_col, n)
-    exploded = docs.select("__id", F.explode("__sh").alias("__g"))
+    # explode_outer + post-generate null filter (the repo's house rule for
+    # exploding computed arrays): plain explode lets Catalyst infer
+    # size(__sh) > 0 and sink it below the projection, re-inlining the full
+    # shingle/tokenize chain into every element — measured 8.1 s → 0.9 s
+    # for 500-doc batch signatures at sf0.1.
+    exploded = docs.select("__id", F.explode_outer("__sh").alias("__g")).filter(
+        F.col("__g").isNotNull()
+    )
     return exploded.groupBy("__id").agg(
         *[
             F.min(_seeded_hash(F.col("__g"), i, hash_fn)).alias(f"h{i}")
