@@ -2131,6 +2131,29 @@ def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit-distance join: supplier names vs a
+    deterministically typo'd copy (char 5 substituted, ids offset) —
+    suffix blocking because these names discriminate at the tail, so the
+    mid-string typo stays inside the block and every planted pair is
+    recovered at distance 1. Candidates are one suffix-equi join + length
+    band, levenshtein only on survivors; the DuckDB oracle replays the
+    identical normalize/block/verify chain (same levenshtein)."""
+    from mini_etl_spark.functions.fuzzy import fuzzy_join
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    typos = sup.select(
+        (F.col("s_suppkey") + 100000).alias("t_id"),
+        F.concat(
+            F.substring("s_name", 1, 4), F.lit("x"), F.expr("substring(s_name, 6)")
+        ).alias("t_name"),
+    )
+    return fuzzy_join(
+        sup, typos, "s_name", "t_name", max_distance=2, block_on="suffix",
+        block_len=3,
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: the 25 heaviest l_suppkey values with row count and
     share of the fact table — the pre-flight check for choosing salted vs
@@ -2178,7 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "topk_per_group": q_topk_per_group,
         "running_window": q_running_window,
-        "rolling_hour": q_rolling_hour,
+        "fuzzy_match": q_fuzzy_match,
         "pivot": q_pivot,
         # lambda / schema / sets / sessions
         "expression_derive": q_expression_derive,
@@ -2218,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot": q_scd2_snapshot,
         # --- remaining operator variants (all oracle-tested in pytest) ---
         "fillna_ffill": q_fillna_ffill,
+        "rolling_hour": q_rolling_hour,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -3879,6 +3903,28 @@ def oracle_sql() -> dict[str, str]:
                OR NOT coalesce(l_tax <= 0.06, FALSE)
         """,
         "incremental_dedup": _d_minhash_incremental_sql(),
+        # fuzzy_match: blocked levenshtein join — normalization, suffix
+        # block, length band, and the edit-distance verify all replayed.
+        "fuzzy_match": r"""
+            WITH s AS (
+                SELECT s_suppkey, s_name,
+                       regexp_replace(lower(trim(s_name)), '\s+', ' ', 'g') AS n
+                FROM supplier),
+            t AS (
+                SELECT s_suppkey + 100000 AS t_id,
+                       concat(substr(s_name, 1, 4), 'x', substr(s_name, 6))
+                           AS t_name
+                FROM supplier),
+            tn AS (
+                SELECT t_id, t_name,
+                       regexp_replace(lower(trim(t_name)), '\s+', ' ', 'g') AS n
+                FROM t)
+            SELECT s.s_suppkey, s.s_name, tn.t_id, tn.t_name,
+                   levenshtein(s.n, tn.n) AS distance
+            FROM s JOIN tn ON right(s.n, 3) = right(tn.n, 3)
+            WHERE abs(length(s.n) - length(tn.n)) <= 2
+              AND levenshtein(s.n, tn.n) <= 2
+        """,
         # minhash_lsh_pairs: the driver query runs in exact-verify mode
         # (candidates re-scored with true Jaccard), and the pytest recall
         # gate (LSH(verify) == exact) holds on this corpus — so the exact

@@ -28,6 +28,7 @@ from mini_etl_spark.functions import (
     corpus,
     dedup,
     dedup_index,
+    fuzzy,
     mixing,
     multimodal,
     similarity,
@@ -36,6 +37,6 @@ from mini_etl_spark.functions import (
 )
 
 __all__ = [
-    "text", "dedup", "dedup_index", "similarity", "multimodal", "corpus",
-    "splits", "chunking", "mixing", "bpe",
+    "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
+    "corpus", "splits", "chunking", "mixing", "bpe",
 ]
