@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Scale-linearity check: the same queries at sf0.1 and at a REPLICA-scaled
+multiple (default 8×, ≈ sf0.8), with join keys remapped per replica so join
+fan-out and group-key cardinality scale like real data growth — replicating
+rows verbatim would square join output and prove nothing.
+
+For each query: warm wall-clock at both scales and the time ratio vs the
+data ratio. A scan/agg/join plan that survives 100× shows time ratio ≲
+data ratio here (local[32] has fixed per-job cost, so small queries sit
+BELOW the data ratio); anything super-linear is flagged — that's the shape
+that dies at 100 TB.
+
+Replica tables go to /tmp (driver testdata stays read-only). Usage:
+
+    SCALE_FACTOR=8 python scripts/scale_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPLICAS = int(os.environ.get("SCALE_FACTOR", "8"))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = f"/tmp/scale_check_x{REPLICAS}"
+
+# key columns to offset per replica so relationships stay 1:1/N:1 instead
+# of exploding quadratically; non-key ids (nation/region, 25/5 rows) are
+# left alone — dimension tables that small stay broadcast at any scale.
+KEY_OFFSETS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONLY = ["region", "nation"]
+OFFSET = 100_000_000  # far above any base key
+
+QUERIES = [
+    # name — chosen to cover scan+agg, filter, multi-join, window, text,
+    # dedup-hash, similarity, and the inverted-index join
+    "group_agg",
+    "filter_expression",
+    "shipping_priority",
+    "topk_per_group",
+    "running_window",
+    "text_features",
+    "exact_dedup",
+    "hash_split",
+    "cosine_topk",
+    "minhash_lsh_pairs",
+]
+
+
+def build_big(spark) -> None:
+    if os.path.exists(os.path.join(BIG, "_OK")):
+        return
+    shutil.rmtree(BIG, ignore_errors=True)
+    os.makedirs(BIG, exist_ok=True)
+    from mini_etl_spark.sources import read_parquet
+
+    for t in COPY_ONLY:
+        read_parquet(f"{BASE}/{t}.parquet")(spark).write.mode("overwrite").parquet(
+            f"{BIG}/{t}.parquet"
+        )
+    for t, keys in KEY_OFFSETS.items():
+        src = f"{BASE}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        ns_cols = ["ts"] if t == "events" else None
+        df = read_parquet(src, ns_timestamp_columns=ns_cols)(spark)
+        # one replica per element of a literal array — the replication is
+        # a single explode projection, no driver loop over unions
+        rep = df.select(
+            F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias("__r"),
+            "*",
+        )
+        for k in keys:
+            rep = rep.withColumn(
+                k, (F.col(k) + F.col("__r").cast("long") * OFFSET).cast("long")
+            )
+        rep.drop("__r").write.mode("overwrite").parquet(f"{BIG}/{t}.parquet")
+    open(os.path.join(BIG, "_OK"), "w").close()
+
+
+def main() -> None:
+    from mini_etl_spark import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("scale-check")
+    t0 = time.monotonic()
+    build_big(spark)
+    print(f"# replica build ({REPLICAS}x): {time.monotonic() - t0:.1f}s",
+          file=sys.stderr)
+
+    queries = entry.queries()
+    results = {}
+    for name in QUERIES:
+        fn = queries[name]
+        times = {}
+        for label, sf_dir in (("base", BASE), ("big", BIG)):
+            fn(spark, sf_dir).count()  # warm: codegen + shuffle machinery
+            spark.catalog.clearCache()
+            t = time.monotonic()
+            n = fn(spark, sf_dir).count()
+            times[label] = time.monotonic() - t
+            times[f"{label}_rows"] = n
+            spark.catalog.clearCache()
+        ratio = times["big"] / times["base"] if times["base"] > 0 else None
+        results[name] = {
+            "base_s": round(times["base"], 3),
+            "big_s": round(times["big"], 3),
+            "time_ratio": round(ratio, 2),
+            "data_ratio": REPLICAS,
+            "superlinear": bool(ratio > REPLICAS * 1.25),
+            "base_rows": times["base_rows"],
+            "big_rows": times["big_rows"],
+        }
+        flag = " **SUPERLINEAR**" if results[name]["superlinear"] else ""
+        print(
+            f"{name:22s} base {times['base']:6.2f}s  big {times['big']:6.2f}s  "
+            f"ratio {ratio:5.2f}x vs data {REPLICAS}x{flag}",
+            file=sys.stderr,
+        )
+    print(json.dumps({"replicas": REPLICAS, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
