@@ -2154,6 +2154,20 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement (suppress mode): customers whose
+    (nation, market-segment) quasi-identifier combination is shared by
+    fewer than 8 customers are dropped — no row can be singled out by
+    joining those two columns externally. One map-side-combined QI count
+    + one broadcast anti-join; the fact side never shuffles."""
+    from mini_etl_spark.functions.privacy import k_anonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: the 25 heaviest l_suppkey values with row count and
     share of the fact table — the pre-flight check for choosing salted vs
@@ -2242,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remaining operator variants (all oracle-tested in pytest) ---
         "fillna_ffill": q_fillna_ffill,
         "rolling_hour": q_rolling_hour,
+        "k_anonymized": q_k_anonymized,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -3903,6 +3918,12 @@ def oracle_sql() -> dict[str, str]:
                OR NOT coalesce(l_tax <= 0.06, FALSE)
         """,
         "incremental_dedup": _d_minhash_incremental_sql(),
+        # k_anonymized: suppress rows whose QI combination has < k members
+        "k_anonymized": """
+            SELECT c_custkey, c_nationkey, c_mktsegment
+            FROM customer
+            QUALIFY count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) >= 8
+        """,
         # fuzzy_match: blocked levenshtein join — normalization, suffix
         # block, length band, and the edit-distance verify all replayed.
         "fuzzy_match": r"""

@@ -50,7 +50,7 @@ TRANSFORMER_TYPES = {
     "dedup_paragraphs",
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
-    "weighted_sample", "validate",
+    "weighted_sample", "validate", "k_anonymize",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -439,6 +439,13 @@ class ConfigLoader:
             raise ValueError(
                 f"validate: mode must be label|filter|quarantine, got {mode!r}"
             )
+        if spec.type == "k_anonymize":
+            from mini_etl_spark.functions.privacy import k_anonymize
+
+            qi = list(o["quasi_identifiers"])
+            k = int(o["k"])
+            method = o.get("method", "suppress")
+            return lambda df: k_anonymize(df, qi, k, method)
         if spec.type == "stratified_sample":
             from mini_etl_spark.functions import splits as sp
 

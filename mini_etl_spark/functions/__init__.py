@@ -30,6 +30,7 @@ from mini_etl_spark.functions import (
     dedup_index,
     fuzzy,
     mixing,
+    privacy,
     multimodal,
     similarity,
     splits,
@@ -38,5 +39,5 @@ from mini_etl_spark.functions import (
 
 __all__ = [
     "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
-    "corpus", "splits", "chunking", "mixing", "bpe",
+    "corpus", "splits", "chunking", "mixing", "bpe", "privacy",
 ]
