@@ -2154,6 +2154,22 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (price, quantity) — the
+    multi-column file-skipping layout (`maintenance.zorder_write` sorts by
+    it; Delta/Iceberg OPTIMIZE ZORDER effect from plain expressions). The
+    min-max bucketing + bit interleave is pure arithmetic, so DuckDB
+    replays the identical key for every row (the bucket formula's float
+    division chain is written identically in both engines)."""
+    from mini_etl_spark.maintenance import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    z = zorder_value(li, ["l_extendedprice", "l_quantity"], bits=8)
+    return li.select("l_orderkey", "l_linenumber", z.alias("zval"))
+
+
 def q_k_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity enforcement (suppress mode): customers whose
     (nation, market-segment) quasi-identifier combination is shared by
@@ -2257,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna_ffill": q_fillna_ffill,
         "rolling_hour": q_rolling_hour,
         "k_anonymized": q_k_anonymized,
+        "zorder_key": q_zorder_key,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -2392,6 +2409,40 @@ def _d_minhash_incremental_sql(
         JOIN sig bs ON bs.doc_id = batch_id
         JOIN sig cs ON cs.doc_id = corpus_id
         WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _d_zorder_sql(bits: int = 8) -> str:
+    """DuckDB twin of maintenance.zorder_value over
+    (l_extendedprice, l_quantity): same min-max stats, same width_bucket
+    float-division chain ((v-mn)/((mx-mn)/n), floor, +1 — verified
+    bit-identical against Spark's WidthBucket on this data), same clamp,
+    same bit interleave (disjoint positions → sum == bitwise-or)."""
+    n = 1 << bits
+    cols = ["l_extendedprice", "l_quantity"]
+
+    def rank(i: int, c: str) -> str:
+        v = f"CAST({c} AS DOUBLE)"
+        wb = (
+            f"CAST(floor(({v} - mn{i}) / ((mx{i} - mn{i}) / {n})) AS BIGINT) + 1"
+        )
+        return f"GREATEST(0, LEAST({n - 1}, ({wb}) - 1))"
+
+    interleave = " + ".join(
+        f"(((r{j} >> {bit}) & 1) << {bit * len(cols) + j})"
+        for bit in range(bits)
+        for j in range(len(cols))
+    )
+    stats = ", ".join(
+        f"min(CAST({c} AS DOUBLE)) AS mn{i}, max(CAST({c} AS DOUBLE)) AS mx{i}"
+        for i, c in enumerate(cols)
+    )
+    ranks = ", ".join(f"{rank(i, c)} AS r{i}" for i, c in enumerate(cols))
+    return f"""
+        WITH s AS (SELECT {stats} FROM lineitem),
+        b AS (SELECT l_orderkey, l_linenumber, {ranks} FROM lineitem, s)
+        SELECT l_orderkey, l_linenumber, CAST({interleave} AS BIGINT) AS zval
+        FROM b
     """
 
 
@@ -3918,6 +3969,7 @@ def oracle_sql() -> dict[str, str]:
                OR NOT coalesce(l_tax <= 0.06, FALSE)
         """,
         "incremental_dedup": _d_minhash_incremental_sql(),
+        "zorder_key": _d_zorder_sql(),
         # k_anonymized: suppress rows whose QI combination has < k members
         "k_anonymized": """
             SELECT c_custkey, c_nationkey, c_mktsegment
