@@ -2154,6 +2154,24 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script detection for multilingual-corpus triage: per-doc
+    script-letter counts (strip-and-subtract regexp trick, one codegen
+    projection) and the dominant-script label. The DuckDB oracle replays
+    the same character classes in RE2 syntax."""
+    from mini_etl_spark.functions.text import dominant_script, script_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = script_counts("text")
+    return docs.select(
+        "doc_id",
+        sc["latin"].alias("latin"),
+        sc["cjk"].alias("cjk"),
+        sc["letters"].alias("letters"),
+        dominant_script("text").alias("script"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (price, quantity) — the
     multi-column file-skipping layout (`maintenance.zorder_write` sorts by
@@ -2274,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hour": q_rolling_hour,
         "k_anonymized": q_k_anonymized,
         "zorder_key": q_zorder_key,
+        "script_id": q_script_id,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -2409,6 +2428,39 @@ def _d_minhash_incremental_sql(
         JOIN sig bs ON bs.doc_id = batch_id
         JOIN sig cs ON cs.doc_id = corpus_id
         WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _d_script_sql() -> str:
+    """DuckDB twin of text.script_counts/dominant_script: identical
+    character classes translated Java \\uXXXX → RE2 \\x{XXXX}, identical
+    strip-and-subtract counting, identical CASE order (with the default
+    0.5 threshold at most one script can pass the strict >)."""
+    import re as _re
+
+    from mini_etl_spark.functions.text import SCRIPT_RANGES
+
+    def re2(cls: str) -> str:
+        return _re.sub(r"\\u([0-9a-fA-F]{4})", r"\\x{\1}", cls)
+
+    counts = ", ".join(
+        f"length(text) - length(regexp_replace(text, '[{re2(cls)}]', '', 'g')) AS {n}"
+        for n, cls in SCRIPT_RANGES
+    )
+    letters = " + ".join(n for n, _ in SCRIPT_RANGES)
+    branches = " ".join(
+        f"WHEN CAST({n} AS DOUBLE) > CAST(letters AS DOUBLE) * 0.5 THEN '{n}'"
+        for n, _ in SCRIPT_RANGES
+    )
+    return f"""
+        WITH c AS (SELECT doc_id, text, {counts} FROM documents),
+        l AS (SELECT *, {letters} AS letters FROM c)
+        SELECT doc_id, latin, cjk, letters,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN letters = 0 THEN 'unknown'
+                    {branches}
+                    ELSE 'mixed' END AS script
+        FROM l
     """
 
 
@@ -3970,6 +4022,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": _d_minhash_incremental_sql(),
         "zorder_key": _d_zorder_sql(),
+        "script_id": _d_script_sql(),
         # k_anonymized: suppress rows whose QI combination has < k members
         "k_anonymized": """
             SELECT c_custkey, c_nationkey, c_mktsegment

@@ -225,6 +225,65 @@ def pii_count(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Unicode script detection (multilingual-corpus triage)
+# ---------------------------------------------------------------------------
+
+# (name, Java-regex char class) — BMP ranges only (parquet text is almost
+# entirely BMP; astral scripts fall into `other`). The DuckDB oracle twin
+# uses the same ranges in RE2 \x{...} syntax (__spark_entry__).
+SCRIPT_RANGES = [
+    ("latin", "A-Za-z\\u00c0-\\u024f"),
+    ("cyrillic", "\\u0400-\\u04ff"),
+    ("greek", "\\u0370-\\u03ff"),
+    ("arabic", "\\u0600-\\u06ff"),
+    ("hebrew", "\\u0590-\\u05ff"),
+    ("devanagari", "\\u0900-\\u097f"),
+    ("cjk", "\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af"),
+]
+
+
+def script_counts(col: Column | str) -> Column:
+    """struct of per-script character counts plus ``letters`` (their sum).
+    Counting is subtraction of a character-class strip — one
+    ``regexp_replace`` per script, all inside a single codegen projection,
+    and the identical trick replays in any regex-bearing engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    fields = []
+    total = F.lit(0).cast("long")
+    for name, cls in SCRIPT_RANGES:
+        cnt = (
+            F.length(c) - F.length(F.regexp_replace(c, f"[{cls}]", ""))
+        ).cast("long")
+        fields.append(cnt.alias(name))
+        total = total + cnt
+    return F.struct(*fields, total.alias("letters"))
+
+
+def dominant_script(col: Column | str, min_fraction: float = 0.5) -> Column:
+    """Name of the script holding > ``min_fraction`` of the script-letter
+    mass, else ``'mixed'``; ``'unknown'`` for text with no script letters
+    at all (digits/punctuation only). With the default 0.5 at most one
+    script can pass the strict >; below 0.5 the first-listed passing
+    script wins — deterministic either way, in any engine."""
+    s = script_counts(col)
+    letters = s["letters"]
+    out = F.lit("mixed")
+    # reversed so earlier-listed scripts take precedence when several pass
+    # (possible only with min_fraction < 0.5)
+    for name, _ in reversed(SCRIPT_RANGES):
+        out = F.when(
+            s[name].cast("double") > letters.cast("double") * F.lit(min_fraction),
+            F.lit(name),
+        ).otherwise(out)
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(letters == 0, F.lit("unknown"))
+        .otherwise(out)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition / boilerplate metrics (Gopher-style quality signals)
 # ---------------------------------------------------------------------------
 
