@@ -155,6 +155,14 @@ def to_parquet(
     ``sort_partitions`` pins the output file count (an explicit count is
     exempt from AQE coalescing; default lets AQE size the shuffle).
 
+    ``mode="refresh"`` (requires ``partition_by``) is dynamic partition
+    overwrite: only the hive partitions PRESENT IN THE FRAME are replaced,
+    every other partition is left untouched — the incremental-backfill
+    write (recompute one day/source, drop it in place) that plain
+    ``overwrite`` would turn into a full-table wipe. Scoped via
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` for this write
+    only.
+
     Streaming frames write through the checkpointed availableNow path
     (append-only micro-batches; ``sort_by`` is a batch-layout concept and
     is rejected — compact/cluster the landed files with
@@ -167,6 +175,11 @@ def to_parquet(
                     "to_parquet(sort_by=...) is batch-only; compact the "
                     "streamed output with maintenance.compact_parquet"
                 )
+            if mode == "refresh":
+                raise ValueError(
+                    "to_parquet(mode='refresh') is batch-only; streams "
+                    "append via the checkpointed path"
+                )
             opts = dict(options)
             if compression:
                 opts["compression"] = compression
@@ -177,14 +190,33 @@ def to_parquet(
             else:
                 df = df.repartitionByRange(*sort_by)
             df = df.sortWithinPartitions(*sort_by)
-        writer = df.write.mode(_spark_mode(mode))
+        refresh = mode == "refresh"
+        if refresh and not partition_by:
+            raise ValueError(
+                "to_parquet(mode='refresh') requires partition_by — dynamic "
+                "partition overwrite replaces whole hive partitions"
+            )
+        writer = df.write.mode("overwrite" if refresh else _spark_mode(mode))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if compression:
             writer = writer.option("compression", compression)
         for k, v in options.items():
             writer = writer.option(k, v)
-        writer.parquet(path)
+        if refresh:
+            spark = df.sparkSession
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "dynamic")
+            try:
+                writer.parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+        else:
+            writer.parquet(path)
 
     return _write
 

@@ -93,6 +93,28 @@ def test_parquet_roundtrip_and_partitioned(spark, sample_pdf, tmp_path):
     assert pruned.count() == 20
 
 
+def test_parquet_refresh_replaces_only_present_partitions(spark, sample_pdf, tmp_path):
+    df = spark.createDataFrame(sample_pdf)
+    part = tmp_path / "refresh"
+    to_parquet(str(part), partition_by=["category"])(df)
+    before_a = read_parquet(str(part))(spark).filter("category = 'A'").count()
+    total = read_parquet(str(part))(spark).count()
+
+    # rewrite ONLY category A with a single replacement row
+    repl = df.filter("category = 'A'").limit(1)
+    to_parquet(str(part), mode="refresh", partition_by=["category"])(repl)
+
+    back = read_parquet(str(part))(spark)
+    assert back.filter("category = 'A'").count() == 1  # replaced
+    assert back.count() == total - before_a + 1  # other partitions intact
+
+    # plain overwrite mode would have wiped them; refresh requires keys
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        to_parquet(str(part), mode="refresh")(repl)
+
+
 def test_parquet_column_projection(spark, sample_pdf, tmp_path):
     out = tmp_path / "proj"
     to_parquet(str(out))(spark.createDataFrame(sample_pdf))
