@@ -351,6 +351,20 @@ def main() -> None:
         batch = docs.filter(Fq.col("doc_id") % 10 == 0).select("doc_id", "text")
         return minhash_index_dedup(spark, _mh_index_path, batch, threshold=0.5)
 
+    def _pq_topk_arrow(spark, sf_dir):
+        # the at-scale path of the same PQ/ADC query the oracle checks:
+        # BLAS-batched code assignment instead of the bit-replayable
+        # m×k×dsub expression tree
+        from mini_etl_spark.functions import similarity as sim
+        from mini_etl_spark.sources import read_parquet as _rp
+
+        emb = _rp(f"{sf_dir}/embeddings.parquet")(spark)
+        cb = sim.pq_random_codebooks(64, m=8, k=8, seed=13)
+        from __spark_entry__ import _query_vector
+
+        q = _query_vector(spark, sf_dir)
+        return sim.pq_adc_topk(emb, q, cb, k=10, method="arrow")
+
     def _knn_join_arrow(spark, sf_dir):
         # the at-scale path of the same retrieval join the oracle checks:
         # BLAS matmul kernels for assignment/probing/scoring
@@ -420,6 +434,7 @@ def main() -> None:
         "retention_cohorts": queries["retention_cohorts"],
         "embedding_quantize": queries["embedding_quantize"],
         "pq_topk": queries["pq_topk"],
+        "pq_topk_arrow": _pq_topk_arrow,
         "bpe_vocab": queries["bpe_vocab"],
         "returned_revenue": queries["returned_revenue"],
         "brand_revenue": queries["brand_revenue"],

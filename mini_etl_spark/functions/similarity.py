@@ -987,6 +987,7 @@ def pq_adc_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "expr",
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): the
     query is NOT quantized — per subspace, a k-entry lookup table of
@@ -996,10 +997,14 @@ def pq_adc_topk(
     no vector arithmetic at scan time. TakeOrderedAndProject keeps the
     top-k; ties break on id for cross-engine determinism.
 
-    Output: (id, ``adc_dist`` rounded to 6).
+    Output: (id, ``adc_dist`` rounded to 6). ``method`` selects the code
+    assignment path (see :func:`pq_codes`): ``"expr"`` is the bit-
+    replayable oracle chain; ``"arrow"`` is the BLAS-batched encoder —
+    the at-scale choice, identical ranking except for tie-adjacent codes
+    in the last float ulp.
     """
     nb, kc, dsub = codebooks.shape
-    codes = pq_codes(df, codebooks, vec_col, id_col)
+    codes = pq_codes(df, codebooks, vec_col, id_col, method=method)
     luts = []
     for s in range(nb):
         row = []

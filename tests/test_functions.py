@@ -1257,6 +1257,20 @@ def test_pq_codes_arrow_matches_expr(spark):
     assert a == b
 
 
+def test_pq_adc_topk_arrow_matches_expr(spark):
+    """End-to-end ADC ranking parity between the oracle (expr) and scale
+    (arrow) encoders — same ids, same order, same rounded distances."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cb = sim.pq_random_codebooks(64, m=8, k=8, seed=13)
+    q = list(emb.filter("vec_id = 0").first().embedding)
+    a = [(r.vec_id, r.adc_dist) for r in sim.pq_adc_topk(emb, q, cb, k=10).collect()]
+    b = [
+        (r.vec_id, r.adc_dist)
+        for r in sim.pq_adc_topk(emb, q, cb, k=10, method="arrow").collect()
+    ]
+    assert a == b
+
+
 def test_remove_duplicate_spans_partner_island_collision(spark):
     """Islands from DIFFERENT partner docs on the same victim diagonal can
     collide numerically (pb − rank); they must NOT merge into one excision
