@@ -2188,6 +2188,51 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", z.alias("zval"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier order graph (3 power
+    iterations, damping 0.85) — the link-graph quality prior of web-corpus
+    curation, as joins + aggregates. Fixed iterations and a shared
+    left-associated float chain let DuckDB replay the whole power method
+    as unrolled CTEs; ranks rounded to 6 at the very end only."""
+    from mini_etl_spark.functions.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 100000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-occurrence graph (suppliers
+    sharing an order are linked): ordered two-path join closed against the
+    edge set — each triangle built once, no bidirectional edge blowup.
+    Exact integer, full hash oracle."""
+    from mini_etl_spark.functions.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def q_k_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity enforcement (suppress mode): customers whose
     (nation, market-segment) quasi-identifier combination is shared by
@@ -2293,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymized": q_k_anonymized,
         "zorder_key": q_zorder_key,
         "script_id": q_script_id,
+        "pagerank": q_pagerank,
+        "triangles": q_triangles,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -2462,6 +2509,33 @@ def _d_script_sql() -> str:
                     ELSE 'mixed' END AS script
         FROM l
     """
+
+
+def _d_pagerank_sql(iterations: int = 3) -> str:
+    """DuckDB twin of graph.pagerank over the customer→supplier order
+    graph: the power method unrolled as chained CTEs. The teleport
+    constant is written as (1.0 - 0.85) so both engines evaluate the
+    IDENTICAL IEEE double (a literal 0.15 is a different double than
+    1.0 - 0.85); ranks round to 6 only at the end."""
+    ctes = ["""
+        e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 100000 AS dst
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+        c{i} AS (SELECT e.dst, sum(r.rank / d.dg) AS cin
+                 FROM e JOIN deg d ON d.src = e.src
+                        JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT n.node,
+                        (1.0 - 0.85) + 0.85 * coalesce(c.cin, 0.0) AS rank
+                 FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
 
 
 def _d_zorder_sql(bits: int = 8) -> str:
@@ -4023,6 +4097,20 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _d_minhash_incremental_sql(),
         "zorder_key": _d_zorder_sql(),
         "script_id": _d_script_sql(),
+        "pagerank": _d_pagerank_sql(),
+        # triangles: ordered two-path closure over the canonicalized
+        # supplier co-occurrence edge set — one count, exact integer.
+        "triangles": """
+            WITH und AS (
+                SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            )
+            SELECT count(*) AS triangles
+            FROM und ab
+            JOIN und bc ON bc.a = ab.b
+            JOIN und ac ON ac.a = ab.a AND ac.b = bc.b
+        """,
         # k_anonymized: suppress rows whose QI combination has < k members
         "k_anonymized": """
             SELECT c_custkey, c_nationkey, c_mktsegment

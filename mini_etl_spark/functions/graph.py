@@ -1,0 +1,141 @@
+"""Link-graph analytics over edge DataFrames: degrees, PageRank, triangles.
+
+Web-corpus curation uses the hyperlink graph as a quality prior (domain/
+page centrality feeds crawl frontier ranking and doc-quality features), and
+entity graphs from `dedup`/`fuzzy` pair outputs need structural metrics.
+These operators work on a plain (``src``, ``dst``) edge DataFrame — no
+graph library, no RDDs: every step is joins + aggregates Catalyst can
+plan, the same shapes GraphX/GraphFrames lower to.
+
+Scale notes (100 TB edge lists):
+
+- ``degree_stats`` — one map-side-combined aggregate per direction.
+- ``pagerank`` — per iteration: ONE equi-join (ranks × edges on src) and
+  ONE hash aggregate (sum contributions by dst). State between iterations
+  is a (node, rank) frame persisted and re-derived, never an adjacency
+  materialization; lineage is cut by the persist each round. Dangling
+  nodes (no out-edges) leak their mass to the teleport term — the
+  standard simplification, documented; handle them upstream by adding
+  self-loops if mass conservation matters.
+- ``triangle_count`` — the two-path join is ordered (``a < b < c`` on
+  node ids) so each triangle is built exactly once and the join never
+  materializes both directions; candidate volume is Σ deg(v)² on the
+  ordered graph, the standard bound. Degree-ordering (orienting edges
+  from lower- to higher-degree endpoints) tightens the bound on skewed
+  graphs and composes with this operator by renumbering ids by degree
+  rank first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["degree_stats", "pagerank", "triangle_count"]
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, out_degree, in_degree) for every node appearing in any edge.
+    Two partial aggregates + one full-outer merge on node id."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after ``iterations`` of the power method:
+    rank = (1 − d) + d · Σ_in rank(u)/out_degree(u), uniform start at 1.0
+    (the classic un-normalized formulation — ranks sum to ~N, not 1).
+
+    Fixed iteration count, left-associated float chain, and deterministic
+    join/agg semantics make the result replayable in any engine — the
+    DuckDB oracle unrolls the same iterations as chained CTEs. Nodes with
+    no in-edges settle at 1 − d; dangling mass goes to the teleport term.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # (src, dst, __deg): the contribution routing table, reused every
+    # iteration — persist once instead of re-joining degrees each round.
+    routed = e.join(out_deg, "src").persist()
+
+    ranks = nodes.select("node", F.lit(1.0).alias("rank")).persist()
+    for _ in range(iterations):
+        contrib = (
+            routed.join(ranks, routed.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize, then release the old state
+        ranks.unpersist()
+        ranks = new_ranks
+    routed.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Total triangle count in the UNDIRECTED graph induced by the edge
+    list (direction and duplicate/self edges ignored): one row
+    (``triangles`` bigint).
+
+    Canonicalize each edge to (lo, hi), then count 2-paths a<b<c with
+    both (a,b),(b,c) present and close them against (a,c) — each triangle
+    counted exactly once. Two equi-joins, no explosion of both edge
+    directions."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    paths = ab.join(bc, ab.y == bc.y2).select("x", "y", "z")
+    closed = paths.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))

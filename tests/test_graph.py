@@ -1,0 +1,69 @@
+"""Graph analytics (functions.graph): degrees, PageRank against a local
+power-iteration reference, triangle counting on known graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions.graph import degree_stats, pagerank, triangle_count
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def test_degree_stats(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (4, 1)])
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in degree_stats(e).collect()}
+    assert got == {1: (2, 1), 2: (1, 1), 3: (0, 2), 4: (1, 0)}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # 3-cycle: by symmetry every node keeps rank exactly 1.0 every round
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert all(abs(v - 1.0) < 1e-12 for v in ranks.values())
+
+
+def _reference_pagerank(pairs, iterations, damping=0.85):
+    nodes = sorted({n for p in pairs for n in p})
+    out = {n: 0 for n in nodes}
+    for s, _ in pairs:
+        out[s] += 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in pairs:
+            contrib[d] += rank[s] / out[s]
+        rank = {n: (1 - damping) + damping * contrib[n] for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (2, 1)]
+    got = {r["node"]: r["rank"]
+           for r in pagerank(_edges(spark, pairs), iterations=7).collect()}
+    want = _reference_pagerank(pairs, iterations=7)
+    assert set(got) == set(want)
+    assert all(abs(got[n] - want[n]) < 1e-9 for n in want)
+    # the hub of in-links outranks the node nobody points at
+    assert got[3] > got[4]
+    assert got[4] == pytest.approx(0.15)  # no in-edges → teleport floor
+
+
+def test_triangle_count_known_graphs(spark):
+    tri = lambda pairs: triangle_count(_edges(spark, pairs)).first()["triangles"]
+    assert tri([(1, 2), (2, 3), (3, 1)]) == 1
+    # K4 has 4 triangles; reversed/duplicate/self edges must not change it
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert tri(k4) == 4
+    assert tri(k4 + [(2, 1), (3, 3), (1, 2)]) == 4
+    # a 4-cycle has none
+    assert tri([(1, 2), (2, 3), (3, 4), (4, 1)]) == 0
+
+
+def test_pagerank_validates_iterations(spark):
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [(1, 2)]), iterations=0)
