@@ -29,6 +29,7 @@ from mini_etl_spark.functions import (
     dedup,
     dedup_index,
     fuzzy,
+    graph,
     mixing,
     privacy,
     multimodal,
@@ -39,5 +40,5 @@ from mini_etl_spark.functions import (
 
 __all__ = [
     "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
-    "corpus", "splits", "chunking", "mixing", "bpe", "privacy",
+    "corpus", "splits", "chunking", "mixing", "bpe", "privacy", "graph",
 ]
