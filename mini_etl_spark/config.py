@@ -50,7 +50,7 @@ TRANSFORMER_TYPES = {
     "dedup_paragraphs",
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
-    "weighted_sample", "validate", "k_anonymize",
+    "weighted_sample", "validate", "k_anonymize", "index_dedup",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -438,6 +438,17 @@ class ConfigLoader:
                 return lambda df: split_valid(df, rules, col)[1]
             raise ValueError(
                 f"validate: mode must be label|filter|quarantine, got {mode!r}"
+            )
+        if spec.type == "index_dedup":
+            from mini_etl_spark.functions.dedup_index import minhash_index_filter
+
+            path = o["path"]
+            threshold = float(o.get("threshold", 0.5))
+            append = bool(o.get("append_survivors", False))
+            cap = o.get("max_bucket_freq", 1000)
+            cap = int(cap) if cap is not None else None
+            return lambda df: minhash_index_filter(
+                df, path, threshold, cap, append
             )
         if spec.type == "k_anonymize":
             from mini_etl_spark.functions.privacy import k_anonymize

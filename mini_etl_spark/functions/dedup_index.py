@@ -52,6 +52,7 @@ __all__ = [
     "minhash_index_write",
     "minhash_index_append",
     "minhash_index_dedup",
+    "minhash_index_filter",
     "minhash_signatures",
 ]
 
@@ -186,6 +187,40 @@ def minhash_index_append(df: DataFrame, path: str) -> None:
         meta["hash_fn"],
     )
     _write_parts(sig, path, meta["id_col"], meta, mode="append")
+
+
+def minhash_index_filter(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    max_bucket_freq: int | None = 1000,
+    append_survivors: bool = False,
+) -> DataFrame:
+    """The ingestion-pipeline form: return ``batch`` minus the documents
+    that near-duplicate anything already in the index (one broadcast-
+    friendly anti-join on the matched batch ids). With
+    ``append_survivors=True`` the kept documents are immediately added to
+    the index, so the next batch sees them — the complete continuous-
+    ingestion loop in one call (single-writer contract, see
+    :func:`minhash_index_append`). Exposed to YAML pipelines as the
+    ``index_dedup`` transformer."""
+    spark = batch.sparkSession
+    meta = _read_meta(path)
+    id_col = meta["id_col"]
+    matches = minhash_index_dedup(
+        spark, path, batch, threshold, max_bucket_freq
+    )
+    dup_ids = matches.select(F.col("batch_id").alias(id_col)).distinct()
+    kept = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+    if append_survivors:
+        # localCheckpoint, not persist: the append WRITES to `path`, and
+        # Spark re-caches (recomputes) any cached plan that reads a
+        # just-written path — the survivors would then re-probe an index
+        # that already contains them and vanish. Checkpointing severs the
+        # plan's dependency on the index files before they change.
+        kept = kept.localCheckpoint(eager=True)
+        minhash_index_append(kept, path)
+    return kept
 
 
 def minhash_index_dedup(

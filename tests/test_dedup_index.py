@@ -111,6 +111,47 @@ def test_md5_mode_is_engine_portable_and_finds_dups(spark, tmp_path):
     assert (101, 1) in got and (102, 2) in got
 
 
+def test_index_filter_continuous_ingestion_loop(spark, tmp_path):
+    from mini_etl_spark.functions.dedup_index import minhash_index_filter
+
+    path = str(tmp_path / "loop_idx")
+    minhash_index_write(_df(spark, CORPUS), path, num_hashes=32, bands=8)
+
+    # batch 1: dup of corpus doc 1 dropped, novel doc kept AND appended
+    kept = minhash_index_filter(
+        _df(spark, [(101, CORPUS[0][1]), (103, BATCH[2][1])]),
+        path,
+        append_survivors=True,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [103]
+
+    # batch 2: resubmission of the batch-1 survivor is now caught
+    kept2 = minhash_index_filter(_df(spark, [(201, BATCH[2][1])]), path)
+    assert kept2.count() == 0
+
+
+def test_index_dedup_config_node(spark, tmp_path):
+    from mini_etl_spark.config import ConfigLoader
+
+    path = str(tmp_path / "cfg_idx")
+    minhash_index_write(_df(spark, CORPUS), path, num_hashes=32, bands=8)
+    src = str(tmp_path / "batch.parquet")
+    _df(spark, BATCH).write.parquet(src)
+    out = str(tmp_path / "out.parquet")
+    cfg = {
+        "pipeline": {
+            "name": "ingest",
+            "source": {"type": "parquet", "path": src},
+            "transformers": [{"type": "index_dedup", "path": path}],
+            "sink": {"type": "parquet", "path": out, "mode": "w"},
+        }
+    }
+    loader = ConfigLoader()
+    loader.build_pipeline(loader.parse(cfg)).run(spark)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {103}  # 101 (exact dup) and 102 (near dup) dropped
+
+
 def test_hot_bucket_cap_drops_boilerplate(spark, tmp_path):
     # 60 identical corpus docs form one giant bucket per band; with the cap
     # at 10 the batch copy of that text yields zero candidates, so the join
