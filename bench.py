@@ -440,6 +440,11 @@ def main() -> None:
         "brand_revenue": queries["brand_revenue"],
         "validated": queries["validated"],
         "incremental_dedup": _incremental_dedup_probe,
+        "fuzzy_match": queries["fuzzy_match"],
+        "script_id": queries["script_id"],
+        "pagerank": queries["pagerank"],
+        "k_anonymized": queries["k_anonymized"],
+        "zorder_key": queries["zorder_key"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)
