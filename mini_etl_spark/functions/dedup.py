@@ -803,14 +803,42 @@ def drop_near_duplicates(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Deduped corpus: keep one representative (the min-id member) per
-    near-dup component, plus every document that appears in no pair.
-    A broadcast-friendly anti-join against the non-representative ids."""
+    """Deduped corpus: keep ONE representative per near-dup component, plus
+    every document that appears in no pair.
+
+    Default representative is the min-id member (pure graph information —
+    no extra join against the corpus). With ``keep_by`` the representative
+    is instead the component member with the HIGHEST value of that corpus
+    column (ties broken by lowest id; the tiebreak negates the id, so
+    ``keep_by`` requires numeric ids) — "keep the best-quality copy", the
+    curation policy real pipelines want: join the component map to
+    (id, keep_by) — pruned to two columns — and pick per component with
+    one ``max_by`` hash aggregate. Either way the final filter is a
+    broadcast-friendly anti-join against the non-representative ids; the
+    corpus itself streams once."""
     comp = connected_components(pairs, id_a, id_b)
-    to_drop = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    if keep_by is None:
+        to_drop = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(to_drop, id_col, "left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(keep_by).alias("__score")),
+        "node",
     )
+    winners = scored.groupBy("component").agg(
+        F.max_by(
+            F.col("node"),
+            # negate the id tiebreak: max_by keeps the single max of the
+            # (score, -id) struct → highest score, then lowest id
+            F.struct(F.col("__score"), (-F.col("node")).alias("__neg_id")),
+        ).alias("__keep")
+    )
+    to_drop = scored.join(winners, "component").filter(
+        F.col("node") != F.col("__keep")
+    ).select(F.col("node").alias(id_col))
     return df.join(to_drop, id_col, "left_anti")
 
 

@@ -221,6 +221,23 @@ def test_drop_near_duplicates_keeps_representatives(spark):
     assert kept == [0, 1, 4, 6, 7]
 
 
+def test_drop_near_duplicates_keep_by_quality(spark):
+    df = spark.createDataFrame(
+        [(0, 0.2), (3, 0.9), (5, 0.9), (1, 0.1), (2, 0.1), (4, 0.5)],
+        "doc_id bigint, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dd.drop_near_duplicates(df, pairs, keep_by="quality").collect()
+    )
+    # {0,3,5}: 3 and 5 tie on quality 0.9 → lowest id 3 wins (not min-id 0);
+    # {1,2}: tie at 0.1 → 1; singleton 4 kept
+    assert kept == [1, 3, 4]
+
+
 def test_connected_components_equals_union_find(spark, docs):
     """Engine components over the real documents' Jaccard pairs must equal
     a driver-side union-find ground truth."""
