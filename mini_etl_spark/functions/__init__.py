@@ -3,15 +3,21 @@ reference (BASELINE.json north star): the operations a 100 TB training-data
 pipeline needs, each designed partition-parallel with no driver
 materialization.
 
-- :mod:`text`       — language ID, quality scoring, token counting, document
-                      fingerprinting (all JVM-side column expressions)
+- :mod:`text`       — language ID, Unicode script detection, quality scoring,
+                      token counting, document fingerprinting (all JVM-side
+                      column expressions)
 - :mod:`dedup`      — exact, n-gram Jaccard (inverted index), MinHash+LSH,
                       SimHash, embedding-cosine near-dup
+- :mod:`dedup_index`— persisted MinHash signature index: incremental batch-
+                      vs-corpus dedup without re-reading the corpus
+- :mod:`fuzzy`      — blocked levenshtein joins (entity resolution)
 - :mod:`similarity` — brute-force cosine top-k (exact baseline) and
                       random-hyperplane LSH bucketed ANN (scale path)
+- :mod:`privacy`    — k-anonymity over quasi-identifiers (+ audit report)
+- :mod:`graph`      — PageRank, triangle count, degrees as joins+aggs
 - :mod:`multimodal` — opaque binary columns with typed metadata; decode /
-                      feature-extract plumbing over mapInPandas (decode
-                      kernels stubbed: image/audio libs absent by design)
+                      feature-extract plumbing over mapInPandas (native
+                      PPM/BMP/WAV kernels; codec formats stubbed by design)
 - :mod:`corpus`     — the composed cleaning pipeline (quality → language →
                       exact dedup → near-dup removal) as one lazy plan
 - :mod:`splits`     — deterministic hash-based train/val/test assignment and
