@@ -60,6 +60,10 @@ QUERIES = [
     "hash_split",
     "cosine_topk",
     "minhash_lsh_pairs",
+    "fuzzy_match",
+    "script_id",
+    "pagerank",
+    "k_anonymized",
 ]
 
 
