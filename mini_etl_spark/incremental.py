@@ -101,7 +101,7 @@ class IncrementalBatch:
 # aggregating only the new slice and merging it into the stored state:
 # cost O(new data + state), never O(history).
 
-_MERGEABLE = {"sum", "count", "min", "max", "mean"}
+_MERGEABLE = {"sum", "count", "min", "max", "mean", "nunique"}
 
 
 def _state_cols(aggs: dict[str, list[str]]) -> list[tuple[str, str]]:
@@ -123,17 +123,30 @@ def _state_cols(aggs: dict[str, list[str]]) -> list[tuple[str, str]]:
 
 def rollup_partial(df: DataFrame, keys: list[str], aggs: dict[str, list[str]]) -> DataFrame:
     """Aggregate one slice into mergeable per-key state
-    (``{col}__{fn}`` columns). One hash-aggregate with map-side combine."""
+    (``{col}__{fn}`` columns). One hash-aggregate with map-side combine.
+
+    ``nunique`` stores a Datasketches HLL sketch (binary, fixed size per
+    key) rather than a value set — COUNT(DISTINCT) is the one dashboard
+    aggregate that is NOT algebraic over exact values, and the sketch is
+    what makes it maintainable incrementally: states merge by sketch
+    union (``rollup_merge``) and finalize to an estimate (±~2% at the
+    default lgConfigK=12) in ``rollup_result``. The exact-recompute
+    alternative reads all history every run; at 100 TB the sketch is the
+    only viable maintenance path."""
     exprs = []
     for col, fn in _state_cols(aggs):
-        agg_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[fn]
-        exprs.append(agg_fn(col).alias(f"{col}__{fn}"))
+        if fn == "nunique":
+            exprs.append(F.hll_sketch_agg(col).alias(f"{col}__{fn}"))
+        else:
+            agg_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[fn]
+            exprs.append(agg_fn(col).alias(f"{col}__{fn}"))
     return df.groupBy(*keys).agg(*exprs)
 
 
 def rollup_merge(states: list[DataFrame], keys: list[str]) -> DataFrame:
     """Merge partial states: union + one hash-aggregate with each column's
-    merge function (sum/count merge by sum; min/max by min/max)."""
+    merge function (sum/count merge by sum; min/max by min/max; nunique
+    HLL sketches by sketch union)."""
     from functools import reduce
 
     unioned = reduce(lambda a, b: a.unionByName(b), states)
@@ -142,6 +155,9 @@ def rollup_merge(states: list[DataFrame], keys: list[str]) -> DataFrame:
         if c in keys:
             continue
         fn = c.rsplit("__", 1)[1]
+        if fn == "nunique":
+            exprs.append(F.hll_union_agg(c).alias(c))
+            continue
         merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[fn]
         exprs.append(merge_fn(c).alias(c))
     return unioned.groupBy(*keys).agg(*exprs)
@@ -158,6 +174,10 @@ def rollup_result(
             if fn == "mean":
                 exprs.append(
                     (F.col(f"{col}__sum") / F.col(f"{col}__count")).alias(f"{col}_mean")
+                )
+            elif fn == "nunique":
+                exprs.append(
+                    F.hll_sketch_estimate(f"{col}__{fn}").alias(f"{col}_nunique")
                 )
             else:
                 exprs.append(F.col(f"{col}__{fn}").alias(f"{col}_{fn}"))

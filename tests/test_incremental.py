@@ -4,6 +4,7 @@ advanced on the processed job itself (observe), atomic state file."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mini_etl_spark.incremental import IncrementalBatch, load_watermark
 
@@ -114,6 +115,44 @@ def test_rollup_partial_merge_equals_direct(spark):
     for k in d:
         for c in ["v_sum", "v_mean", "v_min", "v_max", "v_count"]:
             assert abs(m[k][c] - d[k][c]) < 1e-9, (k, c)
+
+
+def test_rollup_nunique_sketch_merges_and_estimates(spark):
+    """COUNT(DISTINCT) maintained incrementally via HLL sketch state: the
+    merged-slice estimate and the single-pass estimate must BOTH track the
+    exact distinct count within HLL error (±~2% at default lgConfigK; a
+    looser 5% bound asserted). The two estimates need not be identical —
+    Datasketches unions may settle in a different sketch representation
+    than a one-shot build."""
+    from mini_etl_spark.incremental import (
+        rollup_merge,
+        rollup_partial,
+        rollup_result,
+    )
+
+    df = spark.range(0, 30000).selectExpr(
+        "id % 3 AS k", "CAST(id % 2000 AS STRING) AS user"
+    )
+    keys, aggs = ["k"], {"user": ["nunique"]}
+    slices = [
+        df.filter(f"id % 4 = {i}") for i in range(4)
+    ]  # every user appears in several slices → union must dedup
+    merged = rollup_result(
+        rollup_merge([rollup_partial(s, keys, aggs) for s in slices], keys),
+        keys,
+        aggs,
+    )
+    direct = rollup_result(rollup_partial(df, keys, aggs), keys, aggs)
+    m = {r["k"]: r["user_nunique"] for r in merged.collect()}
+    d = {r["k"]: r["user_nunique"] for r in direct.collect()}
+    exact = {
+        r["k"]: r["x"]
+        for r in df.groupBy("k").agg(F.countDistinct("user").alias("x")).collect()
+    }
+    assert set(m) == set(d) == set(exact)
+    for k in exact:
+        assert abs(m[k] - exact[k]) / exact[k] < 0.05
+        assert abs(d[k] - exact[k]) / exact[k] < 0.05
 
 
 def test_rollup_rejects_non_mergeable(spark):
