@@ -463,7 +463,12 @@ def minhash_lsh_pairs(
 
     # signatures via explode + one vectorized HashAggregate with num_hashes
     # min() columns — measured ~5× faster than num_hashes aggregate() HOFs
-    # over the array (which evaluate interpreted, outside codegen)
+    # over the array (which evaluate interpreted, outside codegen).
+    # NOTE: dedup_index.minhash_signatures implements the same kernel over
+    # its own (non-shared) shingle scan; the two must stay hash-identical —
+    # tests/test_dedup_index.py::test_index_candidates_match_inframe_lsh
+    # pins the parity. Not extracted into one helper because this copy
+    # reuses the persisted `docs` frame the verify stage also reads.
     exploded = docs.select("__id", F.explode("__sh").alias("__g"))
     sig = exploded.groupBy("__id").agg(
         *[

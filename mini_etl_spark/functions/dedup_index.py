@@ -79,7 +79,11 @@ def minhash_signatures(
     vectorized HashAggregate with ``num_hashes`` min() columns (the measured
     ~5× winner over per-hash ``aggregate()`` HOFs — see ``minhash_lsh_pairs``).
     Documents with no shingles (< n tokens) produce no row: they cannot
-    near-duplicate anything under shingle Jaccard."""
+    near-duplicate anything under shingle Jaccard.
+
+    Hash chain must stay identical to ``dedup.minhash_lsh_pairs``'s inline
+    signature stage (xxhash64 mode) — the cross-module candidate parity is
+    pinned by tests/test_dedup_index.py::test_index_candidates_match_inframe_lsh."""
     docs = _shingled(df, text_col, id_col, n)
     # explode_outer + post-generate null filter (the repo's house rule for
     # exploding computed arrays): plain explode lets Catalyst infer
@@ -205,11 +209,8 @@ def minhash_index_filter(
     :func:`minhash_index_append`). Exposed to YAML pipelines as the
     ``index_dedup`` transformer."""
     spark = batch.sparkSession
-    meta = _read_meta(path)
+    matches, b_sig, meta = _probe(spark, path, batch, threshold, max_bucket_freq)
     id_col = meta["id_col"]
-    matches = minhash_index_dedup(
-        spark, path, batch, threshold, max_bucket_freq
-    )
     dup_ids = matches.select(F.col("batch_id").alias(id_col)).distinct()
     kept = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
     if append_survivors:
@@ -219,7 +220,14 @@ def minhash_index_filter(
         # that already contains them and vanish. Checkpointing severs the
         # plan's dependency on the index files before they change.
         kept = kept.localCheckpoint(eager=True)
-        minhash_index_append(kept, path)
+        # append from the PROBE's signatures (checkpointed) — the batch
+        # text is not re-shingled/re-hashed a second time
+        surv_sig = b_sig.join(
+            F.broadcast(kept.select(F.col(id_col).alias("__id"))),
+            "__id",
+            "left_semi",
+        )
+        _write_parts(surv_sig, path, id_col, meta, mode="append")
     return kept
 
 
@@ -240,6 +248,24 @@ def minhash_index_dedup(
     corpus docs before the join (broadcast anti-join on the hot-bucket
     list) — boilerplate shingle-sets otherwise contribute O(freq) pairs
     *per batch doc*, the same blowup ``jaccard_pairs`` caps."""
+    scored, _, _ = _probe(spark, path, batch, threshold, max_bucket_freq)
+    return scored
+
+
+def _probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float,
+    max_bucket_freq: int | None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(scored matches, checkpointed batch signatures, meta). The batch
+    signatures are ``localCheckpoint``-ed — computed exactly once, shared
+    by the band probe, the agreement scoring, and (in
+    :func:`minhash_index_filter`) the survivor append; the blocks are
+    released by the context cleaner when the frames are dropped, unlike a
+    ``persist`` that would pin one cache entry per ingested batch for the
+    life of the session."""
     meta = _read_meta(path)
     id_col, num_hashes = meta["id_col"], meta["num_hashes"]
 
@@ -258,7 +284,7 @@ def minhash_index_dedup(
 
     b_sig = minhash_signatures(
         batch, meta["text_col"], id_col, meta["n"], num_hashes, meta["hash_fn"]
-    ).persist()
+    ).localCheckpoint(eager=True)
     b_bands = _band_postings(b_sig, num_hashes, meta["bands"], meta["hash_fn"])
 
     candidates = (
@@ -295,4 +321,4 @@ def minhash_index_dedup(
         .filter(F.col("est_jaccard") >= threshold)
         .select("batch_id", "corpus_id", "est_jaccard")
     )
-    return scored
+    return scored, b_sig, meta

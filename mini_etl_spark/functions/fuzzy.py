@@ -91,14 +91,20 @@ def fuzzy_join(
         "__block", _block_key(F.col("__rn"), block_on, block_len)
     )
     if max_block_freq is not None:
-        # drop degenerate blocks on the bigger (right) side before the
-        # join; the block histogram is tiny and broadcasts.
-        hot = (
-            b.groupBy("__block")
-            .count()
-            .filter(F.col("count") > max_block_freq)
-            .select("__block")
-        )
+        # a block is degenerate if EITHER side floods it (empty strings,
+        # single-letter names): cap both — candidate volume per block is
+        # |block_L|·|block_R|, so a one-sided cap leaves |block_L|·cap
+        # unbounded. The block histograms are tiny and broadcast.
+        def _hot(side: DataFrame) -> DataFrame:
+            return (
+                side.groupBy("__block")
+                .count()
+                .filter(F.col("count") > max_block_freq)
+                .select("__block")
+            )
+
+        hot = _hot(a).unionByName(_hot(b)).distinct()
+        a = a.join(F.broadcast(hot), "__block", "left_anti")
         b = b.join(F.broadcast(hot), "__block", "left_anti")
 
     out = (

@@ -85,14 +85,18 @@ def pagerank(
     # iteration — persist once instead of re-joining degrees each round.
     routed = e.join(out_deg, "src").persist()
 
-    ranks = nodes.select("node", F.lit(1.0).alias("rank")).persist()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contrib = (
             routed.join(ranks, routed.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
-        new_ranks = (
+        # localCheckpoint (eager) materializes the new state AND cuts its
+        # lineage; the previous iteration's blocks are released by the
+        # context cleaner when the old frame is dropped — no cache entries
+        # pile up across iterations or across repeated pagerank() calls.
+        ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
@@ -101,11 +105,10 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
                 ).alias("rank"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_ranks.count()  # materialize, then release the old state
-        ranks.unpersist()
-        ranks = new_ranks
+    # the returned frame is checkpointed data — it no longer depends on
+    # these, so their cache entries can be released immediately
     routed.unpersist()
     nodes.unpersist()
     return ranks
@@ -122,6 +125,10 @@ def triangle_count(
     both (a,b),(b,c) present and close them against (a,c) — each triangle
     counted exactly once. Two equi-joins, no explosion of both edge
     directions."""
+    # localCheckpoint, not persist: the canonical edge set serves three
+    # join references, then must NOT stay pinned in executor storage after
+    # the one-row aggregate is consumed — checkpoint blocks are freed by
+    # the context cleaner with the frame, a persist would live forever.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -129,7 +136,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))

@@ -232,7 +232,9 @@ def pii_count(col: Column | str) -> Column:
 # entirely BMP; astral scripts fall into `other`). The DuckDB oracle twin
 # uses the same ranges in RE2 \x{...} syntax (__spark_entry__).
 SCRIPT_RANGES = [
-    ("latin", "A-Za-z\\u00c0-\\u024f"),
+    # 00d7 (×) and 00f7 (÷) are math signs inside the Latin-1 letter
+    # block — excluded so "3 × 4" counts zero latin letters
+    ("latin", "A-Za-z\\u00c0-\\u00d6\\u00d8-\\u00f6\\u00f8-\\u024f"),
     ("cyrillic", "\\u0400-\\u04ff"),
     ("greek", "\\u0370-\\u03ff"),
     ("arabic", "\\u0600-\\u06ff"),

@@ -233,6 +233,7 @@ def scd2_snapshot(
     as_of,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    is_current: str = "is_current",
     drop_validity: bool = False,
 ) -> DataFrame:
     """Point-in-time view of an SCD-2 dimension (the read-side twin of
@@ -257,7 +258,7 @@ def scd2_snapshot(
         & (F.col(valid_to).isNull() | (F.col(valid_to) > as_of_col))
     )
     if drop_validity:
-        out = out.drop(valid_from, valid_to, "is_current")
+        out = out.drop(valid_from, valid_to, is_current)
     return out
 
 

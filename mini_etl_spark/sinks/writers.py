@@ -159,9 +159,9 @@ def to_parquet(
     overwrite: only the hive partitions PRESENT IN THE FRAME are replaced,
     every other partition is left untouched — the incremental-backfill
     write (recompute one day/source, drop it in place) that plain
-    ``overwrite`` would turn into a full-table wipe. Scoped via
-    ``spark.sql.sources.partitionOverwriteMode=dynamic`` for this write
-    only.
+    ``overwrite`` would turn into a full-table wipe. Scoped via the
+    writer-level ``partitionOverwriteMode=dynamic`` option (not the
+    session conf), so concurrent writes on one session can't interfere.
 
     Streaming frames write through the checkpointed availableNow path
     (append-only micro-batches; ``sort_by`` is a batch-layout concept and
@@ -204,19 +204,12 @@ def to_parquet(
         for k, v in options.items():
             writer = writer.option(k, v)
         if refresh:
-            spark = df.sparkSession
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(conf_key, None)
-            spark.conf.set(conf_key, "dynamic")
-            try:
-                writer.parquet(path)
-            finally:
-                if prev is None:
-                    spark.conf.unset(conf_key)
-                else:
-                    spark.conf.set(conf_key, prev)
-        else:
-            writer.parquet(path)
+            # per-write option, NOT the session conf: the option is scoped
+            # to this DataFrameWriter (takes precedence over the conf), so
+            # concurrent writers on the same session can't race each other
+            # into a static full-table overwrite.
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(path)
 
     return _write
 

@@ -81,4 +81,4 @@ def test_broadcast_join_shape(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # under-k list must broadcast

@@ -66,6 +66,15 @@ def test_min_fraction_threshold(spark):
     assert out["s"] == "latin"
 
 
+def test_math_signs_are_not_latin_letters(spark):
+    df = spark.createDataFrame([(1, "3 × 4 ÷ 2")], "id int, text string")
+    row = df.select(
+        script_counts("text").alias("sc"), dominant_script("text").alias("s")
+    ).first()
+    assert row["sc"]["latin"] == 0
+    assert row["s"] == "unknown"
+
+
 def test_null_and_empty(spark):
     df = spark.createDataFrame([(1, None), (2, "")], "id int, text string")
     out = df.select("id", dominant_script("text").alias("s")).collect()
