@@ -27,6 +27,7 @@ from mini_etl_spark.streaming.events import (
     sliding_window_agg,
     stream_static_join,
     stream_stream_join,
+    stream_dedup_against_index,
     stream_upsert_to_parquet,
     streaming_dedup,
     tumbling_window_agg,
@@ -42,6 +43,7 @@ __all__ = [
     "streaming_dedup",
     "stream_static_join",
     "stream_stream_join",
+    "stream_dedup_against_index",
     "stream_upsert_to_parquet",
     "read_latest_snapshot",
     "run_stream_to_memory",

@@ -315,6 +315,57 @@ def stream_upsert_to_parquet(
     return query
 
 
+def stream_dedup_against_index(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    max_bucket_freq: int | None = 1000,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming near-dup gate over a persisted MinHash index: every
+    micro-batch is probed against the corpus index
+    (:func:`mini_etl_spark.functions.dedup_index.minhash_index_filter`),
+    survivors are appended to ``out_path`` (parquet) AND to the index, so
+    later batches — and later *streams* — dedup against everything ever
+    accepted. The complete continuous-ingestion loop as one streaming
+    query; the corpus text is never re-read, only its bucket postings.
+
+    Exactly-once caveat, stated: the append-to-index and the parquet
+    append are two non-atomic writes — a crash between them can leave a
+    survivor indexed but unwritten (it is then dropped forever on replay,
+    since re-probing finds it in the index). For ingest dedup this
+    direction of failure is the safe one (no duplicates ever land in
+    ``out_path``); flip the write order if at-least-once output matters
+    more than at-most-once.
+    """
+    from mini_etl_spark.functions.dedup_index import minhash_index_filter
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        kept = minhash_index_filter(
+            batch_df,
+            index_path,
+            threshold=threshold,
+            max_bucket_freq=max_bucket_freq,
+            append_survivors=True,
+        )
+        kept.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query
+
+
 def read_latest_snapshot(spark: SparkSession, target_path: str) -> DataFrame | None:
     """Read the snapshot the ``_LATEST`` pointer names (see
     :func:`stream_upsert_to_parquet`); None when no snapshot exists yet."""

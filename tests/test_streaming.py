@@ -471,3 +471,44 @@ def test_batch_sessionize_boundary_matches_session_window(spark):
     assert n_sessions(["2024-01-01 10:00:00.000000", "2024-01-01 10:30:00.000000"]) == 1
     # one microsecond past the gap splits — requires micro precision
     assert n_sessions(["2024-01-01 10:00:00.000000", "2024-01-01 10:30:00.000001"]) == 2
+
+
+def test_stream_dedup_against_index_two_streams(spark, tmp_path):
+    """Continuous-ingestion gate: stream 1 seeds survivors into the index;
+    stream 2 (a new query, later 'day') must drop re-submissions of
+    stream-1 docs AND corpus docs, and pass novel ones."""
+    from mini_etl_spark.functions.dedup_index import minhash_index_write
+    from mini_etl_spark.streaming.events import stream_dedup_against_index
+
+    corpus_text = "the quick brown fox jumps over the lazy dog by the river"
+    novel1 = "completely new essay about distributed query engines at scale"
+    novel2 = "another unseen document describing garden landscaping advice"
+
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(1, corpus_text)], "doc_id long, text string"
+    )
+    minhash_index_write(corpus, idx, num_hashes=32, bands=8)
+
+    src1 = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [(100, corpus_text), (101, novel1)], "doc_id long, text string"
+    ).write.parquet(src1)
+    out = str(tmp_path / "out")
+    stream1 = spark.readStream.schema("doc_id long, text string").parquet(src1)
+    stream_dedup_against_index(
+        stream1, idx, out, checkpoint=str(tmp_path / "cp1")
+    )
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept1 == {101}  # corpus dup dropped, novel doc kept + indexed
+
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(200, novel1), (201, novel2)], "doc_id long, text string"
+    ).write.parquet(src2)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src2)
+    stream_dedup_against_index(
+        stream2, idx, out, checkpoint=str(tmp_path / "cp2")
+    )
+    kept_all = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept_all == {101, 201}  # stream-1 survivor now blocks its copy
