@@ -54,6 +54,8 @@ __all__ = [
     "minhash_index_dedup",
     "minhash_index_filter",
     "minhash_signatures",
+    "fingerprint_index_write",
+    "fingerprint_index_filter",
 ]
 
 _META = "_minhash_meta.json"
@@ -229,6 +231,56 @@ def minhash_index_filter(
         )
         _write_parts(surv_sig, path, id_col, meta, mode="append")
     return kept
+
+
+def fingerprint_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """EXACT counterpart of the MinHash index: persist the corpus'
+    token-set fingerprints (``text.fingerprint`` — md5 of the sorted
+    distinct token set, 32 bytes/doc). One projection + one write; the
+    cheapest possible dedup memory of a 100 TB corpus."""
+    from mini_etl_spark.functions.text import fingerprint
+
+    df.select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    ).write.mode(mode).parquet(os.path.join(path, "fingerprints"))
+
+
+def fingerprint_index_filter(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append_survivors: bool = False,
+) -> DataFrame:
+    """Drop batch documents whose exact token-set fingerprint is already
+    indexed (plus in-batch duplicates — first id wins); optionally append
+    the survivors' fingerprints so the next batch sees them. One
+    left-anti equi-join on 32-byte keys — no text ever crosses the
+    shuffle. Compose with :func:`minhash_index_filter` for the standard
+    two-stage gate: exact first (cheap), near-dup on what remains."""
+    from mini_etl_spark.functions.text import fingerprint
+
+    spark = batch.sparkSession
+    fps = spark.read.parquet(os.path.join(path, "fingerprints")).select("fp")
+    stamped = batch.withColumn("__fp", fingerprint(text_col))
+    fresh = stamped.join(
+        fps.withColumnRenamed("fp", "__fp"), "__fp", "left_anti"
+    )
+    # in-batch exact dups: keep the min-id holder of each fingerprint
+    winners = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    kept = fresh.join(winners, ["__fp", id_col], "left_semi")
+    if append_survivors:
+        kept = kept.localCheckpoint(eager=True)  # sever dep on index files
+        kept.select(F.col(id_col), F.col("__fp").alias("fp")).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "fingerprints"))
+    return kept.drop("__fp")
 
 
 def minhash_index_dedup(

@@ -167,3 +167,32 @@ def test_hot_bucket_cap_drops_boilerplate(spark, tmp_path):
     uncapped = minhash_index_dedup(spark, path, batch, threshold=0.5,
                                    max_bucket_freq=None)
     assert uncapped.count() == 60
+
+
+def test_fingerprint_index_exact_gate(spark, tmp_path):
+    from mini_etl_spark.functions.dedup_index import (
+        fingerprint_index_filter,
+        fingerprint_index_write,
+    )
+
+    path = str(tmp_path / "fp_idx")
+    fingerprint_index_write(_df(spark, CORPUS), path)
+
+    batch = _df(
+        spark,
+        [
+            (101, CORPUS[0][1]),              # exact corpus dup → dropped
+            (102, CORPUS[0][1].upper()),      # token-set identical → dropped
+            (103, "a wholly new document about nothing in particular"),
+            (104, "a wholly new document about nothing in particular"),  # in-batch dup
+            (105, BATCH[1][1]),               # near-dup but NOT exact → kept
+        ],
+    )
+    kept = fingerprint_index_filter(batch, path, append_survivors=True)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [103, 105]
+
+    # resubmission of a batch-1 survivor is now exact-blocked
+    again = fingerprint_index_filter(
+        _df(spark, [(201, BATCH[1][1])]), path
+    )
+    assert again.count() == 0
