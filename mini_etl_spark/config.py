@@ -440,11 +440,25 @@ class ConfigLoader:
                 f"validate: mode must be label|filter|quarantine, got {mode!r}"
             )
         if spec.type == "index_dedup":
-            from mini_etl_spark.functions.dedup_index import minhash_index_filter
+            from mini_etl_spark.functions.dedup_index import (
+                fingerprint_index_filter,
+                minhash_index_filter,
+            )
 
             path = o["path"]
-            threshold = float(o.get("threshold", 0.5))
             append = bool(o.get("append_survivors", False))
+            kind = o.get("kind", "minhash")
+            if kind == "exact":
+                text_col = o.get("column", "text")
+                id_col = o.get("id", "doc_id")
+                return lambda df: fingerprint_index_filter(
+                    df, path, text_col, id_col, append
+                )
+            if kind != "minhash":
+                raise ValueError(
+                    f"index_dedup: kind must be minhash|exact, got {kind!r}"
+                )
+            threshold = float(o.get("threshold", 0.5))
             cap = o.get("max_bucket_freq", 1000)
             cap = int(cap) if cap is not None else None
             return lambda df: minhash_index_filter(
