@@ -2188,6 +2188,21 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", z.alias("zval"))
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders table (count / nulls / exact
+    distincts / min / max per column, long format) — the data-quality
+    snapshot run before every big ingest. Exact distincts make the plan an
+    Expand (documented cost); columns chosen so string-casts of min/max
+    are engine-portable (longs + strings — double repr differs across
+    engines and is excluded from the oracle query on purpose)."""
+    from mini_etl_spark.maintenance import profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier order graph (3 power
     iterations, damping 0.85) — the link-graph quality prior of web-corpus
@@ -2340,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_id": q_script_id,
         "pagerank": q_pagerank,
         "triangles": q_triangles,
+        "profile": q_profile,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -2509,6 +2525,28 @@ def _d_script_sql() -> str:
                     ELSE 'mixed' END AS script
         FROM l
     """
+
+
+def _d_profile_sql() -> str:
+    """DuckDB twin of maintenance.profile over four orders columns (long
+    format; one SELECT per column, unioned)."""
+    cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_orderpriority", "string"),
+    ]
+    parts = [
+        f"""
+        SELECT '{c}' AS "column", '{t}' AS dtype, count(*) AS row_count,
+               count(*) - count({c}) AS null_count,
+               count(DISTINCT {c}) AS distinct_count,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+        for c, t in cols
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def _d_pagerank_sql(iterations: int = 3) -> str:
@@ -4098,6 +4136,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _d_zorder_sql(),
         "script_id": _d_script_sql(),
         "pagerank": _d_pagerank_sql(),
+        "profile": _d_profile_sql(),
         # triangles: ordered two-path closure over the canonicalized
         # supplier co-occurrence edge set — one count, exact integer.
         "triangles": """

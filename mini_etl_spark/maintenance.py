@@ -40,6 +40,57 @@ def dataset_stats(spark: SparkSession, path: str) -> dict:
     }
 
 
+def profile(df, columns: list[str] | None = None):
+    """One-pass column profile — the ops-side data-quality snapshot:
+    long-format (``column``, ``dtype``, ``row_count``, ``null_count``,
+    ``distinct_count``, ``min_value``, ``max_value``), min/max cast to
+    string so every column fits one output schema.
+
+    ONE aggregate job for all columns: per-column count/min/max are plain
+    partial+final aggregates; the exact ``distinct_count`` columns make
+    Catalyst plan an Expand (one duplicated stream per distinct column) —
+    the documented cost of exact multi-column distincts. For a quick look
+    at a 100 TB table, profile a sample or swap in
+    ``approx_count_distinct`` by passing the frame through
+    ``operators.group_agg`` instead; this profiler favors exactness so the
+    DuckDB oracle can replay it verbatim."""
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile: unknown columns {missing}")
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__d_{c}"),
+            # aggregate on the NATIVE type (lexical string min/max would
+            # order "10" < "9"), cast the result for the uniform schema
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(dtypes[c]).alias("dtype"),
+                    F.col("__n").alias("row_count"),
+                    (F.col("__n") - F.col(f"__nn_{c}")).alias("null_count"),
+                    F.col(f"__d_{c}").alias("distinct_count"),
+                    F.col(f"__mn_{c}").alias("min_value"),
+                    F.col(f"__mx_{c}").alias("max_value"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return row.select(per_col.alias("__p")).select("__p.*")
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
