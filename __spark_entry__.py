@@ -2203,6 +2203,18 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of l_extendedprice — one partial+final
+    aggregate over the bucket index (exchange carries ≤ bins rows/task).
+    Bounds come from the data; the bucket chain and the bin-edge float
+    arithmetic replay identically in DuckDB (same width_bucket formula as
+    zorder_key)."""
+    from mini_etl_spark.maintenance import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", bins=20)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier order graph (3 power
     iterations, damping 0.85) — the link-graph quality prior of web-corpus
@@ -2356,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangles": q_triangles,
         "profile": q_profile,
+        "histogram": q_histogram,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -4137,6 +4150,22 @@ def oracle_sql() -> dict[str, str]:
         "script_id": _d_script_sql(),
         "pagerank": _d_pagerank_sql(),
         "profile": _d_profile_sql(),
+        # histogram: same width_bucket float chain as zorder_key; bin
+        # edges recomputed with the identical (mx-mn)/20 width expression
+        "histogram": """
+            WITH s AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                              max(CAST(l_extendedprice AS DOUBLE)) AS mx
+                       FROM lineitem),
+            b AS (SELECT GREATEST(0, LEAST(19,
+                     CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                                / ((mx - mn) / 20)) AS BIGINT))) AS bin
+                  FROM lineitem, s
+                  WHERE l_extendedprice IS NOT NULL)
+            SELECT bin, mn + bin * ((mx - mn) / 20) AS lo,
+                   mn + (bin + 1) * ((mx - mn) / 20) AS hi,
+                   count(*) AS bin_count
+            FROM b, s GROUP BY bin, mn, mx
+        """,
         # triangles: ordered two-path closure over the canonicalized
         # supplier co-occurrence edge set — one count, exact integer.
         "triangles": """

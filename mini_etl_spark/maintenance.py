@@ -91,6 +91,62 @@ def profile(df, columns: list[str] | None = None):
     return row.select(per_col.alias("__p")).select("__p.*")
 
 
+def histogram(df, column: str, bins: int = 20, lo: float | None = None,
+              hi: float | None = None):
+    """Equi-width histogram: (``bin``, ``lo``, ``hi``, ``bin_count``) with
+    ``bins`` buckets over [lo, hi] (min/max from one tiny aggregate when
+    not given; values at hi land in the last bucket, NULLs are dropped).
+    One partial+final aggregate over the bucket index — the exchange
+    carries at most ``bins`` rows per task. Bucket arithmetic matches
+    ``zorder_value``'s width_bucket chain, so external engines replay the
+    exact same bin assignment."""
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError("histogram: bins must be >= 1")
+    if lo is None or hi is None:
+        stats = df.agg(
+            F.min(F.col(column).cast("double")).alias("mn"),
+            F.max(F.col(column).cast("double")).alias("mx"),
+        ).first()
+        lo = stats["mn"] if lo is None else lo
+        hi = stats["mx"] if hi is None else hi
+    if lo is None or hi is None or lo == hi:
+        # empty/constant column: everything (if anything) in bucket 0
+        return (
+            df.filter(F.col(column).isNotNull())
+            .agg(F.count(F.lit(1)).alias("bin_count"))
+            .select(
+                F.lit(0).alias("bin"),
+                F.lit(lo).cast("double").alias("lo"),
+                F.lit(hi).cast("double").alias("hi"),
+                "bin_count",
+            )
+        )
+    width = (float(hi) - float(lo)) / bins
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(bins - 1),
+            F.width_bucket(
+                F.col(column).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(bins)
+            )
+            - 1,
+        ),
+    )
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "bin_count",
+        )
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
