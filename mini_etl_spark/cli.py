@@ -117,6 +117,37 @@ def init(output: str) -> None:
 
 
 @main.command()
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--columns", default=None, help="Comma-separated column subset.")
+@click.option(
+    "--format",
+    "fmt",
+    default="parquet",
+    type=click.Choice(["parquet", "csv", "json", "orc"]),
+    help="Input format (csv assumes a header).",
+)
+def profile(path: str, columns: str | None, fmt: str) -> None:
+    """One-pass column profile of a dataset (count/nulls/distincts/min/max
+    per column, plus file-layout stats) printed as JSON lines."""
+    from mini_etl_spark.maintenance import dataset_stats
+    from mini_etl_spark.maintenance import profile as _profile
+    from mini_etl_spark.session import get_spark
+
+    spark = get_spark("mini-etl-profile")
+    readers = {
+        "parquet": spark.read.parquet,
+        "orc": spark.read.orc,
+        "json": spark.read.json,
+        "csv": lambda p: spark.read.option("header", True).csv(p),
+    }
+    df = readers[fmt](path)
+    cols = [c.strip() for c in columns.split(",")] if columns else None
+    click.echo(json.dumps({"layout": dataset_stats(spark, path)}))
+    for row in _profile(df, cols).collect():
+        click.echo(json.dumps(row.asDict()))
+
+
+@main.command()
 def info() -> None:
     """Show engine / environment info."""
     import pyspark

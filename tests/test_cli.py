@@ -118,3 +118,24 @@ def test_run_audit_dry_run(tmp_path, sample_pdf):
     result = CliRunner().invoke(main, ["run", str(cfg), "--dry-run", "--audit"])
     assert result.exit_code == 0, result.output
     assert "audit:" in result.output and "dry run" in result.output
+
+
+def test_profile_command(spark):
+    result = CliRunner().invoke(
+        main,
+        [
+            "profile",
+            "/root/testdata/sf0.001/orders.parquet",
+            "--columns",
+            "o_orderkey,o_orderstatus",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    import json as _json
+
+    lines = [_json.loads(l) for l in result.output.strip().splitlines()]
+    assert "layout" in lines[0] and lines[0]["layout"]["n_files"] >= 1
+    by_col = {l["column"]: l for l in lines[1:]}
+    assert set(by_col) == {"o_orderkey", "o_orderstatus"}
+    assert by_col["o_orderkey"]["null_count"] == 0
+    assert by_col["o_orderkey"]["row_count"] == by_col["o_orderkey"]["distinct_count"]
