@@ -2203,6 +2203,20 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler companion: top-5 most frequent values for three orders
+    columns in ONE melt pass (single explode projection → one count
+    aggregate → one k-bounded window) — never a per-column job. Ties
+    break on the value string, so the ranking is deterministic and the
+    DuckDB oracle replays it exactly."""
+    from mini_etl_spark.maintenance import profile_top_values
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_top_values(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"], k=5
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width 20-bin histogram of l_extendedprice — one partial+final
     aggregate over the bucket index (exchange carries ≤ bins rows/task).
@@ -2369,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "profile": q_profile,
         "histogram": q_histogram,
+        "top_values": q_top_values,
         "key_skew": q_key_skew,
         "rollup": q_rollup,
         "token_mixture": q_token_mixture,
@@ -4150,6 +4165,30 @@ def oracle_sql() -> dict[str, str]:
         "script_id": _d_script_sql(),
         "pagerank": _d_pagerank_sql(),
         "profile": _d_profile_sql(),
+        # top_values: melt → count → deterministic k-bounded window (ties
+        # break on the value string in both engines)
+        "top_values": """
+            WITH m AS (
+                SELECT 'o_orderstatus' AS "column",
+                       coalesce(CAST(o_orderstatus AS VARCHAR), 'NULL') AS value
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority',
+                       coalesce(CAST(o_orderpriority AS VARCHAR), 'NULL')
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey',
+                       coalesce(CAST(o_custkey AS VARCHAR), 'NULL')
+                FROM orders
+            ),
+            c AS (SELECT "column", value, count(*) AS value_count
+                  FROM m GROUP BY "column", value)
+            SELECT "column", value, value_count,
+                   CAST(row_number() OVER (
+                       PARTITION BY "column"
+                       ORDER BY value_count DESC, value ASC) AS INTEGER) AS rank
+            FROM c QUALIFY rank <= 5
+        """,
         # histogram: same width_bucket float chain as zorder_key; bin
         # edges recomputed with the identical (mx-mn)/20 width expression
         "histogram": """

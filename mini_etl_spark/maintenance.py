@@ -91,6 +91,50 @@ def profile(df, columns: list[str] | None = None):
     return row.select(per_col.alias("__p")).select("__p.*")
 
 
+def profile_top_values(df, columns: list[str] | None = None, k: int = 5):
+    """Most-frequent values per column: (``column``, ``value``,
+    ``value_count``, ``rank``), ``rank`` 1..k by descending count with
+    ties broken by value string — fully deterministic, so external
+    engines replay it. ONE pass: columns melt to (column, value) rows via
+    a single explode projection (no per-column jobs), then one count
+    aggregate and one k-bounded window per column partition. NULLs count
+    as a value (shown as the string 'NULL') — a profiler that hides the
+    most frequent value being NULL is lying."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_top_values: unknown columns {missing}")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias(
+                            "value"
+                        ),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__m")
+    ).select("__m.*")
+    counts = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("value_count")
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.col("value_count").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("column", "value", "value_count", "rank")
+    )
+
+
 def histogram(df, column: str, bins: int = 20, lo: float | None = None,
               hi: float | None = None):
     """Equi-width histogram: (``bin``, ``lo``, ``hi``, ``bin_count``) with
