@@ -445,6 +445,9 @@ def main() -> None:
         "pagerank": queries["pagerank"],
         "k_anonymized": queries["k_anonymized"],
         "zorder_key": queries["zorder_key"],
+        "profile": queries["profile"],
+        "histogram": queries["histogram"],
+        "top_values": queries["top_values"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)
