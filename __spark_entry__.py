@@ -1297,7 +1297,11 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = sim.pq_random_codebooks(64, m=8, k=8, seed=13)
-    return sim.pq_adc_topk(emb, _query_vector(spark, sf_dir), cb, k=10)
+    # method="expr" pinned: the DuckDB oracle replays the pinned-order
+    # float chain bit-for-bit. Library default is the 12× faster "arrow".
+    return sim.pq_adc_topk(
+        emb, _query_vector(spark, sf_dir), cb, k=10, method="expr"
+    )
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,7 +1886,9 @@ def q_semantic_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
-    return sim.cell_cosine_pairs(emb, cents, threshold=0.3)
+    # method="expr" pinned: sequential-sum float order the DuckDB oracle
+    # replays bit-for-bit. Library default is the faster "arrow" path.
+    return sim.cell_cosine_pairs(emb, cents, threshold=0.3, method="expr")
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1896,7 +1902,11 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
     q = emb.filter(F.col("vec_id") % 25 == 0)
-    return sim.knn_join(q, emb, cents, k=5, nprobe=2, exclude_self=True)
+    # method="expr" pinned: sequential-sum float order the DuckDB oracle
+    # replays bit-for-bit. Library default is the faster "arrow" path.
+    return sim.knn_join(
+        q, emb, cents, k=5, nprobe=2, exclude_self=True, method="expr"
+    )
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

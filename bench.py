@@ -327,15 +327,17 @@ def main() -> None:
         to_csv(os.path.join(tmp, "b5"), mode="overwrite")(df)
         return None
 
-    def _cell_pairs_arrow(spark, sf_dir):
-        # the at-scale path of the same SemDeDup pair query the oracle
-        # checks: one numpy/BLAS matmul per cell instead of per-pair
-        # interpreted zip_with aggregates
+    def _cell_pairs_default(spark, sf_dir):
+        # the SAME SemDeDup pair query the oracle checks, at the library
+        # DEFAULT (method="arrow": one numpy/BLAS matmul per cell instead
+        # of per-pair interpreted zip_with aggregates). The oracle entry
+        # pins method="expr" for bit-replayability; this measures what a
+        # user gets out of the box.
         from mini_etl_spark.functions import similarity as sim
 
         emb = read_parquet(f"{sf_dir}/embeddings.parquet")(spark)
-        cents = sim.random_unit_centroids(dim=64, k=16, seed=11)
-        return sim.cell_cosine_pairs(emb, cents, threshold=0.9, method="arrow")
+        cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
+        return sim.cell_cosine_pairs(emb, cents, threshold=0.3)
 
     def _incremental_dedup_probe(spark, sf_dir):
         # the at-scale shape of the same incremental-dedup chain the oracle
@@ -351,10 +353,10 @@ def main() -> None:
         batch = docs.filter(Fq.col("doc_id") % 10 == 0).select("doc_id", "text")
         return minhash_index_dedup(spark, _mh_index_path, batch, threshold=0.5)
 
-    def _pq_topk_arrow(spark, sf_dir):
-        # the at-scale path of the same PQ/ADC query the oracle checks:
-        # BLAS-batched code assignment instead of the bit-replayable
-        # m×k×dsub expression tree
+    def _pq_topk_default(spark, sf_dir):
+        # the SAME PQ/ADC query the oracle checks, at the library DEFAULT
+        # (method="arrow": BLAS-batched code assignment instead of the
+        # bit-replayable m×k×dsub expression tree)
         from mini_etl_spark.functions import similarity as sim
         from mini_etl_spark.sources import read_parquet as _rp
 
@@ -363,20 +365,19 @@ def main() -> None:
         from __spark_entry__ import _query_vector
 
         q = _query_vector(spark, sf_dir)
-        return sim.pq_adc_topk(emb, q, cb, k=10, method="arrow")
+        return sim.pq_adc_topk(emb, q, cb, k=10)
 
-    def _knn_join_arrow(spark, sf_dir):
-        # the at-scale path of the same retrieval join the oracle checks:
-        # BLAS matmul kernels for assignment/probing/scoring
+    def _knn_join_default(spark, sf_dir):
+        # the SAME retrieval join the oracle checks, at the library
+        # DEFAULT (method="arrow": BLAS matmul kernels for assignment,
+        # probing, and scoring)
         from mini_etl_spark.functions import similarity as sim
         from pyspark.sql import functions as Fq
 
         emb = read_parquet(f"{sf_dir}/embeddings.parquet")(spark)
         cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
         q = emb.filter(Fq.col("vec_id") % 25 == 0)
-        return sim.knn_join(
-            q, emb, cents, k=5, nprobe=2, exclude_self=True, method="arrow"
-        )
+        return sim.knn_join(q, emb, cents, k=5, nprobe=2, exclude_self=True)
 
     paired: dict[str, object] = {
         "b1_scan_filter_write": b1_scan_filter_project_write,
@@ -413,8 +414,8 @@ def main() -> None:
         "token_mixture": queries["token_mixture"],
         "corpus_shuffle": queries["corpus_shuffle"],
         "quality_percentile": queries["quality_percentile"],
-        "semantic_cell_pairs": queries["semantic_cell_pairs"],
-        "cell_pairs_arrow": _cell_pairs_arrow,
+        "semantic_cell_pairs": _cell_pairs_default,
+        "semantic_cell_pairs_expr": queries["semantic_cell_pairs"],
         "line_hygiene": queries["line_hygiene"],
         "incremental_rollup": queries["incremental_rollup"],
         "embedding_centroids": queries["embedding_centroids"],
@@ -427,14 +428,14 @@ def main() -> None:
         "source_cap": queries["source_cap"],
         "duplicate_spans": queries["duplicate_spans"],
         "span_removal": queries["span_removal"],
-        "knn_join": queries["knn_join"],
-        "knn_join_arrow": _knn_join_arrow,
+        "knn_join": _knn_join_default,
+        "knn_join_expr": queries["knn_join"],
         "snapshot_diff": queries["snapshot_diff"],
         "resample": queries["resample"],
         "retention_cohorts": queries["retention_cohorts"],
         "embedding_quantize": queries["embedding_quantize"],
-        "pq_topk": queries["pq_topk"],
-        "pq_topk_arrow": _pq_topk_arrow,
+        "pq_topk": _pq_topk_default,
+        "pq_topk_expr": queries["pq_topk"],
         "bpe_vocab": queries["bpe_vocab"],
         "returned_revenue": queries["returned_revenue"],
         "brand_revenue": queries["brand_revenue"],
@@ -517,35 +518,64 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     spark_b = round(sum(timings[k] for k in paired), 3)
     ref_b = round(sum(ref_timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
-                "ref_queries": ref_timings,
-                "ref_total_b1_b5": ref_b,
-                "spark_total_b1_b5": spark_b,
-                "ratio_b1_b5": round(spark_b / ref_b, 3) if ref_b else None,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "methodology": (
-                    "paired same-run measurement: pandas reference and Spark "
-                    "measured in one process on identical data; every query "
-                    "on both sides is steady-state (one untimed warm pass, "
-                    "then timed; the paired B1-B5 set is median-of-3 on BOTH "
-                    "sides; extension queries are best-of-2 warm passes). "
-                    "Extension first-pass times — including one-time "
-                    "Janino codegen compile, which amortizes to zero on a "
-                    "long-running cluster — are reported separately as "
-                    "cold_queries."
-                ),
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+        "ref_queries": ref_timings,
+        "ref_total_b1_b5": ref_b,
+        "spark_total_b1_b5": spark_b,
+        "ratio_b1_b5": round(spark_b / ref_b, 3) if ref_b else None,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "methodology": (
+            "paired same-run measurement: pandas reference and Spark "
+            "measured in one process on identical data; every query "
+            "on both sides is steady-state (one untimed warm pass, "
+            "then timed; the paired B1-B5 set is median-of-3 on BOTH "
+            "sides; extension queries are best-of-2 warm passes). "
+            "Extension first-pass times — including one-time "
+            "Janino codegen compile, which amortizes to zero on a "
+            "long-running cluster — are reported separately as "
+            "cold_queries."
+        ),
+    }
+    # The full per-query map (~60 entries) outgrew the driver's tail
+    # capture in round 3 (BENCH_r03.json parsed=null). Persist the full
+    # record to a sidecar file and print a COMPACT summary as the final
+    # stdout line — small enough that the driver's tail capture always
+    # contains it whole, carrying the gate number (ratio_b1_b5) plus the
+    # paired B1-B5 map and the 5 slowest extension queries.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1)
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if k not in paired),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "cpus": full["cpus"],
+        "queries": {k: timings[k] for k in paired},
+        "ref_queries": ref_timings,
+        "ref_total_b1_b5": ref_b,
+        "spark_total_b1_b5": spark_b,
+        "ratio_b1_b5": full["ratio_b1_b5"],
+        "n_queries": len(timings),
+        "slowest_extensions": slowest,
+        "full_results": sidecar,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

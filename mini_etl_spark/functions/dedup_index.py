@@ -201,6 +201,7 @@ def minhash_index_filter(
     threshold: float = 0.5,
     max_bucket_freq: int | None = 1000,
     append_survivors: bool = False,
+    in_batch: bool = True,
 ) -> DataFrame:
     """The ingestion-pipeline form: return ``batch`` minus the documents
     that near-duplicate anything already in the index (one broadcast-
@@ -209,12 +210,67 @@ def minhash_index_filter(
     the index, so the next batch sees them — the complete continuous-
     ingestion loop in one call (single-writer contract, see
     :func:`minhash_index_append`). Exposed to YAML pipelines as the
-    ``index_dedup`` transformer."""
+    ``index_dedup`` transformer.
+
+    ``in_batch=True`` (default) also dedups WITHIN the batch — two
+    near-duplicate docs arriving together keep only the min-id member of
+    their near-dup component (mirroring the in-batch winners step of
+    :func:`fingerprint_index_filter`), so co-arriving duplicates are
+    never both permanently indexed. The in-batch pairs reuse the probe's
+    checkpointed signatures (same index hash config — no re-shingling):
+    band self-join, signature-agreement verify at the same ``threshold``,
+    connected-component min-id winners. ``in_batch=False`` restores the
+    index-only gate (a caller that already pre-deduped the batch)."""
+    from mini_etl_spark.functions.dedup import drop_near_duplicates
+
     spark = batch.sparkSession
     matches, b_sig, meta = _probe(spark, path, batch, threshold, max_bucket_freq)
     id_col = meta["id_col"]
+    num_hashes = meta["num_hashes"]
     dup_ids = matches.select(F.col("batch_id").alias(id_col)).distinct()
     kept = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
+    if in_batch:
+        # candidates among index-survivors only: band self-join on the
+        # probe signatures (id_a < id_b halves the pair space), then the
+        # same agreement fraction the index probe scores with
+        surv_ids = kept.select(F.col(id_col).alias("__id"))
+        kept_sig = b_sig.join(F.broadcast(surv_ids), "__id", "left_semi")
+        kb = _band_postings(kept_sig, num_hashes, meta["bands"], meta["hash_fn"])
+        cand = (
+            kb.select(F.col("__id").alias("id_a"), "band", "bucket")
+            .join(
+                kb.select(F.col("__id").alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        agreement = sum(
+            (F.col(f"__a_h{i}") == F.col(f"__b_h{i}")).cast("int")
+            for i in range(num_hashes)
+        )
+        pairs = (
+            cand.join(
+                kept_sig.select(
+                    F.col("__id").alias("id_a"),
+                    *[F.col(f"h{i}").alias(f"__a_h{i}") for i in range(num_hashes)],
+                ),
+                "id_a",
+            )
+            .join(
+                kept_sig.select(
+                    F.col("__id").alias("id_b"),
+                    *[F.col(f"h{i}").alias(f"__b_h{i}") for i in range(num_hashes)],
+                ),
+                "id_b",
+            )
+            .filter(
+                F.round(agreement / F.lit(float(num_hashes)), 4) >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+        kept = drop_near_duplicates(kept, pairs, id_col=id_col)
     if append_survivors:
         # localCheckpoint, not persist: the append WRITES to `path`, and
         # Spark re-caches (recomputes) any cached plan that reads a

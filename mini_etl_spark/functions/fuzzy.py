@@ -50,7 +50,11 @@ def _block_key(col: Column, block_on: str, block_len: int) -> Column:
     if block_on == "prefix":
         return F.substring(col, 1, block_len)
     if block_on == "suffix":
-        return F.substring(col, -block_len, block_len)
+        # right()-semantics, NOT substring(col, -n, n): the latter returns
+        # '' for strings shorter than n (they'd collide in one empty-string
+        # block and could never match longer strings), and diverges from
+        # SQL engines' right(s, n), which returns the whole short string.
+        return F.right(col, F.lit(block_len))
     raise ValueError(f"block_on must be 'prefix' or 'suffix', got {block_on!r}")
 
 

@@ -85,32 +85,37 @@ def pagerank(
     # iteration — persist once instead of re-joining degrees each round.
     routed = e.join(out_deg, "src").persist()
 
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
-        contrib = (
-            routed.join(ranks, routed.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
-        )
-        # localCheckpoint (eager) materializes the new state AND cuts its
-        # lineage; the previous iteration's blocks are released by the
-        # context cleaner when the old frame is dropped — no cache entries
-        # pile up across iterations or across repeated pagerank() calls.
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
-                ).alias("rank"),
+    try:
+        ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+        for _ in range(iterations):
+            contrib = (
+                routed.join(ranks, routed.src == ranks.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
             )
-            .localCheckpoint(eager=True)
-        )
-    # the returned frame is checkpointed data — it no longer depends on
-    # these, so their cache entries can be released immediately
-    routed.unpersist()
-    nodes.unpersist()
+            # localCheckpoint (eager) materializes the new state AND cuts
+            # its lineage; the previous iteration's blocks are released by
+            # the context cleaner when the old frame is dropped — no cache
+            # entries pile up across iterations or across repeated
+            # pagerank() calls.
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # the returned frame is checkpointed data — it no longer depends
+        # on these, so their cache entries can be released immediately;
+        # the finally also covers an error (or interrupt) mid-iteration,
+        # which would otherwise leave both pinned for the session
+        routed.unpersist()
+        nodes.unpersist()
     return ranks
 
 

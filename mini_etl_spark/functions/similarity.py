@@ -548,7 +548,7 @@ def knn_join(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = False,
-    method: str = "expr",
+    method: str = "arrow",
 ) -> DataFrame:
     """Batched approximate k-NN join — the retrieval primitive (RAG lookup,
     cross-corpus linking): for EVERY query row, the ``k`` most
@@ -570,13 +570,13 @@ def knn_join(
 
     ``exclude_self`` drops query==corpus id matches (self-join usage).
 
-    ``method``: ``"expr"`` (default) runs assignment and scoring as JVM
+    ``method``: ``"arrow"`` (default — the measured fast path, 4-5× at
+    sf0.1) runs one BLAS matmul per Arrow batch for cell assignment,
+    probing, and pair scoring. ``"expr"`` runs the same plan as JVM
     column expressions — sequential-sum float semantics an external SQL
-    engine replays bit-for-bit (the oracle path). ``"arrow"`` runs one
-    BLAS matmul per Arrow batch for cell assignment, probing, and pair
-    scoring (the measured fast path for wide centroid sets — same trade
-    as :func:`cell_cosine_pairs`); result sets agree except for values
-    within float error of a rank boundary at the 4th decimal.
+    engine replays bit-for-bit (the oracle path; pass it explicitly when
+    cross-engine bit-reproducibility matters). Result sets agree except
+    for values within float error of a rank boundary at the 4th decimal.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -698,7 +698,7 @@ def cell_cosine_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    method: str = "expr",
+    method: str = "arrow",
 ) -> DataFrame:
     """Cluster-scoped semantic near-dup pairs (the SemDeDup shape): assign
     every vector to its nearest centroid cell, then exact cosine pairs
@@ -712,14 +712,13 @@ def cell_cosine_pairs(
     One columnar assignment pass (k JVM dot products, no UDF), one
     shuffle on the cell id, exact cosine on candidates only.
 
-    ``method``: ``"expr"`` (default) verifies each in-cell pair with a
-    JVM zip_with dot — sequential-sum float semantics an external SQL
-    engine replays bit-for-bit (the oracle path). ``"arrow"`` instead
-    runs one numpy matmul per cell via applyInPandas — 10-50× faster on
-    large cells (BLAS, SIMD summation order), at the cost of last-ulp
-    float differences vs the sequential sum; pair SETS agree except for
-    values within float error of the threshold. Use ``"arrow"`` at
-    scale, ``"expr"`` when bit-reproducibility across engines matters.
+    ``method``: ``"arrow"`` (default) runs one numpy matmul per cell via
+    applyInPandas — 10-50× faster on large cells (BLAS, SIMD summation
+    order). ``"expr"`` verifies each in-cell pair with a JVM zip_with
+    dot — sequential-sum float semantics an external SQL engine replays
+    bit-for-bit; pass it explicitly when cross-engine
+    bit-reproducibility matters (the oracle path). Pair SETS agree
+    except for values within float error of the threshold.
     """
     if method == "arrow":
         return _cell_cosine_pairs_arrow(df, centroids, threshold, vec_col, id_col)
@@ -929,22 +928,23 @@ def pq_codes(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pq_codes",
-    method: str = "expr",
+    method: str = "arrow",
 ) -> DataFrame:
     """Assign each vector its PQ code word: per subspace, the index of the
     nearest codebook centroid (squared L2). Zero shuffles either way.
 
+    ``method="arrow"`` (default): one numpy broadcast-subtract + argmin
+    per Arrow batch (the sanctioned dense-linear-algebra pandas_udf) —
+    the 100 TB compression pass at any codebook size; SIMD summation
+    order may differ from the expr path in the last ulp (tie-adjacent
+    codes only). Measured 12× faster than expr at sf0.1.
+
     ``method="expr"``: m × k explicit distance expressions + array-min
     struct argmin (first minimal index on ties) — pinned float order, so
-    an external SQL engine replays the codes bit-for-bit (the oracle
-    path). The expression tree grows as m·k·(dim/m); past ~500 terms
-    Janino refuses the generated method and evaluation falls back to
-    interpreted — keep m·k·dsub modest here, or use:
-
-    ``method="arrow"``: one numpy broadcast-subtract + argmin per Arrow
-    batch (the sanctioned dense-linear-algebra pandas_udf) — the 100 TB
-    compression pass at any codebook size; SIMD summation order may
-    differ from the expr path in the last ulp (tie-adjacent codes only).
+    an external SQL engine replays the codes bit-for-bit (pass it
+    explicitly for the oracle path). The expression tree grows as
+    m·k·(dim/m); past ~500 terms Janino refuses the generated method and
+    evaluation falls back to interpreted — keep m·k·dsub modest.
 
     Returns (id, ``out_col`` array<int>): dim float32 → m small codes
     (32× at dim=64, m=8) while ADC keeps ~full-precision ranking."""
@@ -987,7 +987,7 @@ def pq_adc_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    method: str = "expr",
+    method: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): the
     query is NOT quantized — per subspace, a k-entry lookup table of
@@ -998,10 +998,10 @@ def pq_adc_topk(
     top-k; ties break on id for cross-engine determinism.
 
     Output: (id, ``adc_dist`` rounded to 6). ``method`` selects the code
-    assignment path (see :func:`pq_codes`): ``"expr"`` is the bit-
-    replayable oracle chain; ``"arrow"`` is the BLAS-batched encoder —
-    the at-scale choice, identical ranking except for tie-adjacent codes
-    in the last float ulp.
+    assignment path (see :func:`pq_codes`): ``"arrow"`` (default) is the
+    BLAS-batched encoder — the at-scale choice; ``"expr"`` is the bit-
+    replayable oracle chain — identical ranking except for tie-adjacent
+    codes in the last float ulp.
     """
     nb, kc, dsub = codebooks.shape
     codes = pq_codes(df, codebooks, vec_col, id_col, method=method)

@@ -148,6 +148,10 @@ def histogram(df, column: str, bins: int = 20, lo: float | None = None,
 
     if bins < 1:
         raise ValueError("histogram: bins must be >= 1")
+    if lo is not None and hi is not None and lo > hi:
+        # fail loudly up front — reversed bounds would otherwise surface
+        # as an opaque width_bucket runtime error mid-job
+        raise ValueError(f"histogram: lo must be <= hi, got lo={lo} hi={hi}")
     if lo is None or hi is None:
         stats = df.agg(
             F.min(F.col(column).cast("double")).alias("mn"),

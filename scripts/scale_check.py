@@ -122,11 +122,13 @@ def main() -> None:
             times[label] = time.monotonic() - t
             times[f"{label}_rows"] = n
             spark.catalog.clearCache()
-        ratio = times["big"] / times["base"] if times["base"] > 0 else None
+        # a sub-resolution base time (0.0s) can't produce a meaningful
+        # ratio — degrade to inf rather than crash on round()/comparison
+        ratio = times["big"] / times["base"] if times["base"] > 0 else float("inf")
         results[name] = {
             "base_s": round(times["base"], 3),
             "big_s": round(times["big"], 3),
-            "time_ratio": round(ratio, 2),
+            "time_ratio": round(ratio, 2) if ratio != float("inf") else None,
             "data_ratio": REPLICAS,
             "superlinear": bool(ratio > REPLICAS * 1.25),
             "base_rows": times["base_rows"],

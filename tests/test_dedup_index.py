@@ -196,3 +196,36 @@ def test_fingerprint_index_exact_gate(spark, tmp_path):
         _df(spark, [(201, BATCH[1][1])]), path
     )
     assert again.count() == 0
+
+
+def test_index_filter_in_batch_near_dups(spark, tmp_path):
+    """Two near-duplicate docs arriving in the SAME batch: only the min-id
+    member survives (and is the only one appended to the index), mirroring
+    fingerprint_index_filter's in-batch winners step. in_batch=False
+    restores the old index-only gate."""
+    from mini_etl_spark.functions.dedup_index import minhash_index_filter
+
+    path = str(tmp_path / "inbatch_idx")
+    minhash_index_write(_df(spark, CORPUS), path, num_hashes=32, bands=8)
+    # one word changed in a 20-word doc: true 3-shingle Jaccard ≈ 0.71,
+    # safely above threshold 0.5 even with 32-hash estimation noise
+    base = (
+        "quantum chemistry simulations on small lattice models often diverge "
+        "rapidly when the basis set truncation interacts with electron "
+        "correlation terms"
+    )
+    novel = base
+    near = base.replace("diverge", "converge")
+    batch = [(201, novel), (202, near), (203, "tidal patterns shift benthic fauna zones")]
+
+    # index-only gate keeps both co-arriving near-dups
+    both = minhash_index_filter(_df(spark, batch), path, in_batch=False)
+    assert {r["doc_id"] for r in both.collect()} == {201, 202, 203}
+
+    # default gate keeps the min-id member only, and appends just that one
+    kept = minhash_index_filter(
+        _df(spark, batch), path, append_survivors=True
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {201, 203}
+    resub = minhash_index_filter(_df(spark, [(301, near)]), path)
+    assert resub.count() == 0  # 202's survivor twin (201) now guards it

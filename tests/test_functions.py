@@ -459,7 +459,7 @@ def test_knn_join_recall_and_shape(spark):
     cents = (centers / np.linalg.norm(centers, axis=1, keepdims=True))
     queries = df.filter(F.col("vec_id") % 50 == 0)  # one per other cluster
     out = sim.knn_join(
-        queries, df, cents, k=5, nprobe=1, exclude_self=True
+        queries, df, cents, k=5, nprobe=1, exclude_self=True, method="expr"
     ).toPandas()
     # shape: exactly 5 ranked neighbors per query, ranks 1..5
     per_q = out.groupby("query_id")["rank"].agg(["count", "min", "max"])
@@ -481,7 +481,7 @@ def test_knn_join_recall_and_shape(spark):
     assert hits / tot >= 0.9
     # nprobe=2 may only add candidates (monotone recall), never break shape
     out2 = sim.knn_join(
-        queries, df, cents, k=5, nprobe=2, exclude_self=True
+        queries, df, cents, k=5, nprobe=2, exclude_self=True, method="expr"
     ).toPandas()
     assert (out2.groupby("query_id")["rank"].count() == 5).all()
     # arrow path (BLAS matmul kernels) reproduces the expr path's ranking
@@ -1118,7 +1118,9 @@ def test_cell_pairs_arrow_matches_expr(spark):
     cents = sim.random_unit_centroids(dim=32, k=8, seed=7)
     expr = {
         (r.id_a, r.id_b): r.cosine
-        for r in sim.cell_cosine_pairs(df, cents, threshold=0.2).collect()
+        for r in sim.cell_cosine_pairs(
+            df, cents, threshold=0.2, method="expr"
+        ).collect()
     }
     arrow = {
         (r.id_a, r.id_b): r.cosine
@@ -1280,7 +1282,10 @@ def test_pq_adc_topk_arrow_matches_expr(spark):
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     cb = sim.pq_random_codebooks(64, m=8, k=8, seed=13)
     q = list(emb.filter("vec_id = 0").first().embedding)
-    a = [(r.vec_id, r.adc_dist) for r in sim.pq_adc_topk(emb, q, cb, k=10).collect()]
+    a = [
+        (r.vec_id, r.adc_dist)
+        for r in sim.pq_adc_topk(emb, q, cb, k=10, method="expr").collect()
+    ]
     b = [
         (r.vec_id, r.adc_dist)
         for r in sim.pq_adc_topk(emb, q, cb, k=10, method="arrow").collect()
