@@ -1919,14 +1919,18 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: spherical k-means coarse quantizer (Lloyd over the
-    distributed assign primitive) + nprobe cell scan. Rows-only check
-    (centroids are iterative float state, not SQL-expressible); recall
-    improvement vs the naive init is pytest-gated on planted clusters."""
+    """IVF ANN top-10 with a SEEDED coarse quantizer: nprobe=3 cells of a
+    deterministic random-projection codebook are scanned, exact cosine
+    within them. Seeded centroids make the whole chain — assignment,
+    probe-cell selection (stable (−dot, index) order), ranking — replay
+    in DuckDB: a full hash oracle for an inverted-file ANN search. The
+    k-means-trained quantizer (`ivf_centroids_kmeans`, iterative float
+    state — not SQL-expressible) is the quality path, pytest-gated on
+    planted clusters (tests/test_functions.py)."""
     from mini_etl_spark.functions import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.ivf_centroids_kmeans(emb, k=8, iters=3)
+    cents = sim.random_unit_centroids(dim=64, k=8, seed=7)
     return sim.ivf_topk(emb, _query_vector(spark, sf_dir), cents, k=10, nprobe=3)
 
 
@@ -2261,6 +2265,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution: every supplier node is
+    a sink in the customer→supplier graph, so each iteration spreads the
+    sinks' aggregate rank uniformly (rank = (1−d) + d·(Σ_in + S/N)) — the
+    mass-conserving formulation (Σ rank stays ~N; pytest-asserted). Same
+    unrolled-CTE replay as `pagerank`, plus one 1-row dangling-sum CTE
+    per iteration; ranks rounded to 6 at the very end only."""
+    from mini_etl_spark.functions.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 100000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, dangling="redistribute")
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the supplier co-occurrence graph (suppliers
     sharing an order are linked): ordered two-path join closed against the
@@ -2390,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "script_id": q_script_id,
         "pagerank": q_pagerank,
+        "pagerank_redistribute": q_pagerank_redistribute,
         "triangles": q_triangles,
         "profile": q_profile,
         "histogram": q_histogram,
@@ -2614,6 +2642,39 @@ def _d_pagerank_sql(iterations: int = 3) -> str:
     )
 
 
+def _d_pagerank_redistribute_sql(iterations: int = 3) -> str:
+    """DuckDB twin of graph.pagerank(dangling='redistribute'): the same
+    unrolled power method plus, per iteration, a 1-row CTE summing the
+    sink nodes' rank, divided by the (double) node count — the float
+    chain written in the IDENTICAL order as the Spark side:
+    (1.0 − 0.85) + 0.85 · (coalesce(cin, 0.0) + dang / n)."""
+    ctes = ["""
+        e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 100000 AS dst
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+        c{i} AS (SELECT e.dst, sum(r.rank / d.dg) AS cin
+                 FROM e JOIN deg d ON d.src = e.src
+                        JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+        g{i} AS (SELECT coalesce(sum(rank), 0.0) AS dang
+                 FROM r{i - 1}
+                 WHERE node NOT IN (SELECT src FROM deg)),
+        r{i} AS (SELECT n.node,
+                        (1.0 - 0.85) + 0.85 * (coalesce(c.cin, 0.0)
+                                               + g.dang / nc.n) AS rank
+                 FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node,
+                      g{i} g, ncnt nc)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 def _d_zorder_sql(bits: int = 8) -> str:
     """DuckDB twin of maintenance.zorder_value over
     (l_extendedprice, l_quantity): same min-max stats, same width_bucket
@@ -2757,7 +2818,8 @@ def _d_dot(a: str, b: str) -> str:
     )
 
 
-def _d_cell_expr(dim: int = 64, k: int = 32, seed: int = 7) -> str:
+def _d_cell_expr(dim: int = 64, k: int = 32, seed: int = 7,
+                 col: str = "embedding") -> str:
     """DuckDB expression for the vector's cell id — replicates
     similarity.ivf_assign over random_unit_centroids(dim, k, seed):
     0-based index of the FIRST maximal centroid dot product."""
@@ -2769,13 +2831,14 @@ def _d_cell_expr(dim: int = 64, k: int = 32, seed: int = 7) -> str:
         lit = "[" + ", ".join(repr(float(v)) for v in c) + "]"
         dots.append(
             f"(SELECT sum(CAST(x AS DOUBLE) * y) "
-            f"FROM (SELECT unnest(embedding) AS x, unnest({lit}) AS y))"
+            f"FROM (SELECT unnest({col}) AS x, unnest({lit}) AS y))"
         )
     arr = "[" + ", ".join(dots) + "]"
     return f"(SELECT list_position(d, list_max(d)) - 1 FROM (SELECT {arr} AS d))"
 
 
-def _d_probe_cells(nprobe: int, dim: int = 64, k: int = 32, seed: int = 7) -> str:
+def _d_probe_cells(nprobe: int, dim: int = 64, k: int = 32, seed: int = 7,
+                   col: str = "embedding") -> str:
     """DuckDB list of the vector's ``nprobe`` nearest cells — replicates
     similarity.probe_cells: same centroid dots, same (−dot, index) struct
     sort, so multi-probe assignment is identical in both engines."""
@@ -2787,7 +2850,7 @@ def _d_probe_cells(nprobe: int, dim: int = 64, k: int = 32, seed: int = 7) -> st
         lit = "[" + ", ".join(repr(float(v)) for v in c) + "]"
         dots.append(
             f"(SELECT sum(CAST(x AS DOUBLE) * y) "
-            f"FROM (SELECT unnest(embedding) AS x, unnest({lit}) AS y))"
+            f"FROM (SELECT unnest({col}) AS x, unnest({lit}) AS y))"
         )
     arr = "[" + ", ".join(dots) + "]"
     return (
@@ -2795,6 +2858,26 @@ def _d_probe_cells(nprobe: int, dim: int = 64, k: int = 32, seed: int = 7) -> st
         f"list_transform(range(1, {k + 1}), j -> {{'nd': -d[j], 'i': j - 1}})"
         f"), s -> s.i), 1, {nprobe}) FROM (SELECT {arr} AS d))"
     )
+
+
+def _d_lsh_bucket(dim: int = 64, num_planes: int = 8, seed: int = 42,
+                  col: str = "embedding") -> str:
+    """DuckDB expression for the single-table LSH bucket of ``col`` —
+    replicates similarity.with_lsh_buckets / lsh_bucket bit-for-bit: the
+    same seeded unit hyperplanes as full-precision literals, sign bit of
+    each projection packed as bit j."""
+    from mini_etl_spark.functions.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+        dot = (
+            f"(SELECT sum(CAST(x AS DOUBLE) * y) "
+            f"FROM (SELECT unnest({col}) AS x, unnest({lit}) AS y))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
 def _d_lsh_tags(dim: int = 64, num_planes: int = 8, num_tables: int = 8,
@@ -4174,6 +4257,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _d_zorder_sql(),
         "script_id": _d_script_sql(),
         "pagerank": _d_pagerank_sql(),
+        "pagerank_redistribute": _d_pagerank_redistribute_sql(),
         "profile": _d_profile_sql(),
         # top_values: melt → count → deterministic k-bounded window (ties
         # break on the value string in both engines)
@@ -4382,9 +4466,56 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem GROUP BY l_suppkey)
             ORDER BY key_count DESC, l_suppkey LIMIT 25
         """,
-        # approx_sketches / ivf_topk / lsh_topk: genuinely approximate
-        # (HLL internals / float-scored ANN) — rows-only driver check;
-        # recall gates live in tests/test_functions.py.
+        # lsh_topk: the SAME seeded hyperplanes as full-precision SQL
+        # literals — bucket assignment, the multiprobe set (query bucket
+        # plus all hamming-1 neighbors), and exact cosine ranking of the
+        # scanned rows all replay in DuckDB. Probing is set-membership,
+        # so probe-list order (irrelevant on both sides) can't diverge.
+        "lsh_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            qb AS (SELECT {_d_lsh_bucket(col='qv')} AS qbucket FROM q),
+            probe AS (
+              SELECT qbucket AS pb FROM qb
+              UNION ALL
+              SELECT xor(qbucket, p) FROM qb,
+                     (SELECT unnest([{', '.join(str(1 << j) for j in range(8))}]) AS p)),
+            b AS (SELECT vec_id, embedding,
+                         {_d_lsh_bucket()} AS bucket FROM embeddings),
+            d AS (
+              SELECT b.vec_id,
+                     {_d_dot('b.embedding', 'q.qv')} AS dot,
+                     sqrt({_d_dot('b.embedding', 'b.embedding')}) AS na,
+                     sqrt({_d_dot('q.qv', 'q.qv')}) AS nb
+              FROM b, q
+              WHERE b.bucket IN (SELECT pb FROM probe))
+            SELECT vec_id, round(dot/(na*nb), 4) AS cosine
+            FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # ivf_topk: seeded random-unit codebook (k=8) — cell assignment,
+        # the query's 3 probe cells (stable (−dot, index) order on BOTH
+        # sides), and exact cosine ranking replay in DuckDB.
+        "ivf_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            probe AS (
+              SELECT unnest({_d_probe_cells(3, k=8, col='qv')}) AS cell
+              FROM q),
+            assigned AS (
+              SELECT vec_id, embedding, {_d_cell_expr(k=8)} AS cell
+              FROM embeddings),
+            d AS (
+              SELECT a.vec_id,
+                     {_d_dot('a.embedding', 'q.qv')} AS dot,
+                     sqrt({_d_dot('a.embedding', 'a.embedding')}) AS na,
+                     sqrt({_d_dot('q.qv', 'q.qv')}) AS nb
+              FROM assigned a, q
+              WHERE a.cell IN (SELECT cell FROM probe))
+            SELECT vec_id, round(dot/(na*nb), 4) AS cosine
+            FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # approx_sketches: genuinely approximate (HLL sketch internals) —
+        # rows-only driver check; bounds are pytest-gated.
         # bpe_vocab: iterative algorithm (driver merge loop over the
         # distributed histogram) — rows-only here; the cross-engine
         # differential (DuckDB histogram → identical loop) is

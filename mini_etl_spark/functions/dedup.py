@@ -735,20 +735,41 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Resolve a near-duplicate PAIR list into duplicate GROUPS:
     (``node``, ``component``) where component = the minimum node id
     reachable in the undirected pair graph (self included).
 
-    Iterative min-label propagation: each round, every node takes the min
-    of its own label and its neighbors' labels — one equi-join + one
-    hash-aggregate (one shuffle) per round, converging in O(graph diameter)
-    rounds with a driver-side early exit when no label changes. Near-dup
-    graphs are unions of small dense clusters (diameter ≤ ~3), so this
-    runs 2-4 rounds in practice; ``max_iter`` bounds adversarial chains.
-    State per round is one (node, label) frame — never an edge closure, so
-    memory stays O(V + E) at any scale (the transitive-closure oracle the
-    driver checks against is O(V·E) and only viable at test size)."""
+    ``algorithm="label"`` (default) — iterative min-label propagation:
+    each round, every node takes the min of its own label and its
+    neighbors' labels — one equi-join + one hash-aggregate (one shuffle)
+    per round, converging in O(graph diameter) rounds with a driver-side
+    early exit when no label changes. Near-dup graphs are unions of small
+    dense clusters (diameter ≤ ~3), so this runs 2-4 rounds in practice;
+    ``max_iter`` bounds adversarial chains. State per round is one
+    (node, label) frame — never an edge closure, so memory stays O(V + E)
+    at any scale (the transitive-closure oracle the driver checks against
+    is O(V·E) and only viable at test size).
+
+    ``algorithm="star"`` — alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    each round rewires every node's strictly-larger (large-star) /
+    smaller (small-star) neighbors to its neighborhood minimum,
+    converging in O(log n) rounds REGARDLESS of diameter — the
+    adversarial-chain-safe mode (a 10⁶-node path costs ~20 rounds, not
+    10⁶). Two joins + two aggregates per round over the shrinking edge
+    set. Pick it when components may be long and thin (co-citation
+    chains, URL redirect graphs); for dense near-dup clusters the
+    label mode's cheaper rounds win."""
+    if algorithm == "star":
+        labels, _ = _star_components(pairs, id_a, id_b, max_iter)
+        return labels
+    if algorithm != "label":
+        raise ValueError(
+            f"connected_components: algorithm must be 'label' or 'star', "
+            f"got {algorithm!r}"
+        )
     # Both edge directions from ONE evaluation of `pairs` (explode, not a
     # two-branch union — the pair list is usually an expensive similarity
     # join, and a union would re-run that plan once per branch).
@@ -800,6 +821,122 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _star_components(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction. Returns
+    ((node, component), rounds_used) — rounds exposed so tests can assert
+    the O(log n) bound on adversarial chains.
+
+    Each round:
+      large-star: for every node u, attach its strictly-LARGER neighbors
+        to m(u) = min(Γ(u) ∪ {u});
+      small-star: orient edges large→small, attach every smaller
+        neighbor (and u itself) to that minimum.
+    Both preserve connectivity and strictly shrink star height; the edge
+    set converges to one star per component rooted at its minimum id.
+    Per round: two (groupBy-min + join + distinct) passes — three
+    shuffles each — over an edge set that only shrinks. Convergence is
+    checked on a (count, sum-of-hash) signature of the canonical edge
+    set: one tiny aggregate, no edge-set anti-join."""
+    spark = pairs.sparkSession
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    # undirected, self-loops dropped, canonical small→large orientation
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # remember every node that appeared — star rounds contract away
+    # interior nodes' edges, and the final star lists only (node, root)
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    sig = _sig(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star: both directions; neighbors v > u hook to m(u)
+        both = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = both.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("__m")
+        )
+        ls = (
+            both.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.least(F.col("dst"), F.col("__m")).alias("src"),
+                F.greatest(F.col("dst"), F.col("__m")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            # consumed twice below (min aggregate + join) — materialize so
+            # the large-star pass runs once per round
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: orient large→small; every smaller neighbor AND
+        # the large endpoint itself hook to the neighborhood min
+        oriented = ls.select(
+            F.col("dst").alias("big"), F.col("src").alias("small")
+        )
+        smins = oriented.groupBy("big").agg(F.min("small").alias("__m"))
+        ss = (
+            oriented.join(smins, "big")
+            .select(
+                F.col("__m").alias("src"),
+                F.col("small").alias("dst"),
+                F.col("big").alias("__self"),
+            )
+        )
+        hooked = ss.select("src", "dst").unionByName(
+            ss.select("src", F.col("__self").alias("dst")).distinct()
+        )
+        edges = (
+            hooked.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged: edges form stars (root = component min) — label members,
+    # then every node not listed as a member is its own root
+    members = edges.select(
+        F.col("dst").alias("node"), F.col("src").alias("component")
+    )
+    roots = all_nodes.join(
+        members.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return members.unionByName(roots), rounds
 
 
 def drop_near_duplicates(

@@ -61,6 +61,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    dangling: str = "teleport",
 ) -> DataFrame:
     """(node, rank) after ``iterations`` of the power method:
     rank = (1 − d) + d · Σ_in rank(u)/out_degree(u), uniform start at 1.0
@@ -69,10 +70,28 @@ def pagerank(
     Fixed iteration count, left-associated float chain, and deterministic
     join/agg semantics make the result replayable in any engine — the
     DuckDB oracle unrolls the same iterations as chained CTEs. Nodes with
-    no in-edges settle at 1 − d; dangling mass goes to the teleport term.
+    no in-edges settle at 1 − d.
+
+    ``dangling`` picks what happens to the rank mass of nodes with no
+    out-edges (sinks):
+
+    - ``"teleport"`` (default): the mass leaks to the teleport term —
+      the classic simplification; total rank decays below N when sinks
+      exist. Zero extra cost.
+    - ``"redistribute"``: each iteration spreads the sinks' aggregate
+      rank uniformly over all nodes (rank = (1 − d) + d · (Σ_in + S/N))
+      — the mass-conserving formulation (Σ rank stays exactly ~N) that
+      ranking a real crawl graph wants. Costs one tiny aggregate per
+      iteration (a 1-row frame, broadcast cross-joined — no extra
+      shuffle of the rank table).
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
+    if dangling not in ("teleport", "redistribute"):
+        raise ValueError(
+            f"pagerank: dangling must be 'teleport' or 'redistribute', "
+            f"got {dangling!r}"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -86,6 +105,13 @@ def pagerank(
     routed = e.join(out_deg, "src").persist()
 
     try:
+        if dangling == "redistribute":
+            # static sink set (no out-edges) and node count — one pass each
+            sinks = nodes.join(
+                out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+            ).localCheckpoint(eager=True)
+            n_nodes = nodes.count()
+
         ranks = nodes.select("node", F.lit(1.0).alias("rank"))
         for _ in range(iterations):
             contrib = (
@@ -93,18 +119,32 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
             )
+            if dangling == "redistribute":
+                # sinks' aggregate rank this iteration: a 1-row frame,
+                # broadcast into every row — the rank table itself never
+                # re-shuffles for it
+                dang = ranks.join(sinks, "node", "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+                )
+                incoming = F.coalesce("__in", F.lit(0.0)) + F.col(
+                    "__dang"
+                ) / F.lit(float(n_nodes))
+                merged = nodes.join(
+                    contrib, nodes.node == contrib.dst, "left"
+                ).crossJoin(F.broadcast(dang))
+            else:
+                incoming = F.coalesce("__in", F.lit(0.0))
+                merged = nodes.join(contrib, nodes.node == contrib.dst, "left")
             # localCheckpoint (eager) materializes the new state AND cuts
             # its lineage; the previous iteration's blocks are released by
             # the context cleaner when the old frame is dropped — no cache
             # entries pile up across iterations or across repeated
             # pagerank() calls.
             ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
-                .select(
+                merged.select(
                     "node",
                     (
-                        F.lit(1.0 - damping)
-                        + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                        F.lit(1.0 - damping) + F.lit(damping) * incoming
                     ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)

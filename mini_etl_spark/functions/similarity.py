@@ -363,7 +363,10 @@ def ivf_topk(
     ~nprobe/k of the data — the inverted-file ANN structure, index-free."""
     q = np.asarray(query, dtype="float64")
     scores = centroids @ q
-    probe_cells = [int(c) for c in np.argsort(-scores)[:nprobe]]
+    # stable sort: ties resolve to the lowest cell index — the same
+    # (−dot, index) rule as probe_cells(), so external engines replay
+    # the probe set exactly
+    probe_cells = [int(c) for c in np.argsort(-scores, kind="stable")[:nprobe]]
     assigned = ivf_assign(df, centroids, vec_col)
     candidates = assigned.filter(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(candidates, query, k, vec_col, id_col)

@@ -209,6 +209,53 @@ def test_connected_components_path_graph(spark):
     }
 
 
+def test_connected_components_star_parity(spark):
+    """algorithm='star' (large-star/small-star contraction) must produce
+    the identical (node, component) map as the default label propagation
+    on seeded random graphs and on the known path/cycle fixture."""
+    import random
+
+    fixture = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21)]
+    rng = random.Random(17)
+    randoms = [
+        [
+            (rng.randrange(60), rng.randrange(60))
+            for _ in range(n_edges)
+        ]
+        for n_edges in (15, 40, 90)
+    ]
+    for edge_list in [fixture] + randoms:
+        edge_list = [(a, b) for a, b in edge_list if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
+        label = {
+            r.node: r.component for r in dd.connected_components(pairs).collect()
+        }
+        star = {
+            r.node: r.component
+            for r in dd.connected_components(pairs, algorithm="star").collect()
+        }
+        assert star == label
+
+
+def test_connected_components_star_chain_logn_rounds(spark):
+    """The adversarial case the star mode exists for: a 256-node path has
+    diameter 255 (label mode would need ~255 rounds) but the alternating
+    star contraction must finish in O(log n) rounds."""
+    from mini_etl_spark.functions.dedup import _star_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    labels, rounds = _star_components(pairs, "id_a", "id_b", max_iter=30)
+    got = {r.node: r.component for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12  # ~log2(256)=8 plus slack, far below diameter 255
+
+    with pytest.raises(ValueError):
+        dd.connected_components(pairs, algorithm="bfs")
+
+
 def test_drop_near_duplicates_keeps_representatives(spark):
     df = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(8)], "doc_id bigint, text string"

@@ -64,6 +64,63 @@ def test_triangle_count_known_graphs(spark):
     assert tri([(1, 2), (2, 3), (3, 4), (4, 1)]) == 0
 
 
+def _reference_pagerank_redistribute(pairs, iterations, damping=0.85):
+    nodes = sorted({n for p in pairs for n in p})
+    out = {n: 0 for n in nodes}
+    for s, _ in pairs:
+        out[s] += 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in pairs:
+            contrib[d] += rank[s] / out[s]
+        dang = sum(rank[n] for n in nodes if out[n] == 0)
+        rank = {
+            n: (1 - damping) + damping * (contrib[n] + dang / len(nodes))
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_redistribute_conserves_mass(spark):
+    """With dangling='redistribute', total rank is invariant (= N) at
+    every iteration count, even with sinks; per-node values match the
+    local power-iteration reference."""
+    # node 3 and node 5 are sinks
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 1), (4, 5), (2, 5)]
+    for iters in (1, 3, 7):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                _edges(spark, pairs), iterations=iters, dangling="redistribute"
+            ).collect()
+        }
+        want = _reference_pagerank_redistribute(pairs, iterations=iters)
+        assert set(got) == set(want)
+        assert all(abs(got[n] - want[n]) < 1e-9 for n in want)
+        assert sum(got.values()) == pytest.approx(len(got), abs=1e-9)
+    # the teleport mode LOSES the sinks' mass on the same graph
+    leak = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, pairs), iterations=3).collect()
+    }
+    assert sum(leak.values()) < len(leak) - 0.1
+
+
+def test_pagerank_redistribute_no_sinks_equals_teleport(spark):
+    # with no dangling nodes the two modes are identical arithmetic
+    pairs = [(1, 2), (2, 3), (3, 1), (2, 1)]
+    a = {r["node"]: r["rank"]
+         for r in pagerank(_edges(spark, pairs), iterations=4).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(
+             _edges(spark, pairs), iterations=4, dangling="redistribute"
+         ).collect()}
+    assert a == b
+
+
 def test_pagerank_validates_iterations(spark):
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [(1, 2)]), iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [(1, 2)]), dangling="drop")
