@@ -2,14 +2,16 @@
 
 The Spark-side plumbing is real and tested — schemas, partition-parallel
 mapInPandas with Arrow batches, deterministic batch shapes. Decode kernels:
-codec-less formats decode NATIVELY (binary PPM and uncompressed 24-bit BMP
-by struct parsing; PCM WAV via the stdlib ``wave`` module; PPM-stream
+stdlib-decodable formats decode NATIVELY (binary PPM and uncompressed
+24-bit BMP by struct parsing; 8-bit non-interlaced PNG by zlib inflate +
+scanline unfilter; PCM WAV via the stdlib ``wave`` module; PPM-stream
 video walked frame-by-frame — all tested end-to-end through the
-distributed plumbing, including resize and frame-sampling operators);
-compressed formats (png/jpeg/mp3/mp4 containers) raise
-``NotImplementedError`` because the codec libraries are not in this
-environment — swapping in Pillow/torchaudio/ffmpeg later touches only
-the dispatch in each kernel.
+distributed plumbing, including resize and frame-sampling operators).
+Formats needing a real codec (jpeg/webp, 16-bit/interlaced PNG, mp3,
+mp4 containers) decode through Pillow WHEN importable (optional extra)
+and raise ``NotImplementedError`` otherwise — swapping in
+torchaudio/ffmpeg for audio/video later touches only the dispatch in
+each kernel.
 
 Layout convention (one row per asset):
 
@@ -118,20 +120,147 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return img.copy()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (None/Sub/Up/Average/Paeth). ``raw``
+    is h rows of (1 filter byte + stride pixel bytes). Sequential by
+    specification (each row depends on the previous), vectorized within
+    a row where the filter allows."""
+    out = np.zeros((h, stride), dtype=np.int32)
+    raw = raw.reshape(h, stride + 1)
+    for r in range(h):
+        ft, row = int(raw[r, 0]), raw[r, 1:].astype(np.int32)
+        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        if ft == 0:  # None
+            out[r] = row
+        elif ft == 1:  # Sub
+            acc = row.copy()
+            for i in range(bpp, stride):
+                acc[i] = (acc[i] + acc[i - bpp]) & 0xFF
+            out[r] = acc
+        elif ft == 2:  # Up
+            out[r] = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            acc = row.copy()
+            for i in range(stride):
+                left = acc[i - bpp] if i >= bpp else 0
+                acc[i] = (acc[i] + ((left + prev[i]) >> 1)) & 0xFF
+            out[r] = acc
+        elif ft == 4:  # Paeth
+            acc = row.copy()
+            for i in range(stride):
+                a = acc[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                acc[i] = (acc[i] + pred) & 0xFF
+            out[r] = acc
+        else:
+            raise NotImplementedError(f"decode_image: PNG filter type {ft}")
+    return out.astype(np.uint8)
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Native PNG decode — pure stdlib (struct + zlib) + numpy: chunk walk,
+    IDAT inflate, scanline unfilter, color-type expansion to RGB. Covers
+    the overwhelmingly common web subset: bit depth 8, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Alpha is dropped (features/resize want RGB planes);
+    16-bit and Adam7-interlaced images raise for the Pillow fallback."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_MAGIC)
+    idat, plte = b"", None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(content):
+        (length,), ctag = struct.unpack_from(">I", content, pos), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise NotImplementedError("decode_image: malformed PNG (no IHDR)")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"decode_image: PNG depth={depth} interlace={interlace} outside "
+            "the native subset (8-bit non-interlaced) — needs Pillow"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"decode_image: PNG color type {ctype}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise NotImplementedError("decode_image: malformed PNG (IDAT size)")
+    img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise NotImplementedError("decode_image: palette PNG missing PLTE")
+        return plte[img[:, :, 0]].copy()
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2).copy()
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
+    if ctype == 6:
+        return img[:, :, :3].copy()
+    return img.copy()
+
+
+def _decode_with_pillow(content: bytes) -> np.ndarray | None:
+    """Pillow-backed decode when the library is importable (the optional
+    extra for jpeg/webp and exotic PNG subtypes); None when absent so the
+    caller can raise the honest NotImplementedError."""
+    try:
+        from PIL import Image  # optional dependency, never required
+    except ImportError:
+        return None
+    import io
+
+    with Image.open(io.BytesIO(content)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8).copy()
+
+
 def decode_image(content: bytes, fmt: str | None) -> np.ndarray:
     """Decode image bytes → HWC uint8 RGB array.
 
-    Real pure-stdlib kernels for the codec-less formats (binary PPM,
-    uncompressed 24-bit BMP); compressed formats (png/jpeg/webp) still
-    raise — they need an image library (Pillow/opencv) this environment
-    lacks; swapping one in touches only this dispatch."""
+    Real pure-stdlib kernels for codec-less and stdlib-decodable formats:
+    binary PPM, uncompressed 24-bit BMP, and 8-bit non-interlaced PNG
+    (zlib inflate + scanline unfilter — see :func:`_decode_png`). Other
+    formats (jpeg/webp, 16-bit/interlaced PNG) decode through Pillow WHEN
+    it is importable (optional extra — not in the base environment) and
+    raise ``NotImplementedError`` otherwise."""
+    content = bytes(content)
     if content[:2] == b"P6":
-        return _decode_ppm(bytes(content))
+        return _decode_ppm(content)
     if content[:2] == b"BM":
-        return _decode_bmp(bytes(content))
+        return _decode_bmp(content)
+    if content[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        try:
+            return _decode_png(content)
+        except NotImplementedError:
+            via_pillow = _decode_with_pillow(content)
+            if via_pillow is not None:
+                return via_pillow
+            raise
+    via_pillow = _decode_with_pillow(content)
+    if via_pillow is not None:
+        return via_pillow
     raise NotImplementedError(
         f"decode_image: format {fmt!r} needs an image codec (Pillow/opencv) "
-        "not present in this environment — PPM/BMP decode natively"
+        "not present in this environment — PPM/BMP/8-bit-PNG decode natively"
     )
 
 

@@ -87,3 +87,68 @@ def test_salted_join_validation():
         salted_join(None, None, "k", "outer")
     with pytest.raises(ValueError):
         salted_join(None, None, "k", salt=1)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """AQE's runtime skew-join splitting — the mechanism SCALE.md leans on
+    for moderate skew — must actually fire on a forced-skew sort-merge
+    join: the FINAL adaptive plan carries `skew=true` and the job still
+    returns exact results. Thresholds are lowered so test-sized data
+    reproduces the 100 TB condition (one partition far beyond median)."""
+    conf_saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "100KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        # partition coalescing can merge small partitions and mask the
+        # median comparison — keep the skew geometry intact
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        # key 0 owns ~95% of the fact side, with a fat payload so the hot
+        # shuffle partition dwarfs both thresholds
+        fact = (
+            spark.range(0, 100_000)
+            .select(
+                F.when(F.col("id") % 20 != 0, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.concat(F.lit("x" * 120), F.col("id")).alias("payload"),
+            )
+        )
+        # range(0, 100000, 20) already contains key 0 and every multiple
+        # of 20 — distinct by construction, so the dim side stays a bare
+        # Sort(ShuffleQueryStage) under the join (an aggregate in between
+        # would break OptimizeSkewedJoin's pattern match)
+        dim = spark.range(0, 100_000, 20).select(
+            F.col("id").alias("k"), F.lit("d").alias("name")
+        )
+        joined = fact.join(dim, "k", "inner")
+        # execute THIS DataFrame's queryExecution (count() would plan a
+        # different query and leave the adaptive plan un-finalized)
+        assert len(joined.collect()) == 100_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:4000]
+    finally:
+        for k, v in conf_saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1010,6 +1010,129 @@ def test_decode_image_ppm_and_bmp_native():
         mm.decode_image(b"\x89PNG\r\n", "png")
 
 
+def _png_bytes(img, ctype=2, filters=None):
+    """Minimal stdlib PNG encoder for decoder tests: 8-bit, non-interlaced,
+    one IDAT, per-row filter types chosen by `filters` (cycling) — lets a
+    test force every unfilter branch (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0]
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        row = flat[r]
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            left = np.zeros_like(row)
+            left[ch:] = row[:-ch]
+            enc = (row - left) & 0xFF
+        elif ft == 2:  # Up
+            enc = (row - prev) & 0xFF
+        elif ft == 3:  # Average
+            left = np.zeros_like(row)
+            left[ch:] = row[:-ch]
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = row.copy()
+            for i in range(w * ch):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_native_all_filters():
+    """The native PNG decoder must invert every scanline filter type and
+    expand each supported color type to RGB."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = mm.decode_image(_png_bytes(img, filters=filters), "png")
+        assert np.array_equal(got, img), f"filters={filters}"
+    # grayscale (ctype 0) expands to identical RGB planes
+    gray = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    got = mm.decode_image(_png_bytes(gray, ctype=0, filters=[2]), "png")
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    # RGBA (ctype 6) drops alpha
+    rgba = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    got = mm.decode_image(_png_bytes(rgba, ctype=6, filters=[4]), "png")
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_decode_png_through_resize_pipeline(spark):
+    """PNG assets flow through the distributed resize stage: decode
+    (native PNG) → nearest-neighbor resize → PPM re-encode, inside
+    mapInPandas."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(4):
+        img = rng.integers(0, 256, size=(8 + i, 6, 3), dtype=np.uint8)
+        rows.append(
+            (i, "image", bytearray(_png_bytes(img, filters=[0, 2])),
+             ("png", 6, 8 + i, None, None))
+        )
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {r["asset_id"]: bytes(r["content"])
+           for r in mm.resize_assets(df, width=4, height=4).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        img = mm.decode_image(out[i], "ppm")  # re-encoded as PPM
+        assert img.shape == (4, 4, 3)
+
+
+def test_decode_image_pillow_fallback_formats():
+    """With Pillow importable, jpeg bytes decode through the optional
+    extra; without it the gate raises the honest NotImplementedError.
+    This test exercises whichever branch the environment provides."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = np.zeros((5, 5, 3), dtype=np.uint8)
+        img[:, :, 0] = 200
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG")
+        got = mm.decode_image(buf.getvalue(), "jpeg")
+        assert got.shape == (5, 5, 3)
+        assert abs(int(got[2, 2, 0]) - 200) < 10  # lossy but close
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\xff\xd8\xff\xe0fakejpeg", "jpeg")
+
+
 def test_decode_audio_wav_native():
     wave_form = mm.decode_audio(_wav_bytes(200), "wav")
     assert wave_form.shape == (200,) and wave_form.dtype.name == "float32"
