@@ -1821,6 +1821,27 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-GROUPS query via the alternating large-star/
+    small-star contraction (`connected_components(algorithm="star")`) —
+    the O(log n)-round, adversarial-diameter-safe mode. Components are
+    identical to label propagation, so the SAME recursive-CTE oracle
+    hash-checks this algorithm end-to-end."""
+    from pyspark.sql import Window
+
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
+    comp = dd.connected_components(pairs, algorithm="star")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤3 near-dup pairs via pigeonhole banding (4 chunks of
     16 bits; a pair within hamming 3 must agree on ≥1 chunk — recall 1.0 by
@@ -2401,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_groups": q_near_dup_groups,
+        "near_dup_groups_star": q_near_dup_groups_star,
         "corpus_clean": q_corpus_clean,
         "contamination": q_contamination,
         "incremental_dedup": q_incremental_dedup,
@@ -2935,7 +2957,7 @@ _D_FEATURES = f"""(
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "group_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)       AS l_quantity_sum,
@@ -4521,3 +4543,8 @@ def oracle_sql() -> dict[str, str]:
         # differential (DuckDB histogram → identical loop) is
         # tests/test_bpe.py.
     }
+    # star-mode connected components produce IDENTICAL output to label
+    # propagation — the same recursive-closure oracle hash-checks both
+    # algorithms independently.
+    sqls["near_dup_groups_star"] = sqls["near_dup_groups"]
+    return sqls

@@ -399,6 +399,7 @@ def main() -> None:
         "exact_dedup": queries["exact_dedup"],
         "jaccard_pairs": queries["jaccard_pairs"],
         "near_dup_groups": queries["near_dup_groups"],
+        "near_dup_groups_star": queries["near_dup_groups_star"],
         "corpus_clean": queries["corpus_clean"],
         "minhash_lsh_pairs": queries["minhash_lsh_pairs"],
         "simhash_pairs": queries["simhash_pairs"],
