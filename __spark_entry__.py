@@ -2286,6 +2286,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_domain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes domain classifier (the CCNet/GPT-3 quality-filter slot,
+    relationally): train multinomial NB with add-one smoothing on the
+    documents' own `source` labels, then classify every document —
+    (doc_id, label, score), best class per doc, rounded log-posterior.
+    Training is exact integer counts + one ln() chain, scoring one
+    explode + model equi-join + hash aggregate — the ENTIRE train+score
+    pipeline replays in DuckDB as one SQL statement (full hash oracle).
+    DSIR-style importance weights (`classify.log_ratio_weights`) are the
+    two-class log-ratio of the same scores, pytest-gated."""
+    from mini_etl_spark.functions import classify as cl
+
+    docs = _t(spark, sf_dir, "documents")
+    model = cl.nb_train(docs, label_col="source")
+    return cl.nb_classify(model, docs)
+
+
 def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with dangling-mass redistribution: every supplier node is
     a sink in the customer→supplier graph, so each iteration spreads the
@@ -2440,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_id": q_script_id,
         "pagerank": q_pagerank,
         "pagerank_redistribute": q_pagerank_redistribute,
+        "domain_score": q_domain_score,
         "triangles": q_triangles,
         "profile": q_profile,
         "histogram": q_histogram,
@@ -4535,6 +4553,60 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.cell IN (SELECT cell FROM probe))
             SELECT vec_id, round(dot/(na*nb), 4) AS cosine
             FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # domain_score: the ENTIRE NB train+score pipeline — exact counts,
+        # add-one smoothing, ln() chains, per-doc grid, argmax — as one
+        # DuckDB statement. Rounding to 6 absorbs libm-vs-JVM ln() ulps
+        # (same contract as pagerank).
+        "domain_score": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_D_TOKENS}) AS token FROM documents),
+            ltok AS (
+              SELECT t.doc_id, d.source AS label, t.token
+              FROM tok t JOIN documents d USING (doc_id)),
+            counts AS (
+              SELECT label, token, count(*) AS c FROM ltok GROUP BY 1, 2),
+            class_tok AS (
+              SELECT label, count(*) AS ct FROM ltok GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+            classes AS (
+              SELECT source AS label, count(*) AS n FROM documents GROUP BY 1),
+            cstats AS (
+              SELECT c.label,
+                     ln(CAST(c.n AS DOUBLE)
+                        / (SELECT count(*) FROM documents)) AS log_prior,
+                     ln(1.0 / (ct.ct + (SELECT v FROM vocab))) AS unseen_lp,
+                     ct.ct
+              FROM classes c JOIN class_tok ct USING (label)),
+            model AS (
+              SELECT co.token, co.label,
+                     ln((co.c + 1.0)
+                        / (cs.ct + (SELECT v FROM vocab))) AS lp
+              FROM counts co JOIN cstats cs USING (label)),
+            contrib AS (
+              SELECT t.doc_id, cs.label,
+                     sum(m.lp) AS known,
+                     count(*) AS n_tok,
+                     count(m.lp) AS n_known
+              FROM tok t CROSS JOIN cstats cs
+              LEFT JOIN model m ON m.token = t.token AND m.label = cs.label
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT g.doc_id, g.label,
+                     round(g.log_prior + coalesce(c.known, 0.0)
+                           + coalesce((c.n_tok - c.n_known) * g.unseen_lp,
+                                      0.0), 6) AS score
+              FROM (SELECT d.doc_id, cs.label, cs.log_prior, cs.unseen_lp
+                    FROM (SELECT DISTINCT doc_id FROM documents) d
+                    CROSS JOIN cstats cs) g
+              LEFT JOIN contrib c
+                ON c.doc_id = g.doc_id AND c.label = g.label)
+            SELECT doc_id, label, score
+            FROM (SELECT doc_id, label, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, label) AS rk
+                  FROM scored)
+            WHERE rk = 1
         """,
         # approx_sketches: genuinely approximate (HLL sketch internals) —
         # rows-only driver check; bounds are pytest-gated.

@@ -445,6 +445,7 @@ def main() -> None:
         "fuzzy_match": queries["fuzzy_match"],
         "script_id": queries["script_id"],
         "pagerank": queries["pagerank"],
+        "domain_score": queries["domain_score"],
         "k_anonymized": queries["k_anonymized"],
         "zorder_key": queries["zorder_key"],
         "profile": queries["profile"],

@@ -461,8 +461,9 @@ class ConfigLoader:
             threshold = float(o.get("threshold", 0.5))
             cap = o.get("max_bucket_freq", 1000)
             cap = int(cap) if cap is not None else None
+            in_batch = bool(o.get("in_batch", True))
             return lambda df: minhash_index_filter(
-                df, path, threshold, cap, append
+                df, path, threshold, cap, append, in_batch
             )
         if spec.type == "k_anonymize":
             from mini_etl_spark.functions.privacy import k_anonymize

@@ -26,11 +26,15 @@ materialization.
 - :mod:`mixing`     — per-source token-budget mixture, global shuffle order
 - :mod:`bpe`        — BPE vocabulary training (distributed histogram +
                       driver merge loop) and corpus encoding
+- :mod:`classify`   — relational Naive-Bayes domain/quality classifier and
+                      DSIR-style importance weights (train = two hash
+                      aggregates; score = explode + model equi-join)
 """
 
 from mini_etl_spark.functions import (
     bpe,
     chunking,
+    classify,
     corpus,
     dedup,
     dedup_index,
@@ -47,4 +51,5 @@ from mini_etl_spark.functions import (
 __all__ = [
     "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
     "corpus", "splits", "chunking", "mixing", "bpe", "privacy", "graph",
+    "classify",
 ]

@@ -21,11 +21,14 @@ from tests.conftest import SF_SMALL  # noqa: E402
 INTENTIONAL_THETA_JOINS = {"cosine_pairs"}
 
 # Queries that broadcast a ONE-ROW scalar aggregate (N, avgdl, thresholds…)
-# into the stream side. Spark plans these as BroadcastNestedLoopJoin because
-# a literal equi-key would constant-fold away; with a single build row the
-# "nested loop" is one comparison per stream row — the scalar-subquery
-# shape, not a scale hazard.
-SCALAR_BROADCAST_JOINS = {"bm25_topk", "line_hygiene", "lm_score", "key_skew"}
+# or a CLASS-COUNT-sized table (domain_score: the k-row NB class stats
+# fanned over the token stream) into the stream side. Spark plans these as
+# BroadcastNestedLoopJoin because a literal equi-key would constant-fold
+# away; with a single-digit build side the "nested loop" is k comparisons
+# per stream row — the scalar-subquery shape, not a scale hazard.
+SCALAR_BROADCAST_JOINS = {
+    "bm25_topk", "line_hygiene", "lm_score", "key_skew", "domain_score",
+}
 
 
 @pytest.mark.parametrize("key", sorted(entrymod.queries().keys()))
