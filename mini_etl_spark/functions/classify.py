@@ -40,6 +40,8 @@ from mini_etl_spark.functions.text import tokens
 __all__ = [
     "NaiveBayesModel",
     "nb_train",
+    "nb_save",
+    "nb_load",
     "nb_score",
     "nb_classify",
     "log_ratio_weights",
@@ -118,6 +120,24 @@ def nb_train(
         )
     )
     return NaiveBayesModel(token_lp, classes.drop("__ct"))
+
+
+def nb_save(model: NaiveBayesModel, path: str, mode: str = "overwrite") -> None:
+    """Persist the model as two parquet tables (``{path}/token_lp``,
+    ``{path}/classes``) — the build-once serve-many shape: train on the
+    labeled corpus once, score any number of ingestion batches without
+    retraining. The class table is coalesced to one file (k rows)."""
+    model.token_lp.write.mode(mode).parquet(f"{path}/token_lp")
+    model.classes.coalesce(1).write.mode(mode).parquet(f"{path}/classes")
+
+
+def nb_load(spark, path: str) -> NaiveBayesModel:
+    """Reconstruct a :func:`nb_save`-persisted model; scoring joins read
+    the vocabulary-sized token table straight off parquet."""
+    return NaiveBayesModel(
+        spark.read.parquet(f"{path}/token_lp"),
+        spark.read.parquet(f"{path}/classes"),
+    )
 
 
 def nb_score(

@@ -64,6 +64,11 @@ QUERIES = [
     "script_id",
     "pagerank",
     "k_anonymized",
+    # round 4: the new default arrow paths, the classifier, star components
+    "knn_join",
+    "pq_topk",
+    "domain_score",
+    "near_dup_groups_star",
 ]
 
 

@@ -89,3 +89,21 @@ def test_min_count_prunes_rare_tokens(spark):
     # 'function'/'import'/'module' appear 3x in code; 'compile' only once
     assert {"function", "import", "module"} <= kept
     assert "compile" not in kept
+
+
+def test_nb_save_load_roundtrip(spark, tmp_path):
+    """Persisted model scores identically to the in-memory one (the
+    build-once serve-many contract)."""
+    model = cl.nb_train(_df(spark, TRAIN), label_col="source")
+    path = str(tmp_path / "nb_model")
+    cl.nb_save(model, path)
+    loaded = cl.nb_load(spark, path)
+    test = spark.createDataFrame(
+        [(30, "function import module"), (31, "election government today")],
+        "doc_id long, text string",
+    )
+    a = sorted((r["doc_id"], r["label"], r["score"])
+               for r in cl.nb_score(model, test).collect())
+    b = sorted((r["doc_id"], r["label"], r["score"])
+               for r in cl.nb_score(loaded, test).collect())
+    assert a == b and len(a) == 4
