@@ -51,6 +51,7 @@ TRANSFORMER_TYPES = {
     "lm_score", "hashed_vectors", "mix", "semantic_dedup",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
+    "nb_classify",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -465,6 +466,28 @@ class ConfigLoader:
             return lambda df: minhash_index_filter(
                 df, path, threshold, cap, append, in_batch
             )
+        if spec.type == "nb_classify":
+            # score every row against a PERSISTED NB model (classify.nb_save)
+            # and append (label, score); keep_label optionally filters to
+            # one class — the declarative form of the quality/domain gate.
+            from mini_etl_spark.functions.classify import nb_classify, nb_load
+
+            path = o["path"]
+            text_col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            keep = o.get("keep_label")
+
+            def _nb(df, _path=path, _t=text_col, _i=id_col, _keep=keep):
+                from pyspark.sql import functions as FF
+
+                model = nb_load(df.sparkSession, _path)
+                labeled = nb_classify(model, df, _t, _i)
+                out = df.join(labeled, _i)
+                if _keep is not None:
+                    out = out.filter(FF.col("label") == _keep)
+                return out
+
+            return _nb
         if spec.type == "k_anonymize":
             from mini_etl_spark.functions.privacy import k_anonymize
 

@@ -99,6 +99,24 @@ def build_big(spark) -> None:
             rep = rep.withColumn(
                 k, (F.col(k) + F.col("__r").cast("long") * OFFSET).cast("long")
             )
+        if t == "documents":
+            # Salt every token with the replica id (a token-level
+            # bijection: "hello" → "hellor3"). WITHIN a replica all
+            # similarity structure is preserved exactly (shingle sets map
+            # 1:1), but ACROSS replicas shingle overlap is zero — without
+            # this, every doc near-duplicates its 7 verbatim copies and
+            # the similarity queries' OUTPUT grows ~replicas², flagging
+            # the plan superlinear for a fixture artifact (measured 611×
+            # pair growth at 8×) rather than anything the engine does.
+            # Real corpus growth adds new content, which this models.
+            rep = rep.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1r"), F.col("__r").cast("string")),
+                ),
+            )
         rep.drop("__r").write.mode("overwrite").parquet(f"{BIG}/{t}.parquet")
     open(os.path.join(BIG, "_OK"), "w").close()
 

@@ -107,3 +107,37 @@ def test_nb_save_load_roundtrip(spark, tmp_path):
     b = sorted((r["doc_id"], r["label"], r["score"])
                for r in cl.nb_score(loaded, test).collect())
     assert a == b and len(a) == 4
+
+
+def test_nb_classify_config_node(spark, tmp_path):
+    """Declarative form: a YAML pipeline scores a parquet batch against a
+    persisted model and keeps one class."""
+    from mini_etl_spark.config import ConfigLoader
+
+    model = cl.nb_train(_df(spark, TRAIN), label_col="source")
+    mpath = str(tmp_path / "model")
+    cl.nb_save(model, mpath)
+    src = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [
+            (40, "import module function return class"),
+            (41, "government election results announced today"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept.parquet")
+    cfg = {
+        "pipeline": {
+            "name": "nb_gate",
+            "source": {"type": "parquet", "path": src},
+            "transformers": [
+                {"type": "nb_classify", "path": mpath, "keep_label": "code"}
+            ],
+            "sink": {"type": "parquet", "path": out, "mode": "w"},
+        }
+    }
+    loader = ConfigLoader()
+    loader.build_pipeline(loader.parse(cfg)).run(spark)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["doc_id"], r["label"]) for r in rows] == [(40, "code")]
+    assert "score" in rows[0].asDict()
