@@ -1955,6 +1955,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, _query_vector(spark, sf_dir), cents, k=10, nprobe=3)
 
 
+def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped corpus sampling: at most 25 vectors per seeded
+    random-projection cell, chosen in md5(seed, id) order — the
+    embedding-space per-mode frequency cap (dense semantic clusters
+    contribute boundedly, no pair computation). Seeded centroids + hash
+    order make the whole selection a full hash oracle: DuckDB replays
+    cell assignment and the md5 window identically."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
+    return sim.diversity_cap(
+        emb, cents, cap=25, seed=11, keep_cell=True
+    ).select("vec_id", "ivf_cell")
+
+
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-1 keyed merge (warehouse MERGE shape, beyond the reference's
     if_exists= vocabulary): customers active since 1998-06-01 get their
@@ -2458,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_redistribute": q_pagerank_redistribute,
         "domain_score": q_domain_score,
+        "diverse_sample": q_diverse_sample,
         "triangles": q_triangles,
         "profile": q_profile,
         "histogram": q_histogram,
@@ -4553,6 +4570,20 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.cell IN (SELECT cell FROM probe))
             SELECT vec_id, round(dot/(na*nb), 4) AS cosine
             FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # diverse_sample: seeded cell assignment + md5-window cap — the
+        # per-semantic-mode frequency cap replayed exactly.
+        "diverse_sample": f"""
+            SELECT vec_id, cell AS ivf_cell
+            FROM (SELECT vec_id, cell,
+                         row_number() OVER (
+                           PARTITION BY cell
+                           ORDER BY md5('11' || chr(31)
+                                        || CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS rn
+                  FROM (SELECT vec_id, {_d_cell_expr()} AS cell
+                        FROM embeddings))
+            WHERE rn <= 25
         """,
         # domain_score: the ENTIRE NB train+score pipeline — exact counts,
         # add-one smoothing, ln() chains, per-doc grid, argmax — as one

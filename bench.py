@@ -404,6 +404,7 @@ def main() -> None:
         "minhash_lsh_pairs": queries["minhash_lsh_pairs"],
         "simhash_pairs": queries["simhash_pairs"],
         "cosine_topk": queries["cosine_topk"],
+        "diverse_sample": queries["diverse_sample"],
         "cosine_pairs_lsh": queries["cosine_pairs_lsh"],
         "lsh_topk": queries["lsh_topk"],
         "contamination": queries["contamination"],

@@ -517,6 +517,40 @@ def embedding_centroids(
     return assembled
 
 
+def diversity_cap(
+    df: DataFrame,
+    centroids: np.ndarray,
+    cap: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    keep_cell: bool = False,
+) -> DataFrame:
+    """Diversity-capped sampling: assign every vector to its nearest
+    centroid cell, then keep at most ``cap`` rows per cell — the
+    embedding-space analogue of the per-domain frequency cap (C4-style):
+    semantically redundant regions of the corpus contribute at most
+    ``cap`` documents each, so no single mode dominates the mixture
+    (the SemDeDup-adjacent "prune dense clusters" curation stage,
+    without computing any pairs).
+
+    Selection within a cell is md5(seed, id) order (same deterministic
+    contract as :func:`mini_etl_spark.functions.splits.cap_per_group`) —
+    reproducible across engines and stable under repartitioning. With
+    seeded :func:`random_unit_centroids` the ENTIRE selection replays in
+    external SQL. Cost: one columnar assignment pass (k JVM dots, no
+    UDF) + one hash-partitioned window per cell (a single shuffle on the
+    cell id) — no pair joins anywhere.
+
+    ``keep_cell=True`` appends the ``ivf_cell`` column to the output.
+    """
+    from mini_etl_spark.functions.splits import cap_per_group
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    capped = cap_per_group(assigned, "ivf_cell", id_col, cap, seed)
+    return capped if keep_cell else capped.drop("ivf_cell")
+
+
 def probe_cells(
     vec_col: Column | str,
     centroids: np.ndarray,

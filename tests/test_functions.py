@@ -1594,3 +1594,27 @@ def test_ivf_index_build_and_serve(spark, tmp_path):
     from mini_etl_spark import plans as pl
     phys = pl.physical_plan(served)
     assert "PartitionFilters" in phys and "ivf_cell" in phys.split("PartitionFilters")[1][:200]
+
+
+def test_diversity_cap_semantics(spark):
+    """Per-cell cap enforced; selection deterministic across invocations;
+    keep_cell surfaces the assignment; cells under the cap keep all rows."""
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = sim.random_unit_centroids(dim=16, k=4, seed=7)
+    capped = sim.diversity_cap(df, cents, cap=30, keep_cell=True)
+    out = capped.collect()
+    per_cell = {}
+    for r in out:
+        per_cell[r.ivf_cell] = per_cell.get(r.ivf_cell, 0) + 1
+    assert all(v <= 30 for v in per_cell.values())
+    assert sum(per_cell.values()) == len({r.vec_id for r in out})
+    # deterministic: same ids on a second run
+    again = {r.vec_id for r in sim.diversity_cap(df, cents, cap=30).collect()}
+    assert again == {r.vec_id for r in out}
+    # a huge cap keeps everything (and drops the cell column by default)
+    full = sim.diversity_cap(df, cents, cap=1000)
+    assert full.count() == 400 and "ivf_cell" not in full.columns
