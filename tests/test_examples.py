@@ -31,3 +31,28 @@ def test_example_config_runs(spark, tmp_path, monkeypatch, name, env):
     stats = loader.build_pipeline(config).run(spark)
     assert stats["errors"] == 0
     assert stats["rows"] > 0
+
+
+def test_domain_gate_example_runs(spark, tmp_path, monkeypatch):
+    """The model-gated curation example: train+persist an NB model, then
+    the YAML pipeline scores, gates on the target label, and splits."""
+    from mini_etl_spark.functions import classify as cl
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = cl.nb_train(docs, label_col="source")
+    mdir = str(tmp_path / "model")
+    cl.nb_save(model, mdir)
+
+    monkeypatch.setenv("DOCS_DIR", f"{SF_SMALL}/documents.parquet")
+    monkeypatch.setenv("MODEL_DIR", mdir)
+    monkeypatch.setenv("TARGET_LABEL", "src0")
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    loader = ConfigLoader()
+    config = loader.load("examples/domain_gate.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] > 0
+    out = spark.read.parquet(str(tmp_path / "gated_corpus"))
+    labels = {r["label"] for r in out.select("label").distinct().collect()}
+    assert labels == {"src0"}
+    assert {r["split"] for r in out.select("split").distinct().collect()} <= {"train", "holdout"}
