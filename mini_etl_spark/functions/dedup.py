@@ -842,14 +842,19 @@ def _star_components(
     set converges to one star per component rooted at its minimum id.
     Per round: two (groupBy-min + join + distinct) passes — three
     shuffles each — over an edge set that only shrinks. Convergence is
-    checked on a (count, sum-of-hash) signature of the canonical edge
-    set: one tiny aggregate, no edge-set anti-join."""
+    checked on a (count, xor-of-hash) signature of the canonical edge
+    set: one tiny aggregate, no edge-set anti-join. XOR (not sum): edges
+    are distinct, so xor is an order-independent set fingerprint that
+    cannot overflow — a long SUM of random 64-bit hashes would raise
+    under ANSI mode."""
     spark = pairs.sparkSession
 
     def _sig(e: DataFrame) -> tuple[int, int]:
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)
+            ).alias("h"),
         ).first()
         return (row["n"], row["h"])
 

@@ -131,6 +131,12 @@ def test_connected_components_equals_union_find_property(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     truth = {n: find(n) for n in parent}
     assert got == truth
+    # the star contraction must agree on the same arbitrary graph
+    star = {
+        r.node: r.component
+        for r in dd.connected_components(df, algorithm="star").collect()
+    }
+    assert star == truth
 
 
 @SLOW
