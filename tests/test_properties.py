@@ -335,3 +335,46 @@ def test_quantize_codes_in_range_and_monotone(spark, vecs, levels):
         order = sorted(range(len(vecs)), key=lambda i: vecs[i][d])
         cs = [got[i][d] for i in order]
         assert cs == sorted(cs)
+
+
+@SLOW
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 2)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_join_equals_pandas_merge_asof(spark, lefts, rights):
+    """asof_join (union+window composition) must agree with pandas
+    merge_asof per key, both directions, on arbitrary inputs."""
+    from mini_etl_spark.operators.joins import asof_join
+
+    ldf = pd.DataFrame(lefts, columns=["t", "k"]).drop_duplicates(["t", "k"])
+    rdf = (
+        pd.DataFrame(rights, columns=["t", "k", "v"])
+        .drop_duplicates(["t", "k"])  # one right row per (t, k)
+    )
+    sl = spark.createDataFrame(ldf.astype("int64"))
+    sr = spark.createDataFrame(rdf.astype("int64"))
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(sl, sr, on="t", by="k", direction=direction)
+            .orderBy("k", "t")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            ldf.sort_values("t").astype("int64"),
+            rdf.sort_values("t").astype("int64"),
+            on="t",
+            by="k",
+            direction=direction,
+        ).sort_values(["k", "t"]).reset_index(drop=True)
+        assert list(got["t"]) == list(want["t"])
+        assert list(got["k"]) == list(want["k"])
+        gv = [None if pd.isna(x) else int(x) for x in got["v"]]
+        wv = [None if pd.isna(x) else int(x) for x in want["v"]]
+        assert gv == wv, (direction, gv, wv)
