@@ -378,3 +378,39 @@ def test_asof_join_equals_pandas_merge_asof(spark, lefts, rights):
         gv = [None if pd.isna(x) else int(x) for x in got["v"]]
         wv = [None if pd.isna(x) else int(x) for x in want["v"]]
         assert gv == wv, (direction, gv, wv)
+
+
+@SLOW
+@given(
+    values=st.lists(st.integers(-100, 100), min_size=1, max_size=30),
+    intervals=st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(0, 40)),
+        min_size=1,
+        max_size=15,
+    ),
+    width=st.sampled_from([1.0, 3.0, 7.5, 40.0]),
+)
+def test_range_join_bucketized_equals_naive(spark, values, intervals, width):
+    """The bucketized decomposition (equi-join on exploded buckets + exact
+    filter) must return exactly the naive theta-join's pairs for any
+    bucket width — bucket boundaries can't lose or duplicate matches."""
+    from mini_etl_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "lid int, v bigint"
+    )
+    right = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(intervals)],
+        "rid int, lo bigint, hi bigint",
+    )
+    naive = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "v", "lo", "hi").collect()
+    }
+    bucketized = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, "v", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    assert bucketized == naive
