@@ -1955,6 +1955,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, _query_vector(spark, sf_dir), cents, k=10, nprobe=3)
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index form of `ivf_topk` — the build-once serve-many
+    100 TB shape: centroids + cell-PARTITIONED vectors written to parquet
+    once, then the probe reads ONLY the nprobe cells' hive partitions
+    (file-listing-time pruning, ~nprobe/k of the files). Same seeded
+    codebook as `ivf_topk`, so the SAME DuckDB oracle hash-checks the
+    served result — the driver verifies the index lifecycle end-to-end.
+    (Index built in a temp dir per call: the build is part of what's
+    being verified, mirroring `incremental_dedup`.)"""
+    import tempfile
+
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.random_unit_centroids(dim=64, k=8, seed=7)
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    sim.build_ivf_index(emb, path, centroids=cents)
+    return sim.ivf_topk_indexed(
+        spark, path, _query_vector(spark, sf_dir), k=10, nprobe=3
+    )
+
+
 def q_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-capped corpus sampling: at most 25 vectors per seeded
     random-projection cell, chosen in md5(seed, id) order — the
@@ -2475,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_redistribute": q_pagerank_redistribute,
         "domain_score": q_domain_score,
         "diverse_sample": q_diverse_sample,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "triangles": q_triangles,
         "profile": q_profile,
         "histogram": q_histogram,
@@ -4650,4 +4673,8 @@ def oracle_sql() -> dict[str, str]:
     # propagation — the same recursive-closure oracle hash-checks both
     # algorithms independently.
     sqls["near_dup_groups_star"] = sqls["near_dup_groups"]
+    # the persisted-index IVF serve path returns exactly the in-memory
+    # ivf_topk result (same seeded codebook) — one oracle checks both
+    # the search semantics and the index lifecycle.
+    sqls["ivf_topk_indexed"] = sqls["ivf_topk"]
     return sqls

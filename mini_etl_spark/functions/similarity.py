@@ -433,7 +433,8 @@ def ivf_topk_indexed(
     reads nprobe cells' worth of parquet and nothing else."""
     cents = load_ivf_centroids(spark, path)
     q = np.asarray(query, dtype="float64")
-    probe = [int(c) for c in np.argsort(-(cents @ q))[:nprobe]]
+    # stable sort: same (−dot, index) tie rule as ivf_topk/probe_cells
+    probe = [int(c) for c in np.argsort(-(cents @ q), kind="stable")[:nprobe]]
     vectors = spark.read.parquet(f"{path}/vectors")
     candidates = vectors.filter(F.col("ivf_cell").isin(probe))
     return cosine_topk(candidates, query, k, vec_col, id_col)
