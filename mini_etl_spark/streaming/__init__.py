@@ -27,6 +27,7 @@ from mini_etl_spark.streaming.events import (
     sliding_window_agg,
     stream_static_join,
     stream_stream_join,
+    stream_classify_gate,
     stream_dedup_against_index,
     stream_upsert_to_parquet,
     streaming_dedup,
@@ -43,6 +44,7 @@ __all__ = [
     "streaming_dedup",
     "stream_static_join",
     "stream_stream_join",
+    "stream_classify_gate",
     "stream_dedup_against_index",
     "stream_upsert_to_parquet",
     "read_latest_snapshot",

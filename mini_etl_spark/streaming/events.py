@@ -366,6 +366,51 @@ def stream_dedup_against_index(
     return query
 
 
+def stream_classify_gate(
+    stream_df: DataFrame,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    keep_label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming model gate: every micro-batch is scored against a
+    PERSISTED Naive-Bayes model (:func:`mini_etl_spark.functions.classify
+    .nb_save`) and only rows classified as ``keep_label`` are appended to
+    ``out_path`` (parquet, with ``label`` and ``score`` columns) — the
+    streaming form of the ``nb_classify`` config gate, completing the
+    train-once / gate-forever loop: curate a labeled seed corpus, persist
+    the model, and every future ingestion stream filters through it.
+    The model is read inside foreachBatch, so replacing the parquet
+    frames between batches rolls the model forward without restarting
+    the query. Idempotent per micro-batch (pure function of the batch),
+    so checkpoint replay cannot double-gate."""
+    from mini_etl_spark.functions.classify import nb_classify, nb_load
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        model = nb_load(batch_df.sparkSession, model_path)
+        labeled = nb_classify(model, batch_df, text_col, id_col)
+        kept = batch_df.join(
+            labeled.filter(F.col("label") == keep_label), id_col
+        )
+        kept.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query
+
+
 def read_latest_snapshot(spark: SparkSession, target_path: str) -> DataFrame | None:
     """Read the snapshot the ``_LATEST`` pointer names (see
     :func:`stream_upsert_to_parquet`); None when no snapshot exists yet."""

@@ -512,3 +512,43 @@ def test_stream_dedup_against_index_two_streams(spark, tmp_path):
     )
     kept_all = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept_all == {101, 201}  # stream-1 survivor now blocks its copy
+
+
+def test_stream_classify_gate(spark, tmp_path):
+    """Streaming model gate: micro-batches score against a persisted NB
+    model; only the keep_label class lands in the sink, with label and
+    score columns attached."""
+    from mini_etl_spark.functions import classify as cl
+    from mini_etl_spark.streaming.events import stream_classify_gate
+
+    train = spark.createDataFrame(
+        [
+            (1, "code", "def main return import module function class"),
+            (2, "code", "compile function stack import module error"),
+            (3, "news", "election results announced by the government"),
+            (4, "news", "the government said election results arrived"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    model = cl.nb_train(train, label_col="source")
+    mdir = str(tmp_path / "model")
+    cl.nb_save(model, mdir)
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (100, "import function module return"),
+            (101, "government election results today"),
+            (102, "class import module function"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_classify_gate(
+        stream, mdir, out, checkpoint=str(tmp_path / "cp"), keep_label="code"
+    )
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {100, 102}
+    assert all(r["label"] == "code" for r in rows)
+    assert all(r["score"] < 0 for r in rows)  # log-posteriors
