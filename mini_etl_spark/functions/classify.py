@@ -96,6 +96,10 @@ def nb_train(
         .collect()
     )
     total_docs = sum(r["__n"] for r in doc_counts)
+    if total_docs == 0:
+        raise ValueError("nb_train: empty training corpus")
+    if any(r["label"] is None for r in doc_counts):
+        raise ValueError("nb_train: NULL labels in label_col — filter or fill first")
     classes_rows = [
         (r["label"], float(r["__n"]) / total_docs) for r in doc_counts
     ]

@@ -141,3 +141,14 @@ def test_nb_classify_config_node(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [(r["doc_id"], r["label"]) for r in rows] == [(40, "code")]
     assert "score" in rows[0].asDict()
+
+
+def test_nb_train_validates_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="empty"):
+        cl.nb_train(empty, label_col="source")
+    nulls = spark.createDataFrame(
+        [(1, None, "some text")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        cl.nb_train(nulls, label_col="source")
