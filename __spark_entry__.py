@@ -1434,6 +1434,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob_score(docs)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter (CCNet-style, order-aware): fit an
+    add-one-smoothed bigram model on the even-doc_id half of the corpus,
+    score the held-out odd half — unseen bigrams/contexts exercise the
+    smoothing paths. Train = one pass + bigram-sized shuffle; score =
+    equi-joins on the bigram key, vocab total broadcast."""
+    from mini_etl_spark.functions import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm.bigram_logprob_score(docs.filter(F.col("doc_id") % 2 == 1), model)
+
+
 def q_line_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level corpus hygiene, composed: each document is synthesized
     into a 5-line page with an in-page duplicate banner and corpus-wide
@@ -2530,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "distinct_agg": q_distinct_agg,
         "lm_score": q_lm_score,
+        "lm_perplexity": q_lm_perplexity,
         "hashed_vectors": q_hashed_vectors,
         "unpivot": q_unpivot,
         "order_priority": q_order_priority,
@@ -3731,6 +3745,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln((c + 1.0) / (total + vsize))), 4) AS lm_score
             FROM toks JOIN vocab USING (tok) CROSS JOIN totals
             GROUP BY doc_id
+        """,
+        "lm_perplexity": f"""
+            WITH tr AS (
+              SELECT {_D_TOKENS} AS ts FROM documents
+              WHERE doc_id % 2 = 0 AND len({_D_TOKENS}) >= 2),
+            tri AS (SELECT ts, unnest(range(1, len(ts))) AS i FROM tr),
+            model AS (
+              SELECT ts[i] AS prev, ts[i+1] AS cur, count(*) AS cnt
+              FROM tri GROUP BY 1, 2),
+            ctx AS (SELECT prev, sum(cnt) AS ctx_c FROM model GROUP BY prev),
+            vocab AS (
+              SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsize
+              FROM (SELECT prev AS t FROM model
+                    UNION ALL SELECT cur FROM model)),
+            sc AS (
+              SELECT doc_id, {_D_TOKENS} AS ts FROM documents
+              WHERE doc_id % 2 = 1 AND len({_D_TOKENS}) >= 2),
+            sci AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM sc),
+            sp AS (SELECT doc_id, ts[i] AS prev, ts[i+1] AS cur FROM sci),
+            lp AS (
+              SELECT doc_id,
+                     ln((coalesce(m.cnt, 0) + 1.0)
+                        / (coalesce(x.ctx_c, 0) + 1.0 * v.vsize)) AS lp
+              FROM sp LEFT JOIN model m USING (prev, cur)
+              LEFT JOIN ctx x USING (prev) CROSS JOIN vocab v)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 4) AS lm2_score,
+                   round(exp(-round(avg(lp), 4)), 4) AS perplexity
+            FROM lp GROUP BY doc_id
         """,
         "line_hygiene": """
             WITH synth AS (

@@ -48,7 +48,7 @@ TRANSFORMER_TYPES = {
     "hash_split", "sample", "stratified_sample",
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
     "dedup_paragraphs",
-    "lm_score", "hashed_vectors", "mix", "semantic_dedup",
+    "lm_score", "bigram_score", "hashed_vectors", "mix", "semantic_dedup",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
     "nb_classify",
@@ -302,6 +302,24 @@ class ConfigLoader:
             id_col = o.get("id", "doc_id")
             out = o.get("output", "lm_score")
             return lambda df: tx.unigram_logprob_score(df, col, id_col, out)
+        if spec.type == "bigram_score":
+            from mini_etl_spark.functions import lm
+
+            col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            out = o.get("output", "lm2_score")
+            alpha = float(o.get("alpha", 1.0))
+            model_path = o.get("model_path")
+
+            def _bigram(df, _c=col, _i=id_col, _o=out, _a=alpha, _p=model_path):
+                model = (
+                    df.sparkSession.read.parquet(_p)
+                    if _p
+                    else lm.train_bigram_lm(df, _c, _i)
+                )
+                return lm.bigram_logprob_score(df, model, _c, _i, _a, _o)
+
+            return _bigram
         if spec.type == "hashed_vectors":
             from mini_etl_spark.functions import text as tx
 

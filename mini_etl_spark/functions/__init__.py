@@ -40,6 +40,7 @@ from mini_etl_spark.functions import (
     dedup_index,
     fuzzy,
     graph,
+    lm,
     mixing,
     privacy,
     multimodal,
@@ -50,6 +51,6 @@ from mini_etl_spark.functions import (
 
 __all__ = [
     "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
-    "corpus", "splits", "chunking", "mixing", "bpe", "privacy", "graph",
+    "corpus", "splits", "chunking", "mixing", "bpe", "privacy", "graph", "lm",
     "classify",
 ]

@@ -33,9 +33,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: Python repr round-trips IEEE-754 and
+    Double.parseDouble of that shortest form yields the identical bits,
+    so rendering through SQL text changes nothing numerically."""
+    return repr(float(v)) + "D"
+
+
+def _lit_darray(values: Sequence[float]) -> Column:
+    """array<double> literal built by ONE JVM-side SQL parse.
+
+    Building literal arrays element-by-element (``F.array(*[F.lit(x)
+    ...])``) costs one py4j round-trip per element — a 64-dim centroid is
+    ~70 driver calls, and operators that fold k centroids into the plan
+    (IVF assign/probe, PQ codes/LUTs) were spending 5+ SECONDS of pure
+    driver time per invocation before any job ran. One ``F.expr`` parse
+    of the rendered array is a single round-trip regardless of length."""
+    return F.expr("array(" + ",".join(_dlit(v) for v in values) + ")")
+
+
+def _dot_sql(vec: str, values: Sequence[float]) -> str:
+    """<vec, literal> rendered as SQL text — identical semantics to
+    :func:`_dot` (same zip_with/aggregate shape, same accumulation order),
+    but the whole dot product is one substring of one parsed expression.
+    Operators folding k centroids into a plan compose k of these into a
+    single ``F.expr`` — one driver round-trip instead of k×dim."""
+    arr = "array(" + ",".join(_dlit(v) for v in values) + ")"
+    return (
+        f"aggregate(zip_with({vec}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _dot(vec_col: Column, literal: Sequence[float]) -> Column:
     """<vec, literal> as a JVM expression: zip_with + aggregate."""
-    lit_arr = F.array(*[F.lit(float(x)) for x in literal])
+    lit_arr = _lit_darray(literal)
     return F.aggregate(
         F.zip_with(vec_col, lit_arr, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -260,7 +292,9 @@ def ivf_assign(
     when-chain: a chained argmax references its running best twice per
     step, doubling the expression tree each centroid (OOM by k≈30); the
     array form is linear in k."""
-    dots = F.array(*[_dot(F.col(vec_col), c.tolist()) for c in centroids])
+    dots = F.expr(
+        "array(" + ",".join(_dot_sql(vec_col, c.tolist()) for c in centroids) + ")"
+    )
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     return df.withColumn("ivf_cell", cell)
 
@@ -403,9 +437,14 @@ def build_ivf_index(
     spark.createDataFrame(
         cent_rows, "ivf_cell int, centroid array<double>"
     ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
-    ivf_assign(df, centroids, vec_col).write.mode(mode).partitionBy(
-        "ivf_cell"
-    ).parquet(f"{path}/vectors")
+    # repartition ON the cell key before the hive-partitioned write: each
+    # cell lands in exactly one task → one file per cell, instead of the
+    # (input partitions × cells) small-file explosion a raw partitionBy
+    # write produces. A pathologically hot cell makes one big file — the
+    # compaction trade-off you want for a read-many index.
+    ivf_assign(df, centroids, vec_col).repartition(
+        F.col("ivf_cell")
+    ).write.mode(mode).partitionBy("ivf_cell").parquet(f"{path}/vectors")
     return np.asarray(centroids, dtype="float64")
 
 
@@ -562,16 +601,26 @@ def probe_cells(
     :func:`ivf_assign` (``nprobe=1`` reproduces its argmax, same
     first-maximal tie rule via the (−dot, index) struct sort). Pure JVM
     expression: k dots → struct array → ``array_sort`` → slice."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    entries = F.array(
-        *[
-            F.struct(
-                (-_dot(c, cent.tolist())).alias("nd"),
-                F.lit(i).alias("i"),
+    if isinstance(vec_col, str):
+        # literal-heavy path rendered as ONE parsed expression (see _dot_sql)
+        entries = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('nd', -({_dot_sql(vec_col, cent.tolist())}), 'i', {i})"
+                for i, cent in enumerate(centroids)
             )
-            for i, cent in enumerate(centroids)
-        ]
-    )
+            + ")"
+        )
+    else:
+        entries = F.array(
+            *[
+                F.struct(
+                    (-_dot(vec_col, cent.tolist())).alias("nd"),
+                    F.lit(i).alias("i"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
     return F.transform(
         F.slice(F.array_sort(entries), 1, nprobe), lambda s: s["i"]
     )
@@ -948,16 +997,23 @@ def pq_train_codebooks(
     return np.stack(books)
 
 
+def _pq_sqdist_sql(vec_col: str, start: int, centroid) -> str:
+    """Σ (vec[start+t] − c_t)² rendered as SQL text: "+" parses
+    left-associative, so term order — and therefore the double result —
+    is pinned exactly as the per-Column accumulation loop produced it,
+    while the whole subspace distance costs one driver round-trip."""
+    terms = []
+    for t, c in enumerate(centroid):
+        d = f"(CAST(element_at({vec_col}, {start + t + 1}) AS DOUBLE) - {_dlit(c)})"
+        terms.append(f"({d} * {d})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _pq_sqdist_expr(vec_col: str, start: int, centroid) -> Column:
     """Σ (vec[start+t] − c_t)² as an explicit left-associated codegen sum —
     term order is pinned so an external engine writing the same explicit
     sum reproduces the double result bit-for-bit."""
-    expr = None
-    for t, c in enumerate(centroid):
-        d = F.element_at(F.col(vec_col), start + t + 1).cast("double") - F.lit(float(c))
-        sq = d * d
-        expr = sq if expr is None else expr + sq
-    return expr
+    return F.expr(_pq_sqdist_sql(vec_col, start, centroid))
 
 
 def pq_codes(
@@ -1005,16 +1061,14 @@ def pq_codes(
         raise ValueError(f"pq_codes: unknown method {method!r}")
     code_cols = []
     for s in range(m):
-        cands = F.array(
-            *[
-                F.struct(
-                    _pq_sqdist_expr(vec_col, s * dsub, codebooks[s][j]).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(k)
-            ]
+        structs = ",".join(
+            f"named_struct('d', {_pq_sqdist_sql(vec_col, s * dsub, codebooks[s][j])},"
+            f" 'j', {j})"
+            for j in range(k)
         )
-        code_cols.append(F.array_min(cands)["j"])
+        # array_min on struct<d,j> orders by (d, j): first minimal index
+        # wins, same tie rule as the Column form F.array_min(...)["j"]
+        code_cols.append(F.expr(f"array_min(array({structs})).j"))
     return df.select(F.col(id_col), F.array(*code_cols).alias(out_col))
 
 
@@ -1053,11 +1107,13 @@ def pq_adc_topk(
                 acc = acc + d * d
             row.append(acc)
         luts.append(row)
-    score = None
+    parts = []
     for s in range(nb):
-        lut = F.array(*[F.lit(v) for v in luts[s]])
-        term = F.element_at(lut, F.element_at(F.col("pq_codes"), s + 1) + 1)
-        score = term if score is None else score + term
+        arr = "array(" + ",".join(_dlit(v) for v in luts[s]) + ")"
+        parts.append(f"element_at({arr}, element_at(pq_codes, {s + 1}) + 1)")
+    # "+" parses left-associative: same accumulation order as the
+    # per-Column loop, one driver round-trip for the whole ADC sum
+    score = F.expr("(" + " + ".join(parts) + ")")
     return (
         codes.withColumn("adc_dist", F.round(score, 6))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())

@@ -1,0 +1,110 @@
+"""Bigram LM: hand-computed probabilities, smoothing paths, persistence.
+
+The oracle battery (test_oracle.py::lm_perplexity) already replays the
+full chain in DuckDB at SF_ORACLE; these tests pin the semantics on a
+corpus small enough to verify by hand.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mini_etl_spark.functions import lm
+
+
+def _train_corpus(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat")],
+        "doc_id long, text string",
+    )
+
+
+def test_train_counts(spark):
+    model = {
+        (r.prev, r.cur): r.cnt
+        for r in lm.train_bigram_lm(_train_corpus(spark)).collect()
+    }
+    assert model == {
+        ("the", "cat"): 2,
+        ("the", "dog"): 1,
+        ("cat", "sat"): 1,
+        ("cat", "ran"): 1,
+        ("dog", "sat"): 1,
+    }
+
+
+def test_score_hand_computed(spark):
+    """Score 'the cat sat' under the 3-doc model, add-one smoothing.
+
+    V = 5 (the, cat, dog, sat, ran); ctx(the)=3, ctx(cat)=2, ctx(dog)=1.
+    p(cat|the) = (2+1)/(3+5);  p(sat|cat) = (1+1)/(2+5).
+    """
+    model = lm.train_bigram_lm(_train_corpus(spark))
+    doc = spark.createDataFrame([(10, "the cat sat")], "doc_id long, text string")
+    row = lm.bigram_logprob_score(doc, model).collect()[0]
+    expected = (math.log(3 / 8) + math.log(2 / 7)) / 2
+    assert row.n_bigrams == 2
+    assert row.lm2_score == pytest.approx(round(expected, 4), abs=1e-9)
+    assert row.perplexity == pytest.approx(round(math.exp(-round(expected, 4)), 4), abs=1e-9)
+
+
+def test_unseen_context_and_bigram(spark):
+    """Wholly unseen context → p = α/(αV) = 1/V; unseen bigram in a seen
+    context → (0+α)/(ctx+αV)."""
+    model = lm.train_bigram_lm(_train_corpus(spark))
+    doc = spark.createDataFrame(
+        [(11, "zebra quux"), (12, "the ran")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in lm.bigram_logprob_score(doc, model).collect()}
+    assert rows[11].lm2_score == pytest.approx(round(math.log(1 / 5), 4), abs=1e-9)
+    assert rows[12].lm2_score == pytest.approx(round(math.log(1 / 8), 4), abs=1e-9)
+
+
+def test_short_docs_absent_and_order_sensitivity(spark):
+    model = lm.train_bigram_lm(_train_corpus(spark))
+    docs = spark.createDataFrame(
+        [(20, "single"), (21, ""), (22, "the cat"), (23, "cat the")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm.bigram_logprob_score(docs, model).collect()}
+    assert set(rows) == {22, 23}  # <2-token docs absent
+    # word ORDER matters (the thing the unigram proxy can't see):
+    assert rows[22].lm2_score > rows[23].lm2_score
+
+
+def test_model_roundtrip(spark, tmp_path):
+    model = lm.train_bigram_lm(_train_corpus(spark))
+    path = str(tmp_path / "bigram_model")
+    model.write.parquet(path)
+    doc = spark.createDataFrame([(30, "the cat sat")], "doc_id long, text string")
+    direct = lm.bigram_logprob_score(doc, model).collect()[0]
+    served = lm.bigram_logprob_score(doc, spark.read.parquet(path)).collect()[0]
+    assert direct == served
+
+
+def test_config_transformer(spark, tmp_path):
+    from mini_etl_spark.config import ConfigLoader
+
+    src = tmp_path / "docs"
+    _train_corpus(spark).write.parquet(str(src))
+    out = tmp_path / "scored"
+    cfg = tmp_path / "lm.yaml"
+    cfg.write_text(
+        f"""
+name: bigram-gate
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: bigram_score
+    output: ppl_score
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    back = spark.read.parquet(str(out))
+    assert {"doc_id", "n_bigrams", "ppl_score", "perplexity"} <= set(back.columns)
+    assert back.count() == 3

@@ -27,7 +27,8 @@ INTENTIONAL_THETA_JOINS = {"cosine_pairs"}
 # away; with a single-digit build side the "nested loop" is k comparisons
 # per stream row — the scalar-subquery shape, not a scale hazard.
 SCALAR_BROADCAST_JOINS = {
-    "bm25_topk", "line_hygiene", "lm_score", "key_skew", "domain_score",
+    "bm25_topk", "line_hygiene", "lm_score", "lm_perplexity", "key_skew",
+    "domain_score",
 }
 
 
