@@ -1,10 +1,11 @@
 """Command-line interface.
 
 Reference parity (mini_etl/cli.py:27-252): ``run`` (with ``--dry-run``),
-``validate``, ``init`` (sample config generation, config.py:381-416), and
-``info``. The reference's ``ui`` (Streamlit dashboard) is out of engine
-scope (SURVEY §2.6). ``run`` boots a SparkSession and executes the compiled
-DataFrame pipeline.
+``validate``, ``init`` (sample config generation, config.py:381-416),
+``info``, and ``ui`` — the reference's Streamlit dashboard re-expressed as
+a dependency-free stdlib HTTP server (mini_etl_spark/ui.py; SURVEY §2.6
+scoped the Streamlit dependency out, not the surface). ``run`` boots a
+SparkSession and executes the compiled DataFrame pipeline.
 """
 
 from __future__ import annotations
@@ -145,6 +146,44 @@ def profile(path: str, columns: str | None, fmt: str) -> None:
     click.echo(json.dumps({"layout": dataset_stats(spark, path)}))
     for row in _profile(df, cols).collect():
         click.echo(json.dumps(row.asDict()))
+
+
+@main.command()
+@click.option(
+    "--history",
+    default="mini_etl_runs.json",
+    help="Run-history JSON file to serve (the --stats-json format); "
+    "re-read per request, so concurrent pipeline runs show up live.",
+)
+@click.option("--host", default="127.0.0.1", help="Bind address.")
+@click.option("--port", default=8765, type=int, help="Bind port (0 = ephemeral).")
+@click.option(
+    "--allow-run",
+    is_flag=True,
+    help="Enable POST /api/run (executes a submitted pipeline config on "
+    "a local SparkSession — opt-in, same trust model as the reference's "
+    "run page).",
+)
+def ui(history: str, host: str, port: int, allow_run: bool) -> None:
+    """Serve the live run dashboard (reference parity: mini_etl ui)."""
+    from mini_etl_spark.ui import DashboardServer
+
+    server = DashboardServer(
+        history, host=host, port=port, allow_run=allow_run
+    )
+    click.echo(
+        json.dumps(
+            {
+                "url": f"http://{server.host}:{server.port}/",
+                "history": history,
+                "allow_run": allow_run,
+            }
+        )
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
 
 
 @main.command()
