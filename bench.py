@@ -445,6 +445,7 @@ def main() -> None:
         "incremental_dedup": _incremental_dedup_probe,
         "fuzzy_match": queries["fuzzy_match"],
         "script_id": queries["script_id"],
+        "lm_perplexity": queries["lm_perplexity"],
         "pagerank": queries["pagerank"],
         "domain_score": queries["domain_score"],
         "k_anonymized": queries["k_anonymized"],

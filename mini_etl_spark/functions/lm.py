@@ -44,6 +44,7 @@ from mini_etl_spark.functions.text import tokens
 __all__ = [
     "bigram_pairs",
     "train_bigram_lm",
+    "merge_bigram_lms",
     "bigram_logprob_score",
 ]
 
@@ -96,6 +97,22 @@ def train_bigram_lm(
         .groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def merge_bigram_lms(*models: DataFrame) -> DataFrame:
+    """Combine bigram models by summing counts — the incremental-update
+    path: train on each new corpus slice independently (parallel jobs,
+    or one slice per day), then merge model-sized frames instead of ever
+    re-reading old corpora. Exactly equals training on the concatenated
+    corpus (counts are additive; document boundaries already isolate
+    pairs), which the property test asserts. Associative and commutative,
+    so slices can merge in any order or tree shape."""
+    if not models:
+        raise ValueError("merge_bigram_lms: need at least one model")
+    merged = models[0]
+    for m in models[1:]:
+        merged = merged.unionByName(m)
+    return merged.groupBy("prev", "cur").agg(F.sum("cnt").alias("cnt"))
 
 
 def bigram_logprob_score(

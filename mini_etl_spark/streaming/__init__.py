@@ -29,6 +29,7 @@ from mini_etl_spark.streaming.events import (
     stream_stream_join,
     stream_classify_gate,
     stream_dedup_against_index,
+    stream_lm_gate,
     stream_upsert_to_parquet,
     streaming_dedup,
     tumbling_window_agg,
@@ -46,6 +47,7 @@ __all__ = [
     "stream_stream_join",
     "stream_classify_gate",
     "stream_dedup_against_index",
+    "stream_lm_gate",
     "stream_upsert_to_parquet",
     "read_latest_snapshot",
     "run_stream_to_memory",

@@ -411,6 +411,55 @@ def stream_classify_gate(
     return query
 
 
+def stream_lm_gate(
+    stream_df: DataFrame,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_perplexity: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming perplexity gate: each micro-batch is scored against a
+    PERSISTED bigram LM (``train_bigram_lm`` output written as parquet)
+    and only rows with ``perplexity <= max_perplexity`` are appended to
+    ``out_path`` (with ``lm2_score`` and ``perplexity`` columns) — the
+    quality-filter sibling of :func:`stream_classify_gate`: fit the LM on
+    a clean seed corpus once, then every future ingestion stream drops
+    gibberish/boilerplate as it arrives. Model parquet is re-read inside
+    foreachBatch, so refreshing it between batches rolls the gate forward
+    without restarting the query; pure per-batch function → idempotent
+    under checkpoint replay. Documents with < 2 tokens have no perplexity
+    and are dropped (same contract as the batch scorer)."""
+    from mini_etl_spark.functions.lm import bigram_logprob_score
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        model = batch_df.sparkSession.read.parquet(model_path)
+        scored = bigram_logprob_score(batch_df, model, text_col, id_col, alpha)
+        kept = batch_df.join(
+            scored.filter(F.col("perplexity") <= F.lit(max_perplexity)).select(
+                id_col, "lm2_score", "perplexity"
+            ),
+            id_col,
+        )
+        kept.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query
+
+
 def read_latest_snapshot(spark: SparkSession, target_path: str) -> DataFrame | None:
     """Read the snapshot the ``_LATEST`` pointer names (see
     :func:`stream_upsert_to_parquet`); None when no snapshot exists yet."""

@@ -69,6 +69,8 @@ QUERIES = [
     "pq_topk",
     "domain_score",
     "near_dup_groups_star",
+    # round 4 (late): bigram LM — train + held-out scoring in one plan
+    "lm_perplexity",
 ]
 
 

@@ -84,6 +84,73 @@ def test_model_roundtrip(spark, tmp_path):
     assert direct == served
 
 
+def test_merge_equals_retrain(spark):
+    """merge(train(A), train(B)) == train(A ∪ B): counts are additive and
+    document boundaries isolate pairs — the incremental-update guarantee."""
+    a = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} alpha beta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, f"beta gamma delta doc {i}") for i in range(7)],
+        "doc_id long, text string",
+    )
+    merged = {
+        (r.prev, r.cur): r.cnt
+        for r in lm.merge_bigram_lms(
+            lm.train_bigram_lm(a), lm.train_bigram_lm(b)
+        ).collect()
+    }
+    full = {
+        (r.prev, r.cur): r.cnt
+        for r in lm.train_bigram_lm(a.unionByName(b)).collect()
+    }
+    assert merged == full
+    with pytest.raises(ValueError):
+        lm.merge_bigram_lms()
+
+
+def test_stream_lm_gate_matches_batch(spark, tmp_path):
+    """The streaming perplexity gate keeps exactly the rows the batch
+    scorer would keep, with the same scores attached."""
+    from mini_etl_spark.streaming.events import stream_lm_gate
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = lm.train_bigram_lm(train)
+    mdir = str(tmp_path / "lm_model")
+    model.write.parquet(mdir)
+
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),       # fluent under the model
+            (101, "dog lazy the over jumps"),   # shuffled — high perplexity
+            (102, "zz qq xx yy ww"),            # gibberish — high perplexity
+            (103, "one"),                       # <2 tokens — dropped
+        ],
+        "doc_id long, text string",
+    )
+    scored = {
+        r.doc_id: r for r in lm.bigram_logprob_score(batch, model).collect()
+    }
+    cut = scored[100].perplexity + 0.5  # keep only the fluent doc
+    assert scored[101].perplexity > cut and scored[102].perplexity > cut
+
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_lm_gate(
+        stream, mdir, out, checkpoint=str(tmp_path / "cp"), max_perplexity=cut
+    )
+    rows = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in rows] == [100]
+    assert rows[0].perplexity == scored[100].perplexity
+    assert rows[0].lm2_score == scored[100].lm2_score
+
+
 def test_config_transformer(spark, tmp_path):
     from mini_etl_spark.config import ConfigLoader
 
