@@ -33,6 +33,22 @@ def test_example_config_runs(spark, tmp_path, monkeypatch, name, env):
     assert stats["rows"] > 0
 
 
+def test_perplexity_gate_example_runs(spark, tmp_path, monkeypatch):
+    """The LM-gated curation example: self-fit bigram LM, filter on
+    perplexity; every surviving row is at or under the YAML cutoff."""
+    monkeypatch.setenv("DOCS_DIR", f"{SF_SMALL}/documents.parquet")
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    loader = ConfigLoader()
+    config = loader.load("examples/perplexity_gate.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] > 0
+    out = spark.read.parquet(str(tmp_path / "fluent_corpus"))
+    assert out.count() == stats["rows"]
+    assert out.filter("perplexity > 800").count() == 0
+    assert {"lm2_score", "n_bigrams"} <= set(out.columns)
+
+
 def test_domain_gate_example_runs(spark, tmp_path, monkeypatch):
     """The model-gated curation example: train+persist an NB model, then
     the YAML pipeline scores, gates on the target label, and splits."""
