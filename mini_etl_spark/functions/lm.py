@@ -134,6 +134,11 @@ def bigram_logprob_score(
     aggregates (context totals, vocab size); left equi-joins on
     (prev, cur) and (prev) — model side broadcast by AQE when small; the
     1-row vocab total rides in as an explicit broadcast."""
+    if alpha <= 0:
+        raise ValueError(
+            f"bigram_logprob_score: alpha must be > 0 (got {alpha}) — "
+            "zero smoothing gives ln(0) on any unseen bigram"
+        )
     pairs = bigram_pairs(df, text_col, id_col)
     ctx = model.groupBy("prev").agg(F.sum("cnt").alias("__ctx_c"))
     vocab = (

@@ -30,6 +30,7 @@ from mini_etl_spark.streaming.events import (
     stream_classify_gate,
     stream_dedup_against_index,
     stream_lm_gate,
+    stream_lm_update,
     stream_upsert_to_parquet,
     streaming_dedup,
     tumbling_window_agg,
@@ -48,6 +49,7 @@ __all__ = [
     "stream_classify_gate",
     "stream_dedup_against_index",
     "stream_lm_gate",
+    "stream_lm_update",
     "stream_upsert_to_parquet",
     "read_latest_snapshot",
     "run_stream_to_memory",

@@ -411,6 +411,60 @@ def stream_classify_gate(
     return query
 
 
+def stream_lm_update(
+    stream_df: DataFrame,
+    model_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming incremental bigram-LM trainer: each micro-batch is
+    reduced to its own (batch-sized) bigram counts, sum-merged into the
+    persisted model (``lm.merge_bigram_lms`` — proven equal to retraining
+    on the concatenated corpus), and published as a new snapshot with the
+    ``_LATEST`` pointer flipped atomically (same publication protocol as
+    :func:`stream_upsert_to_parquet`; read the current model with
+    :func:`read_latest_snapshot`). The corpus is touched once per batch
+    and never re-read — only model-sized frames merge, so the per-batch
+    cost is O(batch + model), the state the 100 TB shape requires. Pair
+    with :func:`stream_lm_gate` pointed at the published snapshots for a
+    gate whose model improves as data flows.
+
+    Not idempotent under checkpoint REPLAY of a half-processed batch
+    (counts would double): exactly-once here relies on the pointer flip
+    being the last step — a crash before the flip leaves the previous
+    snapshot live and the orphan directory unreferenced."""
+    from mini_etl_spark.functions.lm import merge_bigram_lms, train_bigram_lm
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        delta = train_bigram_lm(batch_df, text_col, id_col)
+        current = read_latest_snapshot(spark, model_path)
+        merged = merge_bigram_lms(current, delta) if current is not None else delta
+        snap = os.path.join(model_path, f"snap={batch_id}")
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(model_path, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"snap={batch_id}")
+        os.replace(tmp, os.path.join(model_path, "_LATEST"))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query
+
+
 def stream_lm_gate(
     stream_df: DataFrame,
     model_path: str,

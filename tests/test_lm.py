@@ -151,6 +151,48 @@ def test_stream_lm_gate_matches_batch(spark, tmp_path):
     assert rows[0].lm2_score == scored[100].lm2_score
 
 
+def test_alpha_guard(spark):
+    model = lm.train_bigram_lm(_train_corpus(spark))
+    with pytest.raises(ValueError, match="alpha"):
+        lm.bigram_logprob_score(_train_corpus(spark), model, alpha=0.0)
+
+
+def test_stream_lm_update_matches_retrain(spark, tmp_path):
+    """Incremental streaming trainer: two micro-batches merged into the
+    persisted model equal one batch retrain on all the data; readers see
+    only complete snapshots through the _LATEST pointer."""
+    from mini_etl_spark.streaming import read_latest_snapshot, stream_lm_update
+
+    src = str(tmp_path / "in")
+    a = spark.createDataFrame(
+        [(i, f"alpha beta gamma slice one {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, f"beta gamma delta slice two {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    mdir = str(tmp_path / "model")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(src)
+    )
+    stream_lm_update(stream, mdir, checkpoint=str(tmp_path / "cp"))
+
+    served = {
+        (r.prev, r.cur): r.cnt for r in read_latest_snapshot(spark, mdir).collect()
+    }
+    full = {
+        (r.prev, r.cur): r.cnt
+        for r in lm.train_bigram_lm(a.unionByName(b)).collect()
+    }
+    assert served == full
+
+
 def test_config_transformer(spark, tmp_path):
     from mini_etl_spark.config import ConfigLoader
 
