@@ -1434,6 +1434,30 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob_score(docs)
 
 
+def q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization normalization (CCNet/Dolma cleanup stage): smart
+    quotes/dashes/ellipsis → ASCII, unicode spaces → plain, control chars
+    stripped, CRLF unified, whitespace/blank-line runs collapsed. The
+    synthetic corpus is clean ASCII, so the query injects the mess
+    deterministically (same construction in the oracle) and normalizes
+    it — a pure codegen regexp_replace chain, full hash oracle generated
+    from the SAME ordered step list the operator applies."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    mess = F.concat(
+        F.lit("\u201cquote\u201d\u00a0and\u2003x\u2026"),  # curly quotes, NBSP, EM space, ellipsis
+        F.lit("\x07\r\n"),
+        F.substring("text", 1, 40),
+        F.lit("  two   spaces\tand\ttabs"),
+        F.lit("\n\n\n\n\n"),
+        F.lit("–dash— ’end‘"),
+    )
+    return docs.select(
+        "doc_id", tx.normalize_text(mess).alias("text_norm")
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter (CCNet-style, order-aware): fit an
     add-one-smoothed bigram model on the even-doc_id half of the corpus,
@@ -2544,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "lm_score": q_lm_score,
         "lm_perplexity": q_lm_perplexity,
+        "normalized_text": q_normalized_text,
         "hashed_vectors": q_hashed_vectors,
         "unpivot": q_unpivot,
         "order_priority": q_order_priority,
@@ -2584,6 +2609,20 @@ _D_TOKENS = (
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
     "t -> t != '')"
 )
+def _d_normalize(expr: str) -> str:
+    """DuckDB replay of text.normalize_text: the SAME ordered step list
+    (imported, not copied) folded into nested regexp_replace(..., 'g')
+    calls + trim. Patterns are valid in both Java regex and RE2 by
+    construction (text.NORMALIZE_STEPS contract)."""
+    from mini_etl_spark.functions.text import NORMALIZE_STEPS
+
+    for pat, rep in NORMALIZE_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
 _D_STOP = {
     "en": "['the','and','of','to','in','is','was','for','with','that']",
     "de": "['der','die','das','und','ist','von','mit','nicht','ein','auf']",
@@ -3745,6 +3784,19 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln((c + 1.0) / (total + vsize))), 4) AS lm_score
             FROM toks JOIN vocab USING (tok) CROSS JOIN totals
             GROUP BY doc_id
+        """,
+        "normalized_text": f"""
+            WITH mess AS (
+              SELECT doc_id,
+                     concat('“quote”', chr(160), 'and', chr(8195),
+                            'x', chr(8230), chr(7), chr(13), chr(10),
+                            substr(text, 1, 40),
+                            '  two   spaces', chr(9), 'and', chr(9), 'tabs',
+                            repeat(chr(10), 5),
+                            chr(8211), 'dash', chr(8212), ' ',
+                            chr(8217), 'end', chr(8216)) AS t
+              FROM documents)
+            SELECT doc_id, {_d_normalize('t')} AS text_norm FROM mess
         """,
         "lm_perplexity": f"""
             WITH tr AS (

@@ -446,6 +446,7 @@ def main() -> None:
         "fuzzy_match": queries["fuzzy_match"],
         "script_id": queries["script_id"],
         "lm_perplexity": queries["lm_perplexity"],
+        "normalized_text": queries["normalized_text"],
         "pagerank": queries["pagerank"],
         "domain_score": queries["domain_score"],
         "k_anonymized": queries["k_anonymized"],

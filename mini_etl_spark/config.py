@@ -49,6 +49,7 @@ TRANSFORMER_TYPES = {
     "chunk", "pack_sequences", "expect", "dedup_lines", "strip_boilerplate",
     "dedup_paragraphs",
     "lm_score", "bigram_score", "hashed_vectors", "mix", "semantic_dedup",
+    "normalize",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
     "nb_classify",
@@ -302,6 +303,12 @@ class ConfigLoader:
             id_col = o.get("id", "doc_id")
             out = o.get("output", "lm_score")
             return lambda df: tx.unigram_logprob_score(df, col, id_col, out)
+        if spec.type == "normalize":
+            from mini_etl_spark.functions import text as tx
+
+            col = o.get("column", "text")
+            out = o.get("output", col)  # default: clean in place
+            return lambda df: df.withColumn(out, tx.normalize_text(col))
         if spec.type == "bigram_score":
             from mini_etl_spark.functions import lm
 

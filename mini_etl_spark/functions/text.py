@@ -384,6 +384,39 @@ def top_token_fraction(
     )
 
 
+# Normalization chain, applied strictly in order. Every pattern is valid
+# in BOTH Java regex (Spark) and RE2 (DuckDB) — literal unicode chars for
+# the punctuation classes, escape-form for control chars — so the DuckDB
+# oracle replays the chain verbatim (see __spark_entry__ `normalized_text`).
+NORMALIZE_STEPS: list[tuple[str, str]] = [
+    ("[’‘‚‛]", "'"),            # curly single quotes
+    ("[“”„‟]", '"'),            # curly double quotes
+    ("[–—‒―]", "-"),            # en/em/figure/horizontal dashes
+    ("…", "..."),                              # ellipsis
+    ("[  -​ 　]", " "),     # unicode spaces → ASCII
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),  # control chars (keep \t \n \r)
+    ("\\r\\n?", "\n"),                              # CRLF / bare CR → LF
+    ("[ \\t]+", " "),                               # collapse spaces/tabs
+    ("\\n{3,}", "\n\n"),                            # cap blank-line runs
+]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Pre-tokenization text cleanup (the CCNet/Dolma normalize stage):
+    smart quotes/dashes/ellipsis → ASCII, unicode spaces → plain space,
+    control characters stripped, CRLF unified, whitespace runs collapsed,
+    blank-line runs capped at one empty line, ends trimmed. A fixed
+    ordered ``regexp_replace`` chain — pure codegen, no UDF, and the
+    exact same chain replays in any RE2/PCRE engine (full DuckDB
+    oracle). Deliberately conservative: no case folding, no accent
+    stripping, no tokenization — those belong to ``tokens()`` — so the
+    output is still the document, just hygienic."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in NORMALIZE_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
 def add_text_features(
     df: DataFrame,
     text_col: str = "text",
