@@ -4732,12 +4732,15 @@ def oracle_sql() -> dict[str, str]:
                      ln((co.c + 1.0)
                         / (cs.ct + (SELECT v FROM vocab))) AS lp
               FROM counts co JOIN cstats cs USING (label)),
+            tokc AS (
+              SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
             contrib AS (
               SELECT t.doc_id, cs.label,
-                     sum(m.lp) AS known,
-                     count(*) AS n_tok,
-                     count(m.lp) AS n_known
-              FROM tok t CROSS JOIN cstats cs
+                     sum(m.lp * t.cnt) AS known,
+                     sum(t.cnt) AS n_tok,
+                     coalesce(sum(CASE WHEN m.lp IS NOT NULL THEN t.cnt END),
+                              0) AS n_known
+              FROM tokc t CROSS JOIN cstats cs
               LEFT JOIN model m ON m.token = t.token AND m.label = cs.label
               GROUP BY 1, 2),
             scored AS (

@@ -156,22 +156,34 @@ def nb_score(
     with zero tokens score exactly their log_prior (the id × class grid
     is built explicitly, so empty docs never vanish).
 
-    Plan: explode → broadcast the k-row class table (k× token stream, k
-    is single digits) → left equi-join the model on (token, label) →
-    one hash aggregate on (id, label). Scores rounded to 6 (cross-engine
-    float contract, same as pagerank)."""
+    Plan: explode → per-document TOKEN-TYPE counts (one hash aggregate —
+    the model join and the k-class expansion then see each distinct
+    (doc, token) once, not once per occurrence: on natural text that cuts
+    the join/shuffle input 2-5×) → broadcast the k-row class table →
+    left equi-join the model on (token, label) → one count-weighted hash
+    aggregate on (id, label). Scores rounded to 6 (cross-engine float
+    contract, same as pagerank; Σ lp·cnt and the per-occurrence Σ lp
+    differ only in last-ulp accumulation noise, absorbed by the round —
+    the DuckDB oracle computes the identical count-weighted chain)."""
     tok = df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token"))
+    tokc = tok.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("__cnt"))
     grid = df.select(F.col(id_col).alias("__id")).crossJoin(
         F.broadcast(model.classes)
     )
     contrib = (
-        tok.crossJoin(F.broadcast(model.classes.select("label")))
+        tokc.crossJoin(F.broadcast(model.classes.select("label")))
         .join(model.token_lp, ["token", "label"], "left")
         .groupBy("__id", "label")
         .agg(
-            F.sum("lp").alias("__known"),  # null-skipping: seen tokens only
-            F.count(F.lit(1)).alias("__n_tok"),
-            F.count("lp").alias("__n_known"),
+            # null lp × cnt is null → sum skips: seen tokens only
+            F.sum(F.col("lp") * F.col("__cnt")).alias("__known"),
+            F.sum("__cnt").alias("__n_tok"),
+            # sum over an all-NULL column is NULL, not 0 — a doc with no
+            # known tokens must still charge (n_tok − 0) × unseen_lp
+            F.coalesce(
+                F.sum(F.when(F.col("lp").isNotNull(), F.col("__cnt"))),
+                F.lit(0).cast("long"),
+            ).alias("__n_known"),
         )
     )
     # unseen tokens: (n_tok - n_known) × unseen_lp — computed from counts
