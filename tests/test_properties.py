@@ -414,3 +414,43 @@ def test_range_join_bucketized_equals_naive(spark, values, intervals, width):
         ).collect()
     }
     assert bucketized == naive
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=["L", "N", "P", "Z", "C"]
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_normalize_text_invariants(spark, texts):
+    """normalize_text on arbitrary unicode: idempotent fixed point; no
+    stripped control chars, no CR, no space/tab runs, no 3+ newline runs
+    survive; never introduces characters the input didn't imply."""
+    import re
+
+    pdf = pd.DataFrame({"text": texts})
+    out = [
+        r.t
+        for r in spark.createDataFrame(pdf)
+        .select(tx.normalize_text("text").alias("t"))
+        .collect()
+    ]
+    out2 = [
+        r.t
+        for r in spark.createDataFrame(pd.DataFrame({"text": out}))
+        .select(tx.normalize_text("text").alias("t"))
+        .collect()
+    ]
+    assert out == out2  # idempotence on arbitrary input
+    for s in out:
+        assert not re.search(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\r]", s)
+        assert not re.search(r"[ \t]{2,}", s) and "\t" not in s
+        assert not re.search(r"\n{3,}", s)
+        assert s == s.strip(" ")
