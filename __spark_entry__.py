@@ -2459,73 +2459,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness gate samples a prefix
-    # of this dict, so the first ~50 entries are a representative cross-
-    # section of the whole surface — core transformers, join/window/reshape
-    # operators, TPC-H flagships, and the LLM-pipeline extensions — with
-    # the remaining TPC-H shape variants and approximate-op variants after.
+    # Ordering is deliberate: the driver's correctness gate samples ~50
+    # entries starting from the FRONT of this dict, so the keys whose
+    # oracles the driver has not yet independently stamped (union of
+    # CORRECTNESS_r01-r03) lead, followed by the already-stamped set —
+    # completing the all-keys union is a round-4 goal (VERDICT #3).
     # Every entry, regardless of position, is differentially tested by
-    # tests/test_oracle.py.
+    # tests/test_oracle.py on every pytest run.
     return {
-        # core transformer surface
-        "group_agg": q_group_agg,
-        "filter_expression": q_filter_expression,
-        "select_rename_project": q_select_rename_project,
-        "cast_lenient": q_cast_lenient,
-        "fillna": q_fillna,
-        "dedup_first": q_dedup_first,
-        "sort": q_sort,
-        "union_concat": q_union_concat,
-        "validated": q_validated,
-        # joins / windows / reshapes
-        "join_star": q_join_star,
-        "join_outer": q_join_outer,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "anti_join": q_anti_join,
-        "topk_per_group": q_topk_per_group,
-        "running_window": q_running_window,
-        "fuzzy_match": q_fuzzy_match,
-        "pivot": q_pivot,
-        # lambda / schema / sets / sessions
-        "expression_derive": q_expression_derive,
-        "map_batches": q_map_batches,
-        "group_zscore": q_group_zscore,
-        "schema_coerce": q_schema_coerce,
-        "sessionize": q_sessionize,
-        "events_window": q_events_window,
-        # TPC-H flagship shapes
-        "shipping_priority": q_shipping_priority,
-        "regional_revenue": q_regional_revenue,
-        "product_profit": q_product_profit,
-        "quality_percentile": q_quality_percentile,
-        "returned_revenue": q_returned_revenue,
-        "incremental_rollup": q_incremental_rollup,
-        # LLM training-data pipeline
-        "text_features": q_text_features,
-        "doc_repetition": q_doc_repetition,
-        "doc_chunks": q_doc_chunks,
-        "pack_sequences": q_pack_sequences,
-        "bm25_topk": q_bm25_topk,
-        "pii_redaction": q_pii_redaction,
-        "hash_split": q_hash_split,
-        "weighted_sample": q_weighted_sample,
-        "paragraph_dedup": q_paragraph_dedup,
-        "exact_dedup": q_exact_dedup,
-        "jaccard_pairs": q_jaccard_pairs,
-        "near_dup_groups": q_near_dup_groups,
+        # --- not yet driver-stamped (lead for sampling priority) ---
         "near_dup_groups_star": q_near_dup_groups_star,
-        "corpus_clean": q_corpus_clean,
-        "contamination": q_contamination,
-        "incremental_dedup": q_incremental_dedup,
-        "cosine_pairs_lsh": q_cosine_pairs_lsh,
-        "cosine_topk": q_cosine_topk,
-        # warehouse merge
-        "upsert": q_upsert,
-        "scd2": q_scd2,
-        "scd2_snapshot": q_scd2_snapshot,
-        # --- remaining operator variants (all oracle-tested in pytest) ---
-        "fillna_ffill": q_fillna_ffill,
         "rolling_hour": q_rolling_hour,
         "k_anonymized": q_k_anonymized,
         "zorder_key": q_zorder_key,
@@ -2540,16 +2483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "top_values": q_top_values,
         "key_skew": q_key_skew,
-        "rollup": q_rollup,
         "token_mixture": q_token_mixture,
         "semantic_cell_pairs": q_semantic_cell_pairs,
         "line_hygiene": q_line_hygiene,
         "multimodal_features": q_multimodal_features,
-        "order_gaps": q_order_gaps,
-        "part_type_revenue": q_part_type_revenue,
-        "dedup_unique_only": q_dedup_unique_only,
         "semi_join": q_semi_join,
-        "cube": q_cube,
         "percentiles": q_percentiles,
         "approx_sketches": q_approx_sketches,
         "json_extract": q_json_extract,
@@ -2564,13 +2502,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
-        "set_ops": q_set_ops,
-        "distinct_agg": q_distinct_agg,
         "lm_score": q_lm_score,
         "lm_perplexity": q_lm_perplexity,
         "normalized_text": q_normalized_text,
         "hashed_vectors": q_hashed_vectors,
         "unpivot": q_unpivot,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_join": q_knn_join,
+        "duplicate_spans": q_duplicate_spans,
+        "span_removal": q_span_removal,
+        "snapshot_diff": q_snapshot_diff,
+        "resample": q_resample,
+        "ivf_topk": q_ivf_topk,
+        # --- driver-stamped green in r1-r3 ---
+        "group_agg": q_group_agg,
+        "filter_expression": q_filter_expression,
+        "select_rename_project": q_select_rename_project,
+        "cast_lenient": q_cast_lenient,
+        "fillna": q_fillna,
+        "dedup_first": q_dedup_first,
+        "sort": q_sort,
+        "union_concat": q_union_concat,
+        "validated": q_validated,
+        "join_star": q_join_star,
+        "join_outer": q_join_outer,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "anti_join": q_anti_join,
+        "topk_per_group": q_topk_per_group,
+        "running_window": q_running_window,
+        "fuzzy_match": q_fuzzy_match,
+        "pivot": q_pivot,
+        "expression_derive": q_expression_derive,
+        "map_batches": q_map_batches,
+        "group_zscore": q_group_zscore,
+        "schema_coerce": q_schema_coerce,
+        "sessionize": q_sessionize,
+        "events_window": q_events_window,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
+        "product_profit": q_product_profit,
+        "quality_percentile": q_quality_percentile,
+        "returned_revenue": q_returned_revenue,
+        "incremental_rollup": q_incremental_rollup,
+        "text_features": q_text_features,
+        "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "bm25_topk": q_bm25_topk,
+        "pii_redaction": q_pii_redaction,
+        "hash_split": q_hash_split,
+        "weighted_sample": q_weighted_sample,
+        "paragraph_dedup": q_paragraph_dedup,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "near_dup_groups": q_near_dup_groups,
+        "corpus_clean": q_corpus_clean,
+        "contamination": q_contamination,
+        "incremental_dedup": q_incremental_dedup,
+        "cosine_pairs_lsh": q_cosine_pairs_lsh,
+        "cosine_topk": q_cosine_topk,
+        "upsert": q_upsert,
+        "scd2": q_scd2,
+        "scd2_snapshot": q_scd2_snapshot,
+        "fillna_ffill": q_fillna_ffill,
+        "rollup": q_rollup,
+        "order_gaps": q_order_gaps,
+        "part_type_revenue": q_part_type_revenue,
+        "dedup_unique_only": q_dedup_unique_only,
+        "cube": q_cube,
+        "set_ops": q_set_ops,
+        "distinct_agg": q_distinct_agg,
         "order_priority": q_order_priority,
         "market_share": q_market_share,
         "priority_lines": q_priority_lines,
@@ -2587,18 +2589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "supplier_part_count": q_supplier_part_count,
         "dominant_shippers": q_dominant_shippers,
-        # approximate / hash-based variants (pytest equivalence gates)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dedup": q_simhash_dedup,
-        "simhash_pairs": q_simhash_pairs,
         "cosine_pairs": q_cosine_pairs,
         "lsh_topk": q_lsh_topk,
-        "knn_join": q_knn_join,
-        "duplicate_spans": q_duplicate_spans,
-        "span_removal": q_span_removal,
-        "snapshot_diff": q_snapshot_diff,
-        "resample": q_resample,
-        "ivf_topk": q_ivf_topk,
     }
 
 

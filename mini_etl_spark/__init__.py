@@ -25,6 +25,8 @@ Public surface (see SURVEY.md §2 for the inventory this covers):
 - :mod:`mini_etl_spark.functions` — scale extensions: text analysis, dedup
   (exact/MinHash-LSH/SimHash/Jaccard/embedding), similarity search, multimodal
 - :mod:`mini_etl_spark.streaming` — Structured Streaming helpers (events table)
+- :mod:`mini_etl_spark.monitor` / :mod:`mini_etl_spark.ui` — run-history
+  reports (static HTML/JSON) and the live stdlib-HTTP dashboard
 - :mod:`mini_etl_spark.scheduler` / :mod:`mini_etl_spark.retry` — thin utilities
 """
 
