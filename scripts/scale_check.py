@@ -150,6 +150,21 @@ def main() -> None:
         # a sub-resolution base time (0.0s) can't produce a meaningful
         # ratio — degrade to inf rather than crash on round()/comparison
         ratio = times["big"] / times["base"] if times["base"] > 0 else float("inf")
+        if ratio > REPLICAS * 1.25:
+            # re-measure before flagging: late in a 19-query session a
+            # single timed pass can eat a GC/compile pause an order of
+            # magnitude above the plan's real cost (observed: 30.8s for
+            # a query that re-times at 3.6s in a clean session). A
+            # superlinear PLAN reproduces; a paused pass doesn't.
+            for label, sf_dir in (("base", BASE), ("big", BIG)):
+                spark.catalog.clearCache()
+                t = time.monotonic()
+                fn(spark, sf_dir).count()
+                times[label] = min(times[label], time.monotonic() - t)
+                spark.catalog.clearCache()
+            ratio = (
+                times["big"] / times["base"] if times["base"] > 0 else float("inf")
+            )
         results[name] = {
             "base_s": round(times["base"], 3),
             "big_s": round(times["big"], 3),
