@@ -2449,6 +2449,74 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_stats(li.select("l_suppkey"), "l_suppkey", top_n=25)
 
 
+def _synth_url() -> "Column":
+    """Deterministic URL per document (the synthetic corpus has no URL
+    column): scheme/subdomain/suffix/port/query/fragment all derived from
+    doc_id % k so every parsing and normalization branch is exercised —
+    mixed-case hosts, userinfo, multi-part suffixes (co.uk), default and
+    non-default ports, tracking params, fragments. The DuckDB oracles
+    build the SAME string (``_SYNTH_URL_SQL``)."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 7 == 0, F.lit("User:Pw@Tracker.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.when(did % 4 == 0, F.lit(".example.com"))
+        .when(did % 4 == 1, F.lit(".data.co.uk"))
+        .when(did % 4 == 2, F.lit(".archive.org"))
+        .otherwise(F.lit(".news.net")),
+        F.when(did % 5 == 0, F.lit(":443"))
+        .when(did % 5 == 1, F.lit(":80"))
+        .when(did % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"), s,
+        F.when(did % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), s,
+                                      F.lit("&utm_campaign=x")))
+        .when(did % 3 == 1, F.concat(F.lit("?id="), s))
+        .otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation front end (functions/web.py): parse scheme/host/port/
+    path/query/fragment, reduce host to its registered domain (the
+    per-site grouping key), and canonicalize the URL for dedup — all one
+    codegen projection, zero shuffles. Full hash oracle: DuckDB replays
+    the same RE2-safe regex chain and the list_filter tracking-param
+    drop over identically synthesized URLs."""
+    from mini_etl_spark.functions.web import normalize_url, with_url_parts
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url())
+    parts = with_url_parts(docs, "url")
+    return parts.select(
+        "doc_id", "url_scheme", "url_host", "url_port", "url_domain",
+        "url_path", "url_query", "url_fragment",
+        normalize_url(F.col("url")).alias("url_norm"),
+    )
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast domain blocklist (suffix-aware: blocking example.com
+    also blocks every subdomain) then per-registered-domain survivor
+    counts — the C4-style site-level exclusion pass. The 100 TB shape:
+    the blocklist is vocabulary-sized and broadcast, the document table
+    never shuffles until the final map-side-combined count."""
+    from mini_etl_spark.functions.web import filter_url_blocklist, with_url_parts
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _synth_url())
+    kept = filter_url_blocklist(
+        docs, "url", blocked=["example.com", "data.co.uk"], match="suffix"
+    )
+    return (
+        with_url_parts(kept, "url")
+        .groupBy("url_domain")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2468,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle.py on every pytest run.
     return {
         # --- not yet driver-stamped (lead for sampling priority) ---
+        "url_parse": q_url_parse,
+        "url_blocklist": q_url_blocklist,
         "near_dup_groups_star": q_near_dup_groups_star,
         "rolling_hour": q_rolling_hour,
         "k_anonymized": q_k_anonymized,
@@ -3061,8 +3131,84 @@ _D_FEATURES = f"""(
     FROM documents))"""
 
 
+# DuckDB twin of _synth_url(): identical string construction, so the URL
+# oracles below are full-hash (see functions/web.py for the regex contract).
+_SYNTH_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 7 = 0 THEN 'User:Pw@Tracker.' ELSE 'www.' END) ||
+    source ||
+    (CASE doc_id % 4 WHEN 0 THEN '.example.com' WHEN 1 THEN '.data.co.uk'
+                     WHEN 2 THEN '.archive.org' ELSE '.news.net' END) ||
+    (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                     WHEN 2 THEN ':8080' ELSE '' END) ||
+    '/p/' || CAST(doc_id AS VARCHAR) ||
+    (CASE doc_id % 3
+       WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+       WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END)
+"""
+
+# host → registered domain, the same heuristic chain as web.registered_domain
+_D_REG_DOMAIN = """
+    CASE WHEN regexp_matches({h}, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN {h}
+         WHEN regexp_extract({h}, '([^.]+\\.(?:co|com|net|org|gov|edu|ac|mil)\\.[a-z][a-z])$', 1) <> ''
+           THEN regexp_extract({h}, '([^.]+\\.(?:co|com|net|org|gov|edu|ac|mil)\\.[a-z][a-z])$', 1)
+         WHEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) <> ''
+           THEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1)
+         ELSE {h} END
+"""
+
+_D_URL_PARTS_CTES = f"""
+    u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+    p AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS url_scheme,
+        regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       '^[^@]*@', '') AS hp,
+        regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS url_query,
+        regexp_extract(url, '#(.*)$', 1) AS url_fragment
+      FROM u),
+    h AS (
+      SELECT *, lower(regexp_replace(hp, ':[0-9]+$', '')) AS url_host,
+             regexp_extract(hp, ':([0-9]+)$', 1) AS url_port
+      FROM p),
+    d AS (
+      SELECT *, {_D_REG_DOMAIN.format(h='url_host')} AS url_domain FROM h)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = {
+        "url_parse": f"""
+            WITH {_D_URL_PARTS_CTES},
+            n AS (
+              SELECT *,
+                array_to_string(
+                  list_filter(string_split(url_query, '&'),
+                    x -> NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)=')
+                         AND x <> ''), '&') AS kept
+              FROM d)
+            SELECT doc_id, url_scheme, url_host, url_port, url_domain,
+                   url_path, url_query, url_fragment,
+                   url_scheme || '://' || url_host ||
+                   (CASE WHEN url_port <> ''
+                          AND NOT (url_scheme = 'http' AND url_port = '80')
+                          AND NOT (url_scheme = 'https' AND url_port = '443')
+                         THEN ':' || url_port ELSE '' END) ||
+                   (CASE WHEN url_path = '' THEN '/' ELSE url_path END) ||
+                   (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS url_norm
+            FROM n
+        """,
+        "url_blocklist": f"""
+            WITH {_D_URL_PARTS_CTES},
+            kept AS (
+              SELECT * FROM d
+              WHERE NOT (url_host = 'example.com' OR url_host LIKE '%.example.com'
+                      OR url_host = 'data.co.uk' OR url_host LIKE '%.data.co.uk'))
+            SELECT url_domain, count(*) AS n_docs
+            FROM kept GROUP BY url_domain
+        """,
         "group_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)       AS l_quantity_sum,

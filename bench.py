@@ -454,6 +454,8 @@ def main() -> None:
         "profile": queries["profile"],
         "histogram": queries["histogram"],
         "top_values": queries["top_values"],
+        "url_parse": queries["url_parse"],
+        "url_blocklist": queries["url_blocklist"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)

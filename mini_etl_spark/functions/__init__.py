@@ -29,6 +29,9 @@ materialization.
 - :mod:`classify`   — relational Naive-Bayes domain/quality classifier and
                       DSIR-style importance weights (train = two hash
                       aggregates; score = explode + model equi-join)
+- :mod:`web`        — URL parse/normalize/extract + registered-domain
+                      grouping key + broadcast blocklist filtering (the
+                      C4/CCNet per-host curation front end; pure codegen)
 """
 
 from mini_etl_spark.functions import (
@@ -47,10 +50,11 @@ from mini_etl_spark.functions import (
     similarity,
     splits,
     text,
+    web,
 )
 
 __all__ = [
     "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
     "corpus", "splits", "chunking", "mixing", "bpe", "privacy", "graph", "lm",
-    "classify",
+    "classify", "web",
 ]

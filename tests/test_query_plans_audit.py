@@ -29,6 +29,9 @@ INTENTIONAL_THETA_JOINS = {"cosine_pairs"}
 SCALAR_BROADCAST_JOINS = {
     "bm25_topk", "line_hygiene", "lm_score", "lm_perplexity", "key_skew",
     "domain_score",
+    # suffix-aware domain blocklist: endswith() on a broadcast
+    # vocabulary-sized list — k string compares per row, never a shuffle
+    "url_blocklist",
 }
 
 

@@ -1,0 +1,131 @@
+"""URL curation (functions.web): part extraction on adversarial URLs,
+registered-domain heuristic, normalization idempotence, in-text URL
+extraction, and the broadcast blocklist filter's subdomain semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions.web import (
+    extract_urls,
+    filter_url_blocklist,
+    normalize_url,
+    registered_domain,
+    url_host,
+    with_url_parts,
+)
+
+URLS = [
+    (1, "https://www.Example.COM/a/b?id=1&utm_source=feed#frag"),
+    (2, "http://user:pw@sub.news.example.co.uk:8080/path?x=1"),
+    (3, "https://example.org:443/"),
+    (4, "http://example.org:80"),
+    (5, "https://192.168.10.1/admin"),
+    (6, "ftp://files.example.net/pub"),
+    (7, "not a url at all"),
+    (8, "https://localhost/x?utm_campaign=a&utm_medium=b"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(URLS, ["id", "url"])
+
+
+def test_url_parts(spark):
+    rows = {
+        r["id"]: r
+        for r in with_url_parts(_df(spark)).collect()
+    }
+    r1 = rows[1]
+    assert r1["url_scheme"] == "https"
+    assert r1["url_host"] == "www.example.com"
+    assert r1["url_domain"] == "example.com"
+    assert r1["url_path"] == "/a/b"
+    assert r1["url_query"] == "id=1&utm_source=feed"
+    assert r1["url_fragment"] == "frag"
+    r2 = rows[2]
+    assert r2["url_host"] == "sub.news.example.co.uk"  # userinfo+port gone
+    assert r2["url_port"] == "8080"
+    assert r2["url_domain"] == "example.co.uk"  # multi-part suffix
+    assert rows[5]["url_domain"] == "192.168.10.1"  # IPv4 passes whole
+    assert rows[7]["url_host"] == ""  # non-URL → empty parts, never null
+    assert rows[4]["url_path"] == ""  # no path component at all
+
+
+def test_normalize_url_semantics(spark):
+    out = {
+        r["id"]: r["n"]
+        for r in _df(spark).select("id", normalize_url("url").alias("n")).collect()
+    }
+    # lower host, tracking param dropped, fragment dropped, kept param order
+    assert out[1] == "https://www.example.com/a/b?id=1"
+    # non-default port kept, userinfo dropped, real param kept
+    assert out[2] == "http://sub.news.example.co.uk:8080/path?x=1"
+    # default ports stripped for their schemes
+    assert out[3] == "https://example.org/"
+    assert out[4] == "http://example.org/"  # and empty path → '/'
+    # all params tracking → no '?' at all
+    assert out[8] == "https://localhost/x"
+
+
+def test_normalize_url_idempotent(spark):
+    df = _df(spark).where(F.col("id") != 7)  # non-URLs are out of contract
+    once = df.select("id", normalize_url("url").alias("n"))
+    twice = once.select("id", normalize_url("n").alias("n"))
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def test_extract_urls(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 'see https://a.example.com/x. then (http://b.org/y?z=1) and "https://c.net".'),
+            (2, "no links here"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["u"] for r in df.select("id", extract_urls("text").alias("u")).collect()}
+    assert got[1] == [
+        "https://a.example.com/x",
+        "http://b.org/y?z=1",
+        "https://c.net",
+    ]
+    assert got[2] == []
+
+
+def test_blocklist_suffix_vs_domain(spark):
+    df = _df(spark)
+    # suffix mode: example.com blocks www.example.com but NOT example.co.uk
+    kept = filter_url_blocklist(df, blocked=["example.com"], match="suffix")
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3, 4, 5, 6, 7, 8]
+    # domain mode: registered-domain equality — blocks id 1 only as well
+    kept2 = filter_url_blocklist(df, blocked=["example.org"], match="domain")
+    assert sorted(r["id"] for r in kept2.collect()) == [1, 2, 5, 6, 7, 8]
+    # keep mode inverts
+    only = filter_url_blocklist(df, blocked=["example.co.uk"], mode="keep")
+    assert [r["id"] for r in only.collect()] == [2]
+    # DataFrame-shaped blocklist, case-insensitive entries
+    bl = spark.createDataFrame([("Example.COM",)], ["domain"])
+    kept3 = filter_url_blocklist(df, blocked=bl)
+    assert 1 not in {r["id"] for r in kept3.collect()}
+
+
+def test_blocklist_broadcast_plan(spark):
+    """The 100 TB contract: the document side must not shuffle — the
+    blocklist is broadcast in both match modes."""
+    df = _df(spark)
+    for match in ("suffix", "domain"):
+        out = filter_url_blocklist(df, blocked=["example.com"], match=match)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_blocklist_arg_validation(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError):
+        filter_url_blocklist(df, blocked=["x.com"], mode="bogus")
+    with pytest.raises(ValueError):
+        filter_url_blocklist(df, blocked=["x.com"], match="bogus")
+    with pytest.raises(ValueError):
+        filter_url_blocklist(df)
