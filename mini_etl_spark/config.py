@@ -53,6 +53,7 @@ TRANSFORMER_TYPES = {
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
     "nb_classify",
+    "parse_urls", "url_blocklist",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -309,6 +310,28 @@ class ConfigLoader:
             col = o.get("column", "text")
             out = o.get("output", col)  # default: clean in place
             return lambda df: df.withColumn(out, tx.normalize_text(col))
+        if spec.type == "parse_urls":
+            from mini_etl_spark.functions import web
+
+            col = o.get("column", "url")
+            prefix = o.get("prefix", "url_")
+            normalize = bool(o.get("normalize", False))
+
+            def _parse(df, _c=col, _p=prefix, _n=normalize):
+                out = web.with_url_parts(df, _c, _p)
+                if _n:
+                    out = out.withColumn(f"{_p}norm", web.normalize_url(_c))
+                return out
+
+            return _parse
+        if spec.type == "url_blocklist":
+            from mini_etl_spark.functions import web
+
+            col = o.get("column", "url")
+            blocked = o["blocked"]  # list of domains (required)
+            mode = o.get("mode", "drop")
+            match = o.get("match", "suffix")
+            return lambda df: web.filter_url_blocklist(df, col, blocked, mode, match)
         if spec.type == "bigram_score":
             from mini_etl_spark.functions import lm
 

@@ -516,3 +516,36 @@ sink: {{type: xml, path: '{out}', mode: overwrite, row_tag: doc}}
     back = spark.read.format("xml").option("rowTag", "doc").load(str(out))
     assert back.count() == 10
     assert set(back.columns) == {"doc_id", "source", "score"}
+
+
+def test_url_config_vocab(spark, tmp_path):
+    """parse_urls / url_blocklist run from YAML config."""
+    src = tmp_path / "pages"
+    spark.createDataFrame(
+        [(i, f"https://www.site{i % 4}.example.com:443/p/{i}?utm_source=x&q={i}")
+         for i in range(12)],
+        "page_id bigint, url string",
+    ).write.parquet(str(src))
+    out = tmp_path / "url_out"
+    cfg = tmp_path / "u.yaml"
+    cfg.write_text(
+        f"""
+name: url-curation
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: url_blocklist
+    blocked: [site0.example.com, site1.example.com]
+  - type: parse_urls
+    normalize: true
+sink: {{type: parquet, path: '{out}', mode: overwrite}}
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    back = spark.read.parquet(str(out))
+    hosts = {r["url_host"] for r in back.select("url_host").distinct().collect()}
+    assert hosts == {"www.site2.example.com", "www.site3.example.com"}
+    norm = back.select("url_norm").first()[0]
+    assert ":443" not in norm and "utm_" not in norm
