@@ -2498,6 +2498,33 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink host census: extract in-text URLs (with trailing
+    punctuation stripped per link), explode, reduce to host and
+    registered domain, count — the first pass of building a link graph
+    for ``functions.graph.pagerank`` over a crawl. Extraction is
+    ``regexp_extract_all`` + a transform lambda, so the document body
+    never leaves the JVM; the only shuffle is the final host count.
+    Full hash oracle: DuckDB replays the same extraction on identically
+    synthesized link-bearing text."""
+    from mini_etl_spark.functions import web
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("Visit https://"), F.col("source"), F.lit(".example.com/a/"), did,
+        F.lit(" and (http://mirror."), F.col("source"), F.lit(".news.net/b?x="),
+        did, F.lit(")."),
+    )
+    links = docs.select(F.explode(web.extract_urls(txt)).alias("link"))
+    hosts = links.select(web.url_host(F.col("link")).alias("host"))
+    return (
+        hosts.groupBy("host")
+        .agg(F.count("*").alias("n_links"))
+        .withColumn("domain", web.registered_domain(F.col("host")))
+    )
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast domain blocklist (suffix-aware: blocking example.com
     also blocks every subdomain) then per-registered-domain survivor
@@ -2538,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- not yet driver-stamped (lead for sampling priority) ---
         "url_parse": q_url_parse,
         "url_blocklist": q_url_blocklist,
+        "link_hosts": q_link_hosts,
         "near_dup_groups_star": q_near_dup_groups_star,
         "rolling_hour": q_rolling_hour,
         "k_anonymized": q_k_anonymized,
@@ -3199,6 +3227,27 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN url_path = '' THEN '/' ELSE url_path END) ||
                    (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS url_norm
             FROM n
+        """,
+        "link_hosts": f"""
+            WITH t AS (
+              SELECT 'Visit https://' || source || '.example.com/a/' ||
+                     CAST(doc_id AS VARCHAR) || ' and (http://mirror.' ||
+                     source || '.news.net/b?x=' || CAST(doc_id AS VARCHAR) ||
+                     ').' AS body
+              FROM documents),
+            l AS (
+              SELECT unnest(list_transform(
+                       regexp_extract_all(body, 'https?://[^\\s<>"'')\\]]+'),
+                       u -> regexp_replace(u, '[.,;:!?]+$', ''))) AS link
+              FROM t),
+            h AS (
+              SELECT lower(regexp_replace(regexp_replace(
+                       regexp_extract(link, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       '^[^@]*@', ''), ':[0-9]+$', '')) AS host
+              FROM l),
+            g AS (SELECT host, count(*) AS n_links FROM h GROUP BY host)
+            SELECT host, n_links, {_D_REG_DOMAIN.format(h='host')} AS domain
+            FROM g
         """,
         "url_blocklist": f"""
             WITH {_D_URL_PARTS_CTES},

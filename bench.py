@@ -455,6 +455,7 @@ def main() -> None:
         "histogram": queries["histogram"],
         "top_values": queries["top_values"],
         "url_parse": queries["url_parse"],
+        "link_hosts": queries["link_hosts"],
         "url_blocklist": queries["url_blocklist"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
