@@ -3214,7 +3214,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *,
                 array_to_string(
                   list_filter(string_split(url_query, '&'),
-                    x -> NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)=')
+                    x -> NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)')
                          AND x <> ''), '&') AS kept
               FROM d)
             SELECT doc_id, url_scheme, url_host, url_port, url_domain,

@@ -62,8 +62,10 @@ _TWO_LABEL_RE = "([^.]+\\.[^.]+)$"
 _IPV4_RE = "^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"
 
 # Tracking query parameters stripped by normalize_url, as one anchored
-# alternation over the param name (matched against `name=value` pieces).
-TRACKING_PARAM_RE = "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)="
+# alternation over the param name. The `(=|$)` tail matches both
+# `name=value` and valueless `?utm_campaign` forms while leaving
+# prefix-sharing params (`refx=`) alone.
+TRACKING_PARAM_RE = "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)(=|$)"
 
 
 def _c(col: Column | str) -> Column:

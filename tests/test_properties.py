@@ -454,3 +454,77 @@ def test_normalize_text_invariants(spark, texts):
         assert not re.search(r"[ \t]{2,}", s) and "\t" not in s
         assert not re.search(r"\n{3,}", s)
         assert s == s.strip(" ")
+
+
+# URL-shaped strings: mixed-case scheme/host, optional userinfo/port,
+# path/query with tracking and real params, optional fragment.
+_label = st.text(alphabet="abcDEF09", min_size=1, max_size=6)
+_urls = st.builds(
+    lambda sch, user, labels, port, path, params, frag: (
+        sch
+        + "://"
+        + (user + "@" if user else "")
+        + ".".join(labels)
+        + (f":{port}" if port else "")
+        + path
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    sch=st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    user=st.one_of(st.just(""), st.just("u:pw")),
+    labels=st.lists(_label, min_size=1, max_size=4),
+    port=st.one_of(st.just(""), st.sampled_from(["80", "443", "8080"])),
+    path=st.one_of(st.just(""), st.just("/"), st.just("/A/b%20c")),
+    params=st.lists(
+        st.sampled_from(
+            ["utm_source=x", "utm_campaign", "fbclid=1", "ref=nav", "q=1", "Id=2", "refx=keep"]
+        ),
+        max_size=4,
+    ),
+    frag=st.one_of(st.just(""), st.just("Sec1")),
+)
+
+
+@SLOW
+@given(urls=st.lists(_urls, min_size=1, max_size=20))
+def test_normalize_url_invariants(spark, urls):
+    """normalize_url on generated URLs: idempotent; host lower-cased with
+    userinfo gone; no fragment; no default port for the scheme; no
+    tracking params survive while non-tracking params do (refx= is not
+    ref=); path never empty."""
+    import re
+
+    from mini_etl_spark.functions import web
+
+    pdf = pd.DataFrame({"url": urls})
+    out = [
+        r.n
+        for r in spark.createDataFrame(pdf)
+        .select(web.normalize_url("url").alias("n"))
+        .collect()
+    ]
+    out2 = [
+        r.n
+        for r in spark.createDataFrame(pd.DataFrame({"url": out}))
+        .select(web.normalize_url("url").alias("n"))
+        .collect()
+    ]
+    assert out == out2  # idempotence
+    for src, n in zip(urls, out):
+        assert "#" not in n and "@" not in n
+        m = re.match(r"^(https?)://([^/]+)(/.*)?$", n)
+        assert m, n
+        scheme, hostport, rest = m.groups()
+        assert scheme in ("http", "https")
+        host = hostport.split(":")[0]
+        assert host == host.lower()
+        if ":" in hostport:
+            port = hostport.rsplit(":", 1)[1]
+            assert not (scheme == "http" and port == "80")
+            assert not (scheme == "https" and port == "443")
+        assert rest and rest.startswith("/")
+        assert "utm_" not in n and "fbclid" not in n and "ref=" not in n
+        if "refx=keep" in src:
+            assert "refx=keep" in n
+        if "q=1" in src:
+            assert "q=1" in n
