@@ -72,3 +72,47 @@ def test_domain_gate_example_runs(spark, tmp_path, monkeypatch):
     labels = {r["label"] for r in out.select("label").distinct().collect()}
     assert labels == {"src0"}
     assert {r["split"] for r in out.select("split").distinct().collect()} <= {"train", "holdout"}
+
+
+def test_web_curation_example_runs(spark, tmp_path, monkeypatch):
+    """The web front-end example: blocklist → parse+normalize → canonical
+    URL dedup → per-domain cap, from YAML."""
+    pages = spark.createDataFrame(
+        [
+            (i,
+             # ids 0/1 are the same page modulo scheme+tracking params;
+             # ids ending in 9 live on a blocklisted site
+             f"{'http' if i == 0 else 'https'}://www.site{i % 10 if i % 10 != 9 else ''}"
+             f"{'' if i % 10 != 9 else 'x.spam.example'}.org/p/{i // 10}"
+             f"{'?utm_source=x' if i % 2 == 0 else ''}")
+            for i in range(200)
+        ],
+        "page_id bigint, url string",
+    )
+    # make ids 0 and 1 true canonical duplicates
+    from pyspark.sql import functions as F
+    pages = pages.withColumn(
+        "url",
+        F.when(F.col("page_id") == 1, F.lit("https://www.site0.org/p/0?utm_source=y"))
+        .when(F.col("page_id") == 0, F.lit("https://www.site0.org:443/p/0#frag"))
+        .otherwise(F.col("url")),
+    )
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+
+    monkeypatch.setenv("PAGES_DIR", str(src))
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    loader = ConfigLoader()
+    config = loader.load("examples/web_curation.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] > 0
+    out = spark.read.parquet(str(tmp_path / "curated_pages"))
+    doms = {r[0] for r in out.select("url_domain").distinct().collect()}
+    assert "spam.example" not in doms  # suffix blocklist caught sitex.spam.example
+    assert all("spam" not in d for d in doms)
+    # canonical dedup: pages 0 (default port + fragment) and 1 (tracking
+    # param) normalize identically → keep=first keeps page 0 only
+    surv = [r["page_id"] for r in out.filter("page_id in (0, 1)").collect()]
+    assert surv == [0]
+    assert out.groupBy("url_domain").count().agg({"count": "max"}).first()[0] <= 50
