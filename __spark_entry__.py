@@ -2525,6 +2525,27 @@ def q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl HTML → visible text (functions/web.py html_to_text): the
+    synthetic corpus is plain text, so the query wraps it in
+    deterministic markup (script/style/comments/entities/tables — every
+    branch of the chain) and extracts it back. One codegen projection;
+    full hash oracle generated from the SAME ordered HTML_STEPS list."""
+    from mini_etl_spark.functions.web import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>D</title><script>var x = 1;</script>"
+              "<style>p{color:red}</style></head><body><!-- c --><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.substring("text", 1, 120),
+        F.lit(" &amp; more&nbsp;here</p><div>1 &lt; 2</div>"
+              "<table><tr><td>a</td><td>b</td></tr></table></body></html>"),
+    )
+    return docs.select("doc_id", html_to_text(html).alias("text_html"))
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast domain blocklist (suffix-aware: blocking example.com
     also blocks every subdomain) then per-registered-domain survivor
@@ -2566,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": q_url_parse,
         "url_blocklist": q_url_blocklist,
         "link_hosts": q_link_hosts,
+        "html_text": q_html_text,
         "near_dup_groups_star": q_near_dup_groups_star,
         "rolling_hour": q_rolling_hour,
         "k_anonymized": q_k_anonymized,
@@ -3176,6 +3198,19 @@ _SYNTH_URL_SQL = """
     (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END)
 """
 
+def _d_html(expr: str) -> str:
+    """DuckDB replay of web.html_to_text: the SAME ordered HTML_STEPS
+    list (imported, not copied) folded into regexp_replace(..., 'g')
+    calls + trim — the _d_normalize pattern."""
+    from mini_etl_spark.functions.web import HTML_STEPS
+
+    for pat, rep in HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
 # host → registered domain, the same heuristic chain as web.registered_domain
 _D_REG_DOMAIN = """
     CASE WHEN regexp_matches({h}, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN {h}
@@ -3227,6 +3262,18 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN url_path = '' THEN '/' ELSE url_path END) ||
                    (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS url_norm
             FROM n
+        """,
+        "html_text": f"""
+            WITH u AS (
+              SELECT doc_id,
+                '<html><head><title>D</title><script>var x = 1;</script>' ||
+                '<style>p{{color:red}}</style></head><body><!-- c --><h1>Doc ' ||
+                CAST(doc_id AS VARCHAR) || '</h1><p>' || substr(text, 1, 120) ||
+                ' &amp; more&nbsp;here</p><div>1 &lt; 2</div>' ||
+                '<table><tr><td>a</td><td>b</td></tr></table></body></html>'
+                AS html
+              FROM documents)
+            SELECT doc_id, {_d_html('html')} AS text_html FROM u
         """,
         "link_hosts": f"""
             WITH t AS (

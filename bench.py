@@ -456,6 +456,7 @@ def main() -> None:
         "top_values": queries["top_values"],
         "url_parse": queries["url_parse"],
         "link_hosts": queries["link_hosts"],
+        "html_text": queries["html_text"],
         "url_blocklist": queries["url_blocklist"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,

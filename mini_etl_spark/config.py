@@ -53,7 +53,7 @@ TRANSFORMER_TYPES = {
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
     "nb_classify",
-    "parse_urls", "url_blocklist",
+    "parse_urls", "url_blocklist", "html_text",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -324,6 +324,12 @@ class ConfigLoader:
                 return out
 
             return _parse
+        if spec.type == "html_text":
+            from mini_etl_spark.functions import web
+
+            col = o.get("column", "html")
+            out = o.get("output", "text")
+            return lambda df: df.withColumn(out, web.html_to_text(col))
         if spec.type == "url_blocklist":
             from mini_etl_spark.functions import web
 

@@ -39,6 +39,7 @@ __all__ = [
     "normalize_url",
     "extract_urls",
     "filter_url_blocklist",
+    "html_to_text",
 ]
 
 # Matches an absolute URL's pieces. Kept as separate single-purpose
@@ -208,6 +209,55 @@ def normalize_url(col: Column | str) -> Column:
             F.lit("")
         ),
     )
+
+
+# HTML → text extraction chain, applied strictly in order. Same contract
+# as text.NORMALIZE_STEPS: every pattern (incl. the (?is) inline flags and
+# non-greedy spans) is valid in BOTH Java regex and RE2, so the DuckDB
+# `html_text` oracle folds this exact list into regexp_replace(..., 'g')
+# calls. Numeric character references (&#x2019; etc.) are deliberately
+# NOT decoded — that needs a codepoint computation, not a rewrite; the
+# common named entities below cover the bulk of crawl HTML.
+HTML_STEPS: list[tuple[str, str]] = [
+    ("(?s)<!--.*?-->", ""),                      # comments
+    ("(?is)<script[^>]*>.*?</script>", ""),      # script blocks, content too
+    ("(?is)<style[^>]*>.*?</style>", ""),        # style blocks
+    # block-level boundaries become newlines so headings/paragraphs/cells
+    # don't fuse into one token
+    ("(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section"
+     "|article|header|footer|nav|pre)[^>]*>", "\n"),
+    ("<[^>]+>", ""),                             # remaining inline tags
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),                              # LAST: no double-decode
+    ("[ \\t]+", " "),                            # collapse spaces/tabs
+    (" ?\\n ?", "\n"),                           # strip spaces hugging \n
+    ("\\n{3,}", "\n\n"),                         # cap blank-line runs
+    ("^[ \\n]+", ""),                            # trim edges (incl. \n,
+    ("[ \\n]+$", ""),                            #  which SQL trim() keeps)
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML document: comments/script/style removed
+    (content included), block-level tags turned into line breaks, inline
+    tags stripped, common named entities decoded, whitespace tidied.
+
+    A fixed ordered ``regexp_replace`` chain — pure whole-stage-codegen,
+    no parser library, no UDF — which is the right trade at crawl scale:
+    a DOM parse per document would drag every byte through Python, while
+    this stays JVM-side and fuses into the scan projection. The cost is
+    parser fidelity on pathological markup (unclosed ``<script``,
+    ``]]>`` games); curation quality filters downstream are the backstop,
+    exactly as in C4's regex-based pipeline. Compose with
+    ``text.normalize_text`` for the full cleanup."""
+    c = _c(col)
+    for pat, rep in HTML_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
 
 
 # Conservative in-text URL shape: scheme://, then everything up to

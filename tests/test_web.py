@@ -129,3 +129,44 @@ def test_blocklist_arg_validation(spark):
         filter_url_blocklist(df, blocked=["x.com"], match="bogus")
     with pytest.raises(ValueError):
         filter_url_blocklist(df)
+
+
+def test_html_to_text(spark):
+    from mini_etl_spark.functions.web import html_to_text
+
+    html = (
+        "<html><head><title>T</title><script>var x = '<p>';</script>"
+        "<style>p { color: red }</style></head>"
+        "<body><!-- note --><h1>Big News</h1>"
+        "<p>Tom &amp; Jerry&nbsp;say &quot;hi&quot; &#39;now&#39;</p>"
+        "<div>1 &lt; 2 &gt; 0</div>"
+        "<table><tr><td>a</td><td>b</td></tr></table>"
+        "<span>inline</span> tail</body></html>"
+    )
+    out = (
+        spark.createDataFrame([(html,)], ["h"])
+        .select(html_to_text("h").alias("t"))
+        .first()[0]
+    )
+    assert "var x" not in out and "color" not in out and "note" not in out
+    lines = out.split("\n")
+    assert "Big News" in lines
+    assert 'Tom & Jerry say "hi" \'now\'' in lines
+    assert "1 < 2 > 0" in lines
+    assert "a" in lines and "b" in lines  # cells don't fuse
+    assert any(l.endswith("inline tail") for l in lines)
+    assert "<" not in out.replace("1 < 2 > 0", "")  # no tags survive
+
+
+def test_html_to_text_double_encoded_stays(spark):
+    """Double-encoded entities decode exactly ONE level, matching what a
+    browser renders: '&amp;lt;' is '&lt;' on screen, not '<'. Decoding
+    &amp; LAST guarantees the '&lt;' it produces is never re-decoded."""
+    from mini_etl_spark.functions.web import html_to_text
+
+    out = (
+        spark.createDataFrame([("<p>&amp;lt;tag&amp;gt;</p>",)], ["h"])
+        .select(html_to_text("h").alias("t"))
+        .first()[0]
+    )
+    assert out == "&lt;tag&gt;"  # browser-equivalent: one level decoded
