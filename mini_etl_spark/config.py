@@ -34,7 +34,7 @@ logger = logging.getLogger(__name__)
 
 SOURCE_TYPES = {
     "csv", "json", "jsonl", "excel", "parquet", "orc", "xml", "sql", "api",
-    "memory", "text", "binary",
+    "memory", "text", "binary", "warc",
 }
 SINK_TYPES = {
     "csv", "json", "jsonl", "parquet", "orc", "xml", "sql", "excel", "null",
@@ -203,6 +203,10 @@ class ConfigLoader:
             return src.read_text(path, **o)
         if spec.type == "binary":
             return src.read_binary_files(path, **o)
+        if spec.type == "warc":
+            if "record_types" in o and o["record_types"] is not None:
+                o["record_types"] = tuple(o["record_types"])
+            return src.read_warc(path, **o)
         raise ValueError(f"unknown source type {spec.type!r}")
 
     def _build_transformer(self, spec: ComponentConfig):

@@ -32,6 +32,7 @@ from mini_etl_spark.sources.files import (
 from mini_etl_spark.sources.jdbc import read_jdbc
 from mini_etl_spark.sources.local import from_memory, read_excel
 from mini_etl_spark.sources.api import read_api
+from mini_etl_spark.sources.warc import read_warc
 
 __all__ = [
     "read_csv",
@@ -45,5 +46,6 @@ __all__ = [
     "read_jdbc",
     "read_dbapi",
     "read_api",
+    "read_warc",
     "from_memory",
 ]

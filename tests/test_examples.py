@@ -116,3 +116,39 @@ def test_web_curation_example_runs(spark, tmp_path, monkeypatch):
     surv = [r["page_id"] for r in out.filter("page_id in (0, 1)").collect()]
     assert surv == [0]
     assert out.groupBy("url_domain").count().agg({"count": "max"}).first()[0] <= 50
+
+
+def test_crawl_to_corpus_example_runs(spark, tmp_path, monkeypatch):
+    """WARC → filter → html_text → parse_urls → dedup → features, from
+    YAML: the full crawl on-ramp as a declarative pipeline."""
+    import gzip as _gzip
+
+    from tests.test_warc import HTML_A, _archive, _http_response, _record
+
+    wd = tmp_path / "warcs"
+    wd.mkdir()
+    (wd / "a.warc").write_bytes(_archive())
+    (wd / "b.warc.gz").write_bytes(
+        _gzip.compress(
+            _record(
+                "response",
+                "https://c.example.io/z",
+                _http_response(b"<html><body><p>" + b"useful words here " * 20 + b"</p></body></html>"),
+                extra="Content-Type: application/http; msgtype=response",
+            )
+        )
+    )
+
+    monkeypatch.setenv("WARC_DIR", str(wd))
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    loader = ConfigLoader()
+    config = loader.load("examples/crawl_to_corpus.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] > 0
+    out = spark.read.parquet(str(tmp_path / "crawl_corpus"))
+    rows = {r["url_host"]: r for r in out.collect()}
+    assert "c.example.io" in rows
+    assert "useful words here" in rows["c.example.io"]["text"]
+    assert "<" not in rows["c.example.io"]["text"]
+    assert {"lang_id", "quality", "ws_tokens"} <= set(out.columns)
