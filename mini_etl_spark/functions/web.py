@@ -35,6 +35,7 @@ __all__ = [
     "url_query",
     "url_fragment",
     "registered_domain",
+    "with_registered_domain",
     "with_url_parts",
     "normalize_url",
     "extract_urls",
@@ -132,6 +133,74 @@ def registered_domain(host: Column | str) -> Column:
         .when(two != "", two)
         .otherwise(h)
     )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str,
+    suffixes: list[str] | DataFrame | None = None,
+    out_col: str = "registered_domain",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Exact public-suffix-list grouping: the registrable domain is one
+    label more than the LONGEST suffix-list entry that matches the tail
+    of the host (``a.b.example.co.uk`` + entry ``co.uk`` →
+    ``example.co.uk``). This is the PSL-exact upgrade of the
+    ``registered_domain`` regex heuristic, for when correctness of the
+    per-site key matters more than zero joins.
+
+    Scale shape: the suffix list (~10k rows for the real PSL) is
+    vocabulary-sized state, so each candidate length becomes one
+    **broadcast left join** — ``max_suffix_labels`` of them, longest
+    first, coalesced — and the document side never shuffles or explodes.
+    Hosts matching no entry fall back to the last-two-labels rule (the
+    PSL ``*`` default); IPv4 literals and single-label hosts pass
+    through whole."""
+    if suffixes is None:
+        raise ValueError("with_registered_domain: pass the suffix list "
+                         "(list[str] or 1-column DataFrame)")
+    spark = df.sparkSession
+    if isinstance(suffixes, DataFrame):
+        scol = suffixes.columns[0]
+        sfx = suffixes.select(F.lower(F.col(scol)).alias("__sfx"))
+    else:
+        sfx = spark.createDataFrame(
+            sorted({(s.lower().lstrip("."),) for s in suffixes}), ["__sfx"]
+        )
+
+    host = F.lower(F.col(host_col))
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    out = df.withColumn("__rd_host", host)
+    match_cols = []
+    for k in range(max_suffix_labels, 0, -1):
+        cand = F.when(
+            n > k, F.array_join(F.slice(labels, n - k + 1, F.lit(k)), ".")
+        )  # need at least one label ABOVE the suffix to register under it
+        reg = F.when(n > k, F.array_join(F.slice(labels, n - k, F.lit(k + 1)), "."))
+        out = (
+            out.withColumn(f"__cand{k}", cand)
+            .join(
+                F.broadcast(sfx.withColumnRenamed("__sfx", f"__m{k}")),
+                F.col(f"__cand{k}") == F.col(f"__m{k}"),
+                "left",
+            )
+            .withColumn(
+                f"__reg{k}", F.when(F.col(f"__m{k}").isNotNull(), reg)
+            )
+        )
+        match_cols.append(F.col(f"__reg{k}"))
+
+    two = F.regexp_extract(F.col("__rd_host"), _TWO_LABEL_RE, 1)
+    fallback = (
+        F.when(F.col("__rd_host").rlike(_IPV4_RE), F.col("__rd_host"))
+        .when(two != "", two)
+        .otherwise(F.col("__rd_host"))
+    )
+    out = out.withColumn(out_col, F.coalesce(*match_cols, fallback))
+    drop = ["__rd_host"] + [c for k in range(1, max_suffix_labels + 1)
+                            for c in (f"__cand{k}", f"__m{k}", f"__reg{k}")]
+    return out.drop(*drop)
 
 
 def with_url_parts(

@@ -170,3 +170,45 @@ def test_html_to_text_double_encoded_stays(spark):
         .first()[0]
     )
     assert out == "&lt;tag&gt;"  # browser-equivalent: one level decoded
+
+
+def test_with_registered_domain_psl(spark):
+    """PSL-exact mode: longest-suffix wins via broadcast joins, fallback
+    is last-two-labels, IPv4 and single-label pass whole."""
+    from mini_etl_spark.functions.web import with_registered_domain
+
+    psl = ["com", "org", "co.uk", "gov.uk", "k12.ca.us", "uk"]
+    df = spark.createDataFrame(
+        [
+            (1, "www.example.com"),
+            (2, "a.b.example.co.uk"),      # co.uk beats uk (longest wins)
+            (3, "school.k12.ca.us"),       # exactly suffix+1 labels: registrable as-is
+            (4, "deep.school.k12.ca.us"),
+            (5, "example.unknowntld"),     # no entry -> last-two fallback
+            (6, "single"),
+            (7, "10.1.2.3"),
+            (8, "co.uk"),                  # bare suffix: no label above -> fallback
+        ],
+        ["id", "host"],
+    )
+    out = {r["id"]: r["registered_domain"]
+           for r in with_registered_domain(df, "host", psl).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "example.co.uk"
+    assert out[3] == "school.k12.ca.us"
+    assert out[4] == "school.k12.ca.us"
+    assert out[5] == "example.unknowntld"
+    assert out[6] == "single"
+    assert out[7] == "10.1.2.3"
+    assert out[8] == "co.uk"  # PSL says unregistrable; honest passthrough
+
+
+def test_with_registered_domain_plan_no_shuffle(spark):
+    """All suffix joins broadcast; the host side never exchanges."""
+    from mini_etl_spark.functions.web import with_registered_domain
+
+    df = spark.createDataFrame([(1, "www.example.com")], ["id", "host"])
+    out = with_registered_domain(df, "host", ["com", "co.uk"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1
