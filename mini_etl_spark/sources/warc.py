@@ -45,6 +45,14 @@ WARC_SCHEMA = StructType(
         StructField("http_content_type", StringType()),
         StructField("payload_length", LongType()),
         StructField("payload", BinaryType()),
+        # CDX-style locator: byte offset + length of the unit you must
+        # read from the ORIGINAL file to recover this record — the gzip
+        # member for compressed archives, the record block for plain
+        # ones. select(url, file, record_offset, record_length) IS a CDX
+        # index; persist it and later fetches become ranged reads instead
+        # of full-archive scans.
+        StructField("record_offset", LongType()),
+        StructField("record_length", LongType()),
     ]
 )
 
@@ -52,21 +60,34 @@ WARC_SCHEMA = StructType(
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the per-record compression
     layout of Common-Crawl WARCs). Plain bytes pass through untouched."""
+    return b"".join(chunk for chunk, _, _ in _iter_members(data))
+
+
+def _iter_members(data: bytes) -> Iterator[tuple[bytes, int, int]]:
+    """(decompressed_bytes, compressed_offset, compressed_length) per gzip
+    member of a concatenated-member archive; a plain (uncompressed) blob
+    yields itself once with offset 0. The offsets are what a CDX index
+    stores: seek to offset, read length, gunzip — one record recovered
+    without touching the rest of the archive."""
     if data[:2] != b"\x1f\x8b":
-        return data
-    out = []
-    while data:
+        yield data, 0, len(data)
+        return
+    pos = 0
+    while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        chunk = d.decompress(data[pos:]) + d.flush()
         if not d.eof:  # truncated member — stop rather than loop forever
             break
-        data = d.unused_data
-    return b"".join(out)
+        consumed = len(data) - pos - len(d.unused_data)
+        yield chunk, pos, consumed
+        pos += consumed
 
 
-def _iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield (headers, payload) per WARC record. Headers are lower-cased.
+def _iter_warc_records(
+    data: bytes,
+) -> Iterator[tuple[dict[str, str], bytes, int, int]]:
+    """Yield (headers, payload, record_start, record_end) per WARC record
+    — offsets are positions within ``data``. Headers are lower-cased.
     Tolerant of trailing garbage: parsing stops at the first block that
     doesn't start with ``WARC/`` instead of raising mid-file."""
     pos, n = 0, len(data)
@@ -89,7 +110,7 @@ def _iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         except ValueError:
             break
         body_start = hdr_end + 4
-        yield headers, data[body_start : body_start + clen]
+        yield headers, data[body_start : body_start + clen], pos, body_start + clen
         pos = body_start + clen
 
 
@@ -160,34 +181,46 @@ def read_warc(
             for pdf in batches:
                 rows: list[tuple] = []
                 for fpath, blob in zip(pdf["path"], pdf["content"]):
-                    data = _gunzip_members(bytes(blob))
-                    for hdr, payload in _iter_warc_records(data):
-                        wtype = hdr.get("warc-type", "")
-                        if wanted is not None and wtype.lower() not in wanted:
-                            continue
-                        status = http_ct = None
-                        body = payload
-                        if parse_http and "application/http" in hdr.get(
-                            "content-type", ""
-                        ):
-                            status, http_ct, body = _split_http(payload)
-                        rows.append(
-                            (
-                                fpath,
-                                hdr.get("warc-record-id"),
-                                wtype,
-                                hdr.get("warc-target-uri"),
-                                hdr.get("warc-date"),
-                                hdr.get("content-type"),
-                                status,
-                                http_ct,
-                                len(body),
-                                body,
+                    raw = bytes(blob)
+                    compressed = raw[:2] == b"\x1f\x8b"
+                    for chunk, moff, mlen in _iter_members(raw):
+                        for hdr, payload, rs, re_ in _iter_warc_records(chunk):
+                            wtype = hdr.get("warc-type", "")
+                            if wanted is not None and wtype.lower() not in wanted:
+                                continue
+                            status = http_ct = None
+                            body = payload
+                            if parse_http and "application/http" in hdr.get(
+                                "content-type", ""
+                            ):
+                                status, http_ct, body = _split_http(payload)
+                            # locator: the gzip member for compressed files
+                            # (intra-member position is unseekable), the
+                            # record block itself for plain ones
+                            off, length = (moff, mlen) if compressed else (
+                                rs, re_ - rs,
                             )
-                        )
-                        if len(rows) >= chunk_rows:
-                            yield pd.DataFrame(rows, columns=WARC_SCHEMA.names)
-                            rows = []
+                            rows.append(
+                                (
+                                    fpath,
+                                    hdr.get("warc-record-id"),
+                                    wtype,
+                                    hdr.get("warc-target-uri"),
+                                    hdr.get("warc-date"),
+                                    hdr.get("content-type"),
+                                    status,
+                                    http_ct,
+                                    len(body),
+                                    body,
+                                    off,
+                                    length,
+                                )
+                            )
+                            if len(rows) >= chunk_rows:
+                                yield pd.DataFrame(
+                                    rows, columns=WARC_SCHEMA.names
+                                )
+                                rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=WARC_SCHEMA.names)
 

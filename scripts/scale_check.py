@@ -71,6 +71,11 @@ QUERIES = [
     "near_dup_groups_star",
     # round 4 (late): bigram LM — train + held-out scoring in one plan
     "lm_perplexity",
+    # round 4 (cont.): web curation — URL regex chain (narrow projection),
+    # broadcast suffix blocklist + count, HTML strip chain
+    "url_parse",
+    "url_blocklist",
+    "html_text",
 ]
 
 

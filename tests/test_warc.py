@@ -132,3 +132,24 @@ def test_warc_chunked_output(spark, tmp_path):
     df = read_warc(str(tmp_path), chunk_rows=7)(spark)
     assert df.count() == 100
     assert df.select("url").distinct().count() == 100
+
+
+def test_warc_cdx_offsets_seekable(spark, warc_dir):
+    """The CDX contract: (record_offset, record_length) recovers each
+    record from the ORIGINAL file with one ranged read — seek, read,
+    (gunzip), parse — for both plain and per-record-gzip layouts."""
+    import gzip as _gzip
+    import os
+
+    from mini_etl_spark.sources.warc import _iter_warc_records
+
+    df = read_warc(warc_dir)(spark)
+    for r in df.collect():
+        fpath = r["file"].replace("file:", "")
+        with open(fpath, "rb") as f:
+            f.seek(r["record_offset"])
+            blob = f.read(r["record_length"])
+        if os.path.basename(fpath).endswith(".gz"):
+            blob = _gzip.decompress(blob)
+        recs = list(_iter_warc_records(blob))
+        assert any(h.get("warc-target-uri") == r["url"] for h, _, _, _ in recs), r["url"]
