@@ -162,7 +162,12 @@ def with_registered_domain(
     spark = df.sparkSession
     if isinstance(suffixes, DataFrame):
         scol = suffixes.columns[0]
-        sfx = suffixes.select(F.lower(F.col(scol)).alias("__sfx"))
+        # distinct is REQUIRED here (unlike the blocklist's semi/anti
+        # joins): these are plain left joins, and a duplicated suffix
+        # entry would duplicate every matching host row
+        sfx = suffixes.select(
+            F.lower(F.col(scol)).alias("__sfx")
+        ).distinct()
     else:
         sfx = spark.createDataFrame(
             sorted({(s.lower().lstrip("."),) for s in suffixes}), ["__sfx"]

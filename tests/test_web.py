@@ -212,3 +212,16 @@ def test_with_registered_domain_plan_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_with_registered_domain_df_suffixes_deduped(spark):
+    """DataFrame suffix lists with duplicate entries must not duplicate
+    host rows (plain left joins, unlike the blocklist's semi/anti)."""
+    from mini_etl_spark.functions.web import with_registered_domain
+
+    df = spark.createDataFrame([(1, "www.example.com")], ["id", "host"])
+    sfx = spark.createDataFrame([("com",), ("COM",), ("com",)], ["suffix"])
+    out = with_registered_domain(df, "host", sfx)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["registered_domain"] == "example.com"
