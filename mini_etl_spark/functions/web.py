@@ -273,7 +273,7 @@ def normalize_url(col: Column | str) -> Column:
         ),
         "&",
     )
-    return F.concat(
+    built = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -283,6 +283,9 @@ def normalize_url(col: Column | str) -> Column:
             F.lit("")
         ),
     )
+    # scheme-less strings are out of the URL contract: pass them through
+    # instead of emitting ":///" junk (relative refs, garbage rows)
+    return F.when(scheme == "", u).otherwise(built)
 
 
 # HTML → text extraction chain, applied strictly in order. Same contract
@@ -382,6 +385,9 @@ def filter_url_blocklist(
         raise ValueError(f"match must be 'suffix' or 'domain', got {match!r}")
     if blocked is None:
         raise ValueError("filter_url_blocklist: blocked list is required")
+    if not isinstance(blocked, DataFrame) and len(blocked) == 0:
+        # empty blocklist: drop mode keeps everything, keep mode keeps nothing
+        return df if mode == "drop" else df.limit(0)
 
     spark = df.sparkSession
     if isinstance(blocked, DataFrame):

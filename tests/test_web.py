@@ -225,3 +225,19 @@ def test_with_registered_domain_df_suffixes_deduped(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["registered_domain"] == "example.com"
+
+
+def test_normalize_url_schemeless_passthrough(spark):
+    from mini_etl_spark.functions.web import normalize_url
+
+    df = spark.createDataFrame([("not a url",), ("/rel/path?x=1",)], ["url"])
+    out = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert out == ["not a url", "/rel/path?x=1"]
+
+
+def test_blocklist_empty_list(spark):
+    from mini_etl_spark.functions.web import filter_url_blocklist
+
+    df = _df(spark)
+    assert filter_url_blocklist(df, blocked=[], mode="drop").count() == df.count()
+    assert filter_url_blocklist(df, blocked=[], mode="keep").count() == 0
