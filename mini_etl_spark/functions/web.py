@@ -37,6 +37,7 @@ __all__ = [
     "registered_domain",
     "with_registered_domain",
     "with_url_parts",
+    "with_url_features",
     "normalize_url",
     "extract_urls",
     "filter_url_blocklist",
@@ -228,6 +229,54 @@ def with_url_parts(
             f"{prefix}query": url_query(u),
             f"{prefix}fragment": url_fragment(u),
             f"{prefix}domain": registered_domain(host),
+        }
+    )
+
+
+def with_url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    prefix: str = "urlf_",
+) -> DataFrame:
+    """URL-shape quality signals, one codegen projection — the features
+    URL-based page-quality classifiers use (forum/calendar/search-result
+    pages betray themselves in the URL long before you fetch them):
+
+    - ``{p}path_depth``  — number of path segments
+    - ``{p}path_len``    — path character length
+    - ``{p}n_params``    — query parameter count
+    - ``{p}host_labels`` — subdomain depth (``a.b.c.com`` → 4)
+    - ``{p}digit_ratio`` — digits / length over host+path (session ids,
+      timestamps, auto-generated pages score high)
+    - ``{p}is_index``    — path is ``/`` or empty (site landing page)
+    - ``{p}has_query``   — any query string at all
+
+    Feed into ``classify.nb_train`` / ``log_ratio_weights`` after
+    bucketing, or threshold directly. Pure expressions — composes into
+    the scan stage with ``with_url_parts``."""
+    u = F.col(url_col)
+    host = url_host(u)
+    path = url_path(u)
+    query = url_query(u)
+    hostpath = F.concat(host, path)
+    digits = F.length(F.regexp_replace(hostpath, "[^0-9]", ""))
+    return df.withColumns(
+        {
+            f"{prefix}path_depth": F.size(
+                F.filter(F.split(path, "/"), lambda s: s != "")
+            ),
+            f"{prefix}path_len": F.length(path),
+            f"{prefix}n_params": F.size(
+                F.filter(F.split(query, "&"), lambda s: s != "")
+            ),
+            f"{prefix}host_labels": F.when(host == "", F.lit(0)).otherwise(
+                F.size(F.split(host, "\\."))
+            ),
+            f"{prefix}digit_ratio": F.round(
+                digits / F.greatest(F.length(hostpath), F.lit(1)), 4
+            ),
+            f"{prefix}is_index": (path == "") | (path == "/"),
+            f"{prefix}has_query": query != "",
         }
     )
 

@@ -241,3 +241,29 @@ def test_blocklist_empty_list(spark):
     df = _df(spark)
     assert filter_url_blocklist(df, blocked=[], mode="drop").count() == df.count()
     assert filter_url_blocklist(df, blocked=[], mode="keep").count() == 0
+
+
+def test_with_url_features(spark):
+    from mini_etl_spark.functions.web import with_url_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.shop.example.com/cat/items/2024/01/15/view?id=99&s=abc"),
+            (2, "https://example.com/"),
+            (3, "https://example.com"),
+            (4, "not a url"),
+        ],
+        ["id", "url"],
+    )
+    rows = {r["id"]: r for r in with_url_features(df).collect()}
+    r1 = rows[1]
+    assert r1["urlf_path_depth"] == 6  # cat items 2024 01 15 view
+    assert r1["urlf_n_params"] == 2
+    assert r1["urlf_host_labels"] == 4
+    assert r1["urlf_has_query"] is True
+    assert r1["urlf_is_index"] is False
+    assert r1["urlf_digit_ratio"] > 0.15  # 2024/01/15 + 99 heavy in digits? path+host len
+    assert rows[2]["urlf_is_index"] is True and rows[2]["urlf_path_depth"] == 0
+    assert rows[3]["urlf_is_index"] is True  # empty path counts as index
+    r4 = rows[4]
+    assert r4["urlf_host_labels"] == 0 and r4["urlf_path_depth"] == 0
