@@ -3229,7 +3229,7 @@ _D_URL_PARTS_CTES = f"""
         regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
                        '^[^@]*@', '') AS hp,
         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path,
-        regexp_extract(url, '\\?([^#]*)', 1) AS url_query,
+        regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS url_query,
         regexp_extract(url, '#(.*)$', 1) AS url_fragment
       FROM u),
     h AS (

@@ -51,7 +51,10 @@ __all__ = [
 _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOSTPORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+# anchored so a '?' AFTER '#' is never mistaken for a query: per RFC 3986
+# everything past the first '#' is fragment (SPA hash-routing URLs like
+# /#/search?q=1 have NO query)
+_QUERY_RE = "^[^#?]*\\?([^#]*)"
 _FRAGMENT_RE = "#(.*)$"
 
 # Multi-part public-suffix heuristic: second-level labels that act as a
@@ -156,7 +159,13 @@ def with_registered_domain(
     first, coalesced — and the document side never shuffles or explodes.
     Hosts matching no entry fall back to the last-two-labels rule (the
     PSL ``*`` default); IPv4 literals and single-label hosts pass
-    through whole."""
+    through whole.
+
+    Input contract: entries are LITERAL dotted suffixes (leading dots
+    tolerated and stripped). The real PSL's ~100 wildcard (``*.x.jp``)
+    and exception (``!city.x.jp``) rules are NOT interpreted — expand
+    wildcards against your host population (or drop them) before passing
+    the list, or those zones fall back to the two-label rule."""
     if suffixes is None:
         raise ValueError("with_registered_domain: pass the suffix list "
                          "(list[str] or 1-column DataFrame)")
@@ -165,9 +174,10 @@ def with_registered_domain(
         scol = suffixes.columns[0]
         # distinct is REQUIRED here (unlike the blocklist's semi/anti
         # joins): these are plain left joins, and a duplicated suffix
-        # entry would duplicate every matching host row
+        # entry would duplicate every matching host row; leading dots
+        # stripped to match the list-input path
         sfx = suffixes.select(
-            F.lower(F.col(scol)).alias("__sfx")
+            F.regexp_replace(F.lower(F.col(scol)), "^\\.+", "").alias("__sfx")
         ).distinct()
     else:
         sfx = spark.createDataFrame(
@@ -442,11 +452,18 @@ def filter_url_blocklist(
     if isinstance(blocked, DataFrame):
         bcol = blocked.columns[0]
         # no distinct(): semi/anti joins ignore right-side duplicates, and
-        # deduping would add a pointless exchange on the broadcast side
-        bl = blocked.select(F.lower(F.col(bcol)).alias("__blocked_domain"))
+        # deduping would add a pointless exchange on the broadcast side.
+        # Leading dots stripped: blocklists circulate in '.example.com'
+        # form, which would otherwise silently match nothing.
+        bl = blocked.select(
+            F.regexp_replace(F.lower(F.col(bcol)), "^\\.+", "").alias(
+                "__blocked_domain"
+            )
+        )
     else:
         bl = spark.createDataFrame(
-            sorted({(d.lower(),) for d in blocked}), ["__blocked_domain"]
+            sorted({(d.lower().lstrip("."),) for d in blocked}),
+            ["__blocked_domain"],
         )
 
     host = url_host(F.col(url_col))

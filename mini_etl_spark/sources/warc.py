@@ -57,10 +57,7 @@ WARC_SCHEMA = StructType(
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the per-record compression
-    layout of Common-Crawl WARCs). Plain bytes pass through untouched."""
-    return b"".join(chunk for chunk, _, _ in _iter_members(data))
+_GZ_FEED = 1 << 18  # 256 KB decompressor feed — bounds per-member copies
 
 
 def _iter_members(data: bytes) -> Iterator[tuple[bytes, int, int]]:
@@ -68,18 +65,32 @@ def _iter_members(data: bytes) -> Iterator[tuple[bytes, int, int]]:
     member of a concatenated-member archive; a plain (uncompressed) blob
     yields itself once with offset 0. The offsets are what a CDX index
     stores: seek to offset, read length, gunzip — one record recovered
-    without touching the rest of the archive."""
+    without touching the rest of the archive.
+
+    The decompressor is fed bounded memoryview slices, NOT ``data[pos:]``:
+    a Common-Crawl-layout file has one member per record (~100k/GB), and
+    re-slicing the remaining buffer per member would make parsing
+    quadratic in file size. Here each member costs its own bytes plus at
+    most one ``_GZ_FEED`` tail (zlib's ``unused_data`` copy of the final
+    chunk's leftover)."""
     if data[:2] != b"\x1f\x8b":
         yield data, 0, len(data)
         return
-    pos = 0
-    while pos < len(data):
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        chunk = d.decompress(data[pos:]) + d.flush()
+        out = []
+        fed = 0
+        while not d.eof and pos + fed < n:
+            chunk = view[pos + fed : pos + fed + _GZ_FEED]
+            out.append(d.decompress(chunk))
+            fed += len(chunk)
         if not d.eof:  # truncated member — stop rather than loop forever
             break
-        consumed = len(data) - pos - len(d.unused_data)
-        yield chunk, pos, consumed
+        out.append(d.flush())
+        consumed = fed - len(d.unused_data)
+        yield b"".join(out), pos, consumed
         pos += consumed
 
 
@@ -173,7 +184,11 @@ def read_warc(
             reader = reader.option(k, v)
         files = reader.load(path).select("path", "content")
 
-        wanted = {t.lower() for t in record_types} if record_types else None
+        # `is not None`, not truthiness: an empty tuple is an empty FILTER
+        # (keep nothing), the opposite of the keep-everything None
+        wanted = (
+            {t.lower() for t in record_types} if record_types is not None else None
+        )
 
         def _parse(batches):
             import pandas as pd

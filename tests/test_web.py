@@ -267,3 +267,44 @@ def test_with_url_features(spark):
     assert rows[3]["urlf_is_index"] is True  # empty path counts as index
     r4 = rows[4]
     assert r4["urlf_host_labels"] == 0 and r4["urlf_path_depth"] == 0
+
+
+def test_query_never_leaks_from_fragment(spark):
+    """RFC 3986: everything after the first '#' is fragment — a '?' in a
+    SPA hash route is NOT a query."""
+    from mini_etl_spark.functions.web import normalize_url, with_url_parts
+
+    df = spark.createDataFrame(
+        [(1, "https://app.example.com/#/search?q=1"),
+         (2, "https://a.com/p?x=1#frag?y=2")],
+        ["id", "url"],
+    )
+    rows = {r["id"]: r for r in with_url_parts(df).collect()}
+    assert rows[1]["url_query"] == ""
+    assert rows[1]["url_fragment"] == "/search?q=1"
+    assert rows[2]["url_query"] == "x=1"  # real query before '#' still found
+    norm = {r["id"]: r["n"]
+            for r in df.select("id", normalize_url("url").alias("n")).collect()}
+    assert norm[1] == "https://app.example.com/"  # no promoted fragment state
+    assert norm[2] == "https://a.com/p?x=1"
+
+
+def test_blocklist_leading_dots_normalized(spark):
+    from mini_etl_spark.functions.web import filter_url_blocklist
+
+    df = _df(spark)
+    # '.example.com'-style entries (the circulated form) must still match
+    kept = filter_url_blocklist(df, blocked=[".example.com"])
+    assert 1 not in {r["id"] for r in kept.collect()}
+    bl = spark.createDataFrame([(".Example.COM",)], ["d"])
+    kept2 = filter_url_blocklist(df, blocked=bl)
+    assert 1 not in {r["id"] for r in kept2.collect()}
+
+
+def test_warc_empty_record_types_is_empty_filter(spark, tmp_path):
+    from tests.test_warc import _archive
+
+    (tmp_path / "a.warc").write_bytes(_archive())
+    from mini_etl_spark.sources.warc import read_warc
+
+    assert read_warc(str(tmp_path), record_types=())(spark).count() == 0
