@@ -1578,6 +1578,30 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.shuffle_order(docs).select("doc_id", "shuffle_order")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature sampling (alpha on source sizes): per-source
+    quotas ∝ n^0.5 of a 600-doc budget, epoch replication for sources whose
+    boosted quota exceeds their size. Quota float chain (pow → pinned
+    left-assoc cumulative sum → floor) and the per-epoch md5 draw replay
+    exactly in the DuckDB oracle."""
+    from mini_etl_spark.functions import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    return mx.temperature_mix(docs, budget=600, alpha=0.5, repeat=True).select(
+        "doc_id", "source", "epoch"
+    )
+
+
+def q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated 3-gram census (memorization/boilerplate audit):
+    explode n-gram postings → (ngram, doc) partial agg → (ngram) final,
+    deterministic top-k via TakeOrderedAndProject."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.common_ngrams(docs, n=3, min_docs=2, top_k=50)
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: the corpus text is clean by construction, so each row is
     augmented with deterministic doc_id-derived PII (email/phone/SSN/IP) —
@@ -2584,6 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle.py on every pytest run.
     return {
         # --- not yet driver-stamped (lead for sampling priority) ---
+        "temperature_mix": q_temperature_mix,
+        "common_ngrams": q_common_ngrams,
         "url_parse": q_url_parse,
         "url_blocklist": q_url_blocklist,
         "link_hosts": q_link_hosts,
@@ -4131,6 +4157,55 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5('42' || '|' || CAST(doc_id AS VARCHAR)),
                               doc_id) - 1 AS shuffle_order
             FROM documents
+        """,
+        "temperature_mix": """
+            WITH counts AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY source),
+            weighted AS (
+              SELECT source, n, pow(CAST(n AS DOUBLE), 0.5) AS w,
+                     sum(pow(CAST(n AS DOUBLE), 0.5)) OVER (
+                       ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumw
+              FROM counts),
+            quotas AS (
+              SELECT source, n,
+                     CAST(floor(600 * w / (SELECT max(cumw) FROM weighted))
+                          AS BIGINT) AS quota
+              FROM weighted),
+            epochs AS (
+              SELECT d.doc_id, d.source, q.n, q.quota,
+                     unnest(range(0, (q.quota + q.n - 1) // q.n)) AS epoch
+              FROM documents d JOIN quotas q USING (source)),
+            ranked AS (
+              SELECT doc_id, source, epoch, quota,
+                     epoch * n + row_number() OVER (
+                       PARTITION BY source, epoch
+                       ORDER BY md5('42' || '|' || CAST(epoch AS VARCHAR)
+                                    || '|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rnk
+              FROM epochs)
+            SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+            FROM ranked WHERE rnk <= quota
+        """,
+        "common_ngrams": f"""
+            WITH toks AS (
+              SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS ngram
+              FROM toks),
+            agg AS (
+              SELECT ngram,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(count(*) AS BIGINT) AS occurrences
+              FROM grams GROUP BY ngram)
+            SELECT ngram, n_docs, occurrences FROM agg
+            WHERE n_docs >= 2
+            ORDER BY n_docs DESC, occurrences DESC, ngram
+            LIMIT 50
         """,
         "pii_redaction": f"""
             SELECT doc_id,

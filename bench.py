@@ -414,6 +414,8 @@ def main() -> None:
         "pack_sequences": queries["pack_sequences"],
         "bm25_topk": queries["bm25_topk"],
         "token_mixture": queries["token_mixture"],
+        "temperature_mix": queries["temperature_mix"],
+        "common_ngrams": queries["common_ngrams"],
         "corpus_shuffle": queries["corpus_shuffle"],
         "quality_percentile": queries["quality_percentile"],
         "semantic_cell_pairs": _cell_pairs_default,

@@ -38,6 +38,7 @@ SOURCE_TYPES = {
 }
 SINK_TYPES = {
     "csv", "json", "jsonl", "parquet", "orc", "xml", "sql", "excel", "null",
+    "shards",
 }
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
@@ -54,6 +55,7 @@ TRANSFORMER_TYPES = {
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
     "nb_classify",
     "parse_urls", "url_blocklist", "html_text",
+    "temperature_mix",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -570,6 +572,20 @@ class ConfigLoader:
             group = o.get("group")
             seed = int(o.get("seed", 42))
             return lambda df: sp.weighted_sample(df, key, weight, n, group, seed)
+        if spec.type == "temperature_mix":
+            from mini_etl_spark.functions import mixing as mx
+
+            budget = int(o["budget"])
+            alpha = float(o.get("alpha", 0.5))
+            return lambda df: mx.temperature_mix(
+                df,
+                budget,
+                alpha,
+                source_col=o.get("source_col", "source"),
+                id_col=o.get("id_col", "doc_id"),
+                seed=int(o.get("seed", 42)),
+                repeat=bool(o.get("repeat", True)),
+            )
         raise ValueError(f"unknown transformer type {spec.type!r}")
 
     def _build_sink(self, spec: ComponentConfig):
@@ -597,6 +613,16 @@ class ConfigLoader:
             return snk.to_jdbc(url, o.pop("table"), mode=mode, **o)
         if spec.type == "null":
             return snk.null_sink()
+        if spec.type == "shards":
+            return snk.to_training_shards(
+                path,
+                num_shards=int(o.pop("num_shards")),
+                key_col=o.pop("key", o.pop("key_col", "doc_id")),
+                fmt=o.pop("format", "jsonl"),
+                mode=mode,
+                seed=int(o.pop("seed", 42)),
+                **o,
+            )
         raise ValueError(f"unknown sink type {spec.type!r}")
 
 

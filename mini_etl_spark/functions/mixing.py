@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from mini_etl_spark.functions.text import tokens
 
-__all__ = ["mix_by_token_budget", "shuffle_order"]
+__all__ = ["mix_by_token_budget", "shuffle_order", "temperature_mix"]
 
 
 def _order_hash(key: Column, seed: int) -> Column:
@@ -121,4 +121,93 @@ def shuffle_order(
             order_col, (off + F.row_number().over(w) - F.lit(1)).cast("long")
         )
         .drop("__pid")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    repeat: bool = True,
+) -> DataFrame:
+    """Temperature-scaled source mixture: draw ~``budget`` documents with
+    per-source quotas proportional to ``n_source ** alpha`` — the mT5 /
+    multilingual-LM sampling rule (arXiv:2010.11934 §3.1). ``alpha=1``
+    reproduces the natural distribution, ``alpha=0`` gives every source an
+    equal share, and the usual 0.2–0.7 range boosts low-resource sources.
+
+    Quotas are ``floor(budget * w_s / W)`` with ``w_s = n_s ** alpha`` and
+    ``W = Σ w_s`` accumulated in source-name order (a pinned left-assoc
+    float chain, so an engine replaying the same doubles gets the same
+    quotas — same trick as the PQ oracle). The draw itself is the
+    deterministic md5-order take of :func:`mix_by_token_budget`.
+
+    ``repeat=True`` (the mT5 behavior) lets a low-resource source fill a
+    quota LARGER than the source by replaying it for multiple epochs: each
+    epoch is a fresh md5 permutation (seed folded with the epoch number),
+    and the output carries an ``epoch`` column (0-based) so downstream
+    training order can interleave epochs. ``repeat=False`` caps each
+    quota at the source size (``epoch`` is all-zero).
+
+    Scale: one vocabulary-sized aggregate (per-source counts — the
+    single-partition window over it holds #sources rows, same stance as
+    ``shuffle_order``'s partition-count pass), a broadcast join of the
+    quota table back onto the corpus, and one (source, epoch) window —
+    a single full shuffle of the corpus at any scale.
+    """
+    if budget <= 0:
+        raise ValueError("temperature_mix: budget must be positive")
+    if alpha < 0:
+        raise ValueError("temperature_mix: alpha must be >= 0")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quotas = (
+        counts.withColumn(
+            "__w", F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+        )
+        .withColumn("__cumw", F.sum("__w").over(w_cum))
+        # NB: "__wtot", not "__W" — Spark resolves column names
+        # case-insensitively by default, so "__W" would silently REPLACE
+        # "__w" and make every quota equal to the full budget
+        .withColumn("__wtot", F.max("__cumw").over(w_all))
+        .withColumn(
+            "__quota",
+            F.floor(F.lit(int(budget)) * F.col("__w") / F.col("__wtot")).cast(
+                "long"
+            ),
+        )
+        .select(source_col, "__n", "__quota")
+    )
+    joined = df.join(F.broadcast(quotas), source_col)
+    if repeat:
+        emax = F.expr("(__quota + __n - 1) DIV __n")
+        epoch_seq = F.when(
+            emax > 0, F.sequence(F.lit(0).cast("long"), (emax - 1).cast("long"))
+        ).otherwise(F.array().cast("array<long>"))
+        joined = joined.withColumn("epoch", F.explode(epoch_seq))
+    else:
+        joined = joined.withColumn("epoch", F.lit(0).cast("long")).filter(
+            F.col("__quota") > 0
+        )
+    order_key = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.col("epoch").cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(source_col, "epoch").orderBy(order_key, id_col)
+    rank = F.col("epoch") * F.col("__n") + F.row_number().over(w)
+    cap = F.col("__quota") if repeat else F.least(F.col("__quota"), F.col("__n"))
+    return (
+        joined.withColumn("__rank", rank.cast("long"))
+        .filter(F.col("__rank") <= cap)
+        .drop("__n", "__quota", "__rank")
     )

@@ -674,3 +674,50 @@ def hashed_doc_vectors(
     return per_doc.select(
         F.col("__did").alias(id_col), vec.alias(out_col), "n_tokens"
     )
+
+
+def common_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide repeated n-gram census — the memorization/boilerplate
+    audit: which exact token n-grams appear in the most documents?
+
+    Returns at most ``top_k`` rows ``(ngram, n_docs, occurrences)`` for
+    n-grams seen in ≥ ``min_docs`` distinct documents, ordered by
+    (n_docs desc, occurrences desc, ngram) — fully deterministic, so the
+    result is engine-replayable. Feed the survivors to
+    :func:`strip_boilerplate_lines`-style removal or use them to audit
+    eval-set leakage before training.
+
+    Scale: one explode (n-gram postings, ~tokens×1 rows since each token
+    starts at most one n-gram) into one hash aggregate; the distinct-doc
+    count is a two-phase aggregate on (ngram, doc) then (ngram). The
+    top-k is TakeOrderedAndProject — no global sort. The explode uses the
+    ``explode_outer`` + null-filter barrier (see :func:`exploded_tokens`)
+    so the tokenizer chain evaluates once per document.
+    """
+    if n < 1:
+        raise ValueError("common_ngrams: n must be >= 1")
+    grams = (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__grams", ngrams_from_tokens(F.col("__toks"), n))
+        .select(F.col(id_col).alias("__doc"), F.explode_outer("__grams").alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
+    )
+    per_doc = grams.groupBy("ngram", "__doc").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    agg = per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__occ").alias("occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .orderBy(F.desc("n_docs"), F.desc("occurrences"), F.asc("ngram"))
+        .limit(int(top_k))
+    )

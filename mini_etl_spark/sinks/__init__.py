@@ -40,8 +40,12 @@ from mini_etl_spark.sinks.writers import (
     to_xml,
 )
 
+from mini_etl_spark.sinks.shards import read_shard_manifest, to_training_shards
+
 __all__ = [
     "to_csv",
+    "to_training_shards",
+    "read_shard_manifest",
     "to_json",
     "to_parquet",
     "to_orc",

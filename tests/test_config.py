@@ -549,3 +549,42 @@ sink: {{type: parquet, path: '{out}', mode: overwrite}}
     assert hosts == {"www.site2.example.com", "www.site3.example.com"}
     norm = back.select("url_norm").first()[0]
     assert ":443" not in norm and "utm_" not in norm
+
+
+def test_temperature_mix_and_shards_config_vocab(spark, tmp_path):
+    """temperature_mix transformer + shards sink run from YAML."""
+    src = tmp_path / "docs_mix"
+    spark.createDataFrame(
+        [(i, "web" if i < 60 else "code", f"text {i}") for i in range(80)],
+        "doc_id bigint, source string, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "shards_out"
+    cfg = tmp_path / "mix.yaml"
+    cfg.write_text(
+        f"""
+name: mix_and_shard
+source: {{type: parquet, path: '{src}'}}
+transformers:
+  - type: temperature_mix
+    budget: 40
+    alpha: 0.0
+    repeat: false
+sink:
+  type: shards
+  path: '{out}'
+  num_shards: 4
+  key: doc_id
+  format: jsonl
+"""
+    )
+    loader = ConfigLoader()
+    config = loader.load(cfg)
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    back = spark.read.json(str(out))
+    # alpha=0, budget 40 → 20 docs per source
+    assert back.count() == 40
+    from mini_etl_spark.sinks.shards import read_shard_manifest
+
+    m = read_shard_manifest(str(out))
+    assert m["total_rows"] == 40 and m["num_shards"] == 4

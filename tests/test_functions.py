@@ -1618,3 +1618,46 @@ def test_diversity_cap_semantics(spark):
     # a huge cap keeps everything (and drops the cell column by default)
     full = sim.diversity_cap(df, cents, cap=1000)
     assert full.count() == 400 and "ivf_cell" not in full.columns
+
+
+# ---------------------------------------------------------------------------
+# common_ngrams (corpus-wide repeated n-gram census)
+# ---------------------------------------------------------------------------
+
+def test_common_ngrams_counts(spark):
+    from mini_etl_spark.functions.text import common_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a quick brown fox runs"),
+            (3, "the quick brown dog sits"),
+            (4, "quick brown fox quick brown fox"),  # repeats within one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = common_ngrams(df, n=3, min_docs=2, top_k=10)
+    rows = {r["ngram"]: (r["n_docs"], r["occurrences"]) for r in out.collect()}
+    # 'quick brown fox' in docs 1,2,4 — twice in doc 4 → 4 occurrences
+    assert rows["quick brown fox"] == (3, 4)
+    # 'the quick brown' in docs 1,3
+    assert rows["the quick brown"] == (2, 2)
+    # singletons filtered out by min_docs=2
+    assert "brown dog sits" not in rows
+    # ordering: most-shared first, deterministic
+    top = out.collect()[0]
+    assert top["ngram"] == "quick brown fox"
+
+
+def test_common_ngrams_topk_and_validation(spark):
+    from mini_etl_spark.functions.text import common_ngrams
+
+    df = spark.createDataFrame(
+        [(i, "x y z w") for i in range(5)], "doc_id long, text string"
+    )
+    out = common_ngrams(df, n=2, min_docs=2, top_k=2)
+    assert out.count() == 2  # limit respected ('x y','y z','z w' all qualify)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        common_ngrams(df, n=0)

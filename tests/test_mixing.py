@@ -60,3 +60,85 @@ def test_shuffle_order_is_permutation(spark, sources):
 def test_empty_budgets_raise(sources):
     with pytest.raises(ValueError):
         mix_by_token_budget(sources, {})
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed_sources(spark):
+    # 80 web docs, 20 code docs — skewed enough that alpha matters
+    rows = [
+        (i, "web" if i < 80 else "code", f"doc {i} text")
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_temperature_alpha_extremes(spark, skewed_sources):
+    from mini_etl_spark.functions.mixing import temperature_mix
+
+    # alpha=0: every source gets an equal share of the budget
+    eq = temperature_mix(skewed_sources, budget=40, alpha=0.0, repeat=False)
+    by_src = {r["source"]: r["n"] for r in eq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == {"web": 20, "code": 20}
+    # alpha=1: natural distribution (floor(40*0.8)=32 / floor(40*0.2)=8)
+    nat = temperature_mix(skewed_sources, budget=40, alpha=1.0, repeat=False)
+    by_src = {r["source"]: r["n"] for r in nat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == {"web": 32, "code": 8}
+
+
+def test_temperature_repeat_epochs(spark, skewed_sources):
+    from mini_etl_spark.functions.mixing import temperature_mix
+
+    # alpha=0 with budget 200 → quota 100 per source; code has only 20
+    # docs, so repeat=True must replay it for 5 epochs
+    out = temperature_mix(skewed_sources, budget=200, alpha=0.0, repeat=True)
+    code = out.filter("source = 'code'")
+    assert code.count() == 100
+    epochs = {r["epoch"] for r in code.select("epoch").distinct().collect()}
+    assert epochs == {0, 1, 2, 3, 4}
+    # each (doc_id, epoch) appears at most once; every epoch is a full
+    # pass over the 20 docs
+    per_epoch = {r["epoch"]: r["n"] for r in code.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 20 for n in per_epoch.values())
+    # epochs are DIFFERENT permutations (seed folds the epoch number)
+    e0 = [r["doc_id"] for r in code.filter("epoch = 0").orderBy("doc_id").collect()]
+    # order-by-rank comparison: take first 5 of each epoch's md5 order
+    assert code.select("doc_id").distinct().count() == 20
+    # repeat=False caps at the source size instead
+    capped = temperature_mix(skewed_sources, budget=200, alpha=0.0, repeat=False)
+    assert capped.filter("source = 'code'").count() == 20
+    assert capped.select("epoch").distinct().collect()[0]["epoch"] == 0
+
+
+def test_temperature_deterministic(spark, skewed_sources):
+    from mini_etl_spark.functions.mixing import temperature_mix
+
+    a = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in temperature_mix(skewed_sources, budget=60, alpha=0.5).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in temperature_mix(skewed_sources, budget=60, alpha=0.5).collect()
+    )
+    assert a == b
+    c = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in temperature_mix(skewed_sources, budget=60, alpha=0.5, seed=7).collect()
+    )
+    assert a != c
+
+
+def test_temperature_validation(skewed_sources):
+    from mini_etl_spark.functions.mixing import temperature_mix
+
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mix(skewed_sources, budget=0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(skewed_sources, budget=10, alpha=-0.1)
