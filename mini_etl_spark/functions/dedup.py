@@ -785,42 +785,51 @@ def connected_components(
         .select("__e.src", "__e.dst")
         .persist()
     )
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__nbr_min"))
-        .select(
-            F.col("src").alias("node"),
-            F.least(F.col("src"), F.col("__nbr_min")).alias("label"),
-        )
-        .persist()
-    )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("label").alias("__nbr_label"))
-        )
-        # Carry the previous label alongside the new one so the convergence
-        # check is a filter over this (persisted) frame — no old-vs-new join,
-        # and the `count` action doubles as the cache materialization.
-        cand = (
-            labels.join(nbr, labels.node == nbr.dst, "left")
+    # Per-round state is localCheckpoint'd (NOT persist'd): the checkpoint
+    # cuts the logical plan, so the optimizer re-plans a constant-depth
+    # plan each round instead of the whole accumulated join chain (plain
+    # persist caches DATA but Catalyst still re-analyzes the full lineage
+    # — measured minutes of driver time by round ~15), and checkpoint
+    # blocks are ContextCleaner-freed when the frame is GC'd, so neither
+    # the rounds nor the RETURNED frame pin executor storage forever the
+    # way an unmatched persist() does.
+    try:
+        labels = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("__nbr_min"))
             .select(
-                "node",
-                F.col("label").alias("__old"),
-                F.least(
-                    F.col("label"), F.coalesce("__nbr_label", F.col("label"))
-                ).alias("label"),
+                F.col("src").alias("node"),
+                F.least(F.col("src"), F.col("__nbr_min")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = cand.filter(F.col("label") < F.col("__old")).count()
-        labels.unpersist()
-        labels = cand
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("label").alias("__nbr_label"))
+            )
+            # Carry the previous label alongside the new one so the
+            # convergence check is a filter over the checkpointed frame —
+            # no old-vs-new join, no recompute.
+            cand = (
+                labels.join(nbr, labels.node == nbr.dst, "left")
+                .select(
+                    "node",
+                    F.col("label").alias("__old"),
+                    F.least(
+                        F.col("label"), F.coalesce("__nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = cand.filter(F.col("label") < F.col("__old")).count()
+            labels = cand
+            if changed == 0:
+                break
+        return labels.select(F.col("node"), F.col("label").alias("component"))
+    finally:
+        edges.unpersist()
 
 
 def _star_components(

@@ -150,7 +150,9 @@ def temperature_mix(
     epoch is a fresh md5 permutation (seed folded with the epoch number),
     and the output carries an ``epoch`` column (0-based) so downstream
     training order can interleave epochs. ``repeat=False`` caps each
-    quota at the source size (``epoch`` is all-zero).
+    quota at the source size (``epoch`` is all-zero). Rows with a NULL
+    ``source_col`` are dropped (they belong to no source's quota — same
+    drop semantics as :func:`mix_by_token_budget`'s unknown sources).
 
     Scale: one vocabulary-sized aggregate (per-source counts — the
     single-partition window over it holds #sources rows, same stance as
@@ -162,6 +164,11 @@ def temperature_mix(
         raise ValueError("temperature_mix: budget must be positive")
     if alpha < 0:
         raise ValueError("temperature_mix: alpha must be >= 0")
+    # NULL sources are dropped BEFORE the quota math (same drop semantics
+    # as mix_by_token_budget's unknown-source filter) — otherwise the null
+    # group's weight would inflate the normalizer and shrink every real
+    # source's quota while its rows silently vanish in the join
+    df = df.filter(F.col(source_col).isNotNull())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     w_cum = Window.orderBy(source_col).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.rowsBetween(
@@ -195,13 +202,14 @@ def temperature_mix(
         joined = joined.withColumn("epoch", F.lit(0).cast("long")).filter(
             F.col("__quota") > 0
         )
-    order_key = F.md5(
+    # _order_hash(seed, "epoch|id") == md5("seed|epoch|id") — the module's
+    # pinned engine-portable hash contract, epoch folded into the key so
+    # every epoch draws a fresh permutation
+    order_key = _order_hash(
         F.concat_ws(
-            "|",
-            F.lit(str(seed)),
-            F.col("epoch").cast("string"),
-            F.col(id_col).cast("string"),
-        )
+            "|", F.col("epoch").cast("string"), F.col(id_col).cast("string")
+        ),
+        seed,
     )
     w = Window.partitionBy(source_col, "epoch").orderBy(order_key, id_col)
     rank = F.col("epoch") * F.col("__n") + F.row_number().over(w)

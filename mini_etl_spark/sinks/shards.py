@@ -21,8 +21,8 @@ that contract on top of the engine's deterministic md5 bucketing:
 No reference parity: the reference has no sharded-export surface — this is
 the training-data-pipeline extension (BASELINE.json north star).
 
-Scale: one column-pruned aggregate for the manifest (key column only) and
-one full shuffle on the shard id for the write. ``num_shards`` should be
+Scale: one full shuffle on the shard id for the write, plus one scan of
+the written shards for the manifest counts. ``num_shards`` should be
 chosen so a shard fits a training worker's streaming budget (hundreds of
 MB to a few GB), NOT one-file-per-executor; at 100 TB that's thousands of
 shards, which is exactly what the single hash shuffle handles.
@@ -32,9 +32,8 @@ from __future__ import annotations
 
 import json
 import logging
-from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mini_etl_spark.functions.splits import hash_bucket
@@ -43,6 +42,22 @@ from mini_etl_spark.sinks.writers import Sink, _spark_mode
 logger = logging.getLogger(__name__)
 
 _FORMATS = {"jsonl": "json", "parquet": "parquet", "csv": "csv"}
+
+# the exactly-one-file-per-shard + manifest contract only holds for a
+# fresh write: "append" would stack part files per shard dir and the
+# manifest would describe only the last batch; "ignore" would skip the
+# data write yet still rewrite the manifest
+_ALLOWED_MODES = {"w", "overwrite", "replace", "error", "fail"}
+
+
+def _manifest_path(spark: SparkSession, path: str):
+    """(fs, hadoop Path) for <path>/_manifest.json — resolved through the
+    Hadoop FileSystem API so URI paths (file://, hdfs://, s3a://) land
+    next to the shards instead of being mangled into a local path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path, "_manifest.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def to_training_shards(
@@ -64,15 +79,24 @@ def to_training_shards(
     LLM-training interchange), ``parquet``, or ``csv`` (header on).
     Extra ``options`` pass through to the writer (e.g. ``compression``).
 
-    The manifest pass aggregates only ``key_col`` (column-pruned scan of
-    the input); set ``manifest=False`` to skip it when the input is not
-    re-readable (e.g. an exhausted stream of a transient source).
+    The manifest is counted from the WRITTEN shards (one scan of the
+    just-materialized output — never a recompute of the input plan), so
+    it always agrees with the files on disk; ``manifest=False`` skips it.
+
+    ``mode`` accepts only fresh-write modes (overwrite / error): append
+    or ignore would break the one-file-per-shard and manifest contracts.
     """
     if num_shards < 1:
         raise ValueError("to_training_shards: num_shards must be >= 1")
     if fmt not in _FORMATS:
         raise ValueError(
             f"to_training_shards: fmt must be one of {sorted(_FORMATS)}, got {fmt!r}"
+        )
+    if mode not in _ALLOWED_MODES:
+        raise ValueError(
+            "to_training_shards: mode must be a fresh-write mode "
+            f"({sorted(_ALLOWED_MODES)}), got {mode!r} — append/ignore would "
+            "desync the manifest and the one-file-per-shard layout"
         )
     spark_fmt = _FORMATS[fmt]
     spark_mode = _spark_mode(mode)
@@ -97,13 +121,16 @@ def to_training_shards(
             writer = writer.option(k, v)
         writer.format(spark_fmt).save(path)
         if manifest:
+            spark = df.sparkSession
+            # count the WRITTEN output, not the input: one scan of the
+            # materialized shards, guaranteed consistent with the files
+            # the manifest describes (the input plan is never re-run)
+            reader = spark.read.format(spark_fmt)
+            if fmt == "csv":
+                reader = reader.option("header", True)
             counts = {
                 int(r[shard_col]): int(r["__n"])
-                for r in df.select(
-                    hash_bucket(
-                        key_col, seed=seed, num_buckets=num_shards
-                    ).alias(shard_col)
-                )
+                for r in reader.load(path)
                 .groupBy(shard_col)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .collect()
@@ -117,9 +144,12 @@ def to_training_shards(
                 "shards": {str(i): counts.get(i, 0) for i in range(num_shards)},
                 "total_rows": sum(counts.values()),
             }
-            # driver-local write; the shard data itself goes through the
-            # distributed writer above, only this KB-sized summary is local
-            Path(path, "_manifest.json").write_text(json.dumps(doc, indent=1))
+            fs, hpath = _manifest_path(spark, path)
+            out = fs.create(hpath, True)
+            try:
+                out.write(bytearray(json.dumps(doc, indent=1).encode("utf-8")))
+            finally:
+                out.close()
             logger.info(
                 "to_training_shards: %d rows into %d shards at %s",
                 doc["total_rows"], num_shards, path,
@@ -128,6 +158,20 @@ def to_training_shards(
     return _write
 
 
-def read_shard_manifest(path: str) -> dict:
-    """Load the ``_manifest.json`` written by :func:`to_training_shards`."""
-    return json.loads(Path(path, "_manifest.json").read_text())
+def read_shard_manifest(path: str, spark: SparkSession | None = None) -> dict:
+    """Load the ``_manifest.json`` written by :func:`to_training_shards`.
+
+    Resolved through the Hadoop FileSystem API (URI schemes work); pass
+    ``spark`` explicitly when no session is active."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_shard_manifest: no active SparkSession")
+    fs, hpath = _manifest_path(spark, path)
+    stream = fs.open(hpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+        return json.loads(text)
+    finally:
+        stream.close()

@@ -19,6 +19,7 @@ from tests.conftest import SF_SMALL
         ("streaming_quality_gate.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
         ("tokenize_corpus.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
         ("governed_release.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
+        ("mix_and_shard.yaml", {"DOCS_DIR": f"{SF_SMALL}/documents.parquet"}),
     ],
 )
 def test_example_config_runs(spark, tmp_path, monkeypatch, name, env):

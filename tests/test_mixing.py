@@ -106,10 +106,33 @@ def test_temperature_repeat_epochs(spark, skewed_sources):
     per_epoch = {r["epoch"]: r["n"] for r in code.groupBy("epoch").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert all(n == 20 for n in per_epoch.values())
-    # epochs are DIFFERENT permutations (seed folds the epoch number)
-    e0 = [r["doc_id"] for r in code.filter("epoch = 0").orderBy("doc_id").collect()]
-    # order-by-rank comparison: take first 5 of each epoch's md5 order
     assert code.select("doc_id").distinct().count() == 20
+    # epochs are DIFFERENT permutations (seed folds the epoch number):
+    # budget 60 → quota 30/source; code = full epoch 0 (20 docs) + the
+    # FIRST 10 of epoch 1's md5 order — predicted here with hashlib
+    import hashlib
+
+    partial = temperature_mix(skewed_sources, budget=60, alpha=0.0, repeat=True)
+    e1 = sorted(
+        r["doc_id"]
+        for r in partial.filter("source = 'code' and epoch = 1").collect()
+    )
+    code_ids = list(range(80, 100))
+    predicted = sorted(
+        sorted(
+            code_ids,
+            key=lambda i: (hashlib.md5(f"42|1|{i}".encode()).hexdigest(), i),
+        )[:10]
+    )
+    assert e1 == predicted
+    # and epoch 1's draw is not just epoch 0's first half
+    e0_first10 = sorted(
+        sorted(
+            code_ids,
+            key=lambda i: (hashlib.md5(f"42|0|{i}".encode()).hexdigest(), i),
+        )[:10]
+    )
+    assert e1 != e0_first10
     # repeat=False caps at the source size instead
     capped = temperature_mix(skewed_sources, budget=200, alpha=0.0, repeat=False)
     assert capped.filter("source = 'code'").count() == 20
@@ -142,3 +165,17 @@ def test_temperature_validation(skewed_sources):
         temperature_mix(skewed_sources, budget=0)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(skewed_sources, budget=10, alpha=-0.1)
+
+
+def test_temperature_null_sources_dropped_before_quota_math(spark):
+    from mini_etl_spark.functions.mixing import temperature_mix
+
+    # half the corpus has NULL source: it must not absorb quota weight —
+    # the two real sources still split the whole budget
+    rows = [(i, None if i % 2 == 0 else ("a" if i < 50 else "b"), "t")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mix(df, budget=20, alpha=0.0, repeat=False)
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == {"a": 10, "b": 10}

@@ -84,3 +84,18 @@ def test_shards_validation(spark, corpus, tmp_path):
         to_training_shards(str(tmp_path / "x"), num_shards=2)(
             corpus.withColumn("shard", F.lit(1))
         )
+    # append/ignore would desync manifest and one-file-per-shard layout
+    with pytest.raises(ValueError, match="fresh-write"):
+        to_training_shards(str(tmp_path / "x"), num_shards=2, mode="a")(corpus)
+    with pytest.raises(ValueError, match="fresh-write"):
+        to_training_shards(str(tmp_path / "x"), num_shards=2, mode="ignore")(corpus)
+
+
+def test_shards_uri_path_manifest(spark, corpus, tmp_path):
+    # file:// URI: manifest must land NEXT TO the shards, not in a
+    # mangled cwd-relative local path
+    path = "file://" + str(tmp_path / "uri_shards")
+    to_training_shards(path, num_shards=4)(corpus)
+    m = read_shard_manifest(path, spark)
+    assert m["total_rows"] == 500
+    assert os.path.exists(str(tmp_path / "uri_shards" / "_manifest.json"))
