@@ -1592,6 +1592,56 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation (SFT) operators end-to-end: a deterministic turn log is
+    synthesized from documents (4 turns of 6 tokens each; every 7th doc is
+    all-'user' to trip validation), then from_turns → stats → validation →
+    rendered-transcript fingerprint — one grouped aggregate + projections.
+    The DuckDB oracle replays the synthesis and the whole chain on the
+    flat form (lag window for role adjacency, ordered string_agg for the
+    rendering)."""
+    from mini_etl_spark.functions import conversations as cv
+    from mini_etl_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    flat = (
+        docs.withColumn("__toks", tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("pos"),
+            "__toks",
+        )
+        .filter(F.size("__toks") > F.col("pos") * 6)
+        .select(
+            F.col("doc_id").alias("conv_id"),
+            F.col("pos").alias("turn_idx"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("user"))
+            .when(F.col("pos") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("pos") * 6 + 1, 6)
+            ).alias("content"),
+        )
+    )
+    convs = cv.from_turns(flat)
+    out = cv.render_chat(
+        cv.validate_conversations(cv.conversation_stats(convs))
+    )
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_user").cast("long").alias("n_user"),
+        F.col("n_assistant").cast("long").alias("n_assistant"),
+        "n_tokens",
+        "first_role",
+        "last_role",
+        F.array_join("conv_errors", ",").alias("errors"),
+        F.col("conv_valid").alias("valid"),
+        F.md5(F.col("text").cast("binary")).alias("render_fp"),
+    )
+
+
 def q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide repeated 3-gram census (memorization/boilerplate audit):
     explode n-gram postings → (ngram, doc) partial agg → (ngram) final,
@@ -2610,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- not yet driver-stamped (lead for sampling priority) ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
+        "conversation_stats": q_conversation_stats,
         "url_parse": q_url_parse,
         "url_blocklist": q_url_blocklist,
         "link_hosts": q_link_hosts,
@@ -4187,6 +4238,43 @@ def oracle_sql() -> dict[str, str]:
               FROM epochs)
             SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
             FROM ranked WHERE rnk <= quota
+        """,
+        "conversation_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+            flat AS (
+              SELECT doc_id AS conv_id, i.i AS pos,
+                     CASE WHEN doc_id % 7 = 0 THEN 'user'
+                          WHEN i.i % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     array_to_string(t[i.i*6+1 : i.i*6+6], ' ') AS content
+              FROM toks, (SELECT unnest([0,1,2,3]) AS i) i
+              WHERE len(t) > i.i * 6),
+            flagged AS (
+              SELECT conv_id, pos, role, content,
+                     role = lag(role) OVER (
+                       PARTITION BY conv_id ORDER BY pos) AS same_as_prev
+              FROM flat)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (role = 'user') AS BIGINT) AS n_user,
+                   CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+                     AS n_assistant,
+                   CAST(sum(len(string_split(content, ' '))) AS BIGINT)
+                     AS n_tokens,
+                   arg_min(role, pos) AS first_role,
+                   arg_max(role, pos) AS last_role,
+                   concat_ws(',',
+                     CASE WHEN coalesce(bool_or(same_as_prev), false)
+                          THEN 'consecutive_role' END,
+                     CASE WHEN count(*) FILTER (role = 'assistant') = 0
+                          THEN 'no_assistant' END) AS errors,
+                   NOT (coalesce(bool_or(same_as_prev), false)
+                        OR count(*) FILTER (role = 'assistant') = 0) AS valid,
+                   md5(string_agg(role || ': ' || content, chr(10)
+                                  ORDER BY pos)) AS render_fp
+            FROM flagged
+            GROUP BY conv_id
         """,
         "common_ngrams": f"""
             WITH toks AS (

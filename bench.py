@@ -416,6 +416,7 @@ def main() -> None:
         "token_mixture": queries["token_mixture"],
         "temperature_mix": queries["temperature_mix"],
         "common_ngrams": queries["common_ngrams"],
+        "conversation_stats": queries["conversation_stats"],
         "corpus_shuffle": queries["corpus_shuffle"],
         "quality_percentile": queries["quality_percentile"],
         "semantic_cell_pairs": _cell_pairs_default,

@@ -1,0 +1,242 @@
+"""Conversation (chat / SFT) data operators.
+
+Instruction-tuning corpora are conversations, not documents: an ordered
+list of (role, content) turns per record. This module gives that modality
+first-class columnar treatment with the engine's usual contracts — pure
+JVM expressions (array HOFs over ``array<struct<role,content>>``), no
+Python row UDFs, engine-replayable hashes for dedup keys.
+
+Schema convention: a conversation column is
+``array<struct<role: string, content: string>>`` (the JSON chat format
+every SFT stack exchanges, minus extra keys). Build it from flat turn
+logs with :func:`from_turns`; everything downstream is a projection.
+
+Scale stance: ``from_turns`` is ONE hash aggregate (collect_list per
+conversation — a conversation must fit in an executor row, the same
+bound every chat format implies); stats/validation/rendering are
+zero-shuffle projections; dedup is the standard md5-key one-shuffle
+group-by. Rendered text feeds every existing text operator (quality,
+MinHash dedup, decontamination) unchanged.
+
+No reference parity: the reference has no conversation surface — this is
+the training-data-pipeline extension (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions.text import tokens
+
+__all__ = [
+    "from_turns",
+    "conversation_stats",
+    "validate_conversations",
+    "render_chat",
+    "dedup_conversations",
+]
+
+DEFAULT_ROLES = ("system", "user", "assistant")
+
+
+def _msgs(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def from_turns(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    role_col: str = "role",
+    content_col: str = "content",
+    order_col: str = "turn_idx",
+    messages_col: str = "messages",
+) -> DataFrame:
+    """Group a flat turn log into ``(id, messages)`` conversations.
+
+    One hash aggregate: turns are collected per conversation and sorted
+    by ``order_col`` inside the array (``array_sort`` on a struct whose
+    FIRST field is the order key — no window, no per-group sort pass).
+    The order key is then stripped so the output is the canonical
+    ``array<struct<role, content>>``.
+    """
+    packed = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(role_col).alias("role"),
+                F.col(content_col).alias("content"),
+            )
+        )
+    )
+    msgs = F.transform(
+        packed,
+        lambda m: F.struct(
+            m["role"].alias("role"), m["content"].alias("content")
+        ),
+    )
+    return df.groupBy(id_col).agg(msgs.alias(messages_col))
+
+
+def conversation_stats(
+    df: DataFrame, messages_col: str = "messages"
+) -> DataFrame:
+    """Attach per-conversation shape stats in one zero-shuffle projection:
+    ``n_turns``, ``n_user`` / ``n_assistant`` / ``n_system`` turn counts,
+    ``n_tokens`` (summed over all contents, same tokenizer contract as
+    text.py), ``first_role`` / ``last_role``."""
+    m = _msgs(messages_col)
+    tok_counts = F.transform(m, lambda x: F.size(tokens(x["content"])))
+
+    def role_count(role: str) -> Column:
+        return F.size(F.filter(m, lambda x: x["role"] == F.lit(role)))
+
+    return (
+        df.withColumn("n_turns", F.size(m))
+        .withColumn("n_user", role_count("user"))
+        .withColumn("n_assistant", role_count("assistant"))
+        .withColumn("n_system", role_count("system"))
+        .withColumn(
+            "n_tokens",
+            F.aggregate(
+                tok_counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ),
+        )
+        .withColumn(
+            "first_role",
+            F.when(F.size(m) > 0, F.element_at(m, 1)["role"]),
+        )
+        .withColumn(
+            "last_role",
+            F.when(F.size(m) > 0, F.element_at(m, -1)["role"]),
+        )
+    )
+
+
+def validate_conversations(
+    df: DataFrame,
+    messages_col: str = "messages",
+    allowed_roles: tuple[str, ...] = DEFAULT_ROLES,
+    errors_col: str = "conv_errors",
+    valid_col: str = "conv_valid",
+) -> DataFrame:
+    """Attach ``conv_errors`` (array of violated-rule labels, empty = ok)
+    and ``conv_valid`` in one projection. Rules (the standard SFT gates):
+
+    - ``empty``: no turns at all;
+    - ``unknown_role``: a role outside ``allowed_roles``;
+    - ``empty_content``: a turn whose content is NULL/whitespace;
+    - ``bad_opening``: first turn is ``assistant`` (a reply with no
+      prompt); ``system``/``user`` both open legally;
+    - ``consecutive_role``: two adjacent turns with the same role
+      (templates require alternation after collapsing);
+    - ``no_assistant``: nothing for the model to learn from.
+
+    NULL-safe: every predicate coalesces to a violation, so a NULL role
+    or content can never slip through as valid.
+    """
+    m = _msgs(messages_col)
+    n = F.size(m)
+    allowed = F.array(*[F.lit(r) for r in allowed_roles])
+    unknown = F.exists(
+        m, lambda x: ~F.coalesce(F.array_contains(allowed, x["role"]), F.lit(False))
+    )
+    empty_content = F.exists(
+        m, lambda x: F.coalesce(F.trim(x["content"]) == "", F.lit(True))
+    )
+    bad_opening = F.when(n > 0, F.element_at(m, 1)["role"] == "assistant").otherwise(
+        F.lit(False)
+    )
+    # adjacent-pair role equality: zip the array with itself shifted by one
+    pairs = F.zip_with(
+        F.slice(m, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(m, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.coalesce(a["role"] == b["role"], F.lit(True)),
+    )
+    consecutive = F.exists(pairs, lambda x: x)
+    no_assistant = ~F.exists(
+        m, lambda x: F.coalesce(x["role"] == "assistant", F.lit(False))
+    )
+
+    checks: list[tuple[str, Column]] = [
+        ("empty", n == 0),
+        ("unknown_role", F.coalesce(unknown, F.lit(False))),
+        ("empty_content", F.coalesce(empty_content, F.lit(False))),
+        ("bad_opening", F.coalesce(bad_opening, F.lit(False))),
+        ("consecutive_role", F.coalesce(consecutive, F.lit(False))),
+        ("no_assistant", F.coalesce(no_assistant, F.lit(False))),
+    ]
+    errors = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(label)).otherwise(F.lit(None)) for label, cond in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = df.withColumn(errors_col, errors)
+    return out.withColumn(valid_col, F.size(F.col(errors_col)) == 0)
+
+
+def render_chat(
+    df: DataFrame,
+    messages_col: str = "messages",
+    out_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Flatten a conversation to one text column (``role: content`` lines)
+    — the bridge onto every document operator (quality scoring, MinHash
+    dedup, decontamination, token counting) without new machinery. Pure
+    projection; the separator/format is deliberately plain (training
+    templates are a tokenizer concern, not a storage one)."""
+    m = _msgs(messages_col)
+    rendered = F.array_join(
+        F.transform(
+            m, lambda x: F.concat_ws(": ", x["role"], F.coalesce(x["content"], F.lit("")))
+        ),
+        sep,
+    )
+    return df.withColumn(out_col, rendered)
+
+
+def dedup_conversations(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    messages_col: str = "messages",
+    by: str = "full",
+) -> DataFrame:
+    """Drop duplicate conversations, keeping the minimum ``id_col`` per
+    key — the exact-dedup contract (dedup.exact_dedup's keeper rule).
+
+    ``by="full"``: key = md5 of the full rendering (role+content of every
+    turn) — exact-duplicate transcripts.
+    ``by="prompt"``: key = md5 of the FIRST user turn's content — one
+    response kept per distinct prompt (the SFT answer-dedup move; pair it
+    with a quality score + ``keep_by`` ordering upstream if "first by id"
+    is not the keeper you want).
+
+    One md5 projection + one window on the key (single shuffle).
+    """
+    m = _msgs(messages_col)
+    if by == "full":
+        key_src = F.array_join(
+            F.transform(
+                m,
+                lambda x: F.concat_ws(
+                    "\x1f", x["role"], F.coalesce(x["content"], F.lit(""))
+                ),
+            ),
+            "\x1e",
+        )
+    elif by == "prompt":
+        firsts = F.filter(m, lambda x: x["role"] == F.lit("user"))
+        key_src = F.when(F.size(firsts) > 0, F.element_at(firsts, 1)["content"])
+    else:
+        raise ValueError(
+            f"dedup_conversations: by must be 'full' or 'prompt', got {by!r}"
+        )
+    keyed = df.withColumn("__ck", F.md5(F.coalesce(key_src, F.lit("")).cast("binary")))
+    w = Window.partitionBy("__ck").orderBy(id_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__ck", "__rn")
+    )

@@ -1,0 +1,107 @@
+"""Conversation (chat/SFT) operators: builder ordering, stats, validation
+rules, rendering, and dedup keeper semantics (exact values for the composed
+chain are gated by the `conversation_stats` DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions.conversations import (
+    conversation_stats,
+    dedup_conversations,
+    from_turns,
+    render_chat,
+    validate_conversations,
+)
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    # flat turn log, deliberately out of order within conversations
+    rows = [
+        (1, 1, "assistant", "hi there"),
+        (1, 0, "user", "hello bot"),
+        (1, 2, "user", "how are you"),
+        (1, 3, "assistant", "fine thanks"),
+        (2, 0, "system", "be helpful"),
+        (2, 1, "user", "question"),
+        (2, 2, "assistant", "answer"),
+        (3, 0, "user", "only me talking"),
+        (3, 1, "user", "still me"),  # consecutive same role, no assistant
+        (4, 0, "assistant", "unprompted reply"),  # bad opening
+        (5, 0, "user", ""),  # empty content
+        (5, 1, "assistant", "reply"),
+    ]
+    flat = spark.createDataFrame(
+        rows, "conv_id long, turn_idx long, role string, content string"
+    )
+    return from_turns(flat)
+
+
+def test_from_turns_orders_by_turn_idx(convs):
+    msgs = {r["conv_id"]: r["messages"] for r in convs.collect()}
+    assert [m["role"] for m in msgs[1]] == ["user", "assistant", "user", "assistant"]
+    assert msgs[1][0]["content"] == "hello bot"
+    # the order key is stripped from the output structs
+    assert set(msgs[1][0].asDict()) == {"role", "content"}
+
+
+def test_conversation_stats(convs):
+    out = {r["conv_id"]: r for r in conversation_stats(convs).collect()}
+    assert out[1]["n_turns"] == 4
+    assert out[1]["n_user"] == 2 and out[1]["n_assistant"] == 2
+    assert out[2]["n_system"] == 1
+    assert out[1]["n_tokens"] == 9  # 2+2+3+2
+    assert out[1]["first_role"] == "user" and out[1]["last_role"] == "assistant"
+    assert out[2]["first_role"] == "system"
+
+
+def test_validation_rules(convs):
+    out = {r["conv_id"]: r for r in validate_conversations(convs).collect()}
+    assert out[1]["conv_valid"] and out[1]["conv_errors"] == []
+    assert out[2]["conv_valid"]
+    assert set(out[3]["conv_errors"]) == {"consecutive_role", "no_assistant"}
+    assert out[4]["conv_errors"] == ["bad_opening"]
+    assert out[5]["conv_errors"] == ["empty_content"]
+    # unknown role + NULL content are violations, never silently valid
+    extra = from_turns(
+        convs.sparkSession.createDataFrame(
+            [(9, 0, "tool", None)],
+            "conv_id long, turn_idx long, role string, content string",
+        )
+    )
+    row = validate_conversations(extra).collect()[0]
+    assert "unknown_role" in row["conv_errors"]
+    assert "empty_content" in row["conv_errors"]
+
+
+def test_render_chat(convs):
+    out = {r["conv_id"]: r["text"] for r in render_chat(convs).collect()}
+    assert out[2] == "system: be helpful\nuser: question\nassistant: answer"
+
+
+def test_dedup_conversations_full_and_prompt(spark):
+    rows = [
+        (10, 0, "user", "same prompt"),
+        (10, 1, "assistant", "answer one"),
+        (11, 0, "user", "same prompt"),
+        (11, 1, "assistant", "answer two"),
+        (12, 0, "user", "same prompt"),
+        (12, 1, "assistant", "answer one"),  # full duplicate of 10
+        (13, 0, "user", "different prompt"),
+        (13, 1, "assistant", "answer one"),
+    ]
+    convs = from_turns(
+        spark.createDataFrame(
+            rows, "conv_id long, turn_idx long, role string, content string"
+        )
+    )
+    full = sorted(r["conv_id"] for r in dedup_conversations(convs, by="full").collect())
+    assert full == [10, 11, 13]  # 12 is the exact transcript dup of 10
+    prompt = sorted(
+        r["conv_id"] for r in dedup_conversations(convs, by="prompt").collect()
+    )
+    assert prompt == [10, 13]  # one response per distinct first user prompt
+    with pytest.raises(ValueError, match="by must be"):
+        dedup_conversations(convs, by="nope")
