@@ -1642,6 +1642,22 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO pair construction: documents play scored completions (prompt =
+    doc_id % 97, score = n_chars as a quality proxy) → per-prompt
+    (chosen, rejected) via one max_by/min_by hash aggregate with opposite
+    tie-breaks. The oracle replays the ranking as two row_number windows."""
+    from mini_etl_spark.functions import conversations as cv
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("doc_id") % 97).alias("prompt_id"),
+        F.col("doc_id").alias("completion_id"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    return cv.preference_pairs(scored, min_margin=1.0)
+
+
 def q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide repeated 3-gram census (memorization/boilerplate audit):
     explode n-gram postings → (ngram, doc) partial agg → (ngram) final,
@@ -2661,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
         "conversation_stats": q_conversation_stats,
+        "preference_pairs": q_preference_pairs,
         "url_parse": q_url_parse,
         "url_blocklist": q_url_blocklist,
         "link_hosts": q_link_hosts,
@@ -4275,6 +4292,33 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY pos)) AS render_fp
             FROM flagged
             GROUP BY conv_id
+        """,
+        "preference_pairs": """
+            WITH scored AS (
+              SELECT doc_id % 97 AS prompt_id, doc_id AS completion_id,
+                     CAST(n_chars AS DOUBLE) AS score
+              FROM documents),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score DESC, completion_id ASC) AS rc,
+                     row_number() OVER (PARTITION BY prompt_id
+                       ORDER BY score ASC, completion_id DESC) AS rr,
+                     count(*) OVER (PARTITION BY prompt_id) AS n
+              FROM scored),
+            pairs AS (
+              SELECT c.prompt_id,
+                     c.completion_id AS chosen_id, c.score AS chosen_score,
+                     r.completion_id AS rejected_id, r.score AS rejected_score
+              FROM ranked c
+              JOIN ranked r ON c.prompt_id = r.prompt_id
+                           AND c.rc = 1 AND r.rr = 1
+              WHERE c.n >= 2 AND c.completion_id != r.completion_id)
+            SELECT prompt_id, chosen_id, chosen_score, rejected_id,
+                   rejected_score,
+                   chosen_score - rejected_score AS margin
+            FROM pairs
+            WHERE chosen_score - rejected_score >= 1.0
         """,
         "common_ngrams": f"""
             WITH toks AS (

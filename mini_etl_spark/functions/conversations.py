@@ -35,6 +35,7 @@ __all__ = [
     "validate_conversations",
     "render_chat",
     "dedup_conversations",
+    "preference_pairs",
 ]
 
 DEFAULT_ROLES = ("system", "user", "assistant")
@@ -239,4 +240,54 @@ def dedup_conversations(
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__ck", "__rn")
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    id_col: str = "completion_id",
+    score_col: str = "score",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Build (chosen, rejected) preference pairs per prompt from scored
+    completions — the DPO/RLHF pair-construction step.
+
+    chosen = the completion maximizing (score, then smallest id on ties);
+    rejected = the one minimizing (score, then LARGEST id on ties) — the
+    opposite tie-break, so a two-way tie still yields two distinct rows.
+    Prompts whose margin (score_chosen − score_rejected) is below
+    ``min_margin``, or with only one completion, produce no pair (a pair
+    the model can't learn a preference from is noise, not data).
+
+    One hash aggregate per prompt (max_by/min_by over a struct ordering —
+    no window, no per-group sort; shuffle carries one row per (map
+    partition, prompt)). Returns (prompt, chosen id/score, rejected
+    id/score, margin); join back on the id for payload columns.
+    """
+    i, s = F.col(id_col), F.col(score_col)
+    # one ordering key serves both ends: max picks (high score, tie →
+    # smallest id), min picks (low score, tie → LARGEST id) — opposite
+    # tie-breaks by construction, so a two-way tie yields distinct rows
+    ordkey = F.struct(s.alias("s"), (-i).alias("ti"))
+    agg = df.groupBy(prompt_col).agg(
+        F.max_by(i, ordkey).alias("chosen_id"),
+        F.max(s).alias("chosen_score"),
+        F.min_by(i, ordkey).alias("rejected_id"),
+        F.min(s).alias("rejected_score"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        agg.filter(
+            (F.col("__n") >= 2)
+            & (F.col("chosen_id") != F.col("rejected_id"))
+            & (
+                F.col("chosen_score") - F.col("rejected_score")
+                >= F.lit(float(min_margin))
+            )
+        )
+        .withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .drop("__n")
     )

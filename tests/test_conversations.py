@@ -105,3 +105,28 @@ def test_dedup_conversations_full_and_prompt(spark):
     assert prompt == [10, 13]  # one response per distinct first user prompt
     with pytest.raises(ValueError, match="by must be"):
         dedup_conversations(convs, by="nope")
+
+
+def test_preference_pairs(spark):
+    from mini_etl_spark.functions.conversations import preference_pairs
+
+    rows = [
+        # prompt 1: clear winner/loser
+        (1, 10, 0.9), (1, 11, 0.2), (1, 12, 0.5),
+        # prompt 2: all tied — opposite tie-breaks pick distinct rows,
+        # margin 0 passes min_margin=0
+        (2, 20, 0.5), (2, 21, 0.5),
+        # prompt 3: single completion — no pair
+        (3, 30, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "prompt_id long, completion_id long, score double")
+    out = {r["prompt_id"]: r for r in preference_pairs(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["chosen_id"] == 10 and out[1]["rejected_id"] == 11
+    assert abs(out[1]["margin"] - 0.7) < 1e-9
+    # tied prompt: smaller id chosen, larger id rejected, margin 0
+    assert out[2]["chosen_id"] == 20 and out[2]["rejected_id"] == 21
+    assert out[2]["margin"] == 0.0
+    # a positive min_margin drops the tied prompt
+    strict = {r["prompt_id"] for r in preference_pairs(df, min_margin=0.1).collect()}
+    assert strict == {1}
