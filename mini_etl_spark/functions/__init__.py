@@ -29,6 +29,10 @@ materialization.
 - :mod:`classify`   — relational Naive-Bayes domain/quality classifier and
                       DSIR-style importance weights (train = two hash
                       aggregates; score = explode + model equi-join)
+- :mod:`retrieval`  — reciprocal-rank fusion (hybrid BM25+embedding
+                      retrieval) and banded hard-negative mining
+- :mod:`ranking`    — majority-vote label aggregation and Bradley–Terry
+                      strength fitting from pairwise preferences
 - :mod:`web`        — URL parse/normalize/extract + registered-domain
                       grouping key + broadcast blocklist filtering (the
                       C4/CCNet per-host curation front end; pure codegen)
@@ -47,6 +51,8 @@ from mini_etl_spark.functions import (
     mixing,
     privacy,
     multimodal,
+    ranking,
+    retrieval,
     similarity,
     splits,
     text,
@@ -56,5 +62,5 @@ from mini_etl_spark.functions import (
 __all__ = [
     "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
     "corpus", "splits", "chunking", "mixing", "bpe", "privacy", "graph", "lm",
-    "classify", "web",
+    "classify", "web", "ranking", "retrieval",
 ]

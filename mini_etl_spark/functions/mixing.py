@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from mini_etl_spark.functions.text import tokens
 
-__all__ = ["mix_by_token_budget", "shuffle_order", "temperature_mix"]
+__all__ = [
+    "curriculum_order",
+    "mix_by_token_budget",
+    "shuffle_order",
+    "temperature_mix",
+]
 
 
 def _order_hash(key: Column, seed: int) -> Column:
@@ -218,4 +223,72 @@ def temperature_mix(
         joined.withColumn("__rank", rank.cast("long"))
         .filter(F.col("__rank") <= cap)
         .drop("__n", "__quota", "__rank")
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str,
+    id_col: str = "doc_id",
+    buckets: int = 4,
+    seed: int = 42,
+    method: str = "approx",
+    bucket_col: str = "bucket",
+    order_col: str = "curriculum_key",
+) -> DataFrame:
+    """Curriculum training order: quantile-bucket the corpus by a
+    difficulty score, shuffle deterministically WITHIN each bucket.
+    Sorting the output by (``bucket_col``, ``order_col``) yields the
+    easy→hard schedule curriculum-learning recipes train on; each stage
+    is still a uniform random (but reproducible) permutation of its
+    difficulty band, so no batch sees sorted data.
+
+    Buckets come from quantile cutoffs at i/buckets, i=1..buckets-1 —
+    cutoffs round to 6 decimals before comparison so two engines
+    computing interpolated quantiles in different float orders still
+    assign identical buckets (difficulty scores are typically
+    coarse-grained: lengths, counts, integer-ish ratios). Bucket id is
+    ``Σ_i (difficulty > cutoff_i)`` — 0-based, 0 = easiest.
+
+    ``method="approx"`` (default) uses ``approx_percentile`` — the scale
+    path (sketch-mergeable, one pass, no value materialization).
+    ``method="exact"`` uses exact ``percentile`` — engine-replayable
+    cutoffs for differential testing, at the cost of an exact-quantile
+    aggregate (collects the difficulty column per group internally; fine
+    at oracle scale, not the 100 TB default).
+
+    One aggregate (cutoffs — a 1-row frame broadcast into the
+    projection) + one projection; no shuffle of the corpus at all. The
+    order key is the module's md5 contract (``md5(seed|id)``), so the
+    within-bucket permutation replays in any engine.
+    """
+    if buckets < 2:
+        raise ValueError("curriculum_order: buckets must be >= 2")
+    if method not in ("approx", "exact"):
+        raise ValueError(
+            f"curriculum_order: method must be 'approx' or 'exact', "
+            f"got {method!r}"
+        )
+    fracs = [i / buckets for i in range(1, buckets)]
+    d = F.col(difficulty_col).cast("double")
+    if method == "exact":
+        cut_agg = F.percentile(d, F.array(*[F.lit(p) for p in fracs]))
+    else:
+        cut_agg = F.approx_percentile(
+            d, F.array(*[F.lit(p) for p in fracs]), F.lit(10000)
+        )
+    cuts = df.agg(cut_agg.alias("__cuts")).select(
+        *[
+            F.round(F.element_at("__cuts", i + 1), 6).alias(f"__c{i}")
+            for i in range(len(fracs))
+        ]
+    )
+    bucket = sum(
+        (d > F.col(f"__c{i}")).cast("int") for i in range(len(fracs))
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(bucket_col, bucket)
+        .withColumn(order_col, _order_hash(F.col(id_col), seed))
+        .drop(*[f"__c{i}" for i in range(len(fracs))])
     )
