@@ -133,8 +133,10 @@ def validate_conversations(
       (templates require alternation after collapsing);
     - ``no_assistant``: nothing for the model to learn from.
 
-    NULL-safe: every predicate coalesces to a violation, so a NULL role
-    or content can never slip through as valid.
+    NULL-safe: every predicate coalesces to a violation, and a NULL
+    ``messages`` array folds into ``empty`` (``F.size(NULL)`` is -1 under
+    non-ANSI, so the check is ``isNull | size <= 0``), so a NULL array,
+    role, or content can never slip through as valid.
     """
     m = _msgs(messages_col)
     n = F.size(m)
@@ -160,7 +162,7 @@ def validate_conversations(
     )
 
     checks: list[tuple[str, Column]] = [
-        ("empty", n == 0),
+        ("empty", m.isNull() | (n <= 0)),
         ("unknown_role", F.coalesce(unknown, F.lit(False))),
         ("empty_content", F.coalesce(empty_content, F.lit(False))),
         ("bad_opening", F.coalesce(bad_opening, F.lit(False))),
@@ -214,6 +216,12 @@ def dedup_conversations(
     with a quality score + ``keep_by`` ordering upstream if "first by id"
     is not the keeper you want).
 
+    Rows with a NULL key are never collapsed: a conversation with no user
+    turn (prompt mode) or a NULL messages array has nothing comparable,
+    so every such row is kept as-is rather than silently merged under one
+    shared empty key. Implementation keys those rows by their own id, so
+    the single window stays skew-free (no one giant NULL partition).
+
     One md5 projection + one window on the key (single shuffle).
     """
     m = _msgs(messages_col)
@@ -234,7 +242,13 @@ def dedup_conversations(
         raise ValueError(
             f"dedup_conversations: by must be 'full' or 'prompt', got {by!r}"
         )
-    keyed = df.withColumn("__ck", F.md5(F.coalesce(key_src, F.lit("")).cast("binary")))
+    keyed = df.withColumn(
+        "__ck",
+        F.when(key_src.isNotNull(), F.md5(key_src.cast("binary"))).otherwise(
+            # keyless rows: per-row unique key => rn=1 always, no skew
+            F.concat(F.lit("\x00nokey:"), F.col(id_col).cast("string"))
+        ),
+    )
     w = Window.partitionBy("__ck").orderBy(id_col)
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
@@ -265,15 +279,20 @@ def preference_pairs(
     partition, prompt)). Returns (prompt, chosen id/score, rejected
     id/score, margin); join back on the id for payload columns.
     """
-    i, s = F.col(id_col), F.col(score_col)
-    # one ordering key serves both ends: max picks (high score, tie →
-    # smallest id), min picks (low score, tie → LARGEST id) — opposite
-    # tie-breaks by construction, so a two-way tie yields distinct rows
-    ordkey = F.struct(s.alias("s"), (-i).alias("ti"))
+    i, s = F.col(id_col), F.col(score_col).cast("double")
+    # one ordering key serves both ends, negating only the SCORE (numeric
+    # by contract) so the id is always compared in its native ascending
+    # order — string/uuid completion ids stay deterministic (a negated id
+    # would cast to NULL under non-ANSI and scramble tie winners):
+    #   min over (-s, id)  = (high score, tie -> smallest id) = chosen
+    #   max over (-s, id)  = (low score,  tie -> LARGEST id)  = rejected
+    # — opposite tie-breaks by construction, so a two-way tie still
+    # yields two distinct rows
+    ordkey = F.struct((-s).alias("ns"), i.alias("ti"))
     agg = df.groupBy(prompt_col).agg(
-        F.max_by(i, ordkey).alias("chosen_id"),
+        F.min_by(i, ordkey).alias("chosen_id"),
         F.max(s).alias("chosen_score"),
-        F.min_by(i, ordkey).alias("rejected_id"),
+        F.max_by(i, ordkey).alias("rejected_id"),
         F.min(s).alias("rejected_score"),
         F.count(F.lit(1)).alias("__n"),
     )

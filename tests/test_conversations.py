@@ -130,3 +130,59 @@ def test_preference_pairs(spark):
     # a positive min_margin drops the tied prompt
     strict = {r["prompt_id"] for r in preference_pairs(df, min_margin=0.1).collect()}
     assert strict == {1}
+
+
+def test_validate_null_messages_is_invalid(spark):
+    """ADVICE r4: a NULL messages array must fold into the 'empty' rule —
+    F.size(NULL) is -1 under non-ANSI, so a bare ``n == 0`` check misses
+    it and every other predicate coalesces to false."""
+    df = spark.createDataFrame(
+        [(1, None)],
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    row = validate_conversations(df).collect()[0]
+    assert row["conv_errors"] == ["empty"]
+    assert row["conv_valid"] is False
+
+
+def test_dedup_prompt_keeps_all_userless_conversations(spark):
+    """ADVICE r4: conversations with no user turn have no prompt key —
+    they must all survive by='prompt' dedup rather than collapsing onto
+    one shared empty-string key."""
+    rows = [
+        (1, 0, "assistant", "unprompted one"),
+        (2, 0, "assistant", "unprompted two"),
+        (3, 0, "user", "real prompt"),
+        (4, 0, "user", "real prompt"),
+    ]
+    convs = from_turns(
+        spark.createDataFrame(
+            rows, "conv_id long, turn_idx long, role string, content string"
+        )
+    )
+    kept = sorted(
+        r["conv_id"] for r in dedup_conversations(convs, by="prompt").collect()
+    )
+    assert kept == [1, 2, 3]  # both user-less rows kept; 4 deduped onto 3
+
+
+def test_preference_pairs_string_ids_deterministic_ties(spark):
+    """ADVICE r4: tie-breaks must not negate the id (casts string ids to
+    NULL under non-ANSI) — the ordering key negates only the score, so
+    string completion ids break ties deterministically."""
+    from mini_etl_spark.functions.conversations import preference_pairs
+
+    rows = [
+        ("p1", "c-b", 0.5),
+        ("p1", "c-a", 0.5),
+        ("p1", "c-c", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, completion_id string, score double"
+    )
+    out = preference_pairs(df).collect()
+    assert len(out) == 1
+    # all tied: chosen = lexicographically smallest id, rejected = largest
+    assert out[0]["chosen_id"] == "c-a"
+    assert out[0]["rejected_id"] == "c-c"
+    assert out[0]["margin"] == 0.0
