@@ -1410,16 +1410,19 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document vectors (64 md5 buckets, L2-normalized) —
     the model-free featurizer that opens every embedding operator to a
-    plain text corpus. Flattened to (doc_id, pos, weight) scalar rows for
-    engine-portable comparison."""
+    plain text corpus. Flattened to (doc_id, pos, weight_e6) scalar rows
+    for engine-portable comparison; weight_e6 = round(weight * 1e6) as a
+    LONG, computed from the exact IEEE quotient (scale=10**6), because two
+    engines' round(x, 6) DOUBLEs can differ in the binary tail and fail a
+    bit-level hash even when every printed value agrees (the r4 escape)."""
     from mini_etl_spark.functions import text as tx
 
     docs = _t(spark, sf_dir, "documents")
-    vecs = tx.hashed_doc_vectors(docs, dim=64)
+    vecs = tx.hashed_doc_vectors(docs, dim=64, scale=10**6)
     return vecs.select(
-        "doc_id", "n_tokens", F.posexplode("embedding").alias("pos", "weight")
+        "doc_id", "n_tokens", F.posexplode("embedding").alias("pos", "weight_e6")
     ).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), "weight", "n_tokens"
+        "doc_id", F.col("pos").cast("long").alias("pos"), "weight_e6", "n_tokens"
     )
 
 
@@ -4092,13 +4095,18 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS c
               FROM toks GROUP BY doc_id, b),
             d AS (
-              SELECT doc_id, sqrt(sum(c*c)) AS nrm, sum(c) AS n_tokens
+              -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64;
+              -- the driver's bit-level hash distinguishes 124.0 from the
+              -- Spark side's int64 124 (the r4 hash_match=false escape)
+              SELECT doc_id, sqrt(sum(c*c)) AS nrm,
+                     CAST(sum(c) AS BIGINT) AS n_tokens
               FROM c GROUP BY doc_id),
             grid AS (
               SELECT doc_id, nrm, n_tokens, unnest(range(0, 64)) AS pos
               FROM d)
             SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos,
-                   round(coalesce(c.c, 0) / g.nrm, 6) AS weight,
+                   CAST(round(coalesce(c.c, 0) / g.nrm * 1000000)
+                        AS BIGINT) AS weight_e6,
                    g.n_tokens
             FROM grid g
             LEFT JOIN c ON c.doc_id = g.doc_id AND c.b = g.pos

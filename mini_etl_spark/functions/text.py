@@ -642,6 +642,7 @@ def hashed_doc_vectors(
     dim: int = 64,
     seed: int = 42,
     out_col: str = "embedding",
+    scale: int | None = None,
 ) -> DataFrame:
     """Model-free document vectors by the hashing trick: token counts
     folded into ``dim`` md5 buckets, L2-normalized — a deterministic,
@@ -649,10 +650,19 @@ def hashed_doc_vectors(
     (cosine top-k, cell-scoped dedup, centroid pooling) applicable to a
     plain text corpus with no model at all.
 
-    Returns (id, ``out_col`` array<double> length ``dim``, ``n_tokens``).
-    Zero-token documents are absent. One explode → (doc, bucket) count →
-    per-doc map assembly; weights rounded to 6 so external engines can
-    replay bit-for-bit."""
+    Returns (id, ``out_col`` length ``dim``, ``n_tokens``). Zero-token
+    documents are absent. One explode → (doc, bucket) count → per-doc map
+    assembly.
+
+    ``scale=None`` (default): ``array<double>`` weights rounded to 6
+    decimals — the embedding-operator input shape. ``scale=N`` (e.g.
+    ``10**6``): ``array<long>`` integer weights ``round(w * N)`` computed
+    directly from the exact IEEE quotient ``count/norm`` — bit-replayable
+    across engines. Two engines' ``round(x, 6)`` can disagree in the
+    invisible binary tail or at half-way ties of the DECIMAL re-quantize,
+    but nearest-integer rounding of the same IEEE double is exact in
+    both, so cross-engine hashes (driver correctness gates, external
+    replications) should compare the scaled form."""
     from mini_etl_spark.functions.splits import hash_bucket
 
     toks = exploded_tokens(df, text_col, id_col, "__did", "__tok")
@@ -664,13 +674,17 @@ def hashed_doc_vectors(
         F.sqrt(F.sum(F.col("__c") * F.col("__c"))).alias("__nrm"),
         F.sum("__c").cast("long").alias("n_tokens"),
     )
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.round(
-            F.coalesce(F.element_at("__m", i.cast("long")), F.lit(0)) / F.col("__nrm"),
-            6,
-        ),
-    )
+
+    def _weight(i):
+        raw = (
+            F.coalesce(F.element_at("__m", i.cast("long")), F.lit(0))
+            / F.col("__nrm")
+        )
+        if scale is None:
+            return F.round(raw, 6)
+        return F.round(raw * F.lit(int(scale))).cast("long")
+
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _weight)
     return per_doc.select(
         F.col("__did").alias(id_col), vec.alias(out_col), "n_tokens"
     )
