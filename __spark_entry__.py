@@ -2669,14 +2669,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples ~50
-    # entries starting from the FRONT of this dict, so the keys whose
-    # oracles the driver has not yet independently stamped (union of
-    # CORRECTNESS_r01-r03) lead, followed by the already-stamped set —
-    # completing the all-keys union is a round-4 goal (VERDICT #3).
-    # Every entry, regardless of position, is differentially tested by
+    # entries starting from the FRONT of this dict. The criterion for the
+    # lead block is "has NO GREEN row (rows+schema+hash all true) in the
+    # union of CORRECTNESS_r01-r04" — NOT merely "was sampled" (the r4
+    # front-load counted r01 `no_oracle` appearances as stamped, leaving
+    # 8 genuinely unverified keys behind the window; VERDICT r4 #2).
+    # Exactly 10 keys lack a green stamp; they lead, followed by the
+    # 122 green-stamped keys in their prior order. Every entry,
+    # regardless of position, is differentially tested bit-level by
     # tests/test_oracle.py on every pytest run.
     return {
-        # --- not yet driver-stamped (lead for sampling priority) ---
+        # --- never driver-GREEN in r01-r04 (lead for sampling) ---
+        "hashed_vectors": q_hashed_vectors,
+        "approx_sketches": q_approx_sketches,
+        "bpe_vocab": q_bpe_vocab,
+        "span_removal": q_span_removal,
+        "snapshot_diff": q_snapshot_diff,
+        "resample": q_resample,
+        "ivf_topk": q_ivf_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_dedup": q_simhash_dedup,
+        "lsh_topk": q_lsh_topk,
+        # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
         "conversation_stats": q_conversation_stats,
@@ -2706,12 +2720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "semi_join": q_semi_join,
         "percentiles": q_percentiles,
-        "approx_sketches": q_approx_sketches,
         "json_extract": q_json_extract,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "vocab_top_terms": q_vocab_top_terms,
-        "bpe_vocab": q_bpe_vocab,
         "embedding_quantize": q_embedding_quantize,
         "pq_topk": q_pq_topk,
         "stratified_sample": q_stratified_sample,
@@ -2722,16 +2734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "lm_perplexity": q_lm_perplexity,
         "normalized_text": q_normalized_text,
-        "hashed_vectors": q_hashed_vectors,
         "unpivot": q_unpivot,
         "simhash_pairs": q_simhash_pairs,
         "knn_join": q_knn_join,
         "duplicate_spans": q_duplicate_spans,
-        "span_removal": q_span_removal,
-        "snapshot_diff": q_snapshot_diff,
-        "resample": q_resample,
-        "ivf_topk": q_ivf_topk,
-        # --- driver-stamped green in r1-r3 ---
         "group_agg": q_group_agg,
         "filter_expression": q_filter_expression,
         "select_rename_project": q_select_rename_project,
@@ -2806,10 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "supplier_part_count": q_supplier_part_count,
         "dominant_shippers": q_dominant_shippers,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_dedup": q_simhash_dedup,
         "cosine_pairs": q_cosine_pairs,
-        "lsh_topk": q_lsh_topk,
     }
 
 
