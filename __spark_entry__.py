@@ -1775,6 +1775,38 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psl_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain frequency cap with the BUNDLED public-suffix
+    snapshot (assets.public_suffixes): synthesized multi-suffix hosts
+    (co.uk / com.au / co.jp / github.io / io / com zones) resolve to
+    their PSL-exact registrable domain through the broadcast
+    longest-suffix join, then at most 5 docs survive per domain by
+    deterministic md5 order (the C4 per-host cap, keyed correctly:
+    grouping by raw host would split a site across subdomains).
+    Host side never shuffles until the cap window. Full hash oracle —
+    DuckDB replays the suffix join against the same embedded snapshot."""
+    from mini_etl_spark.functions import splits as sp
+    from mini_etl_spark.functions.web import with_registered_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    zones = ["co.uk", "com.au", "co.jp", "github.io", "io", "com"]
+    host = F.lower(
+        F.concat(
+            F.lit("www."), F.col("source"), F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(s) for s in zones]),
+                (F.pmod("doc_id", F.lit(6)) + 1).cast("int"),
+            ),
+        )
+    )
+    hosts = docs.select("doc_id", host.alias("host"))
+    dom = with_registered_domain(hosts, "host", "psl", out_col="domain")
+    capped = sp.cap_per_group(
+        dom, group_col="domain", key_col="doc_id", cap=5, seed=7
+    )
+    return capped.select("doc_id", "host", "domain")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: documents' text bytes stand in
     for opaque asset payloads (modality assigned by id), pushed through the
@@ -2713,6 +2745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_dedup": q_simhash_dedup,
         "lsh_topk": q_lsh_topk,
+        # --- new in r05 (no stamp possible yet) ---
+        "psl_domain_cap": q_psl_domain_cap,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3451,8 +3485,54 @@ def _d_bpe_sql(num_merges: int = 50) -> str:
     )
 
 
+def _d_psl_cap_sql() -> str:
+    """DuckDB replay of q_psl_domain_cap: the bundled suffix snapshot is
+    embedded as a VALUES table (imported from assets.public_suffixes —
+    the same module data the Spark side broadcasts, so the two cannot
+    drift), longest-suffix-wins resolved with 1-based inclusive list
+    slices, then the md5-ordered per-domain cap window."""
+    from mini_etl_spark.assets import public_suffixes
+
+    values = ", ".join(f"('{s}')" for s in public_suffixes(include_private=True))
+    return f"""
+            WITH sfx(s) AS (SELECT * FROM (VALUES {values})),
+            h AS (
+              SELECT doc_id,
+                     lower('www.' || source || '.' ||
+                       (['co.uk','com.au','co.jp','github.io','io','com'])
+                         [CAST(doc_id % 6 AS INTEGER) + 1]) AS host
+              FROM documents),
+            lab AS (
+              SELECT doc_id, host, string_split(host, '.') AS L,
+                     len(string_split(host, '.')) AS n
+              FROM h),
+            m AS (
+              SELECT doc_id, host, coalesce(
+                CASE WHEN n > 4 AND array_to_string(L[n-3:n], '.') IN (SELECT s FROM sfx)
+                     THEN array_to_string(L[n-4:n], '.') END,
+                CASE WHEN n > 3 AND array_to_string(L[n-2:n], '.') IN (SELECT s FROM sfx)
+                     THEN array_to_string(L[n-3:n], '.') END,
+                CASE WHEN n > 2 AND array_to_string(L[n-1:n], '.') IN (SELECT s FROM sfx)
+                     THEN array_to_string(L[n-2:n], '.') END,
+                CASE WHEN n > 1 AND L[n] IN (SELECT s FROM sfx)
+                     THEN array_to_string(L[n-1:n], '.') END,
+                CASE WHEN n >= 2 THEN array_to_string(L[n-1:n], '.')
+                     ELSE host END) AS domain
+              FROM lab),
+            r AS (
+              SELECT doc_id, host, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5('7' || chr(31) || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM m)
+            SELECT doc_id, host, domain FROM r WHERE rn <= 5
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = {
+        "psl_domain_cap": _d_psl_cap_sql(),
         # Bound-certificate oracle: exact answers + TRUE for each sketch
         # bound the Spark side asserts (see q_approx_sketches docstring).
         "approx_sketches": """

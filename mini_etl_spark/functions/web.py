@@ -165,10 +165,28 @@ def with_registered_domain(
     tolerated and stripped). The real PSL's ~100 wildcard (``*.x.jp``)
     and exception (``!city.x.jp``) rules are NOT interpreted — expand
     wildcards against your host population (or drop them) before passing
-    the list, or those zones fall back to the two-label rule."""
-    if suffixes is None:
-        raise ValueError("with_registered_domain: pass the suffix list "
-                         "(list[str] or 1-column DataFrame)")
+    the list, or those zones fall back to the two-label rule.
+
+    ``suffixes`` forms: ``None`` or ``"psl"`` → the bundled public-
+    suffix snapshot (``mini_etl_spark.assets.public_suffixes``, ICANN +
+    private sections); ``"psl-icann"`` → ICANN zones only (platform
+    subdomains like ``alice.github.io`` then group under ``github.io``);
+    a ``list[str]`` or 1-column DataFrame → your own table (e.g.
+    ``assets.load_psl_file()`` over the full publicsuffix.org download).
+    """
+    if suffixes is None or isinstance(suffixes, str):
+        from mini_etl_spark.assets import public_suffixes
+
+        mode = "psl" if suffixes is None else suffixes
+        if mode == "psl":
+            suffixes = public_suffixes(include_private=True)
+        elif mode == "psl-icann":
+            suffixes = public_suffixes(include_private=False)
+        else:
+            raise ValueError(
+                f"with_registered_domain: unknown suffix mode {mode!r} "
+                "(expected 'psl', 'psl-icann', a list, or a DataFrame)"
+            )
     spark = df.sparkSession
     if isinstance(suffixes, DataFrame):
         scol = suffixes.columns[0]
