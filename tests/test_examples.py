@@ -153,3 +153,60 @@ def test_crawl_to_corpus_example_runs(spark, tmp_path, monkeypatch):
     assert "useful words here" in rows["c.example.io"]["text"]
     assert "<" not in rows["c.example.io"]["text"]
     assert {"lang_id", "quality", "ws_tokens"} <= set(out.columns)
+
+
+def test_streaming_web_gate_example_runs(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #7: the web curation ops (url_blocklist, parse_urls,
+    html_text) under readStream — availableNow e2e, then a second run
+    over one NEW file proving incremental exactly-once (only the new
+    drop is processed)."""
+    from pyspark.sql import functions as F
+
+    def _pages(id_lo, id_hi):
+        return spark.range(id_lo, id_hi).select(
+            F.col("id").alias("page_id"),
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("id") % 5 == 0, F.lit("bad.spam.example"))
+                 .otherwise(F.concat(F.lit("site"), (F.col("id") % 7).cast("string"), F.lit(".org"))),
+                F.lit("/p/"), F.col("id").cast("string"),
+                F.lit("?utm_source=feed"),
+            ).alias("url"),
+            F.concat(
+                F.lit("<html><body><h1>Page</h1><p>plenty of useful readable "
+                      "words in this body text for the quality gate to score "),
+                F.col("id").cast("string"),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        )
+
+    src = tmp_path / "pages"
+    _pages(0, 60).coalesce(1).write.mode("append").parquet(str(src))
+
+    monkeypatch.setenv("PAGES_DIR", str(src))
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    from mini_etl_spark.config import ConfigLoader
+
+    loader = ConfigLoader()
+    config = loader.load("examples/streaming_web_gate.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] > 0
+
+    out = spark.read.parquet(str(tmp_path / "gated_pages"))
+    first = out.count()
+    assert first == 48  # 60 pages minus the 12 blocklisted (id % 5 == 0)
+    doms = {r[0] for r in out.select("url_domain").distinct().collect()}
+    assert "spam.example" not in doms and all("spam" not in d for d in doms)
+    row = out.filter("page_id = 1").first()
+    assert row["url_host"] == "site1.org"
+    assert "?utm_source" not in row["url_norm"]  # tracking param stripped
+    assert "<" not in row["text"] and "useful readable words" in row["text"]
+
+    # second drop: only the new file is processed (checkpointed source)
+    _pages(100, 110).coalesce(1).write.mode("append").parquet(str(src))
+    stats2 = loader.build_pipeline(config).run(spark)
+    assert stats2["errors"] == 0
+    out2 = spark.read.parquet(str(tmp_path / "gated_pages"))
+    assert out2.count() == first + 8  # 10 new minus 2 blocklisted
+    assert out2.filter("page_id = 1").count() == 1  # old rows not reprocessed
