@@ -319,20 +319,50 @@ def remove_duplicate_spans(
     out = df.join(
         ranges, df[id_col] == ranges["id_b"], "left"
     ).drop("id_b")
-    rng = F.coalesce(
+    raw_rng = F.coalesce(
         F.col("__ranges"),
         F.array().cast("array<struct<s:long,e:long>>"),
+    )
+    # Pre-merge overlapping/adjacent ranges into disjoint sorted
+    # intervals (array_sort orders struct<s,e> by s then e; the stack
+    # merge extends the last interval when the next one starts at or
+    # before last.e + 1 — integer token positions make adjacent ranges
+    # contiguous coverage, so the union of points is unchanged). The
+    # per-token exists() then scans disjoint intervals only, bounding
+    # the O(tokens × ranges) inner factor when many partners report
+    # overlapping passages on one victim (VERDICT r4 #8). All JVM-side.
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+    rng = F.aggregate(
+        F.array_sort(raw_rng),
+        empty,
+        lambda acc, r: F.when(F.size(acc) == 0, F.array(r)).otherwise(
+            F.when(
+                r["s"] <= F.element_at(acc, -1)["e"] + 1,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], r["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(r)))
+        ),
     )
     # materialize tokens and the filtered survivors ONCE — referencing the
     # raw tokens(text) expression from clean_text, size(toks) and
     # size(kept) would re-run the regex tokenizer per reference (the
     # CollapseProject re-inlining measured 5× on the simhash stage)
+    out = out.withColumn("__rng", rng)
     out = out.withColumn("__toks", tokens(text_col)).withColumn(
         "__kept",
         F.filter(
             F.col("__toks"),
             lambda x, i: ~F.exists(
-                rng, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
+                F.col("__rng"), lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
             ),
         ),
     )
@@ -342,7 +372,7 @@ def remove_duplicate_spans(
             "n_removed_tokens",
             (F.size("__toks") - F.size("__kept")).cast("long"),
         )
-        .drop("__ranges", "__toks", "__kept")
+        .drop("__ranges", "__rng", "__toks", "__kept")
     )
 
 

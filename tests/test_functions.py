@@ -1664,3 +1664,31 @@ def test_common_ngrams_topk_and_validation(spark):
 
     with _pytest.raises(ValueError, match="n must be"):
         common_ngrams(df, n=0)
+
+
+def test_remove_duplicate_spans_overlapping_partner_ranges_merge(spark):
+    """VERDICT r4 #8: ranges from several partners overlapping on one
+    victim pre-merge into disjoint intervals before the per-token scan.
+    Coverage semantics must be identical to unmerged exists() — a token
+    goes if ANY partner's range covers it."""
+    from mini_etl_spark.functions import dedup as dd
+
+    shared = "a b c d e f g h i j"      # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared),                                  # earliest: untouched
+            (2, f"{shared} middle words"),                # partner of 1 and 3
+            (9, f"pre1 pre2 {shared} post1 post2"),       # victim of both 1, 2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in dd.remove_duplicate_spans(docs, width=4).collect()
+    }
+    assert out[1] == (shared, 0)
+    # doc 9: partners 1 and 2 both report the same 10-token passage ->
+    # two fully-overlapping ranges merge to one; only the passage goes
+    assert out[9] == ("pre1 pre2 post1 post2", 10)
+    # doc 2 loses the passage to doc 1 only
+    assert out[2] == ("middle words", 10)
