@@ -1775,6 +1775,19 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse count-vector cosine join (functions/dedup.py
+    count_cosine_pairs): bag-of-words cosine ≥ 0.8 via an inverted-index
+    join with the hot-token doc-frequency cap — the term-frequency-aware
+    complement to jaccard_pairs. Output is exact longs only
+    (dot, norm²) and the threshold test is integer-exact doubles with a
+    fixed expression shape, so the DuckDB replay hashes bit-for-bit."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.count_cosine_pairs(docs, threshold=0.8)
+
+
 def q_psl_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain frequency cap with the BUNDLED public-suffix
     snapshot (assets.public_suffixes): synthesized multi-suffix hosts
@@ -2747,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         # --- new in r05 (no stamp possible yet) ---
         "psl_domain_cap": q_psl_domain_cap,
+        "sparse_cosine_pairs": q_sparse_cosine_pairs,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3533,6 +3547,34 @@ def _d_psl_cap_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     sqls = {
         "psl_domain_cap": _d_psl_cap_sql(),
+        "sparse_cosine_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents),
+            c AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM toks GROUP BY doc_id, tok),
+            hot AS (
+              SELECT tok FROM (SELECT tok, count(*) AS f FROM c GROUP BY tok)
+              WHERE f > 1000),
+            cc AS (SELECT * FROM c WHERE tok NOT IN (SELECT tok FROM hot)),
+            n AS (
+              SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS n2
+              FROM cc GROUP BY doc_id),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(a.c * b.c) AS BIGINT) AS dot
+              FROM cc a JOIN cc b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, dot,
+                   na.n2 AS norm_sq_a, nb.n2 AS norm_sq_b
+            FROM p
+            JOIN n na ON na.doc_id = id_a
+            JOIN n nb ON nb.doc_id = id_b
+            WHERE (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+                  >= {0.8 * 0.8!r} * (CAST(na.n2 AS DOUBLE)
+                                      * CAST(nb.n2 AS DOUBLE))
+        """,
         # Bound-certificate oracle: exact answers + TRUE for each sketch
         # bound the Spark side asserts (see q_approx_sketches docstring).
         "approx_sketches": """

@@ -37,7 +37,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from mini_etl_spark.functions.text import fingerprint, shingles_from_tokens, tokens
+from mini_etl_spark.functions.text import (
+    exploded_tokens,
+    fingerprint,
+    shingles_from_tokens,
+    tokens,
+)
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -139,6 +144,85 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def count_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_token_freq: int | None = 1000,
+) -> DataFrame:
+    """Sparse count-vector cosine similarity join: all (id_a < id_b)
+    pairs whose token-count vectors have cosine ≥ ``threshold``. The
+    bag-of-words complement to :func:`jaccard_pairs` (which ignores
+    term frequency) and to dense-embedding cosine (which needs a model):
+    repetition-heavy near-duplicates that shingle sets miss score high
+    here.
+
+    INTEGER-EXACT by construction: the output carries ``dot`` (Σ ca·cb),
+    ``norm_sq_a`` and ``norm_sq_b`` (Σ c²) as exact longs — cosine is
+    ``dot / sqrt(na2 · nb2)``, left to the consumer — and the threshold
+    test compares ``dot² ≥ t² · (na2 · nb2)`` with one fixed expression
+    shape, so any engine replays the filter bit-for-bit (exact longs
+    widen exactly to doubles; identical IEEE multiply order).
+
+    ``max_token_freq`` drops tokens whose DOCUMENT frequency exceeds the
+    cap before anything else — the same O(freq²) inverted-index guard as
+    :func:`jaccard_pairs`, but here the capped tokens leave the vector
+    space entirely (dot AND norms), so reported cosine stays internally
+    consistent on the reduced vocabulary rather than being a lower
+    bound.
+
+    Scale: one explode + hash aggregate to (doc, token, count); hot-token
+    anti-join (broadcast, vocabulary-sized); the pair space is
+    Σ df(token)² over surviving tokens — capped; one shuffle groups the
+    pair partial dots (map-side combined). No UDF, no driver state.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = exploded_tokens(df, text_col, id_col, "__id", "__tok")
+    counts = toks.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    if max_token_freq is not None:
+        freq = counts.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
+        counts = counts.join(
+            F.broadcast(freq.filter(F.col("__f") > max_token_freq)),
+            on="__tok",
+            how="left_anti",
+        )
+    # persist: the counts frame feeds the norm aggregate AND both sides
+    # of the pair join (same shared-intermediate contract as the shingle
+    # frames above; released by the session's cache clear)
+    counts = counts.persist()
+    norms = counts.groupBy("__id").agg(
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__n2")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.sum(F.col("a.__c") * F.col("b.__c")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("__n2").alias("norm_sq_a"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("__n2").alias("norm_sq_b"))
+    t2 = float(threshold) * float(threshold)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.col("dot").cast("double") * F.col("dot").cast("double")
+            >= F.lit(t2)
+            * (
+                F.col("norm_sq_a").cast("double")
+                * F.col("norm_sq_b").cast("double")
+            )
+        )
+        .select("id_a", "id_b", "dot", "norm_sq_a", "norm_sq_b")
+    )
 
 
 def _span_postings(

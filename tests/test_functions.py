@@ -1692,3 +1692,56 @@ def test_remove_duplicate_spans_overlapping_partner_ranges_merge(spark):
     assert out[9] == ("pre1 pre2 post1 post2", 10)
     # doc 2 loses the passage to doc 1 only
     assert out[2] == ("middle words", 10)
+
+
+def test_count_cosine_pairs_golden(spark):
+    """Hand-computed bag-of-words cosine: term frequency matters (the
+    signal jaccard_pairs ignores), output integers are exact."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),        # counts {apple:2, banana:1}, n2=5
+            (2, "apple apple apple banana"),  # {apple:3, banana:1}, n2=10
+            (3, "cherry cherry cherry"),      # disjoint from 1,2
+            (4, "apple banana cherry"),       # {1,1,1}, n2=3
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in dd.count_cosine_pairs(docs, threshold=0.9).collect()
+    }
+    # cos(1,2) = (2*3 + 1*1) / sqrt(5*10) = 7/7.071 = 0.9899 -> kept
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r.dot, r.norm_sq_a, r.norm_sq_b) == (7, 5, 10)
+    # lower threshold admits the (1,4)/(2,4) partial overlaps
+    lo = {
+        (r.id_a, r.id_b)
+        for r in dd.count_cosine_pairs(docs, threshold=0.7).collect()
+    }
+    # cos(1,4) = 3/sqrt(15) = 0.7746; cos(2,4) = 4/sqrt(30) = 0.7303
+    assert lo == {(1, 2), (1, 4), (2, 4)}
+    import pytest as _p
+    with _p.raises(ValueError, match="threshold"):
+        dd.count_cosine_pairs(docs, threshold=0.0)
+
+
+def test_count_cosine_pairs_hot_token_cap(spark):
+    """Tokens above the doc-frequency cap leave the vector space entirely
+    (dot AND norms) - cosine stays consistent on the reduced vocabulary."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"the word{i}") for i in range(5)] + [(90, "the alpha"), (91, "the alpha")],
+        ["doc_id", "text"],
+    )
+    # 'the' appears in 7 docs > cap 5 -> dropped everywhere; only the
+    # alpha-sharing pair survives, with norms counting 'alpha' only
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in dd.count_cosine_pairs(docs, threshold=0.5, max_token_freq=5).collect()
+    }
+    assert set(rows) == {(90, 91)}
+    assert (rows[(90, 91)].dot, rows[(90, 91)].norm_sq_a, rows[(90, 91)].norm_sq_b) == (1, 1, 1)
