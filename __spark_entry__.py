@@ -1775,6 +1775,20 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact distributed k-means (similarity.kmeans_int): Lloyd
+    iterations over quantized codes where every distance and centroid
+    update is exact integer arithmetic — the clustering primitive that
+    IS cross-engine replayable (float k-means never is: mean() is an
+    order-dependent float sum). k=8, 3 update iterations, 256 levels;
+    output (vec_id, cluster, dist). Full chained-CTE DuckDB oracle
+    re-runs the identical iterations."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.kmeans_int(emb, k=8, iters=3, levels=256)
+
+
 def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse count-vector cosine join (functions/dedup.py
     count_cosine_pairs): bag-of-words cosine ≥ 0.8 via an inverted-index
@@ -2761,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r05 (no stamp possible yet) ---
         "psl_domain_cap": q_psl_domain_cap,
         "sparse_cosine_pairs": q_sparse_cosine_pairs,
+        "kmeans_clusters": q_kmeans_clusters,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3499,6 +3514,71 @@ def _d_bpe_sql(num_merges: int = 50) -> str:
     )
 
 
+def _d_kmeans_sql(k: int = 8, iters: int = 3, levels: int = 256) -> str:
+    """DuckDB replay of q_kmeans_clusters: the quantized-code CTE (same
+    shape as the embedding_quantize oracle), rank-ordered init from the
+    k smallest vec_ids, then one (assign, update) CTE pair per Lloyd
+    iteration and a final assign. All integer arithmetic — sum // count
+    floor division mirrors Python's int //; empty clusters keep their
+    previous centroid via the left-join coalesce. MATERIALIZED pins the
+    multi-referenced stages (codes feeds every iteration)."""
+    parts = [
+        f"""pos0 AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding) AS x
+              FROM embeddings),
+            qstats AS (
+              SELECT pos, min(x)::DOUBLE AS mn,
+                     max(x)::DOUBLE - min(x)::DOUBLE AS rng
+              FROM pos0 GROUP BY pos),
+            codes AS MATERIALIZED (
+              SELECT p.vec_id, p.pos,
+                     CASE WHEN s.rng = 0 THEN 0
+                          ELSE CAST(floor((p.x::DOUBLE - s.mn) / s.rng
+                                          * {float(levels - 1)!r} + 0.5)
+                                    AS INTEGER) END AS x
+              FROM pos0 p JOIN qstats s USING (pos)),
+            seeds AS (
+              SELECT vec_id, CAST(rank() OVER (ORDER BY vec_id) - 1
+                                  AS INTEGER) AS c
+              FROM (SELECT DISTINCT vec_id FROM codes
+                    ORDER BY vec_id LIMIT {k})),
+            cent0 AS MATERIALIZED (
+              SELECT s.c, v.pos, v.x
+              FROM seeds s JOIN codes v USING (vec_id))"""
+    ]
+    for i in range(iters + 1):
+        parts.append(f"""d{i} AS (
+              SELECT v.vec_id, c.c,
+                     CAST(sum(CAST((v.x - c.x) * (v.x - c.x) AS BIGINT))
+                          AS BIGINT) AS d
+              FROM codes v JOIN cent{i} c USING (pos)
+              GROUP BY v.vec_id, c.c),
+            a{i} AS MATERIALIZED (
+              SELECT vec_id, c AS cluster, d
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY d, c) AS rn
+                    FROM d{i})
+              WHERE rn = 1)""")
+        if i < iters:
+            parts.append(f"""u{i} AS (
+              SELECT a.cluster AS c, v.pos,
+                     CAST(sum(v.x) // count(*) AS INTEGER) AS x
+              FROM a{i} a JOIN codes v USING (vec_id)
+              GROUP BY a.cluster, v.pos),
+            cent{i + 1} AS MATERIALIZED (
+              SELECT o.c, o.pos, coalesce(n.x, o.x) AS x
+              FROM cent{i} o LEFT JOIN u{i} n
+                ON n.c = o.c AND n.pos = o.pos)""")
+    return (
+        "WITH "
+        + ",\n            ".join(parts)
+        + f"""
+            SELECT vec_id, cluster, d AS dist FROM a{iters}
+        """
+    )
+
+
 def _d_psl_cap_sql() -> str:
     """DuckDB replay of q_psl_domain_cap: the bundled suffix snapshot is
     embedded as a VALUES table (imported from assets.public_suffixes —
@@ -3547,6 +3627,7 @@ def _d_psl_cap_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     sqls = {
         "psl_domain_cap": _d_psl_cap_sql(),
+        "kmeans_clusters": _d_kmeans_sql(8, 3, 256),
         "sparse_cosine_pairs": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents),

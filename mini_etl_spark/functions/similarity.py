@@ -1120,3 +1120,92 @@ def pq_adc_topk(
         .limit(k)
         .select(id_col, "adc_dist")
     )
+
+
+def kmeans_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    levels: int = 256,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over INTEGER-quantized vectors — the
+    clustering pass behind semantic bucketing / diversity sampling /
+    IVF training, built so every step is exact integer arithmetic and
+    therefore bit-replayable by any engine (full-hash DuckDB oracle in
+    the driver battery; float k-means is never cross-engine stable
+    because mean() is a float sum whose order differs).
+
+    Pipeline per iteration (``iters`` updates, then one final assign):
+
+    - **assign**: squared L2 distance to each centroid as a codegen
+      ``aggregate(zip_with(codes, literal_centroid, (x,c)->(x-c)²))``
+      long sum — k expressions per row, no shuffle, no UDF; argmin via
+      ``array_min`` over (dist, cluster) structs, ties → smallest
+      cluster id.
+    - **update**: one posexplode aggregate per (cluster, dim) →
+      ``sum // count`` floor division keeps centroids integer; empty
+      clusters keep their previous centroid. The k×dim stats row set is
+      dimension-bounded driver state (like the PQ/IVF codebooks), so the
+      loop's collect never scales with rows.
+
+    Init: the ``k`` smallest ``id_col`` rows' code vectors (cluster j =
+    rank j in id order) — deterministic, engine-replayable. Codes come
+    from :func:`quantize_embeddings` (``levels`` buckets, itself
+    oracle-replayable). The codes frame is persisted across iterations;
+    lineage stays flat because centroids travel as literals.
+
+    Returns (``id_col``, ``cluster`` int, ``dist`` long = squared L2 in
+    code space).
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"k must be >= 1 and iters >= 0, got k={k}, iters={iters}")
+    codes = quantize_embeddings(df, vec_col, id_col, levels=levels, out_col="__codes")
+    codes = codes.persist()
+
+    init_rows = codes.orderBy(F.col(id_col)).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans_int: need >= {k} rows, got {len(init_rows)}")
+    cents: list[list[int]] = [list(r["__codes"]) for r in init_rows]
+    dim = len(cents[0])
+
+    def _assign(cent_lists: list[list[int]]) -> DataFrame:
+        structs = []
+        for j, cent in enumerate(cent_lists):
+            lit_cent = F.array(*[F.lit(int(c)) for c in cent])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("__codes"), lit_cent, lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+        m = F.array_min(F.array(*structs))
+        return codes.select(
+            F.col(id_col),
+            m["c"].alias("cluster"),
+            m["d"].alias("dist"),
+        )
+
+    for _ in range(iters):
+        assign = _assign(cents)
+        stats = (
+            assign.join(codes, id_col)
+            .select("cluster", F.posexplode("__codes").alias("__pos", "__x"))
+            .groupBy("cluster", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        got = {(r["cluster"], r["__pos"]): r for r in stats}
+        cents = [
+            [
+                int(got[(j, p)]["__s"] // got[(j, p)]["__n"])
+                if (j, p) in got
+                else cents[j][p]  # empty cluster: centroid unchanged
+                for p in range(dim)
+            ]
+            for j in range(k)
+        ]
+    return _assign(cents)

@@ -1745,3 +1745,33 @@ def test_count_cosine_pairs_hot_token_cap(spark):
     }
     assert set(rows) == {(90, 91)}
     assert (rows[(90, 91)].dot, rows[(90, 91)].norm_sq_a, rows[(90, 91)].norm_sq_b) == (1, 1, 1)
+
+
+def test_kmeans_int_clusters_and_determinism(spark):
+    """Integer k-means: well-separated groups land in distinct clusters,
+    identical vectors co-cluster, and two runs produce identical output
+    (every step is exact integer arithmetic)."""
+    from mini_etl_spark.functions.similarity import kmeans_int
+
+    base = {0: [0.0] * 8, 1: [10.0] * 8, 2: [-10.0, 10.0] * 4}
+    rows = []
+    for i in range(30):
+        g = i % 3
+        v = [x + (0.01 * (i // 3)) for x in base[g]]  # tight jitter per group
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_int(df, k=3, iters=4).collect()
+    assert len(out) == 30
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    # each separated group maps to exactly one cluster, all distinct
+    assert all(len(cs) == 1 for cs in by_group.values())
+    assert len({next(iter(cs)) for cs in by_group.values()}) == 3
+    out2 = kmeans_int(df, k=3, iters=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    import pytest as _p
+    with _p.raises(ValueError, match="k must be"):
+        kmeans_int(df, k=0)
+    with _p.raises(ValueError, match="need >= 50"):
+        kmeans_int(df, k=50)
