@@ -1361,6 +1361,27 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under the driver gate: train 50 merges on the full
+    corpus histogram (as q_bpe_vocab), then apply them to every 10th
+    document through bpe.apply_bpe — the Arrow-batched mapInPandas
+    encoder whose per-word priority loop is exactly replayed by the
+    oracle's rank-sequential SQL stages (see _d_bpe_encode_sql for the
+    equivalence argument). This differentially verifies the PYTHON
+    executor path, not just a JVM expression chain: (doc_id, pos, sym)
+    subword rows must match a pure-SQL second implementation."""
+    from mini_etl_spark.functions import bpe
+
+    full = _t(spark, sf_dir, "documents")
+    hist = [(r["word"], r["count"]) for r in bpe.word_histogram(full).collect()]
+    merges = bpe.train_bpe_merges(hist, 50)
+    docs = full.filter(F.col("doc_id") % 10 == 0)
+    enc = bpe.apply_bpe(docs, merges)
+    return enc.select(
+        "doc_id", F.posexplode("bpe_tokens").alias("pos", "sym")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sym")
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate signals: duplicate bigram and
     trigram fractions, mean word length, duplicate-line ratio (columnar,
@@ -2776,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psl_domain_cap": q_psl_domain_cap,
         "sparse_cosine_pairs": q_sparse_cosine_pairs,
         "kmeans_clusters": q_kmeans_clusters,
+        "bpe_encode": q_bpe_encode,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3514,6 +3536,85 @@ def _d_bpe_sql(num_merges: int = 50) -> str:
     )
 
 
+def _d_bpe_encode_sql(num_merges: int = 50, doc_filter: str = "doc_id % 10 = 0") -> str:
+    """DuckDB replay of q_bpe_encode: the TRAINING chain of
+    :func:`_d_bpe_sql` (re-deriving every merge from the full-corpus
+    histogram) extended with one encode stage per merge over the
+    filtered documents' per-word symbol rows.
+
+    Why rank-sequential application is the priority encoder
+    (bpe.apply_bpe's _encode_word picks the lowest-rank adjacent pair
+    repeatedly): a merge can only create pairs INVOLVING its new symbol,
+    and any merge containing that symbol was necessarily learned later
+    (higher rank), so once stage k passes, no pair of rank ≤ k can newly
+    appear — one greedy left-to-right pass per rank is exhaustive and
+    order-equivalent. The greedy window logic is the same run-evenness
+    machinery as training, partitioned by (doc, word)."""
+    train = _d_bpe_sql(num_merges)
+    # reuse the training chain's WITH body up to (excluding) its final
+    # SELECT: everything after the last closing ')' of w{num_merges}
+    with_body = train[len("WITH ") : train.rindex("SELECT CAST(k AS INTEGER)")]
+    with_body = with_body.rstrip().rstrip("\n")
+    assert with_body.endswith(")"), "unexpected _d_bpe_sql shape"
+    parts = [
+        f"""etoks AS (
+              SELECT doc_id, widx, word,
+                     unnest(range(1, len(word) + 2)) AS pos
+              FROM (SELECT doc_id,
+                           generate_subscripts({_D_TOKENS}, 1) AS widx,
+                           unnest({_D_TOKENS}) AS word
+                    FROM documents WHERE {doc_filter})),
+            e0 AS MATERIALIZED (
+              SELECT doc_id, widx, pos,
+                     CASE WHEN pos <= len(word)
+                          THEN substr(word, CAST(pos AS INTEGER), 1)
+                          ELSE '</w>' END AS sym
+              FROM etoks)"""
+    ]
+    for k in range(num_merges):
+        parts.append(f"""em{k} AS (
+              SELECT e.doc_id, e.widx, e.pos, e.sym, b.l, b.r,
+                     lead(e.sym) OVER (PARTITION BY e.doc_id, e.widx
+                                       ORDER BY e.pos) AS nxt,
+                     count(CASE WHEN e.sym <> b.l THEN 1 END)
+                       OVER (PARTITION BY e.doc_id, e.widx ORDER BY e.pos
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM e{k} e CROSS JOIN b{k} b),
+            er{k} AS (
+              SELECT *, min(CASE WHEN sym = l THEN pos END)
+                          OVER (PARTITION BY doc_id, widx, run_id) AS run_min
+              FROM em{k}),
+            es{k} AS (
+              SELECT doc_id, widx, pos, sym, nxt,
+                     CASE WHEN sym = l AND nxt = r
+                               AND (l <> r OR (pos - run_min) % 2 = 0)
+                          THEN 1 ELSE 0 END AS sel
+              FROM er{k}),
+            e{k + 1} AS MATERIALIZED (
+              SELECT doc_id, widx,
+                     row_number() OVER (PARTITION BY doc_id, widx
+                                        ORDER BY pos) AS pos,
+                     CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+              FROM (SELECT *, coalesce(lag(sel)
+                       OVER (PARTITION BY doc_id, widx ORDER BY pos), 0) AS used
+                    FROM es{k})
+              WHERE used = 0)""")
+    return (
+        "WITH "
+        + with_body
+        + ",\n            "
+        + ",\n            ".join(parts)
+        + f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY widx, pos) - 1
+                        AS BIGINT) AS pos,
+                   sym
+            FROM e{num_merges}
+        """
+    )
+
+
 def _d_kmeans_sql(k: int = 8, iters: int = 3, levels: int = 256) -> str:
     """DuckDB replay of q_kmeans_clusters: the quantized-code CTE (same
     shape as the embedding_quantize oracle), rank-ordered init from the
@@ -3668,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "bpe_vocab": _d_bpe_sql(50),
+        "bpe_encode": _d_bpe_encode_sql(50),
         "url_parse": f"""
             WITH {_D_URL_PARTS_CTES},
             n AS (
