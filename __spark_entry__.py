@@ -1361,6 +1361,19 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (text.heavy_hitters_cm): one-pass
+    depth×width md5-bucketed frequency table (constant memory, mergeable
+    by addition — the streaming/daily-rollup frequency shape), probed at
+    the exact top-20 tokens with truth riding along. md5 bucketing makes
+    the ENTIRE sketch engine-replayable — full hash oracle, unlike the
+    implementation-defined HLL/KLL sketches which certify bounds."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.heavy_hitters_cm(docs, depth=4, width=1024, top_k=20, seed=1000)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING under the driver gate: train 50 merges on the full
     corpus histogram (as q_bpe_vocab), then apply them to every 10th
@@ -2798,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine_pairs": q_sparse_cosine_pairs,
         "kmeans_clusters": q_kmeans_clusters,
         "bpe_encode": q_bpe_encode,
+        "heavy_hitters": q_heavy_hitters,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3770,6 +3784,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab": _d_bpe_sql(50),
         "bpe_encode": _d_bpe_encode_sql(50),
+        "heavy_hitters": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents),
+            s AS MATERIALIZED (
+              SELECT tok,
+                     {_d_hash_bucket('tok', 1000, 1024)} AS b0,
+                     {_d_hash_bucket('tok', 1001, 1024)} AS b1,
+                     {_d_hash_bucket('tok', 1002, 1024)} AS b2,
+                     {_d_hash_bucket('tok', 1003, 1024)} AS b3
+              FROM toks),
+            sk AS MATERIALIZED (
+              SELECT d, b, count(*) AS c FROM (
+                SELECT 0 AS d, b0 AS b FROM s
+                UNION ALL SELECT 1, b1 FROM s
+                UNION ALL SELECT 2, b2 FROM s
+                UNION ALL SELECT 3, b3 FROM s)
+              GROUP BY d, b),
+            ex AS MATERIALIZED (
+              SELECT tok, b0, b1, b2, b3, count(*) AS exact_count
+              FROM s GROUP BY tok, b0, b1, b2, b3
+              ORDER BY exact_count DESC, tok LIMIT 20),
+            pr AS (
+              SELECT tok, exact_count, 0 AS d, b0 AS b FROM ex
+              UNION ALL SELECT tok, exact_count, 1, b1 FROM ex
+              UNION ALL SELECT tok, exact_count, 2, b2 FROM ex
+              UNION ALL SELECT tok, exact_count, 3, b3 FROM ex)
+            SELECT tok AS token,
+                   CAST(exact_count AS BIGINT) AS exact_count,
+                   CAST(min(c) AS BIGINT) AS cm_estimate,
+                   CAST(min(c) - exact_count AS BIGINT) AS overcount
+            FROM pr JOIN sk USING (d, b)
+            GROUP BY tok, exact_count
+        """,
         "url_parse": f"""
             WITH {_D_URL_PARTS_CTES},
             n AS (

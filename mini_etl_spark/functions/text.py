@@ -735,3 +735,81 @@ def common_ngrams(
         .orderBy(F.desc("n_docs"), F.desc("occurrences"), F.asc("ngram"))
         .limit(int(top_k))
     )
+
+
+def heavy_hitters_cm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+    seed: int = 1000,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters with exact ground truth riding
+    along — the streaming/mergeable frequency-sketch member of the
+    sketch family (HLL cardinality, quantile sketch, now CM counts).
+
+    The CM table is the 100 TB shape: ONE pass over the token stream
+    explodes each token into ``depth`` (row, md5-bucket) entries and
+    hash-aggregates to a fixed ``depth × width`` table — constant memory
+    regardless of corpus size, mergeable across partitions/days by
+    addition. The estimate for a token is min over rows of its bucket
+    counts; CM never underestimates, and overshoot is bounded by bucket
+    collisions (≈ N/width per row, min across ``depth`` rows).
+
+    Candidates here are the exact top-``top_k`` tokens (count desc, token
+    asc) so the output certifies sketch quality against truth:
+    (``token``, ``exact_count``, ``cm_estimate``, ``overcount``) — all
+    exact longs. md5 bucketing (splits.hash_bucket) keeps the whole
+    sketch engine-replayable: the driver oracle rebuilds the identical
+    table in DuckDB. In production the same sketch serves ad-hoc
+    frequency probes without the exact side (drop the top-k join).
+
+    Plan: one explode feeds BOTH the sketch aggregate and the exact
+    count; the sketch (≤ depth·width rows) broadcasts back to the
+    candidate probe — no shuffle scales beyond the token count
+    aggregate.
+    """
+    from mini_etl_spark.functions.splits import hash_bucket
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}, {width}")
+    toks = exploded_tokens(df, text_col, id_col, "__did", "__tok")
+    buckets = [
+        hash_bucket("__tok", seed + d, width).alias(f"__b{d}") for d in range(depth)
+    ]
+    stream = toks.select("__tok", *buckets)
+    sketch = (
+        stream.select(
+            F.posexplode(F.array(*[F.col(f"__b{d}") for d in range(depth)])).alias(
+                "__d", "__b"
+            )
+        )
+        .groupBy("__d", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    exact = (
+        stream.groupBy("__tok", *[f"__b{d}" for d in range(depth)])
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("__tok").asc())
+        .limit(top_k)
+    )
+    probes = exact.select(
+        "__tok",
+        "exact_count",
+        F.posexplode(F.array(*[F.col(f"__b{d}") for d in range(depth)])).alias(
+            "__d", "__b"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["__d", "__b"])
+        .groupBy("__tok", "exact_count")
+        .agg(F.min("__c").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("__tok").alias("token"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count")).cast("long").alias("overcount"),
+    )

@@ -1775,3 +1775,26 @@ def test_kmeans_int_clusters_and_determinism(spark):
         kmeans_int(df, k=0)
     with _p.raises(ValueError, match="need >= 50"):
         kmeans_int(df, k=50)
+
+
+def test_heavy_hitters_cm_properties(spark):
+    """CM sketch invariants: estimate never underestimates, exact top-k
+    candidates are correct, and a wide sketch on small vocab is exact."""
+    from mini_etl_spark.functions.text import heavy_hitters_cm
+
+    docs = spark.createDataFrame(
+        [(i, "alpha " * 50 + "beta " * 20 + f"rare{i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    rows = {r.token: r for r in heavy_hitters_cm(docs, top_k=3).collect()}
+    assert set(rows) == {"alpha", "beta", "rare0"}  # ties -> token asc
+    assert rows["alpha"].exact_count == 500
+    assert rows["beta"].exact_count == 200
+    for r in rows.values():
+        assert r.cm_estimate >= r.exact_count  # CM never underestimates
+        assert r.overcount == r.cm_estimate - r.exact_count
+    # vocab (12 tokens) << width (1024): collisions ~impossible -> exact
+    assert all(r.overcount == 0 for r in rows.values())
+    import pytest as _p
+    with _p.raises(ValueError, match="depth and width"):
+        heavy_hitters_cm(docs, depth=0)
