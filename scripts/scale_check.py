@@ -76,6 +76,12 @@ QUERIES = [
     "url_parse",
     "url_blocklist",
     "html_text",
+    # round 5: PSL broadcast suffix join + cap window, sparse bag-of-words
+    # inverted-index cosine, integer k-means iterations, CM sketch
+    "psl_domain_cap",
+    "sparse_cosine_pairs",
+    "kmeans_clusters",
+    "heavy_hitters",
 ]
 
 
