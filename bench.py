@@ -464,6 +464,10 @@ def main() -> None:
         "html_text": queries["html_text"],
         "url_blocklist": queries["url_blocklist"],
         "psl_domain_cap": queries["psl_domain_cap"],
+        "sparse_cosine_pairs": queries["sparse_cosine_pairs"],
+        "kmeans_clusters": queries["kmeans_clusters"],
+        "heavy_hitters": queries["heavy_hitters"],
+        "bpe_encode": queries["bpe_encode"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)

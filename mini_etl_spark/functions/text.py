@@ -780,14 +780,10 @@ def heavy_hitters_cm(
         hash_bucket("__tok", seed + d, width).alias(f"__b{d}") for d in range(depth)
     ]
     stream = toks.select("__tok", *buckets)
-    sketch = (
-        stream.select(
-            F.posexplode(F.array(*[F.col(f"__b{d}") for d in range(depth)])).alias(
-                "__d", "__b"
-            )
-        )
-        .groupBy("__d", "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    sketch = cm_sketch_table(
+        df, text_col, id_col, depth=depth, width=width, seed=seed
+    ).select(
+        F.col("d").alias("__d"), F.col("b").alias("__b"), F.col("c").alias("__c")
     )
     exact = (
         stream.groupBy("__tok", *[f"__b{d}" for d in range(depth)])
@@ -812,4 +808,78 @@ def heavy_hitters_cm(
         F.col("exact_count").cast("long").alias("exact_count"),
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_count")).cast("long").alias("overcount"),
+    )
+
+
+def cm_sketch_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 1000,
+) -> DataFrame:
+    """The raw count-min table as data: ``(d, b, c)`` — row, md5 bucket,
+    count — for the corpus's token stream. Fixed ``depth × width`` rows
+    regardless of corpus size, and MERGEABLE BY ADDITION: the sketch of
+    a union is the cell-wise sum of the sketches (:func:`cm_merge`), so
+    shards/days/streams sketch independently and fold — the property
+    that makes frequency state viable at 100 TB. Persist it and probe
+    with :func:`cm_probe`; :func:`heavy_hitters_cm` composes it with
+    exact top-k ground truth."""
+    from mini_etl_spark.functions.splits import hash_bucket
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}, {width}")
+    toks = exploded_tokens(df, text_col, id_col, "__did", "__tok")
+    return (
+        toks.select(
+            F.posexplode(
+                F.array(*[hash_bucket("__tok", seed + d, width) for d in range(depth)])
+            ).alias("d", "b")
+        )
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of count-min tables built with the SAME
+    (depth, width, seed) — sketch(A ∪ B) = cm_merge(sketch(A),
+    sketch(B)) exactly (counts are sums; md5 buckets depend only on the
+    token). The incremental/streaming accumulation step."""
+    if not sketches:
+        raise ValueError("cm_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "b").agg(F.sum("c").cast("long").alias("c"))
+
+
+def cm_probe(
+    sketch: DataFrame,
+    tokens_: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 1000,
+) -> DataFrame:
+    """Frequency estimates for specific tokens from a persisted CM
+    table: min over rows of the token's bucket counts. Returns
+    (``token``, ``cm_estimate``); never underestimates the true count.
+    The probe list is vocabulary-sized (broadcast side); the sketch is
+    depth×width rows — both tiny, so probing is free at any corpus
+    scale."""
+    from mini_etl_spark.functions.splits import hash_bucket
+
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(t,) for t in tokens_], ["token"]).select(
+        "token",
+        F.posexplode(
+            F.array(*[hash_bucket("token", seed + d, width) for d in range(depth)])
+        ).alias("d", "b"),
+    )
+    return (
+        probes.join(sketch, ["d", "b"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate"))
     )

@@ -30,6 +30,7 @@ from mini_etl_spark.streaming.events import (
     stream_classify_gate,
     stream_dedup_against_index,
     stream_lm_gate,
+    stream_cm_update,
     stream_lm_update,
     stream_upsert_to_parquet,
     streaming_dedup,
@@ -49,6 +50,7 @@ __all__ = [
     "stream_classify_gate",
     "stream_dedup_against_index",
     "stream_lm_gate",
+    "stream_cm_update",
     "stream_lm_update",
     "stream_upsert_to_parquet",
     "read_latest_snapshot",

@@ -577,3 +577,59 @@ def stream_to_files(
     if available_now and await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_cm_update(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 1000,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming count-min-sketch maintenance: each micro-batch is
+    reduced to its own depth×width CM table (``text.cm_sketch_table``)
+    and cell-wise summed into the persisted sketch (``text.cm_merge`` —
+    exact by the CM mergeability property: sketch(A ∪ B) is the sum of
+    sketches). Published as snapshots with an atomically-flipped
+    ``_LATEST`` pointer, the same protocol as :func:`stream_lm_update`;
+    read the live sketch with :func:`read_latest_snapshot` and probe it
+    with ``text.cm_probe``.
+
+    The 100 TB frequency-state shape: per batch the corpus is touched
+    once, and only sketch-sized (≤ depth·width rows) frames merge —
+    heavy-hitter queries over an unbounded stream with constant state.
+    Same replay caveat as the LM trainer: exactly-once relies on the
+    pointer flip being last (a crash before it leaves the previous
+    snapshot live and the orphan unreferenced)."""
+    from mini_etl_spark.functions.text import cm_merge, cm_sketch_table
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        delta = cm_sketch_table(batch_df, text_col, id_col, depth, width, seed)
+        current = read_latest_snapshot(spark, sketch_path)
+        merged = cm_merge(current, delta) if current is not None else delta
+        snap = os.path.join(sketch_path, f"snap={batch_id}")
+        merged.write.mode("overwrite").parquet(snap)
+        tmp = os.path.join(sketch_path, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"snap={batch_id}")
+        os.replace(tmp, os.path.join(sketch_path, "_LATEST"))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query

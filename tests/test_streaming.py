@@ -552,3 +552,58 @@ def test_stream_classify_gate(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {100, 102}
     assert all(r["label"] == "code" for r in rows)
     assert all(r["score"] < 0 for r in rows)  # log-posteriors
+
+
+def test_stream_cm_update_equals_batch_sketch(spark, tmp_path):
+    """Mergeability e2e: the CM table accumulated over two stream drops
+    must equal cm_sketch_table over the full corpus in one shot (sketch
+    of a union = cell-wise sum), and probes through the published
+    snapshot never underestimate."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.functions.text import cm_merge, cm_probe, cm_sketch_table
+    from mini_etl_spark.streaming import read_latest_snapshot, stream_cm_update
+
+    def _docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta common words batch text number "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+
+    src = tmp_path / "docs"
+    _docs(0, 40).coalesce(1).write.mode("append").parquet(str(src))
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src))
+        )
+        stream_cm_update(
+            stream,
+            str(tmp_path / "cm"),
+            str(tmp_path / "ckpt"),
+            depth=4,
+            width=256,
+        )
+
+    _run()
+    _docs(100, 130).coalesce(1).write.mode("append").parquet(str(src))
+    _run()
+
+    live = read_latest_snapshot(spark, str(tmp_path / "cm"))
+    assert live is not None
+    batch = cm_sketch_table(
+        spark.read.parquet(str(src)), depth=4, width=256
+    )
+    got = sorted(map(tuple, live.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want  # exact mergeability, cell for cell
+
+    est = {r.token: r.cm_estimate for r in
+           cm_probe(live, ["alpha", "common", "absent"], depth=4, width=256).collect()}
+    assert est["alpha"] >= 70      # true count 70, never underestimated
+    assert est["common"] >= 70
+    assert est["absent"] >= 0
