@@ -1361,6 +1361,51 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalized rollup/cube surface (arbitrary
+    aggregation lattices in ONE pass via Expand, not one scan per
+    grouping): per-(flag,status), per-flag, per-status, and grand-total
+    rows with grouping() indicators distinguishing real NULLs from
+    subtotal rows. Full hash oracle (identical ANSI SQL in DuckDB)."""
+    df = _t(spark, sf_dir, "lineitem")
+    df.createOrReplaceTempView("l_gsets")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM l_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+    """)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection (maintenance.robust_outliers):
+    planted 10× price spikes (every 97th order) must be the rows flagged
+    by |x − median| > 3·MAD per return flag. Values fixed to integer
+    cents first so every percentile interpolation lands on exactly-
+    representable .0/.5 doubles — the boundary comparison (hence the
+    row set) is bit-stable across engines. Full hash oracle."""
+    from mini_etl_spark.maintenance import robust_outliers
+
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "amount",
+        F.col("l_extendedprice")
+        * F.when(F.col("l_orderkey") % 97 == 0, F.lit(10.0)).otherwise(F.lit(1.0)),
+    )
+    out = robust_outliers(df, "amount", group_col="l_returnflag", k=3.0)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("__v").alias("amount_c"),
+        "group_median",
+        "group_mad",
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (text.heavy_hitters_cm): one-pass
     depth×width md5-bucketed frequency table (constant memory, mergeable
@@ -2812,6 +2857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "bpe_encode": q_bpe_encode,
         "heavy_hitters": q_heavy_hitters,
+        "grouping_sets": q_grouping_sets,
+        "mad_outliers": q_mad_outliers,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3784,6 +3831,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab": _d_bpe_sql(50),
         "bpe_encode": _d_bpe_encode_sql(50),
+        "grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus), ())
+        """,
+        "mad_outliers": """
+            WITH f AS (
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                     floor((l_extendedprice *
+                            CASE WHEN l_orderkey % 97 = 0
+                                 THEN 10.0 ELSE 1.0 END) * 100.0 + 0.5)
+                       AS amount_c
+              FROM lineitem),
+            m AS (
+              SELECT l_returnflag, median(amount_c) AS group_median
+              FROM f GROUP BY l_returnflag),
+            d AS (SELECT f.*, m.group_median
+                  FROM f JOIN m USING (l_returnflag)),
+            md AS (
+              SELECT l_returnflag,
+                     median(abs(amount_c - group_median)) AS group_mad
+              FROM d GROUP BY l_returnflag)
+            SELECT d.l_orderkey, d.l_linenumber, d.amount_c,
+                   d.group_median, md.group_mad
+            FROM d JOIN md USING (l_returnflag)
+            WHERE abs(d.amount_c - d.group_median) > 3.0 * md.group_mad
+        """,
         "heavy_hitters": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents),

@@ -291,3 +291,56 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def robust_outliers(
+    df,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 3.0,
+    scale: int = 100,
+):
+    """Median/MAD outlier detection — the robust (breakdown-point-0.5)
+    alternative to z-scores, whose mean/stddev are themselves dragged by
+    the outliers they are supposed to find. A row is an outlier when
+    ``|x − median| > k · MAD`` within its group (``group_col=None`` =
+    one global group).
+
+    Determinism contract: values are first fixed to integers at
+    ``scale`` (``floor(x·scale + 0.5)`` half-up — exact in float64), so
+    every median/MAD interpolation lands on ``.0``/``.5`` — exactly
+    representable doubles that any engine reproduces bit-for-bit, which
+    makes the boundary comparison (and therefore the row set) stable
+    across engines. This is the same integer-cents move the revenue
+    oracles use.
+
+    Plan: two grouped EXACT percentile aggregates (median of values,
+    then median of absolute deviations) joined back by group — two
+    shuffles on the group key, no window over the full table. At 100 TB
+    swap the exact percentile for ``percentile_approx`` (mergeable
+    sketch) and keep the shape; exact is the oracle-matched baseline.
+
+    Returns the input rows (plus ``__v`` fixed value) filtered to
+    outliers, with ``group_median`` and ``group_mad`` attached (both at
+    the ``scale`` fixing).
+    """
+    from pyspark.sql import functions as F
+
+    g = [group_col] if group_col else []
+    fixed = df.withColumn(
+        "__v",
+        F.floor(F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5))
+        .cast("double"),
+    )
+    med = fixed.groupBy(*g).agg(
+        F.expr("percentile(__v, 0.5)").alias("group_median")
+    )
+    j1 = fixed.join(F.broadcast(med), g) if g else fixed.crossJoin(F.broadcast(med))
+    mad = j1.groupBy(*g).agg(
+        F.expr("percentile(abs(__v - group_median), 0.5)").alias("group_mad")
+    )
+    j2 = j1.join(F.broadcast(mad), g) if g else j1.crossJoin(F.broadcast(mad))
+    return j2.filter(
+        F.abs(F.col("__v") - F.col("group_median"))
+        > F.lit(float(k)) * F.col("group_mad")
+    )

@@ -1798,3 +1798,20 @@ def test_heavy_hitters_cm_properties(spark):
     import pytest as _p
     with _p.raises(ValueError, match="depth and width"):
         heavy_hitters_cm(docs, depth=0)
+
+
+def test_robust_outliers_flags_planted_spikes(spark):
+    """MAD outliers: 10x spikes flagged, uniform bulk untouched, and the
+    global (ungrouped) mode works."""
+    from mini_etl_spark.maintenance import robust_outliers
+
+    rows = [(i, "g", 100.0 + (i % 10)) for i in range(100)]
+    rows += [(900, "g", 5000.0), (901, "g", 0.5)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+    out = robust_outliers(df, "x", group_col="grp").collect()
+    assert sorted(r.id for r in out) == [900, 901]
+    glob = robust_outliers(df, "x").collect()
+    assert sorted(r.id for r in glob) == [900, 901]
+    # bulk-only data: MAD-clean, nothing flagged
+    clean = spark.createDataFrame(rows[:100], "id long, grp string, x double")
+    assert robust_outliers(clean, "x", group_col="grp").count() == 0
