@@ -53,7 +53,7 @@ TRANSFORMER_TYPES = {
     "normalize",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
-    "nb_classify",
+    "nb_classify", "outliers",
     "parse_urls", "url_blocklist", "html_text",
     "temperature_mix",
 }
@@ -344,6 +344,33 @@ class ConfigLoader:
             mode = o.get("mode", "drop")
             match = o.get("match", "suffix")
             return lambda df: web.filter_url_blocklist(df, col, blocked, mode, match)
+        if spec.type == "outliers":
+            from mini_etl_spark.maintenance import robust_outliers
+
+            col = o["column"]  # required
+            group = o.get("group")
+            kk = float(o.get("k", 3.0))
+            mode = o.get("mode", "drop")  # drop outliers | keep only them
+
+            if mode not in ("drop", "keep", "flag"):
+                raise ValueError(
+                    f"outliers: mode must be drop|keep|flag, got {mode!r}"
+                )
+
+            def _outliers(df, _c=col, _g=group, _k=kk, _m=mode):
+                from pyspark.sql import functions as FF
+
+                flagged = robust_outliers(df, _c, group_col=_g, k=_k, mode="flag")
+                if _m == "flag":
+                    return flagged.drop("__v", "group_median", "group_mad")
+                keep = (
+                    FF.col("is_outlier") if _m == "keep" else ~FF.col("is_outlier")
+                )
+                return flagged.filter(keep).drop(
+                    "__v", "group_median", "group_mad", "is_outlier"
+                )
+
+            return _outliers
         if spec.type == "bigram_score":
             from mini_etl_spark.functions import lm
 

@@ -299,6 +299,7 @@ def robust_outliers(
     group_col: str | None = None,
     k: float = 3.0,
     scale: int = 100,
+    mode: str = "outliers",
 ):
     """Median/MAD outlier detection — the robust (breakdown-point-0.5)
     alternative to z-scores, whose mean/stddev are themselves dragged by
@@ -320,12 +321,16 @@ def robust_outliers(
     swap the exact percentile for ``percentile_approx`` (mergeable
     sketch) and keep the shape; exact is the oracle-matched baseline.
 
-    Returns the input rows (plus ``__v`` fixed value) filtered to
-    outliers, with ``group_median`` and ``group_mad`` attached (both at
-    the ``scale`` fixing).
+    ``mode="outliers"`` (default) returns only the flagged rows (plus
+    ``__v`` fixed value, ``group_median``, ``group_mad``);
+    ``mode="flag"`` returns EVERY input row with an ``is_outlier``
+    boolean instead — the one-pass form for pipelines that keep or drop
+    by filtering (no second scan, no anti-join).
     """
     from pyspark.sql import functions as F
 
+    if mode not in ("outliers", "flag"):
+        raise ValueError(f"mode must be 'outliers' or 'flag', got {mode!r}")
     g = [group_col] if group_col else []
     fixed = df.withColumn(
         "__v",
@@ -340,7 +345,10 @@ def robust_outliers(
         F.expr("percentile(abs(__v - group_median), 0.5)").alias("group_mad")
     )
     j2 = j1.join(F.broadcast(mad), g) if g else j1.crossJoin(F.broadcast(mad))
-    return j2.filter(
+    is_out = (
         F.abs(F.col("__v") - F.col("group_median"))
         > F.lit(float(k)) * F.col("group_mad")
     )
+    if mode == "flag":
+        return j2.withColumn("is_outlier", is_out)
+    return j2.filter(is_out)

@@ -588,3 +588,45 @@ sink:
 
     m = read_shard_manifest(str(out))
     assert m["total_rows"] == 40 and m["num_shards"] == 4
+
+
+def test_outliers_transformer(spark, tmp_path):
+    """outliers config node: drop (default), keep, and flag modes over
+    the median/MAD detector."""
+    import yaml
+
+    from mini_etl_spark.config import ConfigLoader
+
+    rows = [(i, "g", 100.0 + (i % 10)) for i in range(100)]
+    rows += [(900, "g", 5000.0)]
+    src = tmp_path / "in"
+    spark.createDataFrame(rows, "id long, grp string, x double").write.parquet(str(src))
+
+    def _run(mode):
+        cfg = {
+            "name": f"out_{mode}",
+            "source": {"type": "parquet", "path": str(src)},
+            "transformers": [
+                {"type": "outliers", "column": "x", "group": "grp", "mode": mode}
+            ],
+            "sink": {"type": "parquet", "path": str(tmp_path / f"out_{mode}"),
+                     "mode": "overwrite"},
+        }
+        p = tmp_path / f"{mode}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        loader = ConfigLoader()
+        config = loader.load(str(p))
+        assert config.validate() == []
+        loader.build_pipeline(config).run(spark)
+        return spark.read.parquet(str(tmp_path / f"out_{mode}"))
+
+    dropped = _run("drop")
+    assert dropped.count() == 100 and dropped.filter("id = 900").count() == 0
+    kept = _run("keep")
+    assert [r.id for r in kept.collect()] == [900]
+    flagged = _run("flag")
+    assert flagged.count() == 101
+    assert flagged.filter("is_outlier").count() == 1
+    import pytest as _p
+    with _p.raises(ValueError, match="drop|keep|flag"):
+        _run("bogus")
