@@ -1361,6 +1361,51 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_conversation_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction inside the nested messages array
+    (conversations.redact_conversations): synthesized 2-turn
+    conversations carry an email, phone, IP and SSN; the nested
+    transform must rewrite every turn in place and attach the per-
+    conversation PII hit count — flattened back to turn rows for the
+    oracle, which replays the same RE2-safe chain on the flat form."""
+    from mini_etl_spark.functions import conversations as cv
+
+    docs = _t(spark, sf_dir, "documents")
+    flat = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("turn_idx"),
+        "text",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(
+            F.col("turn_idx") == 0,
+            F.concat(
+                F.lit("contact user"), F.col("conv_id").cast("string"),
+                F.lit("@mail.example or call 555-123-4567 from 10.1.2.3"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("noted ssn 123-45-6789 re "), F.substring("text", 1, 40))
+        )
+        .alias("content"),
+    )
+    convs = cv.from_turns(flat)
+    red = cv.redact_conversations(convs)
+    return red.select(
+        "conv_id", "n_pii", F.posexplode("messages").alias("turn_idx", "m")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("m")["role"].alias("role"),
+        F.col("m")["content"].alias("content"),
+        "n_pii",
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the generalized rollup/cube surface (arbitrary
     aggregation lattices in ONE pass via Expand, not one scan per
@@ -2859,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "grouping_sets": q_grouping_sets,
         "mad_outliers": q_mad_outliers,
+        "conversation_redaction": q_conversation_redaction,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3831,6 +3877,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab": _d_bpe_sql(50),
         "bpe_encode": _d_bpe_encode_sql(50),
+        "conversation_redaction": f"""
+            WITH flat AS (
+              SELECT doc_id AS conv_id, t.turn_idx,
+                     CASE WHEN t.turn_idx = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     CASE WHEN t.turn_idx = 0
+                          THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example or call 555-123-4567 from 10.1.2.3'
+                          ELSE 'noted ssn 123-45-6789 re ' || substr(text, 1, 40)
+                     END AS content
+              FROM documents, (SELECT unnest([0, 1]) AS turn_idx) t),
+            n AS (
+              SELECT conv_id,
+                     CAST(sum({_d_pii_count('content')}) AS BIGINT) AS n_pii
+              FROM flat GROUP BY conv_id)
+            SELECT f.conv_id, CAST(f.turn_idx AS BIGINT) AS turn_idx, f.role,
+                   {_d_pii_clean('f.content')} AS content, n.n_pii
+            FROM flat f JOIN n USING (conv_id)
+        """,
         "grouping_sets": """
             SELECT coalesce(l_returnflag, 'ALL') AS flag,
                    coalesce(l_linestatus, 'ALL') AS status,

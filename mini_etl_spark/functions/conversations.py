@@ -36,6 +36,7 @@ __all__ = [
     "render_chat",
     "dedup_conversations",
     "preference_pairs",
+    "redact_conversations",
 ]
 
 DEFAULT_ROLES = ("system", "user", "assistant")
@@ -255,6 +256,42 @@ def dedup_conversations(
         .filter(F.col("__rn") == 1)
         .drop("__ck", "__rn")
     )
+
+
+def redact_conversations(
+    df: DataFrame,
+    messages_col: str = "messages",
+    count_col: str | None = "n_pii",
+) -> DataFrame:
+    """PII redaction INSIDE the messages array — the conversation-modality
+    form of :func:`~mini_etl_spark.functions.text.redact_pii`: one nested
+    ``transform`` rewrites every turn's content in place (same
+    email/SSN/IPv4/phone chain, same placeholders), with no
+    explode → redact → re-aggregate round trip, so conversation order
+    and the one-row-per-conversation shape never leave the executor.
+
+    ``count_col`` (None to skip) attaches the total PII hits across all
+    turns — the audit metric for gating (e.g. drop conversations whose
+    count exceeds a policy bound instead of shipping redacted husks).
+    Pure projection; zero shuffle."""
+    from mini_etl_spark.functions.text import pii_count, redact_pii
+
+    m = _msgs(messages_col)
+    red = F.transform(
+        m,
+        lambda x: F.struct(
+            x["role"].alias("role"), redact_pii(x["content"]).alias("content")
+        ),
+    )
+    out = df
+    if count_col:
+        counts = F.aggregate(
+            F.transform(m, lambda x: pii_count(x["content"])),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.coalesce(v, F.lit(0)),
+        )
+        out = out.withColumn(count_col, counts)
+    return out.withColumn(messages_col, red)
 
 
 def preference_pairs(

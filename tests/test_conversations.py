@@ -186,3 +186,31 @@ def test_preference_pairs_string_ids_deterministic_ties(spark):
     assert out[0]["chosen_id"] == "c-a"
     assert out[0]["rejected_id"] == "c-c"
     assert out[0]["margin"] == 0.0
+
+
+def test_redact_conversations_in_place(spark):
+    """Nested redaction: every turn's content rewritten in place, order
+    and shape preserved, per-conversation hit count attached."""
+    from mini_etl_spark.functions.conversations import redact_conversations
+
+    rows = [
+        (1, 0, "user", "mail me at a.b@x.org from 10.0.0.1"),
+        (1, 1, "assistant", "noted, no pii here"),
+        (2, 0, "user", "ssn 123-45-6789 and phone 555-123-4567"),
+    ]
+    convs = from_turns(
+        spark.createDataFrame(
+            rows, "conv_id long, turn_idx long, role string, content string"
+        )
+    )
+    out = {r.conv_id: r for r in redact_conversations(convs).collect()}
+    c1 = [m["content"] for m in out[1]["messages"]]
+    assert c1 == ["mail me at <EMAIL> from <IP>", "noted, no pii here"]
+    assert [m["role"] for m in out[1]["messages"]] == ["user", "assistant"]
+    assert out[1]["n_pii"] == 2
+    c2 = [m["content"] for m in out[2]["messages"]]
+    assert c2 == ["ssn <SSN> and phone <PHONE>"]
+    assert out[2]["n_pii"] == 2
+    # count_col=None: no audit column
+    no_count = redact_conversations(convs, count_col=None)
+    assert "n_pii" not in no_count.columns
