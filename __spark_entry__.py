@@ -3680,13 +3680,18 @@ def _d_bpe_encode_sql(num_merges: int = 50, doc_filter: str = "doc_id % 10 = 0")
     ]
     for k in range(num_merges):
         parts.append(f"""em{k} AS (
+              -- LEFT JOIN ON TRUE, not CROSS JOIN: if training exhausts
+              -- mergeable pairs before rank {k}, b{k} is EMPTY — a cross
+              -- join would annihilate the symbol table and diverge from
+              -- apply_bpe (which simply has no merge to apply); with the
+              -- left join l/r are NULL, sel stays 0, symbols pass through
               SELECT e.doc_id, e.widx, e.pos, e.sym, b.l, b.r,
                      lead(e.sym) OVER (PARTITION BY e.doc_id, e.widx
                                        ORDER BY e.pos) AS nxt,
-                     count(CASE WHEN e.sym <> b.l THEN 1 END)
+                     count(CASE WHEN b.l IS NULL OR e.sym <> b.l THEN 1 END)
                        OVER (PARTITION BY e.doc_id, e.widx ORDER BY e.pos
                              ROWS UNBOUNDED PRECEDING) AS run_id
-              FROM e{k} e CROSS JOIN b{k} b),
+              FROM e{k} e LEFT JOIN b{k} b ON TRUE),
             er{k} AS (
               SELECT *, min(CASE WHEN sym = l THEN pos END)
                           OVER (PARTITION BY doc_id, widx, run_id) AS run_min

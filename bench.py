@@ -224,7 +224,9 @@ def _ref_pipelines(sf_dir: str, tmp: str, csv_in: str):
     return {"b1": b1, "b2": b2, "b3": b3, "b4": b4, "b5": b5}
 
 
-def measure_reference(sf_dir: str, tmp: str, csv_in: str) -> dict[str, float]:
+def measure_reference(
+    sf_dir: str, tmp: str, csv_in: str
+) -> tuple[dict[str, float], dict[str, float]]:
     _stub_ref_deps()
     sys.path.insert(0, REF_DIR)
     import logging

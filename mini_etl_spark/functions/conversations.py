@@ -317,6 +317,11 @@ def preference_pairs(
     id/score, margin); join back on the id for payload columns.
     """
     i, s = F.col(id_col), F.col(score_col).cast("double")
+    # NULL-scored completions cannot participate in preference
+    # construction: under non-ANSI ordering a NULL (-s) sorts FIRST in
+    # the min_by struct, so an unscored row would win `chosen` while
+    # chosen_score reported max(s) of a different row (r5 review catch)
+    df = df.filter(s.isNotNull())
     # one ordering key serves both ends, negating only the SCORE (numeric
     # by contract) so the id is always compared in its native ascending
     # order — string/uuid completion ids stay deterministic (a negated id

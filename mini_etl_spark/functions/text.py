@@ -779,11 +779,19 @@ def heavy_hitters_cm(
     buckets = [
         hash_bucket("__tok", seed + d, width).alias(f"__b{d}") for d in range(depth)
     ]
+    # one tokenize+explode feeds BOTH the sketch and the exact count:
+    # the sketch is derived from the same `stream` frame (identical to
+    # cm_sketch_table's output — bucket expressions are shared), never a
+    # second scan of the corpus
     stream = toks.select("__tok", *buckets)
-    sketch = cm_sketch_table(
-        df, text_col, id_col, depth=depth, width=width, seed=seed
-    ).select(
-        F.col("d").alias("__d"), F.col("b").alias("__b"), F.col("c").alias("__c")
+    sketch = (
+        stream.select(
+            F.posexplode(
+                F.array(*[F.col(f"__b{d}") for d in range(depth)])
+            ).alias("__d", "__b")
+        )
+        .groupBy("__d", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
     exact = (
         stream.groupBy("__tok", *[f"__b{d}" for d in range(depth)])

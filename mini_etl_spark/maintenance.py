@@ -350,5 +350,8 @@ def robust_outliers(
         > F.lit(float(k)) * F.col("group_mad")
     )
     if mode == "flag":
-        return j2.withColumn("is_outlier", is_out)
+        # NULL measurement (or NULL group stats) is NOT an outlier —
+        # without the coalesce, filter(~is_outlier) in drop pipelines
+        # would silently discard every NULL-valued row (NULL predicate)
+        return j2.withColumn("is_outlier", F.coalesce(is_out, F.lit(False)))
     return j2.filter(is_out)

@@ -233,6 +233,23 @@ def stream_stream_join(
     return lw.join(rw, cond, how)
 
 
+def _publish_snapshot(df: DataFrame, target_path: str, batch_id: int) -> None:
+    """Write ``df`` as ``snap={batch_id}`` under ``target_path`` and flip
+    the ``_LATEST`` pointer atomically (os.replace) — the shared
+    publication protocol of every snapshot-maintaining foreachBatch sink
+    (upsert, LM trainer, CM sketch). The pointer flip being LAST is the
+    crash-safety contract: a failure before it leaves the previous
+    snapshot live and the orphan directory unreferenced."""
+    import os
+
+    snap = os.path.join(target_path, f"snap={batch_id}")
+    df.write.mode("overwrite").parquet(snap)
+    tmp = os.path.join(target_path, "_LATEST.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"snap={batch_id}")
+    os.replace(tmp, os.path.join(target_path, "_LATEST"))
+
+
 def stream_upsert_to_parquet(
     stream_df: DataFrame,
     target_path: str,
@@ -267,8 +284,6 @@ def stream_upsert_to_parquet(
     within-batch survivor is arbitrary — acceptable only for replayed
     identical rows.
     """
-    import os
-
     from mini_etl_spark.operators.merge import merge_upsert
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -295,12 +310,7 @@ def stream_upsert_to_parquet(
         merged = (
             merge_upsert(current, delta, keys) if current is not None else delta
         )
-        snap = os.path.join(target_path, f"snap={batch_id}")
-        merged.write.mode("overwrite").parquet(snap)
-        tmp = os.path.join(target_path, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(f"snap={batch_id}")
-        os.replace(tmp, os.path.join(target_path, "_LATEST"))
+        _publish_snapshot(merged, target_path, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -439,18 +449,11 @@ def stream_lm_update(
     from mini_etl_spark.functions.lm import merge_bigram_lms, train_bigram_lm
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         delta = train_bigram_lm(batch_df, text_col, id_col)
         current = read_latest_snapshot(spark, model_path)
         merged = merge_bigram_lms(current, delta) if current is not None else delta
-        snap = os.path.join(model_path, f"snap={batch_id}")
-        merged.write.mode("overwrite").parquet(snap)
-        tmp = os.path.join(model_path, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(f"snap={batch_id}")
-        os.replace(tmp, os.path.join(model_path, "_LATEST"))
+        _publish_snapshot(merged, model_path, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -609,18 +612,11 @@ def stream_cm_update(
     from mini_etl_spark.functions.text import cm_merge, cm_sketch_table
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         delta = cm_sketch_table(batch_df, text_col, id_col, depth, width, seed)
         current = read_latest_snapshot(spark, sketch_path)
         merged = cm_merge(current, delta) if current is not None else delta
-        snap = os.path.join(sketch_path, f"snap={batch_id}")
-        merged.write.mode("overwrite").parquet(snap)
-        tmp = os.path.join(sketch_path, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(f"snap={batch_id}")
-        os.replace(tmp, os.path.join(sketch_path, "_LATEST"))
+        _publish_snapshot(merged, sketch_path, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

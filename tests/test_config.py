@@ -630,3 +630,35 @@ def test_outliers_transformer(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="drop|keep|flag"):
         _run("bogus")
+
+
+def test_outliers_drop_keeps_null_valued_rows(spark, tmp_path):
+    """r5 review: a NULL measurement is not an outlier - drop mode must
+    keep the row (is_outlier coalesces to False), not silently filter it."""
+    import yaml
+
+    from mini_etl_spark.config import ConfigLoader
+
+    rows = [(i, "g", 100.0 + (i % 10)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+    df = df.union(
+        spark.createDataFrame([(999, "g", None)], "id long, grp string, x double")
+    )
+    src = tmp_path / "in"
+    df.write.parquet(str(src))
+    cfg = {
+        "name": "out_null",
+        "source": {"type": "parquet", "path": str(src)},
+        "transformers": [
+            {"type": "outliers", "column": "x", "group": "grp", "mode": "drop"}
+        ],
+        "sink": {"type": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    loader = ConfigLoader()
+    config = loader.load(str(p))
+    loader.build_pipeline(config).run(spark)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 51  # nothing dropped, incl. the NULL-valued row
+    assert out.filter("id = 999").count() == 1

@@ -214,3 +214,26 @@ def test_redact_conversations_in_place(spark):
     # count_col=None: no audit column
     no_count = redact_conversations(convs, count_col=None)
     assert "n_pii" not in no_count.columns
+
+
+def test_preference_pairs_null_scores_excluded(spark):
+    """r5 review: a NULL-scored completion must not win chosen/rejected
+    (under non-ANSI ordering a NULL (-s) sorts first in the min_by
+    struct) - unscored rows are excluded from pair construction."""
+    from mini_etl_spark.functions.conversations import preference_pairs
+
+    df = spark.createDataFrame(
+        [("p", "a", None), ("p", "b", 1.0), ("p", "c", 0.5)],
+        "prompt_id string, completion_id string, score double",
+    )
+    out = preference_pairs(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.chosen_id, r.rejected_id) == ("b", "c")
+    assert r.chosen_score == 1.0 and r.rejected_score == 0.5
+    # only NULL-scored completions for a prompt -> no pair at all
+    only_null = spark.createDataFrame(
+        [("q", "x", None), ("q", "y", None)],
+        "prompt_id string, completion_id string, score double",
+    )
+    assert preference_pairs(only_null).count() == 0
