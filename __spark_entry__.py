@@ -1361,6 +1361,26 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_semantic_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval decontamination
+    (similarity.semantic_decontaminate): every 25th vector plays the
+    eval set; training rows whose max cosine to any eval row (within 2
+    probed cells) reaches 0.42 are dropped — the semantic sibling of the
+    n-gram `decontaminated` query, catching paraphrase-style leakage.
+    method="expr" pinned for the bit-replayable float chain; the oracle
+    replays cell assignment, k=1 retrieval and the anti-join."""
+    from mini_etl_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 25 == 0)
+    tr = emb.filter(F.col("vec_id") % 25 != 0)
+    cents = sim.random_unit_centroids(dim=64, k=32, seed=7)
+    out = sim.semantic_decontaminate(
+        tr, ev, cents, threshold=0.42, nprobe=2, method="expr"
+    )
+    return out.select("vec_id", "label")
+
+
 def q_conversation_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction inside the nested messages array
     (conversations.redact_conversations): synthesized 2-turn
@@ -2905,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "mad_outliers": q_mad_outliers,
         "conversation_redaction": q_conversation_redaction,
+        "semantic_decontaminated": q_semantic_decontaminated,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5349,6 +5370,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(kept, ' '), '') AS clean_text,
                    len(t) - len(kept) AS n_removed_tokens
             FROM rebuilt
+        """,
+        "semantic_decontaminated": f"""
+            WITH corp AS (
+              SELECT vec_id, embedding, {_d_cell_expr()} AS cell,
+                     sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+              FROM embeddings WHERE vec_id % 25 = 0),
+            qry AS (
+              SELECT vec_id, embedding,
+                     unnest({_d_probe_cells(2)}) AS cell,
+                     sqrt({_d_dot('embedding', 'embedding')}) AS nrm
+              FROM embeddings WHERE vec_id % 25 <> 0),
+            scored AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round({_d_dot('q.embedding', 'c.embedding')}
+                           / (q.nrm * c.nrm), 4) AS cosine
+              FROM qry q JOIN corp c ON q.cell = c.cell),
+            top1 AS (
+              SELECT query_id, cosine
+              FROM (SELECT query_id, cosine,
+                           row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY cosine DESC, corpus_id) AS rn
+                    FROM scored)
+              WHERE rn = 1),
+            bad AS (SELECT query_id FROM top1 WHERE cosine >= 0.42)
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id % 25 <> 0
+              AND vec_id NOT IN (SELECT query_id FROM bad)
         """,
         "knn_join": f"""
             WITH corp AS (

@@ -1209,3 +1209,47 @@ def kmeans_int(
             for j in range(k)
         ]
     return _assign(cents)
+
+
+def semantic_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "arrow",
+) -> DataFrame:
+    """Embedding-level train/eval decontamination — the semantic sibling
+    of the n-gram :func:`~mini_etl_spark.functions.dedup.decontaminate`:
+    drop every training row whose embedding is cosine-≥ ``threshold``
+    similar to ANY eval row, catching paraphrased/translated leakage
+    that exact n-gram containment misses.
+
+    Pure composition over the oracled retrieval primitive: a train row's
+    maximum similarity to the eval set IS its :func:`knn_join` top-1
+    (train as queries, eval as corpus), so contamination is one
+    ``k=1`` retrieval + threshold filter + left-anti join. Pair space is
+    Σ(train_cell × eval_cell) within ``nprobe`` probed cells — never
+    |train| × |eval| — and the eval side is typically tiny (benchmark
+    suites), so at 100 TB this is one cell-assignment pass over train
+    plus a cells-worth of scoring. Recall follows the coarse quantizer
+    (same contract as knn_join: a leak hiding in an un-probed cell is
+    missed; raise ``nprobe``).
+
+    Returns the surviving ``train_df`` rows unchanged."""
+    hits = knn_join(
+        train_df,
+        eval_df,
+        centroids,
+        k=1,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        method=method,
+    )
+    contaminated = hits.filter(F.col("cosine") >= F.lit(float(threshold))).select(
+        F.col("query_id").alias(id_col)
+    )
+    return train_df.join(contaminated, id_col, "left_anti")

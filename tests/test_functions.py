@@ -1815,3 +1815,31 @@ def test_robust_outliers_flags_planted_spikes(spark):
     # bulk-only data: MAD-clean, nothing flagged
     clean = spark.createDataFrame(rows[:100], "id long, grp string, x double")
     assert robust_outliers(clean, "x", group_col="grp").count() == 0
+
+
+def test_semantic_decontaminate_drops_planted_leak(spark):
+    """A training embedding nearly identical to an eval embedding must be
+    dropped; orthogonal vectors survive. Arrow and expr paths agree."""
+    import numpy as np
+
+    from mini_etl_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(3)
+    ev_vec = rng.normal(size=8).tolist()
+    rows_eval = [(1000, ev_vec)]
+    rows_train = [
+        (1, [v + 0.001 for v in ev_vec]),           # planted leak
+        (2, rng.normal(size=8).tolist()),
+        (3, rng.normal(size=8).tolist()),
+    ]
+    tr = spark.createDataFrame(rows_train, "vec_id long, embedding array<double>")
+    ev = spark.createDataFrame(rows_eval, "vec_id long, embedding array<double>")
+    cents = sim.random_unit_centroids(dim=8, k=4, seed=7)
+    for method in ("arrow", "expr"):
+        kept = sorted(
+            r.vec_id
+            for r in sim.semantic_decontaminate(
+                tr, ev, cents, threshold=0.95, nprobe=4, method=method
+            ).collect()
+        )
+        assert kept == [2, 3], method  # leak dropped, independents kept
