@@ -1361,6 +1361,20 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (splits.token_balanced_shard_ids):
+    deterministic md5 layout cut every 2000 tokens via a DISTRIBUTED
+    prefix sum (md5-hex-prefix buckets carry contiguous runs of the
+    global order; per-bucket offsets from a 256-row collect + parallel
+    in-bucket window cumsum) — never a single-partition global window.
+    The oracle is the plain global-window cumsum the distributed form
+    must equal value-for-value."""
+    from mini_etl_spark.functions import splits as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    return sp.token_balanced_shard_ids(docs, tokens_per_shard=2000, seed=5)
+
+
 def q_semantic_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level train/eval decontamination
     (similarity.semantic_decontaminate): every 25th vector plays the
@@ -2926,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "conversation_redaction": q_conversation_redaction,
         "semantic_decontaminated": q_semantic_decontaminated,
+        "token_shards": q_token_shards,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5370,6 +5385,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(kept, ' '), '') AS clean_text,
                    len(t) - len(kept) AS n_removed_tokens
             FROM rebuilt
+        """,
+        "token_shards": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+                     md5('5' || chr(31) || CAST(doc_id AS VARCHAR)) AS okey
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY okey, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard
+            FROM c
         """,
         "semantic_decontaminated": f"""
             WITH corp AS (

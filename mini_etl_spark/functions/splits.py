@@ -181,3 +181,75 @@ def cap_per_group(
         .where(F.col("__rn") <= F.lit(cap))
         .drop("__rn")
     )
+
+
+def token_balanced_shard_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_shard: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every document to a TOKEN-balanced training shard: rows are
+    laid out in deterministic md5 order and cut every
+    ``tokens_per_shard`` tokens, so shards carry equal token mass — the
+    quantity training actually consumes — instead of equal row counts
+    (`sinks.to_training_shards`' contract), which skews badly when
+    document lengths do.
+
+    The global running token total is a DISTRIBUTED prefix sum, never a
+    single-partition window: the md5 order key's first two hex chars
+    form 256 lexicographic buckets that partition the global order into
+    contiguous runs, so (1) one hash aggregate yields per-bucket token
+    totals — a 256-row driver collect — whose running sum gives each
+    bucket's global offset, and (2) a window cumsum WITHIN each bucket
+    (hash-partitioned, parallel) plus that offset reconstructs the exact
+    global cumulative count. All integer arithmetic — any engine's plain
+    global-window cumsum replays it value-for-value (the driver oracle
+    does exactly that).
+
+    A document straddling a cut belongs to the shard where it STARTS
+    (``shard = (cum_before_row) // tokens_per_shard``), so every shard's
+    token count is within one document of the budget and every document
+    stays whole. Returns (``id_col``, ``n_tokens``, ``shard``).
+    """
+    from mini_etl_spark.functions.text import tokens
+
+    if tokens_per_shard < 1:
+        raise ValueError(f"tokens_per_shard must be >= 1, got {tokens_per_shard}")
+    okey = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        okey.alias("__okey"),
+    ).withColumn("__ob", F.substring("__okey", 1, 2))
+
+    totals = {
+        r["__ob"]: r["__t"]
+        for r in base.groupBy("__ob").agg(F.sum("n_tokens").alias("__t")).collect()
+    }
+    running, offsets = 0, {}
+    for b in sorted(totals):  # hex-lexicographic == global okey order
+        offsets[b] = running
+        running += int(totals[b])
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+
+    w = (
+        Window.partitionBy("__ob")
+        .orderBy("__okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w) + F.element_at(offset_map, F.col("__ob"))
+    return base.select(
+        id_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(int(tokens_per_shard)))
+        .cast("long")
+        .alias("shard"),
+    )

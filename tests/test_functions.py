@@ -1843,3 +1843,33 @@ def test_semantic_decontaminate_drops_planted_leak(spark):
             ).collect()
         )
         assert kept == [2, 3], method  # leak dropped, independents kept
+
+
+def test_token_balanced_shard_ids_properties(spark):
+    """Shard token mass within one doc of budget; docs whole; shards
+    contiguous in md5 order; deterministic across runs."""
+    from mini_etl_spark.functions.splits import token_balanced_shard_ids
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 40)) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    out = token_balanced_shard_ids(docs, tokens_per_shard=200).collect()
+    assert len(out) == 300  # every doc assigned, whole
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    shards = sorted(by_shard)
+    assert shards == list(range(len(shards)))  # dense shard ids from 0
+    total = sum(r.n_tokens for r in out)
+    assert shards[-1] == (total - 1) // 200 or total % 200 == 0
+    for s in shards[:-1]:  # every non-final shard fills its budget
+        mass = sum(r.n_tokens for r in by_shard[s])
+        # starts-in-shard rule: mass in [budget - (max_doc-1), budget + max_doc)
+        assert mass >= 200 - 44
+        assert mass < 200 + 45
+    out2 = token_balanced_shard_ids(docs, tokens_per_shard=200).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    import pytest as _p
+    with _p.raises(ValueError, match="tokens_per_shard"):
+        token_balanced_shard_ids(docs, tokens_per_shard=0)
