@@ -1361,6 +1361,40 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_chat_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL-chat ingestion round trip: synthesized 2-turn conversations
+    → to_json (Spark's JSON writer, arbitrary content incl. quotes) →
+    parse_chat_json (from_json on-ramp) → to_turns flat rows. The oracle
+    emits the synthesized flat rows directly — the round trip must be
+    IDENTITY on every role/content byte, which verifies the parser
+    against Spark's own serializer with the raw document text as
+    payload."""
+    from mini_etl_spark.functions import conversations as cv
+
+    docs = _t(spark, sf_dir, "documents")
+    flat = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("turn_idx"),
+        "text",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("turn_idx") == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(
+            F.col("turn_idx") == 0,
+            F.concat(F.lit('ask "about" \\ '), F.substring("text", 1, 30)),
+        )
+        .otherwise(F.concat(F.lit("reply re "), F.substring("text", 11, 30)))
+        .alias("content"),
+    )
+    convs = cv.from_turns(flat)
+    as_json = convs.select("conv_id", F.to_json("messages").alias("chat_json"))
+    parsed = cv.parse_chat_json(as_json)
+    return cv.to_turns(parsed)
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (splits.token_balanced_shard_ids):
     deterministic md5 layout cut every 2000 tokens via a DISTRIBUTED
@@ -2941,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_redaction": q_conversation_redaction,
         "semantic_decontaminated": q_semantic_decontaminated,
         "token_shards": q_token_shards,
+        "chat_json_roundtrip": q_chat_json_roundtrip,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5385,6 +5420,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(kept, ' '), '') AS clean_text,
                    len(t) - len(kept) AS n_removed_tokens
             FROM rebuilt
+        """,
+        "chat_json_roundtrip": """
+            SELECT doc_id AS conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,
+                   CASE WHEN t.turn_idx = 0 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   CASE WHEN t.turn_idx = 0
+                        THEN 'ask "about" \\ ' || substr(text, 1, 30)
+                        ELSE 'reply re ' || substr(text, 11, 30)
+                   END AS content
+            FROM documents, (SELECT unnest([0, 1]) AS turn_idx) t
         """,
         "token_shards": f"""
             WITH t AS (

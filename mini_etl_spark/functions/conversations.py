@@ -37,7 +37,11 @@ __all__ = [
     "dedup_conversations",
     "preference_pairs",
     "redact_conversations",
+    "parse_chat_json",
+    "to_turns",
 ]
+
+CHAT_SCHEMA = "array<struct<role: string, content: string>>"
 
 DEFAULT_ROLES = ("system", "user", "assistant")
 
@@ -78,6 +82,47 @@ def from_turns(
         ),
     )
     return df.groupBy(id_col).agg(msgs.alias(messages_col))
+
+
+def parse_chat_json(
+    df: DataFrame,
+    json_col: str = "chat_json",
+    messages_col: str = "messages",
+    drop_source: bool = True,
+) -> DataFrame:
+    """JSONL-chat on-ramp: parse a JSON string column of
+    ``[{"role": ..., "content": ...}, ...]`` records (the interchange
+    format every SFT dataset ships as) into the canonical
+    ``array<struct<role, content>>`` messages column — one ``from_json``
+    projection, distributed, no UDF. Extra keys in the JSON objects are
+    ignored by the schema; malformed JSON yields NULL (route through
+    :func:`validate_conversations`, whose ``empty`` rule catches it).
+    Inverse of ``F.to_json(messages)`` — the round trip is identity
+    (driver-oracled)."""
+    out = df.withColumn(
+        messages_col, F.from_json(F.col(json_col), CHAT_SCHEMA)
+    )
+    return out.drop(json_col) if drop_source and json_col != messages_col else out
+
+
+def to_turns(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    messages_col: str = "messages",
+) -> DataFrame:
+    """Flatten conversations back to a turn log — the inverse of
+    :func:`from_turns`: one ``posexplode`` to
+    (``id``, ``turn_idx``, ``role``, ``content``) rows (0-based turn
+    index, conversation order preserved). The bridge back onto row-level
+    operators (per-turn filtering, joins against moderation labels)."""
+    return df.select(
+        F.col(id_col), F.posexplode(messages_col).alias("turn_idx", "__m")
+    ).select(
+        id_col,
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("__m")["role"].alias("role"),
+        F.col("__m")["content"].alias("content"),
+    )
 
 
 def conversation_stats(

@@ -237,3 +237,28 @@ def test_preference_pairs_null_scores_excluded(spark):
         "prompt_id string, completion_id string, score double",
     )
     assert preference_pairs(only_null).count() == 0
+
+
+def test_parse_chat_json_and_to_turns(spark):
+    """JSONL on-ramp: valid chat JSON parses to the canonical schema
+    (extra keys ignored), malformed JSON yields NULL (caught by the
+    'empty' validation rule), and to_turns inverts from_turns."""
+    from mini_etl_spark.functions.conversations import parse_chat_json, to_turns
+
+    rows = [
+        (1, '[{"role":"user","content":"hi \\"there\\""},'
+            '{"role":"assistant","content":"yo","extra":42}]'),
+        (2, "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, chat_json string")
+    parsed = parse_chat_json(df)
+    assert "chat_json" not in parsed.columns
+    by_id = {r.conv_id: r.messages for r in parsed.collect()}
+    assert [(m["role"], m["content"]) for m in by_id[1]] == [
+        ("user", 'hi "there"'), ("assistant", "yo"),
+    ]
+    assert by_id[2] is None
+    v = validate_conversations(parsed).filter("conv_id = 2").first()
+    assert v["conv_errors"] == ["empty"]
+    turns = to_turns(parsed.filter("conv_id = 1")).collect()
+    assert [(r.turn_idx, r.role) for r in turns] == [(0, "user"), (1, "assistant")]
