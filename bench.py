@@ -470,6 +470,10 @@ def main() -> None:
         "kmeans_clusters": queries["kmeans_clusters"],
         "heavy_hitters": queries["heavy_hitters"],
         "bpe_encode": queries["bpe_encode"],
+        "token_shards": queries["token_shards"],
+        "semantic_decontaminated": queries["semantic_decontaminated"],
+        "conversation_redaction": queries["conversation_redaction"],
+        "mad_outliers": queries["mad_outliers"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)

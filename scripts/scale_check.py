@@ -82,6 +82,12 @@ QUERIES = [
     "sparse_cosine_pairs",
     "kmeans_clusters",
     "heavy_hitters",
+    # round 5 (cont.): distributed prefix-sum sharding, embedding
+    # decontamination, nested-array redaction, median/MAD outliers
+    "token_shards",
+    "semantic_decontaminated",
+    "conversation_redaction",
+    "mad_outliers",
 ]
 
 
