@@ -56,6 +56,9 @@ TRANSFORMER_TYPES = {
     "nb_classify", "outliers",
     "parse_urls", "url_blocklist", "html_text",
     "temperature_mix",
+    # conversation (chat/SFT) modality
+    "parse_chat", "validate_chat", "redact_chat", "dedup_chat",
+    "render_chat",
 }
 
 _ENV_RE = re.compile(r"\$\{(\w+)\}|\$(\w+)")
@@ -344,6 +347,49 @@ class ConfigLoader:
             mode = o.get("mode", "drop")
             match = o.get("match", "suffix")
             return lambda df: web.filter_url_blocklist(df, col, blocked, mode, match)
+        if spec.type == "parse_chat":
+            from mini_etl_spark.functions import conversations as cv
+
+            col = o.get("column", "chat_json")
+            out = o.get("output", "messages")
+            return lambda df: cv.parse_chat_json(df, col, out)
+        if spec.type == "validate_chat":
+            from mini_etl_spark.functions import conversations as cv
+
+            col = o.get("column", "messages")
+            valid_only = bool(o.get("valid_only", False))
+
+            def _vchat(df, _c=col, _v=valid_only):
+                out = cv.validate_conversations(df, _c)
+                if _v:
+                    from pyspark.sql import functions as FF
+
+                    out = out.filter(FF.col("conv_valid")).drop(
+                        "conv_errors", "conv_valid"
+                    )
+                return out
+
+            return _vchat
+        if spec.type == "redact_chat":
+            from mini_etl_spark.functions import conversations as cv
+
+            col = o.get("column", "messages")
+            count = o.get("count", "n_pii")
+            return lambda df: cv.redact_conversations(df, col, count)
+        if spec.type == "dedup_chat":
+            from mini_etl_spark.functions import conversations as cv
+
+            id_col = o.get("id", "conv_id")
+            col = o.get("column", "messages")
+            by = o.get("by", "full")
+            return lambda df: cv.dedup_conversations(df, id_col, col, by)
+        if spec.type == "render_chat":
+            from mini_etl_spark.functions import conversations as cv
+
+            col = o.get("column", "messages")
+            out = o.get("output", "text")
+            sep = o.get("sep", "\n")
+            return lambda df: cv.render_chat(df, col, out, sep)
         if spec.type == "outliers":
             from mini_etl_spark.maintenance import robust_outliers
 

@@ -210,3 +210,48 @@ def test_streaming_web_gate_example_runs(spark, tmp_path, monkeypatch):
     out2 = spark.read.parquet(str(tmp_path / "gated_pages"))
     assert out2.count() == first + 8  # 10 new minus 2 blocklisted
     assert out2.filter("page_id = 1").count() == 1  # old rows not reprocessed
+
+
+def test_sft_release_example_runs(spark, tmp_path, monkeypatch):
+    """The conversation-modality release pipeline from YAML: parse ->
+    validate -> redact -> PII bound -> prompt dedup -> render -> quality
+    gate."""
+    import json
+
+    lines = []
+    body = ("please explain the useful common words that make quality "
+            "scoring pass for this transcript ")
+    for i in range(30):
+        msgs = [
+            {"role": "user", "content": f"prompt {i % 10}: {body}"},
+            {"role": "assistant",
+             "content": f"answer {i} {body} mail bot{i}@x.example"},
+        ]
+        lines.append(json.dumps({"conv_id": i, "chat_json": json.dumps(msgs)}))
+    # malformed + invalid structure rows must be gated out
+    lines.append(json.dumps({"conv_id": 900, "chat_json": "not json"}))
+    lines.append(json.dumps({"conv_id": 901, "chat_json": json.dumps(
+        [{"role": "assistant", "content": "reply with no prompt"}])}))
+    src = tmp_path / "chats"
+    src.mkdir()
+    (src / "part.jsonl").write_text("\n".join(lines))
+
+    monkeypatch.setenv("CHATS_DIR", str(src))
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    from mini_etl_spark.config import ConfigLoader
+
+    loader = ConfigLoader()
+    config = loader.load("examples/sft_release.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] > 0
+
+    out = spark.read.parquet(str(tmp_path / "sft_release"))
+    rows = out.collect()
+    ids = sorted(r.conv_id for r in rows)
+    assert ids == list(range(10))  # 10 distinct prompts, min-id keepers
+    assert all(r.conv_id not in (900, 901) for r in rows)
+    for r in rows:
+        assert "@" not in r.text and "<EMAIL>" in r.text  # redacted in render
+        assert r.n_pii == 1
+        assert r.quality >= 0.1
