@@ -2728,6 +2728,28 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: the whole teleport mass lands on seed
+    customers 1-5, so ranks measure proximity to the seed set (the
+    'more like these sites' crawl-expansion prior). Same unrolled-CTE
+    replay with a CASE teleport term; float chain ((1-d)·N)/|S| written
+    in the identical order both sides; ranks rounded to 6 at the end."""
+    from mini_etl_spark.functions.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 100000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, personalized=[1, 2, 3, 4, 5])
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_domain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes domain classifier (the CCNet/GPT-3 quality-filter slot,
     relationally): train multinomial NB with add-one smoothing on the
@@ -2976,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminated": q_semantic_decontaminated,
         "token_shards": q_token_shards,
         "chat_json_roundtrip": q_chat_json_roundtrip,
+        "pagerank_personalized": q_pagerank_personalized,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -3269,6 +3292,42 @@ def _d_pagerank_sql(iterations: int = 3) -> str:
         r{i} AS (SELECT n.node,
                         (1.0 - 0.85) + 0.85 * coalesce(c.cin, 0.0) AS rank
                  FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+def _d_pagerank_personalized_sql(
+    iterations: int = 3, seeds: tuple = (1, 2, 3, 4, 5)
+) -> str:
+    """DuckDB twin of graph.pagerank(personalized=seeds): the unrolled
+    power method with a CASE teleport — the whole (1−d)·N mass split
+    over the seeds, zero elsewhere. The per-seed constant is computed at
+    runtime as (1.0 - 0.85) * nc.n / |S| — the same left-associated op
+    sequence the Spark side evaluates in Python — so both engines land
+    on the identical double."""
+    seed_in = ", ".join(str(s) for s in seeds)
+    ns = float(len(seeds))
+    ctes = ["""
+        e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 100000 AS dst
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+        c{i} AS (SELECT e.dst, sum(r.rank / d.dg) AS cin
+                 FROM e JOIN deg d ON d.src = e.src
+                        JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT n.node,
+                        (CASE WHEN n.node IN ({seed_in})
+                              THEN (1.0 - 0.85) * nc.n / {ns!r}
+                              ELSE 0.0 END)
+                        + 0.85 * coalesce(c.cin, 0.0) AS rank
+                 FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node, ncnt nc)""")
     return (
         "WITH " + ",".join(ctes)
         + f" SELECT node, round(rank, 6) AS rank FROM r{iterations}"
@@ -5634,6 +5693,7 @@ def oracle_sql() -> dict[str, str]:
         "script_id": _d_script_sql(),
         "pagerank": _d_pagerank_sql(),
         "pagerank_redistribute": _d_pagerank_redistribute_sql(),
+        "pagerank_personalized": _d_pagerank_personalized_sql(),
         "profile": _d_profile_sql(),
         # top_values: melt → count → deterministic k-bounded window (ties
         # break on the value string in both engines)

@@ -62,6 +62,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     dangling: str = "teleport",
+    personalized: list | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` of the power method:
     rank = (1 − d) + d · Σ_in rank(u)/out_degree(u), uniform start at 1.0
@@ -84,6 +85,17 @@ def pagerank(
       ranking a real crawl graph wants. Costs one tiny aggregate per
       iteration (a 1-row frame, broadcast cross-joined — no extra
       shuffle of the rank table).
+
+    ``personalized``: a seed-node list makes this PERSONALIZED PageRank
+    — the whole teleport mass (1 − d)·N lands on the seeds
+    ((1 − d)·N/|S| each) instead of uniformly, so ranks measure
+    proximity to the seed set (topic-conditioned crawl authority,
+    "more like these sites" expansion). Seeds ride along as an `isin`
+    literal (seed sets are vocabulary-sized); under
+    ``dangling="redistribute"`` the sinks' mass also returns to the
+    seeds (the consistent PPR formulation — sinks teleport by the same
+    distribution). Kept un-normalized like the classic mode (Σ rank
+    stays ~N with redistribute).
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
@@ -92,6 +104,11 @@ def pagerank(
             f"pagerank: dangling must be 'teleport' or 'redistribute', "
             f"got {dangling!r}"
         )
+    seeds_list: list | None = None
+    if personalized is not None:
+        seeds_list = sorted(set(personalized))
+        if not seeds_list:
+            raise ValueError("pagerank: personalized seed list is empty")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -111,6 +128,20 @@ def pagerank(
                 out_deg.select(F.col("src").alias("node")), "node", "left_anti"
             ).localCheckpoint(eager=True)
             n_nodes = nodes.count()
+        elif seeds_list is not None:
+            n_nodes = nodes.count()
+
+        if seeds_list is None:
+            tele = F.lit(1.0 - damping)
+        else:
+            # whole teleport mass on the seeds; float chain fixed as
+            # ((1-d) * N) / |S| so SQL oracles replay the same double
+            per_seed = ((1.0 - damping) * float(n_nodes)) / float(
+                len(seeds_list)
+            )
+            tele = F.when(
+                F.col("node").isin(seeds_list), F.lit(per_seed)
+            ).otherwise(F.lit(0.0))
 
         ranks = nodes.select("node", F.lit(1.0).alias("rank"))
         for _ in range(iterations):
@@ -126,9 +157,15 @@ def pagerank(
                 dang = ranks.join(sinks, "node", "left_semi").agg(
                     F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
                 )
-                incoming = F.coalesce("__in", F.lit(0.0)) + F.col(
-                    "__dang"
-                ) / F.lit(float(n_nodes))
+                if seeds_list is None:
+                    dang_share = F.col("__dang") / F.lit(float(n_nodes))
+                else:
+                    # sinks teleport by the personalization distribution
+                    dang_share = F.when(
+                        F.col("node").isin(seeds_list),
+                        F.col("__dang") / F.lit(float(len(seeds_list))),
+                    ).otherwise(F.lit(0.0))
+                incoming = F.coalesce("__in", F.lit(0.0)) + dang_share
                 merged = nodes.join(
                     contrib, nodes.node == contrib.dst, "left"
                 ).crossJoin(F.broadcast(dang))
@@ -143,9 +180,7 @@ def pagerank(
             ranks = (
                 merged.select(
                     "node",
-                    (
-                        F.lit(1.0 - damping) + F.lit(damping) * incoming
-                    ).alias("rank"),
+                    (tele + F.lit(damping) * incoming).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )

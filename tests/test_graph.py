@@ -124,3 +124,28 @@ def test_pagerank_validates_iterations(spark):
         pagerank(_edges(spark, [(1, 2)]), iterations=0)
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [(1, 2)]), dangling="drop")
+
+
+def test_personalized_pagerank_properties(spark):
+    """PPR: seeds absorb the teleport mass (rank concentrates near the
+    seed set); with dangling redistribution the total mass is conserved
+    at ~N; non-seed source-less nodes rank 0."""
+    from mini_etl_spark.functions.graph import pagerank
+
+    # star around seed 1 plus a detached pair 10 -> 11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (10, 11)], ["src", "dst"]
+    )
+    r = {x.node: x["rank"] for x in
+         pagerank(edges, iterations=20, personalized=[1]).collect()}
+    # 1 holds the teleport mass + returns from 2/3; detached 10 gets none
+    assert r[1] > r[2] > 0 and abs(r[2] - r[3]) < 1e-9
+    assert r[10] == 0.0          # no teleport, no in-edges
+    assert r[11] < 1e-6          # only decayed trickle from 10
+    rr = {x.node: x["rank"] for x in
+          pagerank(edges, iterations=20, personalized=[1],
+                   dangling="redistribute").collect()}
+    assert abs(sum(rr.values()) - 5.0) < 1e-6  # mass conserved at N
+    import pytest as _p
+    with _p.raises(ValueError, match="seed list is empty"):
+        pagerank(edges, personalized=[])
