@@ -687,13 +687,17 @@ class ConfigLoader:
         if spec.type == "null":
             return snk.null_sink()
         if spec.type == "shards":
+            ns = o.pop("num_shards", None)
+            tps = o.pop("tokens_per_shard", None)
             return snk.to_training_shards(
                 path,
-                num_shards=int(o.pop("num_shards")),
+                num_shards=int(ns) if ns is not None else None,
                 key_col=o.pop("key", o.pop("key_col", "doc_id")),
                 fmt=o.pop("format", "jsonl"),
                 mode=mode,
                 seed=int(o.pop("seed", 42)),
+                tokens_per_shard=int(tps) if tps is not None else None,
+                text_col=o.pop("text", "text"),
                 **o,
             )
         raise ValueError(f"unknown sink type {spec.type!r}")

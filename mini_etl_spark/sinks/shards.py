@@ -62,18 +62,30 @@ def _manifest_path(spark: SparkSession, path: str):
 
 def to_training_shards(
     path: str,
-    num_shards: int,
+    num_shards: int | None = None,
     key_col: str = "doc_id",
     fmt: str = "jsonl",
     mode: str = "w",
     seed: int = 42,
     shard_col: str = "shard",
     manifest: bool = True,
+    tokens_per_shard: int | None = None,
+    text_col: str = "text",
     **options,
 ) -> Sink:
-    """Sink: write ``num_shards`` deterministic training shards under
-    ``path`` (hive layout ``shard=K/``), one data file per non-empty
-    shard, plus ``_manifest.json`` with per-shard row counts.
+    """Sink: write deterministic training shards under ``path`` (hive
+    layout ``shard=K/``), one data file per non-empty shard, plus
+    ``_manifest.json`` with per-shard row counts.
+
+    Two balancing modes, exactly one selected:
+
+    - ``num_shards=N``: md5-bucket assignment — exactly N shards with
+      ~equal ROW counts (stable under corpus growth).
+    - ``tokens_per_shard=B``: token-mass cuts along the deterministic
+      md5 layout (:func:`~mini_etl_spark.functions.splits.
+      token_balanced_shard_ids` — distributed prefix sum, documents
+      whole) — as many shards as the corpus' token total requires, each
+      within one document of B tokens. The balance training consumes.
 
     ``fmt``: ``jsonl`` (default — one JSON object per line, the common
     LLM-training interchange), ``parquet``, or ``csv`` (header on).
@@ -86,8 +98,15 @@ def to_training_shards(
     ``mode`` accepts only fresh-write modes (overwrite / error): append
     or ignore would break the one-file-per-shard and manifest contracts.
     """
-    if num_shards < 1:
+    if (num_shards is None) == (tokens_per_shard is None):
+        raise ValueError(
+            "to_training_shards: pass exactly one of num_shards (row "
+            "balance) or tokens_per_shard (token balance)"
+        )
+    if num_shards is not None and num_shards < 1:
         raise ValueError("to_training_shards: num_shards must be >= 1")
+    if tokens_per_shard is not None and tokens_per_shard < 1:
+        raise ValueError("to_training_shards: tokens_per_shard must be >= 1")
     if fmt not in _FORMATS:
         raise ValueError(
             f"to_training_shards: fmt must be one of {sorted(_FORMATS)}, got {fmt!r}"
@@ -111,9 +130,21 @@ def to_training_shards(
             raise ValueError(
                 f"to_training_shards: column {shard_col!r} already exists"
             )
-        sharded = df.withColumn(
-            shard_col, hash_bucket(key_col, seed=seed, num_buckets=num_shards)
-        ).repartition(num_shards, F.col(shard_col))
+        if tokens_per_shard is not None:
+            from mini_etl_spark.functions.splits import token_balanced_shard_ids
+
+            assign = token_balanced_shard_ids(
+                df, text_col, key_col, tokens_per_shard, seed
+            ).select(key_col, F.col("shard").alias(shard_col))
+            n_out = assign.agg(F.max(shard_col)).first()[0]
+            n_out = int(n_out) + 1 if n_out is not None else 1
+            sharded = df.join(assign, key_col).repartition(
+                n_out, F.col(shard_col)
+            )
+        else:
+            sharded = df.withColumn(
+                shard_col, hash_bucket(key_col, seed=seed, num_buckets=num_shards)
+            ).repartition(num_shards, F.col(shard_col))
         writer = sharded.write.mode(spark_mode).partitionBy(shard_col)
         if fmt == "csv":
             writer = writer.option("header", True)
@@ -135,15 +166,22 @@ def to_training_shards(
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .collect()
             }
+            n_written = (
+                num_shards
+                if num_shards is not None
+                else (max(counts) + 1 if counts else 0)
+            )
             doc = {
-                "num_shards": num_shards,
+                "num_shards": n_written,
                 "key_col": key_col,
                 "seed": seed,
                 "format": fmt,
                 "shard_col": shard_col,
-                "shards": {str(i): counts.get(i, 0) for i in range(num_shards)},
+                "shards": {str(i): counts.get(i, 0) for i in range(n_written)},
                 "total_rows": sum(counts.values()),
             }
+            if tokens_per_shard is not None:
+                doc["tokens_per_shard"] = tokens_per_shard
             fs, hpath = _manifest_path(spark, path)
             out = fs.create(hpath, True)
             try:
@@ -152,7 +190,7 @@ def to_training_shards(
                 out.close()
             logger.info(
                 "to_training_shards: %d rows into %d shards at %s",
-                doc["total_rows"], num_shards, path,
+                doc["total_rows"], doc["num_shards"], path,
             )
 
     return _write

@@ -99,3 +99,31 @@ def test_shards_uri_path_manifest(spark, corpus, tmp_path):
     m = read_shard_manifest(path, spark)
     assert m["total_rows"] == 500
     assert os.path.exists(str(tmp_path / "uri_shards" / "_manifest.json"))
+
+
+def test_token_balanced_shard_writer(spark, corpus, tmp_path):
+    """tokens_per_shard mode: shards cut by token mass along the md5
+    layout; hive layout + one file per shard + manifest hold; every doc
+    written exactly once, whole."""
+    path = str(tmp_path / "tok_shards")
+    to_training_shards(path, tokens_per_shard=300, fmt="jsonl")(corpus)
+    import glob as g
+    import os as o
+
+    dirs = sorted(g.glob(o.path.join(path, "shard=*")))
+    assert len(dirs) >= 2
+    for d in dirs:
+        files = [f for f in g.glob(o.path.join(d, "*")) if not f.endswith(".crc")]
+        assert len(files) == 1
+    back = spark.read.json(path)
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+    man = read_shard_manifest(path, spark)
+    assert sum(man["shards"].values()) == 500
+    # exactly-one-mode contract
+    with pytest.raises(ValueError, match="exactly one"):
+        to_training_shards(str(tmp_path / "x"), num_shards=2, tokens_per_shard=10)(corpus)
+    with pytest.raises(ValueError, match="exactly one"):
+        to_training_shards(str(tmp_path / "x"))(corpus)
+    with pytest.raises(ValueError, match="tokens_per_shard"):
+        to_training_shards(str(tmp_path / "x"), tokens_per_shard=0)(corpus)
