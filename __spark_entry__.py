@@ -1395,6 +1395,23 @@ def q_chat_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cv.to_turns(parsed)
 
 
+def q_set_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic set-Jaccard join (dedup.set_jaccard_pairs) — the
+    modality-agnostic core behind frame-hash video dedup: element sets
+    here are the distinct tokens of each document's first 60 chars
+    (stand-ins for per-frame fingerprints; the real video path decodes
+    frames executor-side and is pytest-gated on PPM-stream fixtures).
+    Inverted-index join with the hot-element cap; full hash oracle."""
+    from mini_etl_spark.functions import dedup as dd
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(tx.tokens(F.substring("text", 1, 60))).alias("tags"),
+    )
+    return dd.set_jaccard_pairs(docs, "tags", threshold=0.5)
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (splits.token_balanced_shard_ids):
     deterministic md5 layout cut every 2000 tokens via a DISTRIBUTED
@@ -2999,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "chat_json_roundtrip": q_chat_json_roundtrip,
         "pagerank_personalized": q_pagerank_personalized,
+        "set_jaccard": q_set_jaccard,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5479,6 +5497,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(kept, ' '), '') AS clean_text,
                    len(t) - len(kept) AS n_removed_tokens
             FROM rebuilt
+        """,
+        "set_jaccard": """
+            WITH s AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(string_split(
+                       regexp_replace(lower(substr(text, 1, 60)),
+                                      '[^a-z0-9]+', ' ', 'g'), ' '),
+                       t -> t != ''))) AS e
+              FROM documents),
+            siz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+            hot AS (SELECT e FROM (SELECT e, count(*) AS c FROM s GROUP BY e)
+                    WHERE c > 1000),
+            s2 AS (SELECT * FROM s WHERE e NOT IN (SELECT e FROM hot)),
+            sh AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM s2 a JOIN s2 b ON a.e = b.e AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4)
+                     AS jaccard
+            FROM sh
+            JOIN siz sa ON sa.doc_id = id_a
+            JOIN siz sb ON sb.doc_id = id_b
+            WHERE round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4)
+                  >= 0.5
         """,
         "chat_json_roundtrip": """
             SELECT doc_id AS conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,

@@ -146,6 +146,72 @@ def jaccard_pairs(
     return out
 
 
+def set_jaccard_pairs(
+    df: DataFrame,
+    set_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_element_freq: int | None = 1000,
+) -> DataFrame:
+    """Generic exact Jaccard join over SET-VALUED columns: all
+    (id_a < id_b) pairs with |A∩B| / |A∪B| ≥ threshold, where A/B are
+    the distinct elements of ``set_col`` (any array type castable to
+    string). The modality-agnostic core of :func:`jaccard_pairs` —
+    feed it video frame-hash arrays (near-dup video detection), audio
+    chunk fingerprints, citation lists, tag sets.
+
+    Same architecture as the text form: inverted-index join (pair space
+    Σ df(element)², never N²) with a hot-element document-frequency cap
+    (``max_element_freq``; a dropped element no longer counts toward the
+    intersection but set sizes are unchanged, so reported Jaccard is a
+    lower bound for affected pairs). Elements md5-hash to 32-byte keys
+    before the join so wide payloads never shuffle. Rows with empty/NULL
+    sets produce no pairs. Returns (id_a, id_b, jaccard) rounded to 4.
+    """
+    elems = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(F.array_distinct(F.col(set_col))).alias("__e"),
+        )
+        .filter(F.col("__e").isNotNull())
+        .select("__id", F.md5(F.col("__e").cast("string").cast("binary")).alias("__g"))
+    )
+    sizes = elems.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
+    if max_element_freq is not None:
+        freq = elems.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+        elems = elems.join(
+            F.broadcast(freq.filter(F.col("__f") > max_element_freq)),
+            on="__g",
+            how="left_anti",
+        )
+    a, b = elems.alias("a"), elems.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__sb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared")
+                / (F.col("__sa") + F.col("__sb") - F.col("__shared")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def count_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -500,3 +500,39 @@ def sample_frames_assets(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    every_ms: int = 1000,
+    fps: int = 25,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Near-duplicate VIDEO detection — the multimodal sibling of text
+    MinHash dedup: sample frames executor-side
+    (:func:`sample_frames_assets`), fingerprint each frame (sha256 of
+    its canonical PPM bytes — re-encodes, trims, and container changes
+    that preserve pixels collide; any pixel change does not), then an
+    exact set-Jaccard inverted-index join over the frame-hash sets
+    (:func:`~mini_etl_spark.functions.dedup.set_jaccard_pairs`).
+
+    Two videos sharing ≥ ``threshold`` of their sampled frames pair up —
+    catches re-uploads, trims and concatenations of the same footage.
+    The video bytes are decoded once and never shuffle: only 32-byte
+    frame hashes enter the join, whose pair space is Σ df(frame)² (a
+    frame shared by f videos costs f², hot frames capped). Returns
+    (id_a, id_b, jaccard). Assets without a native decoder are skipped
+    (same contract as the sampler); sensitivity to re-encoded pixels
+    needs a perceptual kernel in the sampler — the plumbing is
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from mini_etl_spark.functions.dedup import set_jaccard_pairs
+
+    frames = sample_frames_assets(df, every_ms, fps, content_col, id_col)
+    sigs = frames.groupBy("asset_id").agg(
+        F.collect_set(F.sha2(F.col("frame"), 256)).alias("frame_sigs")
+    )
+    return set_jaccard_pairs(sigs, "frame_sigs", "asset_id", threshold)

@@ -1873,3 +1873,45 @@ def test_token_balanced_shard_ids_properties(spark):
     import pytest as _p
     with _p.raises(ValueError, match="tokens_per_shard"):
         token_balanced_shard_ids(docs, tokens_per_shard=0)
+
+
+def test_set_jaccard_pairs_generic(spark):
+    """Modality-agnostic Jaccard join over array columns: exact overlap
+    ratios, duplicates ignored (set semantics), empty/NULL rows silent."""
+    from mini_etl_spark.functions.dedup import set_jaccard_pairs
+
+    rows = [
+        (1, ["a", "b", "c", "c"]),       # set {a,b,c}
+        (2, ["b", "c", "d"]),            # |∩{1}|=2, |∪|=4 -> 0.5
+        (3, ["x", "y"]),
+        (4, []),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in set_jaccard_pairs(df, "tags", threshold=0.5).collect()}
+    assert out == {(1, 2): 0.5}
+
+
+def test_video_near_dup_pairs(spark):
+    """Frame-hash video dedup: overlapping footage pairs up, distinct
+    footage does not; decode happens once executor-side."""
+    from mini_etl_spark.functions import multimodal as mm
+
+    def frame(i, w=4, h=3):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes([i % 251]) * (w * h * 3)
+
+    vid_a = b"".join(frame(i) for i in range(5))       # frames 0-4
+    vid_b = b"".join(frame(i) for i in range(2, 7))    # frames 2-6 (3 shared)
+    vid_c = b"".join(frame(i) for i in range(50, 55))  # distinct
+    rows = [
+        (0, "video", bytearray(vid_a), ("ppm-stream", 4, 3, None, 1)),
+        (1, "video", bytearray(vid_b), ("ppm-stream", 4, 3, None, 2)),
+        (2, "video", bytearray(vid_c), ("ppm-stream", 4, 3, None, 3)),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    # every_ms=40 at fps=25 -> every frame sampled
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in mm.video_near_dup_pairs(df, threshold=0.4, every_ms=40).collect()}
+    assert set(out) == {(0, 1)}
+    assert abs(out[(0, 1)] - round(3 / 7, 4)) < 1e-9
