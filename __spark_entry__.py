@@ -5535,7 +5535,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_shards": f"""
             WITH t AS (
-              SELECT doc_id, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+              SELECT doc_id,
+                     coalesce(CAST(len({_D_TOKENS}) AS BIGINT), 0) AS n_tokens,
                      md5('5' || chr(31) || CAST(doc_id AS VARCHAR)) AS okey
               FROM documents),
             c AS (

@@ -121,6 +121,17 @@ def jaccard_pairs(
     reported Jaccard is a lower bound for affected pairs — at freq > 1000
     the discriminative loss is ~zero."""
     sizes, postings = _pair_shingle_stats(df, text_col, id_col, n, max_shingle_freq)
+    return _jaccard_from_postings(sizes, postings, threshold)
+
+
+def _jaccard_from_postings(
+    sizes: DataFrame, postings: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard ≥ threshold) from an element-postings frame
+    (``__id``, ``__g``) and a sizes frame (``__id``, ``__size``) — the
+    shared inverted-index self-join + ratio tail of :func:`jaccard_pairs`
+    (shingle sets) and :func:`set_jaccard_pairs` (arbitrary element
+    sets)."""
     a, b = postings.alias("a"), postings.alias("b")
     shared = (
         a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
@@ -129,7 +140,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__sa"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__sb"))
-    out = (
+    return (
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -143,7 +154,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def set_jaccard_pairs(
@@ -165,51 +175,42 @@ def set_jaccard_pairs(
     (``max_element_freq``; a dropped element no longer counts toward the
     intersection but set sizes are unchanged, so reported Jaccard is a
     lower bound for affected pairs). Elements md5-hash to 32-byte keys
-    before the join so wide payloads never shuffle. Rows with empty/NULL
+    before the join so wide payloads never shuffle — BINARY elements
+    hash their raw bytes (a cast through string would decode invalid
+    UTF-8 with replacement chars and collapse distinct fingerprints onto
+    one key); everything else hashes its canonical string form. The
+    exploded+hashed frame is persisted (it feeds the sizes aggregate,
+    the frequency cap, and both self-join sides — and its upstream may
+    be an expensive decode, e.g. video frames). Rows with empty/NULL
     sets produce no pairs. Returns (id_a, id_b, jaccard) rounded to 4.
     """
+    from pyspark.sql.types import ArrayType, BinaryType
+
+    st = df.schema[set_col].dataType
+    is_binary = isinstance(st, ArrayType) and isinstance(
+        st.elementType, BinaryType
+    )
+    e = F.col("__e")
+    key = F.md5(e if is_binary else e.cast("string").cast("binary"))
     elems = (
         df.select(
             F.col(id_col).alias("__id"),
             F.explode_outer(F.array_distinct(F.col(set_col))).alias("__e"),
         )
         .filter(F.col("__e").isNotNull())
-        .select("__id", F.md5(F.col("__e").cast("string").cast("binary")).alias("__g"))
+        .select("__id", key.alias("__g"))
+        .persist()
     )
     sizes = elems.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
+    postings = elems
     if max_element_freq is not None:
         freq = elems.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
-        elems = elems.join(
+        postings = elems.join(
             F.broadcast(freq.filter(F.col("__f") > max_element_freq)),
             on="__g",
             how="left_anti",
         )
-    a, b = elems.alias("a"), elems.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__shared"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__sa"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__sb"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__shared")
-                / (F.col("__sa") + F.col("__sb") - F.col("__shared")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_from_postings(sizes, postings, threshold)
 
 
 def count_cosine_pairs(

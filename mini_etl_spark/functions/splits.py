@@ -189,7 +189,9 @@ def token_balanced_shard_ids(
     id_col: str = "doc_id",
     tokens_per_shard: int = 4096,
     seed: int = 42,
-) -> DataFrame:
+    keep_columns: bool = False,
+    with_total: bool = False,
+):
     """Assign every document to a TOKEN-balanced training shard: rows are
     laid out in deterministic md5 order and cut every
     ``tokens_per_shard`` tokens, so shards carry equal token mass — the
@@ -211,7 +213,24 @@ def token_balanced_shard_ids(
     A document straddling a cut belongs to the shard where it STARTS
     (``shard = (cum_before_row) // tokens_per_shard``), so every shard's
     token count is within one document of the budget and every document
-    stays whole. Returns (``id_col``, ``n_tokens``, ``shard``).
+    stays whole. NULL/empty text counts as 0 tokens (``F.size`` of a
+    NULL array is -1 under non-ANSI — folded to 0, or the prefix sum
+    would go negative and shift every later boundary).
+
+    ``id_col`` should be unique and non-null: it is the only
+    within-``okey`` tiebreak, so duplicate or NULL ids make the order of
+    THOSE rows (and a boundary straddle between them) ambiguous.
+
+    Returns (``id_col``, ``n_tokens``, ``shard``); with
+    ``keep_columns=True`` every input column rides along instead (the
+    writer path — no join back, so duplicate keys cannot multiply rows
+    and NULL keys cannot drop). ``with_total=True`` returns
+    ``(frame, n_shards)`` — the shard count is already known driver-side
+    from the bucket totals, saving the caller a full extra pass.
+
+    The bucket stats are collected from a PERSISTED frame and the same
+    frame feeds the window, so a nondeterministic input (sample(),
+    changing directory) cannot desync offsets from the cumsum pass.
     """
     from mini_etl_spark.functions.text import tokens
 
@@ -222,11 +241,18 @@ def token_balanced_shard_ids(
             "\x1f", F.lit(str(seed)), F.col(id_col).cast("string")
         ).cast("binary")
     )
-    base = df.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-        okey.alias("__okey"),
-    ).withColumn("__ob", F.substring("__okey", 1, 2))
+    carried = df.columns if keep_columns else [id_col]
+    base = (
+        df.select(
+            *carried,
+            F.greatest(F.size(tokens(text_col)), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            okey.alias("__okey"),
+        )
+        .withColumn("__ob", F.substring("__okey", 1, 2))
+        .persist()
+    )
 
     totals = {
         r["__ob"]: r["__t"]
@@ -246,10 +272,14 @@ def token_balanced_shard_ids(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w) + F.element_at(offset_map, F.col("__ob"))
-    return base.select(
-        id_col,
+    out = base.select(
+        *carried,
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(int(tokens_per_shard)))
         .cast("long")
         .alias("shard"),
     )
+    if with_total:
+        n_shards = (running - 1) // int(tokens_per_shard) + 1 if running > 0 else 1
+        return out, n_shards
+    return out

@@ -133,13 +133,25 @@ def to_training_shards(
         if tokens_per_shard is not None:
             from mini_etl_spark.functions.splits import token_balanced_shard_ids
 
-            assign = token_balanced_shard_ids(
-                df, text_col, key_col, tokens_per_shard, seed
-            ).select(key_col, F.col("shard").alias(shard_col))
-            n_out = assign.agg(F.max(shard_col)).first()[0]
-            n_out = int(n_out) + 1 if n_out is not None else 1
-            sharded = df.join(assign, key_col).repartition(
-                n_out, F.col(shard_col)
+            # keep_columns: the assignment frame carries every payload
+            # column, so there is NO join back on key_col — duplicate
+            # keys cannot multiply written rows and NULL keys cannot
+            # silently vanish through an inner join. with_total: the
+            # shard count falls out of the driver-side bucket totals,
+            # not an extra full pass over the corpus.
+            assigned, n_out = token_balanced_shard_ids(
+                df,
+                text_col,
+                key_col,
+                tokens_per_shard,
+                seed,
+                keep_columns=True,
+                with_total=True,
+            )
+            sharded = (
+                assigned.withColumnRenamed("shard", shard_col)
+                .drop("n_tokens")
+                .repartition(n_out, F.col(shard_col))
             )
         else:
             sharded = df.withColumn(

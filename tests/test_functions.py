@@ -1915,3 +1915,41 @@ def test_video_near_dup_pairs(spark):
            for r in mm.video_near_dup_pairs(df, threshold=0.4, every_ms=40).collect()}
     assert set(out) == {(0, 1)}
     assert abs(out[(0, 1)] - round(3 / 7, 4)) < 1e-9
+
+
+def test_set_jaccard_binary_elements_distinct(spark):
+    """r5 review: binary elements hash raw bytes - invalid-UTF-8
+    fingerprints must NOT collapse onto one replacement-char key."""
+    from mini_etl_spark.functions.dedup import set_jaccard_pairs
+
+    rows = [
+        (1, [bytearray(b"\xfe\xff"), bytearray(b"\x01")]),
+        (2, [bytearray(b"\xff\xfe"), bytearray(b"\x02")]),  # NO real overlap
+        (3, [bytearray(b"\xfe\xff"), bytearray(b"\x01")]),  # true dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sigs array<binary>")
+    out = {(r.id_a, r.id_b) for r in
+           set_jaccard_pairs(df, "sigs", threshold=0.5).collect()}
+    assert out == {(1, 3)}  # a string cast would also pair (1,2)/(2,3)
+
+
+def test_token_shards_null_text_and_writer_dups(spark, tmp_path):
+    """r5 review: NULL text counts 0 tokens (never -1 into the prefix
+    sum); the token-balanced writer keeps NULL-keyed rows and does not
+    multiply duplicate keys (no join back)."""
+    from mini_etl_spark.functions.splits import token_balanced_shard_ids
+    from mini_etl_spark.sinks.shards import to_training_shards
+
+    rows = [(i, "tok " * 10) for i in range(20)] + [(90, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_balanced_shard_ids(df, tokens_per_shard=50).collect()}
+    assert out[90].n_tokens == 0 and out[90].shard >= 0
+    assert all(r.shard >= 0 for r in out.values())
+
+    dup = df.union(spark.createDataFrame([(5, "tok extra")], "doc_id long, text string"))
+    path = str(tmp_path / "tb")
+    to_training_shards(path, tokens_per_shard=50, fmt="jsonl")(dup)
+    back = spark.read.json(path)
+    assert back.count() == 22  # 21 + the duplicate-key row, written once each
+    assert back.filter("doc_id = 5").count() == 2
+    assert back.filter("doc_id = 90").count() == 1  # NULL text row kept
