@@ -1395,6 +1395,18 @@ def q_chat_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cv.to_turns(parsed)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus subset containment (dedup.containment_dedup_pairs):
+    shared shingles over the SMALLER doc's set ≥ 0.8 — catches a short
+    document quoted whole inside a long one, which symmetric Jaccard
+    never sees. Inverted-index plan; brute-force list_intersect oracle
+    (viable at oracle scale only, same pattern as jaccard_pairs)."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_dedup_pairs(docs, threshold=0.8)
+
+
 def q_set_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic set-Jaccard join (dedup.set_jaccard_pairs) — the
     modality-agnostic core behind frame-hash video dedup: element sets
@@ -2844,6 +2856,23 @@ def q_k_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (privacy.l_diversity_report): per
+    (nation, segment) QI group, the count of distinct account-balance
+    brackets — a k-anonymous group whose members all share one bracket
+    is still a homogeneity disclosure. Two hash aggregates; full hash
+    oracle."""
+    from mini_etl_spark.functions.privacy import l_diversity_report
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "balance_bracket",
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long"),
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "balance_bracket", l=3
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: the 25 heaviest l_suppkey values with row count and
     share of the fact table — the pre-flight check for choosing salted vs
@@ -3017,6 +3046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_json_roundtrip": q_chat_json_roundtrip,
         "pagerank_personalized": q_pagerank_personalized,
         "set_jaccard": q_set_jaccard,
+        "containment_pairs": q_containment_pairs,
+        "l_diversity": q_l_diversity,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5237,6 +5268,30 @@ def oracle_sql() -> dict[str, str]:
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5
+        """,
+        "l_diversity": """
+            WITH pv AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS sv,
+                     count(*) AS n
+              FROM customer GROUP BY 1, 2, 3)
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(sum(n) AS BIGINT) AS group_size,
+                   count(*) AS n_sensitive_values,
+                   count(*) >= 3 AS l_diverse
+            FROM pv GROUP BY 1, 2
+        """,
+        "containment_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, sh, len(sh) AS sz
+              FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+              WHERE len(sh) > 0)
+            SELECT id_a, id_b, containment
+            FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         round(len(list_intersect(a.sh, b.sh))
+                               / least(a.sz, b.sz)::DOUBLE, 4) AS containment
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            WHERE containment >= 0.8
         """,
         # Containment (not Jaccard): |shared| / |test shingles|. The 50/50
         # split replays the engine's md5 hash bucket exactly; all-pairs

@@ -156,6 +156,52 @@ def _jaccard_from_postings(
     )
 
 
+def containment_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Subset near-duplicate detection: all (id_a < id_b) pairs whose
+    shared shingles cover ≥ ``threshold`` of the SMALLER document's
+    shingle set (containment = |A∩B| / min(|A|, |B|)). The asymmetric
+    complement of :func:`jaccard_pairs` — a short document quoted whole
+    inside a long one scores near 1.0 here while its Jaccard
+    (|A∩B| / |A∪B|) stays tiny, so symmetric dedup never sees it. The
+    within-corpus sibling of the train/test
+    :func:`contamination_pairs` measure.
+
+    Same inverted-index plan and hot-shingle cap as the Jaccard join
+    (shared postings helper — one persisted shingle pass); a capped
+    shingle lowers the reported containment (lower bound), sizes
+    unchanged. Returns (id_a, id_b, containment) rounded to 4."""
+    sizes, postings = _pair_shingle_stats(df, text_col, id_col, n, max_shingle_freq)
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__sb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("__shared")
+                / F.least(F.col("__sa"), F.col("__sb")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def set_jaccard_pairs(
     df: DataFrame,
     set_col: str,

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymize", "k_anonymity_report"]
+__all__ = ["k_anonymize", "k_anonymity_report", "l_diversity_report"]
 
 
 def _small_groups(df: DataFrame, quasi_identifiers: list[str], k: int) -> DataFrame:
@@ -96,4 +96,41 @@ def k_anonymity_report(
         F.sum(F.when(F.col("count") < k, F.col("count")).otherwise(F.lit(0)))
         .cast("long")
         .alias("under_k_rows"),
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the k-anonymity complement: a QI group can be
+    large (k-anonymous) yet expose everyone in it when ALL members share
+    one sensitive value (homogeneity attack: "every 34xx-zip patient in
+    the release has the same diagnosis"). A group is l-diverse when its
+    members carry at least ``l`` DISTINCT sensitive values.
+
+    Returns one row per QI group: the identifiers, ``group_size``,
+    ``n_sensitive_values`` (exact distinct), and ``l_diverse`` boolean —
+    feed the failing groups to :func:`k_anonymize`-style suppression or
+    generalize the sensitive column. One map-side-combined aggregate
+    over (QI, sensitive) then (QI) — two hash aggregates, no window, no
+    broadcast; NULL sensitive values count as one value (NULL-safe
+    distinct), matching the honest reading that "unknown" is itself a
+    disclosure class."""
+    if not quasi_identifiers:
+        raise ValueError("l_diversity_report: quasi_identifiers is empty")
+    if l < 1:
+        raise ValueError(f"l_diversity_report: l must be >= 1, got {l}")
+    per_value = df.groupBy(
+        *quasi_identifiers, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per_value.groupBy(*quasi_identifiers)
+        .agg(
+            F.sum("__n").cast("long").alias("group_size"),
+            F.count(F.lit(1)).cast("long").alias("n_sensitive_values"),
+        )
+        .withColumn("l_diverse", F.col("n_sensitive_values") >= F.lit(int(l)))
     )

@@ -1953,3 +1953,22 @@ def test_token_shards_null_text_and_writer_dups(spark, tmp_path):
     assert back.count() == 22  # 21 + the duplicate-key row, written once each
     assert back.filter("doc_id = 5").count() == 2
     assert back.filter("doc_id = 90").count() == 1  # NULL text row kept
+
+
+def test_containment_pairs_catches_subset_dup(spark):
+    """A short doc quoted whole inside a long one: containment ~1.0,
+    Jaccard tiny - only the containment join flags the pair."""
+    from mini_etl_spark.functions import dedup as dd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = ("unrelated framing words before the quote " + short +
+                " and then a very long tail " + " ".join(f"w{i}" for i in range(60)))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "completely different content here")],
+        ["doc_id", "text"],
+    )
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in dd.containment_dedup_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    jac = dd.jaccard_pairs(docs, threshold=0.3).collect()
+    assert not any((r.id_a, r.id_b) == (1, 2) for r in jac)  # jaccard blind

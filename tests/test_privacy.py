@@ -82,3 +82,23 @@ def test_broadcast_join_shape(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # under-k list must broadcast
+
+
+def test_l_diversity_report(spark):
+    """Homogeneity detection: a large group with one sensitive value is
+    NOT l-diverse; NULL sensitive counts as one disclosure class."""
+    from mini_etl_spark.functions.privacy import l_diversity_report
+
+    rows = (
+        [(i, "a", "flu") for i in range(10)]            # big but homogeneous
+        + [(100, "b", "flu"), (101, "b", "cold"), (102, "b", None)]
+        + [(200, "c", None), (201, "c", None)]
+    )
+    df = spark.createDataFrame(rows, "id long, zip string, dx string")
+    out = {r.zip: r for r in l_diversity_report(df, ["zip"], "dx", l=2).collect()}
+    assert (out["a"].group_size, out["a"].n_sensitive_values, out["a"].l_diverse) == (10, 1, False)
+    assert (out["b"].n_sensitive_values, out["b"].l_diverse) == (3, True)
+    assert (out["c"].n_sensitive_values, out["c"].l_diverse) == (1, False)
+    import pytest as _p
+    with _p.raises(ValueError, match="quasi_identifiers"):
+        l_diversity_report(df, [], "dx")
