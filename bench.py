@@ -474,6 +474,11 @@ def main() -> None:
         "semantic_decontaminated": queries["semantic_decontaminated"],
         "conversation_redaction": queries["conversation_redaction"],
         "mad_outliers": queries["mad_outliers"],
+        "containment_pairs": queries["containment_pairs"],
+        "set_jaccard": queries["set_jaccard"],
+        "pagerank_personalized": queries["pagerank_personalized"],
+        "chat_json_roundtrip": queries["chat_json_roundtrip"],
+        "l_diversity": queries["l_diversity"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)

@@ -88,6 +88,9 @@ QUERIES = [
     "semantic_decontaminated",
     "conversation_redaction",
     "mad_outliers",
+    "containment_pairs",
+    "set_jaccard",
+    "pagerank_personalized",
 ]
 
 
