@@ -2856,6 +2856,19 @@ def q_k_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit (maintenance.benford_audit) over
+    extended prices: per leading digit, count, share and the expected
+    log10(1+1/d) frequency — the fabricated-numbers / unit-mixing smell
+    test. Digits come from exact integer-cents strings (never float
+    formatting); expected shares are identical Python-computed literals
+    embedded in both engines. Full hash oracle."""
+    from mini_etl_spark.maintenance import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit (privacy.l_diversity_report): per
     (nation, segment) QI group, the count of distinct account-balance
@@ -3048,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_jaccard": q_set_jaccard,
         "containment_pairs": q_containment_pairs,
         "l_diversity": q_l_diversity,
+        "benford": q_benford,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5268,6 +5282,27 @@ def oracle_sql() -> dict[str, str]:
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5
+        """,
+        "benford": f"""
+            WITH f AS (
+              SELECT CAST(abs(floor(l_extendedprice * 100.0 + 0.5))
+                          AS BIGINT) AS v
+              FROM lineitem),
+            d AS (
+              SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit
+              FROM f WHERE v > 0),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM c)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   round(n / tt, 4) AS share,
+                   CASE digit {' '.join(
+                       f'WHEN {d} THEN {e!r}'
+                       for d, e in sorted(
+                           __import__('mini_etl_spark.maintenance',
+                                      fromlist=['BENFORD_EXPECTED'])
+                           .BENFORD_EXPECTED.items()))} END AS expected
+            FROM c, t
         """,
         "l_diversity": """
             WITH pv AS (

@@ -355,3 +355,86 @@ def robust_outliers(
         # would silently discard every NULL-valued row (NULL predicate)
         return j2.withColumn("is_outlier", F.coalesce(is_out, F.lit(False)))
     return j2.filter(is_out)
+
+
+BENFORD_EXPECTED = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d), 4) for d in range(1, 10)
+}
+
+
+def benford_audit(df, column: str, scale: int = 100):
+    """First-digit (Benford) distribution audit — the classic
+    fabricated-numbers / unit-mixing smell test for a numeric column:
+    naturally-occurring multiplicative quantities lead with digit d at
+    frequency log10(1 + 1/d) (~30% ones, ~4.6% nines); hand-typed or
+    re-scaled data does not.
+
+    Values fix to integers at ``scale`` first (|floor(x·scale + 0.5)|),
+    so the leading digit comes from exact integer DECIMAL strings —
+    never from engine-specific float formatting. Zero/NULL values are
+    excluded (no leading digit). Returns one row per observed digit:
+    (``digit``, ``n``, ``share`` rounded 4, ``expected`` Benford share)
+    — chi-square or eyeball downstream. One hash aggregate plus a 1-row
+    broadcast total; share = n/total computed in one fixed shape."""
+    from pyspark.sql import functions as F
+
+    fixed = df.select(
+        F.abs(
+            F.floor(F.col(column).cast("double") * F.lit(float(scale)) + F.lit(0.5))
+        ).cast("long").alias("__v")
+    ).filter(F.col("__v") > 0)
+    digits = fixed.select(
+        F.substring(F.col("__v").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("__t"))
+    expected = F.create_map(
+        *[F.lit(x) for d, e in sorted(BENFORD_EXPECTED.items()) for x in (d, e)]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__t"), 4).alias("share"),
+            F.element_at(expected, F.col("digit")).alias("expected"),
+        )
+    )
+
+
+def dataset_card(df, name: str = "dataset", top_k: int = 5) -> str:
+    """One-call data card: a markdown report combining row count, the
+    per-column :func:`profile` (nulls/distincts/min-max) and
+    :func:`profile_top_values` — the release-notes artifact every
+    published training set ships with. Driver-side STRING assembly over
+    the two existing aggregate passes (nothing new scans the data);
+    write it next to the shards with the manifest."""
+    rows = profile(df).collect()
+    tops = profile_top_values(df, k=top_k).collect()
+    n_rows = max((r["row_count"] for r in rows), default=0)
+    by_col: dict = {}
+    for r in sorted(tops, key=lambda r: (r["column"], r["rank"])):
+        by_col.setdefault(r["column"], []).append(r)
+    lines = [
+        f"# Data card: {name}",
+        "",
+        f"- rows: {n_rows}",
+        f"- columns: {len(rows)}",
+        "",
+        "## Columns",
+        "",
+        "| column | type | nulls | distinct | min | max |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['column']} | {r['dtype']} | {r['null_count']} "
+            f"| {r['distinct_count']} | {r['min_value']} | {r['max_value']} |"
+        )
+    lines += ["", "## Top values", ""]
+    for col, vals in by_col.items():
+        pretty = ", ".join(
+            f"{v['value']!r}×{v['value_count']}" for v in vals
+        )
+        lines.append(f"- **{col}**: {pretty}")
+    return "\n".join(lines) + "\n"

@@ -1972,3 +1972,37 @@ def test_containment_pairs_catches_subset_dup(spark):
     assert (1, 2) in cont and cont[(1, 2)] >= 0.9
     jac = dd.jaccard_pairs(docs, threshold=0.3).collect()
     assert not any((r.id_a, r.id_b) == (1, 2) for r in jac)  # jaccard blind
+
+
+def test_benford_audit(spark):
+    """Leading-digit audit: shares sum to 1, expected shares are the
+    Benford constants, synthetic all-ones data concentrates on digit 1."""
+    from mini_etl_spark.maintenance import BENFORD_EXPECTED, benford_audit
+
+    ones = spark.createDataFrame(
+        [(float(10 ** (i % 3)),) for i in range(30)] + [(0.0,), (None,)],
+        "x double",
+    )
+    rows = {r.digit: r for r in benford_audit(ones, "x").collect()}
+    assert set(rows) == {1}  # 10/100/1000 cents all lead with 1; 0/NULL excluded
+    assert rows[1].n == 30 and rows[1].share == 1.0
+    assert rows[1].expected == BENFORD_EXPECTED[1]
+    mixed = spark.createDataFrame([(float(d),) for d in range(1, 10)], "x double")
+    out = benford_audit(mixed, "x").collect()
+    assert sorted(r.digit for r in out) == list(range(1, 10))
+    # shares round to 4 decimals, so the sum is 1.0 within 9 half-ulps
+    assert abs(sum(r.share for r in out) - 1.0) < 5e-4
+
+
+def test_dataset_card(spark):
+    from mini_etl_spark.maintenance import dataset_card
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "id long, tag string"
+    )
+    card = dataset_card(df, name="toy", top_k=2)
+    assert "# Data card: toy" in card
+    assert "- rows: 3" in card
+    assert "| id | bigint | 0 | 3 |" in card
+    assert "| tag | string | 1 | 1 |" in card  # countDistinct excludes NULL
+    assert "**tag**: 'a'×2" in card
