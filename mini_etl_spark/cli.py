@@ -149,6 +149,45 @@ def profile(path: str, columns: str | None, fmt: str) -> None:
 
 
 @main.command()
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--name", default=None, help="Dataset name for the card title.")
+@click.option("--top-k", default=5, type=int, help="Top values per column.")
+@click.option(
+    "--out", default=None,
+    help="Write the markdown here instead of stdout (e.g. next to the shards).",
+)
+@click.option(
+    "--format", "fmt",
+    default="parquet",
+    type=click.Choice(["parquet", "csv", "json", "orc"]),
+    help="Input format (csv assumes a header).",
+)
+def card(path: str, name: str | None, top_k: int, out: str | None, fmt: str) -> None:
+    """Markdown data card for a dataset (row count, per-column profile,
+    top values) — the release-notes artifact to ship with a published
+    training set."""
+    from mini_etl_spark.maintenance import dataset_card
+    from mini_etl_spark.session import get_spark
+
+    spark = get_spark("mini-etl-card")
+    readers = {
+        "parquet": spark.read.parquet,
+        "orc": spark.read.orc,
+        "json": spark.read.json,
+        "csv": lambda p: spark.read.option("header", True).csv(p),
+    }
+    df = readers[fmt](path)
+    md = dataset_card(df, name=name or path.rstrip("/").rsplit("/", 1)[-1],
+                      top_k=top_k)
+    if out:
+        with open(out, "w", encoding="utf-8") as fh:
+            fh.write(md)
+        click.echo(f"card written to {out}")
+    else:
+        click.echo(md)
+
+
+@main.command()
 @click.option(
     "--history",
     default="mini_etl_runs.json",

@@ -139,3 +139,19 @@ def test_profile_command(spark):
     assert set(by_col) == {"o_orderkey", "o_orderstatus"}
     assert by_col["o_orderkey"]["null_count"] == 0
     assert by_col["o_orderkey"]["row_count"] == by_col["o_orderkey"]["distinct_count"]
+
+
+def test_cli_card(tmp_path, spark):
+    from click.testing import CliRunner
+
+    from mini_etl_spark.cli import main
+
+    src = tmp_path / "d"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string").write.parquet(str(src))
+    out = tmp_path / "card.md"
+    res = CliRunner().invoke(main, ["card", str(src), "--name", "toy", "--out", str(out)])
+    assert res.exit_code == 0, res.output
+    card = out.read_text()
+    assert "# Data card: toy" in card and "- rows: 2" in card
+    res2 = CliRunner().invoke(main, ["card", str(src)])
+    assert res2.exit_code == 0 and "## Columns" in res2.output
