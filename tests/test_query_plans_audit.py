@@ -32,6 +32,8 @@ SCALAR_BROADCAST_JOINS = {
     # suffix-aware domain blocklist: endswith() on a broadcast
     # vocabulary-sized list — k string compares per row, never a shuffle
     "url_blocklist",
+    # 1-row grand-total broadcast (digit shares need the scalar sum)
+    "benford",
 }
 
 
