@@ -2856,6 +2856,20 @@ def q_k_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
 
 
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile assignment (maintenance.quantile_buckets):
+    exact cents-fixed percentile boundaries from one tiny aggregate,
+    then a pure codegen count-of-boundaries-below expression — the
+    distributed-safe ntile (no global window). Per-row bucket output;
+    DuckDB replays quantile_cont over the same fixed values."""
+    from mini_etl_spark.maintenance import quantile_buckets
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quantile_buckets(li, "l_extendedprice", buckets=10).select(
+        "l_orderkey", "l_linenumber", "qbucket"
+    )
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-digit Benford audit (maintenance.benford_audit) over
     extended prices: per leading digit, count, share and the expected
@@ -3062,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "l_diversity": q_l_diversity,
         "benford": q_benford,
+        "quantile_buckets": q_quantile_buckets,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5282,6 +5297,18 @@ def oracle_sql() -> dict[str, str]:
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5
+        """,
+        "quantile_buckets": f"""
+            WITH b AS (
+              SELECT quantile_cont(floor(l_extendedprice * 100.0 + 0.5),
+                                   [{', '.join(repr(i / 10) for i in range(1, 10))}])
+                       AS bs
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(len(list_filter(b.bs,
+                          x -> floor(l_extendedprice * 100.0 + 0.5) > x))
+                        AS INTEGER) AS qbucket
+            FROM lineitem, b
         """,
         "benford": f"""
             WITH f AS (

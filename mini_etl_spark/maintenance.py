@@ -438,3 +438,62 @@ def dataset_card(df, name: str = "dataset", top_k: int = 5) -> str:
         )
         lines.append(f"- **{col}**: {pretty}")
     return "\n".join(lines) + "\n"
+
+
+def quantile_buckets(
+    df,
+    column: str,
+    buckets: int = 10,
+    scale: int = 100,
+    out_col: str = "qbucket",
+):
+    """Equal-FREQUENCY bucketing (deciles/percentile bands) — the
+    distributed-safe replacement for a global ``ntile`` window, which
+    would funnel the whole table through one partition: exact interior
+    quantile boundaries come from ONE tiny aggregate (``buckets − 1``
+    values collected to the driver, like every scalar-stats broadcast
+    here), and assignment is a pure codegen expression counting
+    boundaries below each value — no global sort, no window, no second
+    shuffle.
+
+    Values fix to integers at ``scale`` first, so every percentile
+    interpolation lands on exactly-representable .0/.25/.5/.75 doubles
+    and the bucket of a boundary-adjacent row is bit-stable across
+    engines (same move as :func:`robust_outliers`). Rows with value ≤
+    boundary[i] (first such i) get bucket i; ties at a boundary all land
+    LOW (≤ semantics), so heavily-tied columns yield unequal buckets —
+    honest equal-frequency behavior, not silent row splitting. NULLs get
+    bucket NULL. Returns the input plus ``out_col`` (int).
+    """
+    from pyspark.sql import functions as F
+
+    if buckets < 2:
+        raise ValueError(f"quantile_buckets: buckets must be >= 2, got {buckets}")
+    fixed = F.floor(
+        F.col(column).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("double")
+    fracs = [i / buckets for i in range(1, buckets)]
+    row = df.agg(
+        F.expr(
+            f"percentile(floor(cast({column} as double) * {float(scale)!r} + 0.5), "
+            f"array({', '.join(repr(f) for f in fracs)}))"
+        ).alias("__b")
+    ).first()
+    bounds = list(row["__b"] or [])
+    if not bounds:
+        return df.withColumn(
+            out_col,
+            F.when(F.col(column).isNotNull(), F.lit(0)).otherwise(F.lit(None)),
+        )
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    n_below = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(fixed > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(column).isNotNull(), n_below.cast("int")).otherwise(
+            F.lit(None).cast("int")
+        ),
+    )

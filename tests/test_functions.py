@@ -2006,3 +2006,26 @@ def test_dataset_card(spark):
     assert "| id | bigint | 0 | 3 |" in card
     assert "| tag | string | 1 | 1 |" in card  # countDistinct excludes NULL
     assert "**tag**: 'a'×2" in card
+
+
+def test_quantile_buckets_equal_frequency(spark):
+    """Deciles over distinct values: ~equal bucket sizes, NULLs bucket
+    NULL, boundary ties land low."""
+    from mini_etl_spark.maintenance import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(900, None)], "id long, x double"
+    )
+    out = quantile_buckets(df, "x", buckets=10).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.qbucket] = sizes.get(r.qbucket, 0) + 1
+    assert sizes.pop(None) == 1  # the NULL row
+    assert set(sizes) == set(range(10))
+    assert all(8 <= n <= 12 for n in sizes.values())
+    # monotone: bigger value -> same or later bucket
+    byid = {r.id: r.qbucket for r in out if r.qbucket is not None}
+    assert all(byid[i] <= byid[i + 1] for i in range(99))
+    import pytest as _p
+    with _p.raises(ValueError, match="buckets"):
+        quantile_buckets(df, "x", buckets=1)
