@@ -2856,6 +2856,20 @@ def q_k_anonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], k=8)
 
 
+def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS trend of extended price against quantity
+    (maintenance.group_linear_trend): five exact-integer sums per group
+    in one hash aggregate, slope/intercept through a fixed-shape float
+    chain, emitted as integer-scaled longs — regression output an
+    external engine replays bit-for-bit. Full hash oracle."""
+    from mini_etl_spark.maintenance import group_linear_trend
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_linear_trend(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency decile assignment (maintenance.quantile_buckets):
     exact cents-fixed percentile boundaries from one tiny aggregate,
@@ -3077,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "benford": q_benford,
         "quantile_buckets": q_quantile_buckets,
+        "group_trend": q_group_trend,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
         "common_ngrams": q_common_ngrams,
@@ -5297,6 +5312,35 @@ def oracle_sql() -> dict[str, str]:
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5
+        """,
+        "group_trend": """
+            WITH f AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+              FROM lineitem),
+            a AS (
+              SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM f GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+                     CAST(round(
+                       (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6)
+                       AS BIGINT) END AS slope_e6,
+                   CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+                     CAST(round(
+                       ((CAST(sy AS DOUBLE)
+                         - (CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE))
+                           * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE)) * 1e6)
+                       AS BIGINT) END AS intercept_e6
+            FROM a
         """,
         "quantile_buckets": f"""
             WITH b AS (

@@ -497,3 +497,57 @@ def quantile_buckets(
             F.lit(None).cast("int")
         ),
     )
+
+
+def group_linear_trend(
+    df,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 100,
+):
+    """Per-group ordinary-least-squares trend line (closed form) — the
+    "is this metric drifting per segment" primitive, as ONE hash
+    aggregate of five sums per group (n, Σx, Σy, Σxy, Σx²); no window,
+    no ML library, map-side combined like any sum.
+
+    Determinism contract (the round's recurring lesson applied to
+    regression): x and y fix to integers at ``scale`` first, the five
+    sums stay EXACT integers, and the slope/intercept emit as
+    ``*_e6`` integer-scaled longs computed through one fixed-shape
+    float chain — ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)``,
+    ``intercept = (Σy − slope·Σx) / n`` — so any engine replays the
+    output bit-for-bit. Slope/intercept are in the FIXED units (value ×
+    ``scale``); divide by ``scale`` for originals. Groups with zero
+    x-variance emit NULL slope/intercept (vertical line). At 100 TB
+    move the sums to DECIMAL(38) if n·Σxy can exceed a long — the shape
+    is unchanged.
+
+    Returns one row per group: group cols, ``n`` (long),
+    ``slope_e6``, ``intercept_e6`` (long, NULL when degenerate).
+    """
+    from pyspark.sql import functions as F
+
+    g = group_cols or []
+    xf = F.floor(F.col(x_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    yf = F.floor(F.col(y_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    fixed = df.select(*g, xf.alias("__x"), yf.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    agg = fixed.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    num = (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")) / F.col("n").cast("double")
+    return agg.select(
+        *g,
+        F.col("n").cast("long").alias("n"),
+        F.when(den != 0.0, F.round(slope * F.lit(1e6)).cast("long")).alias("slope_e6"),
+        F.when(den != 0.0, F.round(intercept * F.lit(1e6)).cast("long")).alias("intercept_e6"),
+    )

@@ -2029,3 +2029,19 @@ def test_quantile_buckets_equal_frequency(spark):
     import pytest as _p
     with _p.raises(ValueError, match="buckets"):
         quantile_buckets(df, "x", buckets=1)
+
+
+def test_group_linear_trend_known_line(spark):
+    """Exact OLS on a known line: y = 2x + 3 recovers slope 2e6 /
+    intercept 3e6 in fixed units; zero-variance group emits NULLs."""
+    from mini_etl_spark.maintenance import group_linear_trend
+
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(1, 11)]
+    rows += [("b", 5.0, float(y)) for y in (1, 2, 3)]  # vertical: no variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in group_linear_trend(df, "x", "y", ["g"]).collect()}
+    # fixed units: x,y both scaled by 100 -> slope unchanged, intercept x100
+    assert out["a"].n == 10
+    assert out["a"].slope_e6 == 2_000_000
+    assert out["a"].intercept_e6 == 300_000_000  # 3.0 * 100 * 1e6
+    assert out["b"].slope_e6 is None and out["b"].intercept_e6 is None
