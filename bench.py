@@ -479,6 +479,9 @@ def main() -> None:
         "pagerank_personalized": queries["pagerank_personalized"],
         "chat_json_roundtrip": queries["chat_json_roundtrip"],
         "l_diversity": queries["l_diversity"],
+        "benford": queries["benford"],
+        "quantile_buckets": queries["quantile_buckets"],
+        "group_trend": queries["group_trend"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)

@@ -91,6 +91,8 @@ QUERIES = [
     "containment_pairs",
     "set_jaccard",
     "pagerank_personalized",
+    "quantile_buckets",
+    "group_trend",
 ]
 
 
