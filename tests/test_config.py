@@ -662,3 +662,34 @@ def test_outliers_drop_keeps_null_valued_rows(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 51  # nothing dropped, incl. the NULL-valued row
     assert out.filter("id = 999").count() == 1
+
+
+def test_shards_sink_tokens_per_shard_yaml(spark, tmp_path):
+    """The declarative shards sink in token-balance mode end to end."""
+    import yaml
+
+    from mini_etl_spark.config import ConfigLoader
+    from mini_etl_spark.sinks.shards import read_shard_manifest
+
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(i, "tok " * (5 + i % 20)) for i in range(200)], "doc_id long, text string"
+    ).write.parquet(str(src))
+    cfg = {
+        "name": "tok_shards",
+        "source": {"type": "parquet", "path": str(src)},
+        "transformers": [],
+        "sink": {"type": "shards", "path": str(tmp_path / "out"),
+                 "tokens_per_shard": 400, "format": "jsonl"},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    loader = ConfigLoader()
+    config = loader.load(str(p))
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0
+    man = read_shard_manifest(str(tmp_path / "out"), spark)
+    assert man["tokens_per_shard"] == 400
+    assert sum(man["shards"].values()) == 200
+    assert man["num_shards"] >= 2
