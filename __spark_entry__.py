@@ -5704,10 +5704,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, n_tokens,
                      sum(n_tokens) OVER (ORDER BY okey, doc_id
                                          ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+            tot AS (
+              SELECT CASE WHEN coalesce(sum(n_tokens), 0) > 0
+                          THEN (sum(n_tokens) - 1) // 2000
+                          ELSE 0 END AS max_shard
               FROM t)
             SELECT doc_id, n_tokens,
-                   CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard
-            FROM c
+                   LEAST(CAST(floor((cum - n_tokens) / 2000) AS BIGINT),
+                         CAST(max_shard AS BIGINT)) AS shard
+            FROM c, tot
         """,
         "semantic_decontaminated": f"""
             WITH corp AS (

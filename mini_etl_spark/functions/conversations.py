@@ -291,8 +291,21 @@ def dedup_conversations(
     keyed = df.withColumn(
         "__ck",
         F.when(key_src.isNotNull(), F.md5(key_src.cast("binary"))).otherwise(
-            # keyless rows: per-row unique key => rn=1 always, no skew
-            F.concat(F.lit("\x00nokey:"), F.col(id_col).cast("string"))
+            # keyless rows: per-row unique key => rn=1 always, no skew.
+            # NULL ids fall back to a per-row synthetic id — without the
+            # coalesce the concat itself is NULL and every NULL-id
+            # keyless row would collapse into one NULL partition,
+            # violating the never-collapsed guarantee above.
+            F.concat(
+                F.lit("\x00nokey:"),
+                F.coalesce(
+                    F.col(id_col).cast("string"),
+                    F.concat(
+                        F.lit("\x00mid:"),
+                        F.monotonically_increasing_id().cast("string"),
+                    ),
+                ),
+            )
         ),
     )
     w = Window.partitionBy("__ck").orderBy(id_col)

@@ -28,8 +28,12 @@ Scale notes (100 TB edge lists):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["degree_stats", "pagerank", "triangle_count"]
 
@@ -134,6 +138,28 @@ def pagerank(
         if seeds_list is None:
             tele = F.lit(1.0 - damping)
         else:
+            # fail loudly on a fully-stale seed list: seeds absent from
+            # the graph receive no teleport mass (isin matches nothing),
+            # so zero overlap would silently drive every rank toward 0.
+            # Partial overlap is allowed but warned — the absent seeds'
+            # share of the (1-d)*N mass is dropped, like a dangling leak.
+            present = {
+                r["node"]
+                for r in nodes.filter(F.col("node").isin(seeds_list)).collect()
+            }
+            missing = [s for s in seeds_list if s not in present]
+            if len(missing) == len(seeds_list):
+                raise ValueError(
+                    "pagerank: none of the personalized seeds appear in the "
+                    f"graph's node set (first few: {missing[:5]!r}) — every "
+                    "rank would decay toward 0; check the seed ids"
+                )
+            if missing:
+                logger.warning(
+                    "pagerank: %d/%d personalized seeds absent from the "
+                    "graph (e.g. %r) — their teleport share is dropped",
+                    len(missing), len(seeds_list), missing[:5],
+                )
             # whole teleport mass on the seeds; float chain fixed as
             # ((1-d) * N) / |S| so SQL oracles replay the same double
             per_seed = ((1.0 - damping) * float(n_nodes)) / float(

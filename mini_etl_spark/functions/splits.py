@@ -191,6 +191,7 @@ def token_balanced_shard_ids(
     seed: int = 42,
     keep_columns: bool = False,
     with_total: bool = False,
+    token_count_col: str = "n_tokens",
 ):
     """Assign every document to a TOKEN-balanced training shard: rows are
     laid out in deterministic md5 order and cut every
@@ -221,12 +222,19 @@ def token_balanced_shard_ids(
     within-``okey`` tiebreak, so duplicate or NULL ids make the order of
     THOSE rows (and a boundary straddle between them) ambiguous.
 
-    Returns (``id_col``, ``n_tokens``, ``shard``); with
+    Returns (``id_col``, ``token_count_col``, ``shard``); with
     ``keep_columns=True`` every input column rides along instead (the
     writer path — no join back, so duplicate keys cannot multiply rows
-    and NULL keys cannot drop). ``with_total=True`` returns
-    ``(frame, n_shards)`` — the shard count is already known driver-side
-    from the bucket totals, saving the caller a full extra pass.
+    and NULL keys cannot drop). In that mode ``token_count_col`` (and
+    ``shard``) must not collide with an input column — pass a fresh
+    ``token_count_col`` name (the shards sink uses ``__n_tokens``) or
+    the call raises, never silently shadows a payload column.
+    ``with_total=True`` returns ``(frame, n_shards)`` — the shard count
+    is already known driver-side from the bucket totals (0 for an empty
+    frame), saving the caller a full extra pass. Trailing zero-token
+    rows whose cut would land one past the last token-bearing shard are
+    clamped onto it, so ``n_shards`` always equals
+    ``1 + max(shard assigned)``.
 
     The bucket stats are collected from a PERSISTED frame and the same
     frame feeds the window, so a nondeterministic input (sample(),
@@ -236,18 +244,26 @@ def token_balanced_shard_ids(
 
     if tokens_per_shard < 1:
         raise ValueError(f"tokens_per_shard must be >= 1, got {tokens_per_shard}")
+    carried = df.columns if keep_columns else [id_col]
+    if keep_columns:
+        for taken in (token_count_col, "shard"):
+            if taken in carried:
+                raise ValueError(
+                    "token_balanced_shard_ids: keep_columns=True would "
+                    f"shadow existing input column {taken!r} — pass a "
+                    "fresh token_count_col / rename the input column"
+                )
     okey = F.md5(
         F.concat_ws(
             "\x1f", F.lit(str(seed)), F.col(id_col).cast("string")
         ).cast("binary")
     )
-    carried = df.columns if keep_columns else [id_col]
     base = (
         df.select(
             *carried,
             F.greatest(F.size(tokens(text_col)), F.lit(0))
             .cast("long")
-            .alias("n_tokens"),
+            .alias(token_count_col),
             okey.alias("__okey"),
         )
         .withColumn("__ob", F.substring("__okey", 1, 2))
@@ -256,12 +272,27 @@ def token_balanced_shard_ids(
 
     totals = {
         r["__ob"]: r["__t"]
-        for r in base.groupBy("__ob").agg(F.sum("n_tokens").alias("__t")).collect()
+        for r in base.groupBy("__ob")
+        .agg(F.sum(token_count_col).alias("__t"))
+        .collect()
     }
     running, offsets = 0, {}
     for b in sorted(totals):  # hex-lexicographic == global okey order
         offsets[b] = running
         running += int(totals[b])
+    # n_shards from the driver-side totals: 0 for an empty frame, else
+    # enough shards for the token mass (>=1 even when every row is
+    # zero-token). max_shard clamps trailing zero-token rows: a
+    # zero-token row sorting last when `running` is an exact multiple of
+    # tokens_per_shard would otherwise get shard = running/tps — one
+    # past the final token-bearing shard.
+    if not totals:
+        n_shards = 0
+    elif running > 0:
+        n_shards = (running - 1) // int(tokens_per_shard) + 1
+    else:
+        n_shards = 1
+    max_shard = max(n_shards - 1, 0)
     offset_map = F.create_map(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
@@ -271,15 +302,21 @@ def token_balanced_shard_ids(
         .orderBy("__okey", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w) + F.element_at(offset_map, F.col("__ob"))
+    cum = F.sum(token_count_col).over(w) + F.element_at(
+        offset_map, F.col("__ob")
+    )
     out = base.select(
         *carried,
-        "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(int(tokens_per_shard)))
+        token_count_col,
+        F.least(
+            F.floor(
+                (cum - F.col(token_count_col)) / F.lit(int(tokens_per_shard))
+            ),
+            F.lit(max_shard),
+        )
         .cast("long")
         .alias("shard"),
     )
     if with_total:
-        n_shards = (running - 1) // int(tokens_per_shard) + 1 if running > 0 else 1
         return out, n_shards
     return out

@@ -340,11 +340,26 @@ def robust_outliers(
     med = fixed.groupBy(*g).agg(
         F.expr("percentile(__v, 0.5)").alias("group_median")
     )
-    j1 = fixed.join(F.broadcast(med), g) if g else fixed.crossJoin(F.broadcast(med))
+    # Null-safe stats joins: groupBy keeps a NULL-key group, so rows whose
+    # group key is NULL must match that stats row (a plain inner join on
+    # the key name drops them, breaking flag mode's every-row contract).
+    if g:
+        j1 = fixed.join(
+            F.broadcast(med.withColumnRenamed(group_col, "__g1")),
+            F.col(group_col).eqNullSafe(F.col("__g1")),
+        ).drop("__g1")
+    else:
+        j1 = fixed.crossJoin(F.broadcast(med))
     mad = j1.groupBy(*g).agg(
         F.expr("percentile(abs(__v - group_median), 0.5)").alias("group_mad")
     )
-    j2 = j1.join(F.broadcast(mad), g) if g else j1.crossJoin(F.broadcast(mad))
+    if g:
+        j2 = j1.join(
+            F.broadcast(mad.withColumnRenamed(group_col, "__g2")),
+            F.col(group_col).eqNullSafe(F.col("__g2")),
+        ).drop("__g2")
+    else:
+        j2 = j1.crossJoin(F.broadcast(mad))
     is_out = (
         F.abs(F.col("__v") - F.col("group_median"))
         > F.lit(float(k)) * F.col("group_mad")

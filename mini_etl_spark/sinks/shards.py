@@ -138,7 +138,10 @@ def to_training_shards(
             # keys cannot multiply written rows and NULL keys cannot
             # silently vanish through an inner join. with_total: the
             # shard count falls out of the driver-side bucket totals,
-            # not an extra full pass over the corpus.
+            # not an extra full pass over the corpus. The token-count
+            # column uses an internal name so a payload column named
+            # n_tokens (lm_score et al. emit one) survives the write —
+            # dropping the bare name would take both copies with it.
             assigned, n_out = token_balanced_shard_ids(
                 df,
                 text_col,
@@ -147,11 +150,12 @@ def to_training_shards(
                 seed,
                 keep_columns=True,
                 with_total=True,
+                token_count_col="__n_tokens",
             )
             sharded = (
                 assigned.withColumnRenamed("shard", shard_col)
-                .drop("n_tokens")
-                .repartition(n_out, F.col(shard_col))
+                .drop("__n_tokens")
+                .repartition(max(n_out, 1), F.col(shard_col))
             )
         else:
             sharded = df.withColumn(

@@ -1,0 +1,144 @@
+"""Round-6 hardening regressions — one test per ADVICE.md finding:
+
+1. robust_outliers: NULL group keys keep their own group stats (null-safe
+   stats joins) instead of vanishing through an inner join.
+2. to_training_shards token mode: a payload column named ``n_tokens``
+   survives the write (internal ``__n_tokens`` assignment column).
+3. token_balanced_shard_ids with_total: trailing zero-token rows clamp
+   onto the final shard; empty input reports 0 shards.
+4. dedup_conversations: keyless rows with NULL ids never collapse.
+5. personalized pagerank: a fully-absent seed list fails loudly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_robust_outliers_null_group_rows_kept(spark):
+    """ADVICE r5: rows whose group key is NULL must not be dropped by the
+    stats joins — flag mode returns EVERY row, and the NULL group gets
+    its own median/MAD (its spike flags, its bulk does not)."""
+    from mini_etl_spark.maintenance import robust_outliers
+
+    rows = [(i, "g", 100.0 + (i % 10)) for i in range(50)]
+    rows += [(100 + i, None, 200.0 + (i % 10)) for i in range(50)]
+    rows += [(900, "g", 5000.0), (901, None, 9000.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+
+    flagged = robust_outliers(df, "x", group_col="grp", mode="flag").collect()
+    assert len(flagged) == 102  # every-row contract incl. NULL-group rows
+    by_id = {r.id: r for r in flagged}
+    assert by_id[901].is_outlier  # NULL-group spike vs NULL-group stats
+    assert by_id[900].is_outlier
+    assert not by_id[120].is_outlier  # NULL-group bulk stays clean
+    # NULL-group rows carry the NULL group's own stats, not another's
+    assert by_id[120].group_median == by_id[901].group_median
+
+    out = robust_outliers(df, "x", group_col="grp").collect()
+    assert sorted(r.id for r in out) == [900, 901]
+
+
+def test_shards_sink_preserves_payload_n_tokens(spark, tmp_path):
+    """ADVICE r5: an input column named n_tokens (lm_score et al. emit
+    one) must survive the token-balanced write — the sink's internal
+    token-count column uses a prefixed name, so .drop() cannot take the
+    payload copy with it."""
+    from mini_etl_spark.sinks.shards import to_training_shards
+
+    rows = [(i, "tok " * 10, i * 7) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+    path = str(tmp_path / "tb_payload")
+    to_training_shards(path, tokens_per_shard=50, fmt="parquet")(df)
+    back = spark.read.parquet(path)
+    assert "n_tokens" in back.columns
+    got = {r.doc_id: r.n_tokens for r in back.collect()}
+    assert got == {i: i * 7 for i in range(20)}
+
+
+def test_token_shard_ids_collision_guard(spark):
+    """keep_columns=True with a conflicting token-count (or shard) column
+    raises instead of silently shadowing the payload."""
+    from mini_etl_spark.functions.splits import token_balanced_shard_ids
+
+    df = spark.createDataFrame(
+        [(1, "a b", 9)], "doc_id long, text string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="shadow"):
+        token_balanced_shard_ids(df, keep_columns=True)
+    # a fresh internal name threads through cleanly
+    out = token_balanced_shard_ids(
+        df, keep_columns=True, token_count_col="__nt"
+    ).collect()
+    assert out[0].n_tokens == 9 and out[0]["__nt"] == 2
+
+
+def test_token_shard_ids_trailing_zero_token_clamp(spark):
+    """ADVICE r5: a zero-token row sorting LAST in md5 order when the
+    running total is an exact multiple of tokens_per_shard must clamp to
+    the final shard — n_shards == 1 + max(shard) always."""
+    from mini_etl_spark.functions.splits import token_balanced_shard_ids
+
+    # Craft the layout deterministically: same okey formula as the
+    # implementation (md5("42\\x1f<id>")); the id sorting LAST gets the
+    # empty text, everything else 10 tokens -> total 290, tps 29 ->
+    # exactly 10 shards, zero-token row lands at running == 290.
+    ids = list(range(30))
+    okey = lambda i: hashlib.md5(f"42\x1f{i}".encode()).hexdigest()
+    last = max(ids, key=okey)
+    rows = [(i, "" if i == last else "tok " * 10) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, n_shards = token_balanced_shard_ids(
+        df, tokens_per_shard=29, with_total=True
+    )
+    got = {r.doc_id: r.shard for r in out.collect()}
+    assert n_shards == 10
+    assert max(got.values()) == n_shards - 1  # was n_shards pre-fix
+    assert got[last] == n_shards - 1  # clamped onto the final shard
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    eout, en = token_balanced_shard_ids(empty, with_total=True)
+    assert en == 0 and eout.count() == 0
+
+    # all-zero-token corpus still occupies one shard
+    zdf = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    zout, zn = token_balanced_shard_ids(zdf, with_total=True)
+    assert zn == 1 and {r.shard for r in zout.collect()} == {0}
+
+
+def test_dedup_conversations_null_id_keyless_rows_kept(spark):
+    """ADVICE r5: keyless rows (NULL messages) with NULL ids must each
+    survive — the fallback key coalesces to a per-row synthetic id, so
+    they cannot pool in one NULL partition and collapse."""
+    from mini_etl_spark.functions.conversations import dedup_conversations
+
+    msg_t = "array<struct<role:string,content:string>>"
+    rows = [
+        (1, [("user", "hi"), ("assistant", "yo")]),
+        (2, [("user", "hi"), ("assistant", "yo")]),  # dup of 1
+        (None, None),  # keyless + NULL id
+        (None, None),  # keyless + NULL id — must ALSO survive
+    ]
+    df = spark.createDataFrame(rows, f"conv_id long, messages {msg_t}")
+    out = dedup_conversations(df, by="full").collect()
+    assert sorted((r.conv_id is None, r.conv_id or 0) for r in out) == [
+        (False, 1), (True, 0), (True, 0)
+    ]
+
+
+def test_personalized_pagerank_stale_seeds_fail_loudly(spark):
+    """ADVICE r5: seeds entirely absent from the graph raise (otherwise
+    isin matches nothing and every rank decays toward 0); partial
+    overlap still runs, dropping only the absent seeds' share."""
+    from mini_etl_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    with pytest.raises(ValueError, match="none of the personalized seeds"):
+        pagerank(e, iterations=2, personalized=[99, 100])
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(e, iterations=5, personalized=[1, 99]).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[1] > ranks[3] > 0  # seed-proximate ordering survives
