@@ -397,16 +397,20 @@ class ConfigLoader:
             group = o.get("group")
             kk = float(o.get("k", 3.0))
             mode = o.get("mode", "drop")  # drop outliers | keep only them
+            # exact=False -> percentile_approx sketches (the 100 TB path)
+            exact = bool(o.get("exact", True))
 
             if mode not in ("drop", "keep", "flag"):
                 raise ValueError(
                     f"outliers: mode must be drop|keep|flag, got {mode!r}"
                 )
 
-            def _outliers(df, _c=col, _g=group, _k=kk, _m=mode):
+            def _outliers(df, _c=col, _g=group, _k=kk, _m=mode, _e=exact):
                 from pyspark.sql import functions as FF
 
-                flagged = robust_outliers(df, _c, group_col=_g, k=_k, mode="flag")
+                flagged = robust_outliers(
+                    df, _c, group_col=_g, k=_k, mode="flag", exact=_e
+                )
                 if _m == "flag":
                     return flagged.drop("__v", "group_median", "group_mad")
                 keep = (
@@ -452,6 +456,13 @@ class ConfigLoader:
             out = o.get("output", "bpe_tokens")
             merges_path = o.get("merges_path")
             num_merges = int(o.get("num_merges", 1000))
+            # corpus-fit driver-collect bounds: min_count floors the
+            # histogram executor-side, max_vocab caps it top-k — at
+            # corpus scale set at least one, or the distinct-word pull
+            # is corpus-sized. Defaults keep the exact full histogram.
+            min_count = int(o.get("min_count", 1))
+            max_vocab = o.get("max_vocab")
+            max_vocab = int(max_vocab) if max_vocab is not None else None
 
             def _bpe(df):
                 if merges_path:
@@ -464,7 +475,10 @@ class ConfigLoader:
                 else:  # corpus-fit: train on the incoming frame itself
                     hist = [
                         (r.word, r["count"])
-                        for r in bpe.word_histogram(df, col, id_col).collect()
+                        for r in bpe.word_histogram(
+                            df, col, id_col,
+                            min_count=min_count, max_vocab=max_vocab,
+                        ).collect()
                     ]
                     merges = bpe.train_bpe_merges(hist, num_merges)
                 return bpe.apply_bpe(df, merges, col, id_col, out)

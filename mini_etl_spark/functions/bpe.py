@@ -45,13 +45,38 @@ END = "</w>"  # end-of-word marker, the classic BPE word-boundary symbol
 
 
 def word_histogram(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """(word, count) over the tokenized corpus — the one distributed pass
     of BPE training. One explode + one hash aggregate (map-side combined);
-    output is vocabulary-sized."""
+    output is vocabulary-sized.
+
+    The histogram is the frame a BPE trainer COLLECTS, so its size must
+    be provably bounded before the driver pull — a 100 TB web corpus's
+    distinct-word count (typos, URLs, hex blobs) is corpus-scaled, not
+    vocabulary-scaled. ``min_count`` drops singleton noise executor-side
+    (standard BPE practice — a pair seen once never wins a merge against
+    real vocabulary); ``max_vocab`` keeps only the top-k words by
+    (count desc, word asc — fully deterministic), which Spark plans as
+    ``TakeOrderedAndProject`` (per-partition heaps, no global sort).
+    Defaults (1, None) preserve the exact unbounded histogram."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_vocab is not None and max_vocab < 1:
+        raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
     toks = exploded_tokens(df, text_col, id_col, "__did", "word")
-    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+    hist = toks.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+    if min_count > 1:
+        hist = hist.filter(F.col("count") >= F.lit(int(min_count)))
+    if max_vocab is not None:
+        hist = hist.orderBy(F.col("count").desc(), F.col("word")).limit(
+            int(max_vocab)
+        )
+    return hist
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:

@@ -300,6 +300,7 @@ def robust_outliers(
     k: float = 3.0,
     scale: int = 100,
     mode: str = "outliers",
+    exact: bool = True,
 ):
     """Median/MAD outlier detection — the robust (breakdown-point-0.5)
     alternative to z-scores, whose mean/stddev are themselves dragged by
@@ -315,11 +316,14 @@ def robust_outliers(
     across engines. This is the same integer-cents move the revenue
     oracles use.
 
-    Plan: two grouped EXACT percentile aggregates (median of values,
-    then median of absolute deviations) joined back by group — two
-    shuffles on the group key, no window over the full table. At 100 TB
-    swap the exact percentile for ``percentile_approx`` (mergeable
-    sketch) and keep the shape; exact is the oracle-matched baseline.
+    Plan: two grouped percentile aggregates (median of values, then
+    median of absolute deviations) joined back by group — two shuffles
+    on the group key, no window over the full table. ``exact=True``
+    (default) uses exact ``percentile`` — the oracle-matched baseline,
+    which materializes each group's value multiset in the aggregate.
+    At 100 TB pass ``exact=False``: ``percentile_approx`` (mergeable
+    KLL-style sketch, constant memory per group) with identical plan
+    shape; boundary-adjacent rows may flip, bulk/spike verdicts do not.
 
     ``mode="outliers"`` (default) returns only the flagged rows (plus
     ``__v`` fixed value, ``group_median``, ``group_mad``);
@@ -337,8 +341,9 @@ def robust_outliers(
         F.floor(F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5))
         .cast("double"),
     )
+    pct = "percentile" if exact else "percentile_approx"
     med = fixed.groupBy(*g).agg(
-        F.expr("percentile(__v, 0.5)").alias("group_median")
+        F.expr(f"{pct}(__v, 0.5)").alias("group_median")
     )
     # Null-safe stats joins: groupBy keeps a NULL-key group, so rows whose
     # group key is NULL must match that stats row (a plain inner join on
@@ -351,7 +356,7 @@ def robust_outliers(
     else:
         j1 = fixed.crossJoin(F.broadcast(med))
     mad = j1.groupBy(*g).agg(
-        F.expr("percentile(abs(__v - group_median), 0.5)").alias("group_mad")
+        F.expr(f"{pct}(abs(__v - group_median), 0.5)").alias("group_mad")
     )
     if g:
         j2 = j1.join(
@@ -461,6 +466,7 @@ def quantile_buckets(
     buckets: int = 10,
     scale: int = 100,
     out_col: str = "qbucket",
+    exact: bool = True,
 ):
     """Equal-FREQUENCY bucketing (deciles/percentile bands) — the
     distributed-safe replacement for a global ``ntile`` window, which
@@ -479,6 +485,13 @@ def quantile_buckets(
     LOW (≤ semantics), so heavily-tied columns yield unequal buckets —
     honest equal-frequency behavior, not silent row splitting. NULLs get
     bucket NULL. Returns the input plus ``out_col`` (int).
+
+    ``exact=True`` (default) is the oracle-matched exact ``percentile``
+    — it materializes the column's value multiset in one aggregate. At
+    100 TB pass ``exact=False`` for ``percentile_approx`` (mergeable
+    sketch, constant memory): same plan shape and bucket invariants
+    (``buckets − 1`` monotone boundaries), boundary-adjacent rows may
+    shift one bucket.
     """
     from pyspark.sql import functions as F
 
@@ -488,9 +501,10 @@ def quantile_buckets(
         F.col(column).cast("double") * F.lit(float(scale)) + F.lit(0.5)
     ).cast("double")
     fracs = [i / buckets for i in range(1, buckets)]
+    pct = "percentile" if exact else "percentile_approx"
     row = df.agg(
         F.expr(
-            f"percentile(floor(cast({column} as double) * {float(scale)!r} + 0.5), "
+            f"{pct}(floor(cast({column} as double) * {float(scale)!r} + 0.5), "
             f"array({', '.join(repr(f) for f in fracs)}))"
         ).alias("__b")
     ).first()

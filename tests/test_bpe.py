@@ -110,3 +110,29 @@ def test_bpe_vocab_query_differential(spark):
     merges = bpe.train_bpe_merges(list(hist), 50)
     want = {(i, a, b) for i, (a, b) in enumerate(merges)}
     assert got == want and len(got) == 50
+
+
+def test_word_histogram_driver_bounds(spark):
+    """r6: the corpus-fit collect must be boundable — min_count floors
+    executor-side, max_vocab caps top-k deterministically (count desc,
+    word asc) and plans as TakeOrderedAndProject, never a global sort."""
+    rows = [(1, "aa aa aa bb bb cc"), (2, "aa bb dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.word, r["count"]) for r in bpe.word_histogram(df).collect()}
+    assert full == {("aa", 4), ("bb", 3), ("cc", 1), ("dd", 1)}
+    floored = {(r.word, r["count"])
+               for r in bpe.word_histogram(df, min_count=2).collect()}
+    assert floored == {("aa", 4), ("bb", 3)}  # singletons pruned
+    capped = bpe.word_histogram(df, max_vocab=3)
+    assert "TakeOrderedAndProject" in capped._jdf.queryExecution().executedPlan().toString()
+    got = [(r.word, r["count"]) for r in capped.collect()]
+    assert got == [("aa", 4), ("bb", 3), ("cc", 1)]  # tie cc<dd breaks asc
+    # merges from the bounded histogram still train
+    merges = bpe.train_bpe_merges(
+        [(r.word, r["count"]) for r in bpe.word_histogram(
+            df, min_count=2, max_vocab=2).collect()], 2)
+    assert merges  # non-empty
+    with pytest.raises(ValueError, match="min_count"):
+        bpe.word_histogram(df, min_count=0)
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe.word_histogram(df, max_vocab=0)

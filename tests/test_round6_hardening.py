@@ -142,3 +142,29 @@ def test_personalized_pagerank_stale_seeds_fail_loudly(spark):
              for r in pagerank(e, iterations=5, personalized=[1, 99]).collect()}
     assert set(ranks) == {1, 2, 3}
     assert ranks[1] > ranks[3] > 0  # seed-proximate ordering survives
+
+
+def test_percentile_ops_approx_path(spark):
+    """r6: exact=False swaps exact percentile for percentile_approx
+    (mergeable sketch) with the same shape — outlier verdicts on a
+    clean-bulk-plus-spike corpus agree, and quantile_buckets keeps its
+    invariants (buckets-1 monotone boundaries, near-equal frequencies)."""
+    from mini_etl_spark.maintenance import quantile_buckets, robust_outliers
+
+    rows = [(i, "g", 100.0 + (i % 10)) for i in range(200)]
+    rows += [(900, "g", 5000.0), (901, "g", 0.5)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+    approx = robust_outliers(df, "x", group_col="grp", exact=False).collect()
+    assert sorted(r.id for r in approx) == [900, 901]
+
+    vals = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, v double"
+    )
+    out = quantile_buckets(vals, "v", buckets=10, exact=False)
+    counts = {r.qbucket: r.n for r in
+              out.groupBy("qbucket").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(10))  # all 10 buckets populated
+    assert all(50 <= c <= 200 for c in counts.values())  # near-equal freq
+    # monotone: bucket id non-decreasing in v
+    seq = [r.qbucket for r in out.orderBy("v").collect()]
+    assert seq == sorted(seq)
