@@ -192,6 +192,8 @@ def token_balanced_shard_ids(
     keep_columns: bool = False,
     with_total: bool = False,
     token_count_col: str = "n_tokens",
+    start_offset: int = 0,
+    clamp: bool = True,
 ):
     """Assign every document to a TOKEN-balanced training shard: rows are
     laid out in deterministic md5 order and cut every
@@ -236,6 +238,16 @@ def token_balanced_shard_ids(
     clamped onto it, so ``n_shards`` always equals
     ``1 + max(shard assigned)``.
 
+    ``start_offset``: begin the global running total at this many tokens
+    instead of 0 — the incremental hook: a later batch continues exactly
+    where a previous corpus slice stopped (the streaming twin
+    :func:`mini_etl_spark.streaming.corpus.stream_token_shards` carries
+    the offset as micro-batch state). With an offset the final shard is
+    usually still filling, so the streaming caller passes ``clamp=False``
+    (a trailing zero-token row correctly opens the next shard the NEXT
+    batch keeps filling); ``clamp=True`` stays the right call for a
+    complete corpus.
+
     The bucket stats are collected from a PERSISTED frame and the same
     frame feeds the window, so a nondeterministic input (sample(),
     changing directory) cannot desync offsets from the cumsum pass.
@@ -276,7 +288,9 @@ def token_balanced_shard_ids(
         .agg(F.sum(token_count_col).alias("__t"))
         .collect()
     }
-    running, offsets = 0, {}
+    if start_offset < 0:
+        raise ValueError(f"start_offset must be >= 0, got {start_offset}")
+    running, offsets = int(start_offset), {}
     for b in sorted(totals):  # hex-lexicographic == global okey order
         offsets[b] = running
         running += int(totals[b])
@@ -305,15 +319,13 @@ def token_balanced_shard_ids(
     cum = F.sum(token_count_col).over(w) + F.element_at(
         offset_map, F.col("__ob")
     )
+    raw_shard = F.floor(
+        (cum - F.col(token_count_col)) / F.lit(int(tokens_per_shard))
+    )
     out = base.select(
         *carried,
         token_count_col,
-        F.least(
-            F.floor(
-                (cum - F.col(token_count_col)) / F.lit(int(tokens_per_shard))
-            ),
-            F.lit(max_shard),
-        )
+        (F.least(raw_shard, F.lit(max_shard)) if clamp else raw_shard)
         .cast("long")
         .alias("shard"),
     )

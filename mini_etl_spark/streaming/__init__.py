@@ -36,6 +36,10 @@ from mini_etl_spark.streaming.events import (
     streaming_dedup,
     tumbling_window_agg,
 )
+from mini_etl_spark.streaming.corpus import (
+    stream_temperature_mix,
+    stream_token_shards,
+)
 from mini_etl_spark.streaming.stateful import running_totals
 
 __all__ = [
@@ -53,6 +57,8 @@ __all__ = [
     "stream_cm_update",
     "stream_lm_update",
     "stream_upsert_to_parquet",
+    "stream_token_shards",
+    "stream_temperature_mix",
     "read_latest_snapshot",
     "run_stream_to_memory",
     "running_totals",

@@ -1,0 +1,218 @@
+"""Streaming twins of the corpus-assembly operators — incremental forms
+of :func:`~mini_etl_spark.functions.splits.token_balanced_shard_ids` and
+:func:`~mini_etl_spark.functions.mixing.temperature_mix`, built on the
+same ``foreachBatch`` patterns as the rest of the streaming surface
+(offset-state carry like ``stream_lm_update``'s model, snapshot publish
+like ``stream_upsert_to_parquet``).
+
+Reference parity: none — the reference has no streaming surface at all;
+these extend the LLM-pipeline operators to continuous ingestion.
+
+Two different incrementality shapes, matched to the operator's math:
+
+- **token sharding is prefix-sum shaped** — a later batch only needs the
+  running token total where the previous one stopped, so
+  :func:`stream_token_shards` carries ONE integer of state per batch and
+  every batch's work is batch-sized. Arrival order becomes the global
+  order (a stream cannot re-order history); within a batch the usual
+  md5 layout applies, so a replayed batch reproduces its assignment.
+- **temperature mixing is a global quota over per-source counts** — any
+  new document can change every source's quota, so there is no per-batch
+  state smaller than the corpus. :func:`stream_temperature_mix` is
+  therefore recompute-on-append: accumulate the stream into a staging
+  table, re-run the (deterministic) batch mixture over everything seen,
+  and publish it as an atomic snapshot. Cost per batch is one mixture
+  job over the corpus-so-far — the honest price of a global quota; at
+  100 TB you run it on a cadence (trigger intervals), not per-record,
+  exactly like any other snapshot-maintaining sink here.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_etl_spark.streaming.events import _publish_snapshot
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["stream_token_shards", "stream_temperature_mix"]
+
+
+def _state_io(spark: SparkSession, path: str):
+    """(fs, hadoop Path) for a small JSON state file — through the Hadoop
+    FileSystem API so URI schemes (file://, hdfs://, s3a://) work."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _read_state(spark: SparkSession, path: str) -> dict:
+    fs, hpath = _state_io(spark, path)
+    if not fs.exists(hpath):
+        return {}
+    stream = fs.open(hpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return json.loads(text)
+    finally:
+        stream.close()
+
+
+def _write_state(spark: SparkSession, path: str, doc: dict) -> None:
+    fs, hpath = _state_io(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def stream_token_shards(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    tokens_per_shard: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shard_col: str = "shard",
+    state_path: str | None = None,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming token-balanced sharding: every micro-batch continues the
+    global running token total exactly where the previous batch stopped
+    (one-integer state file), assigns shards with the SAME cut rule as
+    the batch operator (``shard = cum_before // tokens_per_shard``,
+    md5 layout within the batch, documents whole), and appends hive-style
+    ``shard=K/`` parquet under ``out_path``.
+
+    Equivalence contract (pytest-gated): streaming over batches B1,B2,…
+    equals the batch prefix sum over the batches processed in arrival
+    order with the md5 layout applied within each batch — the only
+    well-defined global order an unbounded stream has. ``clamp=False``
+    on the underlying call: a batch's trailing cut correctly OPENS the
+    next shard for the following batch to keep filling (the batch-mode
+    clamp is a complete-corpus rule).
+
+    State caveat, stated: the parquet append and the state write are two
+    non-atomic steps (state last). A crash between them replays the batch
+    with the old offset — the checkpoint makes foreachBatch at-least-once,
+    so the replay overwrites the same logical assignment but may leave
+    duplicate part files; dedup on ``id_col`` at read time if the job is
+    crash-prone, or land on a table format whose append is transactional.
+    """
+    from mini_etl_spark.functions.splits import token_balanced_shard_ids
+
+    if tokens_per_shard < 1:
+        raise ValueError("stream_token_shards: tokens_per_shard must be >= 1")
+    state = state_path or (out_path.rstrip("/") + ".offset.json")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        offset = int(_read_state(spark, state).get("offset", 0))
+        assigned = token_balanced_shard_ids(
+            batch_df,
+            text_col,
+            id_col,
+            tokens_per_shard,
+            seed,
+            keep_columns=True,
+            token_count_col="__nt",
+            start_offset=offset,
+            clamp=False,
+        )
+        # base frame is persisted inside the call — the total is a cheap
+        # second action over it, not a recompute of the batch plan
+        batch_tokens = int(
+            assigned.agg(F.coalesce(F.sum("__nt"), F.lit(0))).first()[0]
+        )
+        (
+            assigned.withColumnRenamed("shard", shard_col)
+            .drop("__nt")
+            .write.mode("append")
+            .partitionBy(shard_col)
+            .parquet(out_path)
+        )
+        _write_state(
+            spark, state, {"offset": offset + batch_tokens, "batch_id": batch_id}
+        )
+        logger.info(
+            "stream_token_shards batch %d: %d tokens, offset now %d",
+            batch_id, batch_tokens, offset + batch_tokens,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query
+
+
+def stream_temperature_mix(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    repeat: bool = True,
+    seen_path: str | None = None,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming temperature-scaled mixture: accumulate arriving documents
+    into a staging table (``seen_path``), re-run the deterministic batch
+    :func:`~mini_etl_spark.functions.mixing.temperature_mix` over
+    everything seen so far, and publish the result as an atomic snapshot
+    under ``out_path`` (``snap={batch}`` + ``_LATEST`` pointer — read it
+    back with :func:`mini_etl_spark.streaming.events.read_latest_snapshot`).
+
+    Equivalence contract (pytest-gated): after the stream drains, the
+    latest snapshot equals the batch ``temperature_mix`` over the full
+    input — recompute-on-append over a deterministic operator IS the
+    batch result, regardless of how the input was batched. That is the
+    point of this shape: per-source quotas are a global property
+    (``floor(budget · n_s**alpha / Σ w)``), so no per-batch state smaller
+    than the per-source corpus can maintain them; the staging table +
+    snapshot is the smallest honest incremental form.
+    """
+    from mini_etl_spark.functions.mixing import temperature_mix
+
+    if budget <= 0:
+        raise ValueError("stream_temperature_mix: budget must be positive")
+    seen = seen_path or (out_path.rstrip("/") + "_seen")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(seen)
+        full = spark.read.parquet(seen)
+        mixed = temperature_mix(
+            full, budget, alpha, source_col, id_col, seed, repeat
+        )
+        _publish_snapshot(mixed, out_path, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query

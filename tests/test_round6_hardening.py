@@ -168,3 +168,88 @@ def test_percentile_ops_approx_path(spark):
     # monotone: bucket id non-decreasing in v
     seq = [r.qbucket for r in out.orderBy("v").collect()]
     assert seq == sorted(seq)
+
+
+def _file_stream(spark, src, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+
+
+def test_stream_token_shards_equals_batch_prefix_sum(spark, tmp_path):
+    """r6: the streaming sharder over batches B1,B2 must equal the global
+    prefix sum over (B1 in md5 order, then B2 in md5 order) — computed
+    here with an independent pure-Python oracle. The offset state carries
+    across separately-started runs on one checkpoint, and a partially
+    filled shard is continued, not restarted."""
+    from mini_etl_spark.streaming import stream_token_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "sts_src"
+    out = str(tmp_path / "sts_out")
+    ckpt = str(tmp_path / "sts_ckpt")
+    src.mkdir()
+    b1_rows = [(i, "tok " * (5 + i % 7)) for i in range(20)]
+    b2_rows = [(100 + i, "tok " * (3 + i % 5)) for i in range(15)]
+    tps = 37
+
+    spark.createDataFrame(b1_rows, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream_token_shards(_file_stream(spark, src, schema), out, ckpt,
+                        tokens_per_shard=tps, seed=42)
+    spark.createDataFrame(b2_rows, schema).coalesce(1).write.parquet(str(src / "b2"))
+    stream_token_shards(_file_stream(spark, src, schema), out, ckpt,
+                        tokens_per_shard=tps, seed=42)
+
+    got = {r.doc_id: r.shard for r in spark.read.parquet(out).collect()}
+
+    # independent oracle: md5 layout within each batch, arrival order
+    # across batches, one global running total
+    okey = lambda i: hashlib.md5(f"42\x1f{i}".encode()).hexdigest()
+    cum, want = 0, {}
+    for batch in (b1_rows, b2_rows):
+        for i, text in sorted(batch, key=lambda r: (okey(r[0]), r[0])):
+            n = len(text.split())
+            want[i] = cum // tps
+            cum += n
+    assert got == want
+    # batch 2 continued the shard batch 1 left partially filled
+    b1_max = max(want[i] for i, _ in b1_rows)
+    b2_min = min(want[i] for i, _ in b2_rows)
+    assert b2_min == b1_max
+
+
+def test_stream_temperature_mix_equals_batch(spark, tmp_path):
+    """r6: recompute-on-append — after the stream drains, the latest
+    snapshot equals the batch temperature_mix over the full input,
+    however the input was batched."""
+    from mini_etl_spark.functions.mixing import temperature_mix
+    from mini_etl_spark.streaming import read_latest_snapshot, stream_temperature_mix
+
+    schema = "doc_id long, source string, text string"
+    src = tmp_path / "stm_src"
+    out = str(tmp_path / "stm_out")
+    ckpt = str(tmp_path / "stm_ckpt")
+    src.mkdir()
+    rows = [(i, "web" if i % 10 else "code", f"doc {i}") for i in range(120)]
+    b1, b2 = rows[:70], rows[70:]
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream_temperature_mix(_file_stream(spark, src, schema), out, ckpt,
+                           budget=60, alpha=0.3, seed=7)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    stream_temperature_mix(_file_stream(spark, src, schema), out, ckpt,
+                           budget=60, alpha=0.3, seed=7)
+
+    snap = read_latest_snapshot(spark, out)
+    got = sorted((r.doc_id, r.source, r.epoch) for r in snap.collect())
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r.doc_id, r.source, r.epoch)
+        for r in temperature_mix(full, 60, alpha=0.3, seed=7).collect()
+    )
+    assert got == want and len(want) > 0
+    # low-resource source (code) is boosted above its natural share
+    code_share = sum(1 for _, s, _ in got if s == "code") / len(got)
+    assert code_share > 12 / 120
