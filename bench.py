@@ -279,8 +279,12 @@ def main() -> None:
     csv_in_single = os.path.join(tmp, "lineitem_single.csv")
     import duckdb
 
+    # SF_DIR tables may be single files (driver testdata) or Spark-written
+    # directories (scale replicas) — glob the directory form for DuckDB
+    li = f"{SF_DIR}/lineitem.parquet"
+    li_glob = f"{li}/*.parquet" if os.path.isdir(li) else li
     duckdb.sql(
-        f"COPY (SELECT {', '.join(csv_cols)} FROM '{SF_DIR}/lineitem.parquet') "
+        f"COPY (SELECT {', '.join(csv_cols)} FROM '{li_glob}') "
         f"TO '{csv_in_single}' (HEADER)"
     )
 

@@ -57,6 +57,27 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def _resolve_freq_cap(freq: DataFrame, cap) -> tuple[DataFrame, int]:
+    """Resolve a hot-key cap parameter at a pair-join guard site: an int
+    passes through; the literal string ``"auto"`` derives the cap from
+    the observed frequency distribution
+    (:func:`mini_etl_spark.operators.skew.auto_frequency_cap` — 4× the
+    99.9th-percentile document frequency, floored), so a corpus with a
+    different boilerplate profile needs no hand tuning. Returns the
+    (persisted-when-auto) freq frame and the int cap — persisted because
+    auto reads it twice (quantile scalar + anti-join broadcast)."""
+    if cap == "auto":
+        from mini_etl_spark.operators.skew import auto_frequency_cap
+
+        freq = freq.persist()
+        return freq, auto_frequency_cap(freq)
+    if not isinstance(cap, int):
+        raise ValueError(
+            f"frequency cap must be an int, None, or 'auto', got {cap!r}"
+        )
+    return freq, cap
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -78,7 +99,7 @@ def _pair_shingle_stats(
     text_col: str,
     id_col: str,
     n: int,
-    max_shingle_freq: int | None,
+    max_shingle_freq: int | str | None,
 ) -> tuple[DataFrame, DataFrame]:
     """(doc sizes, exploded doc↔shingle postings) — shared by exact Jaccard.
     The shingled frame is persisted: sizes and postings both consume it, and
@@ -91,8 +112,9 @@ def _pair_shingle_stats(
         # stop-shingle removal: a shingle appearing in > max_shingle_freq docs
         # contributes O(freq²) join pairs but ~no discriminative signal
         freq = postings.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+        freq, cap = _resolve_freq_cap(freq, max_shingle_freq)
         postings = postings.join(
-            F.broadcast(freq.filter(F.col("__f") > max_shingle_freq)),
+            F.broadcast(freq.filter(F.col("__f") > cap)),
             on="__g",
             how="left_anti",
         )
@@ -105,7 +127,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | str | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all (id_a < id_b) pairs with
     |A∩B| / |A∪B| ≥ threshold. Inverted-index join — never materializes the
@@ -162,7 +184,7 @@ def containment_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | str | None = 1000,
 ) -> DataFrame:
     """Subset near-duplicate detection: all (id_a < id_b) pairs whose
     shared shingles cover ≥ ``threshold`` of the SMALLER document's
@@ -207,7 +229,7 @@ def set_jaccard_pairs(
     set_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_element_freq: int | None = 1000,
+    max_element_freq: int | str | None = 1000,
 ) -> DataFrame:
     """Generic exact Jaccard join over SET-VALUED columns: all
     (id_a < id_b) pairs with |A∩B| / |A∪B| ≥ threshold, where A/B are
@@ -251,8 +273,9 @@ def set_jaccard_pairs(
     postings = elems
     if max_element_freq is not None:
         freq = elems.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+        freq, cap = _resolve_freq_cap(freq, max_element_freq)
         postings = elems.join(
-            F.broadcast(freq.filter(F.col("__f") > max_element_freq)),
+            F.broadcast(freq.filter(F.col("__f") > cap)),
             on="__g",
             how="left_anti",
         )
@@ -264,7 +287,7 @@ def count_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    max_token_freq: int | None = 1000,
+    max_token_freq: int | str | None = 1000,
 ) -> DataFrame:
     """Sparse count-vector cosine similarity join: all (id_a < id_b)
     pairs whose token-count vectors have cosine ≥ ``threshold``. The
@@ -298,8 +321,9 @@ def count_cosine_pairs(
     counts = toks.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
     if max_token_freq is not None:
         freq = counts.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
+        freq, cap = _resolve_freq_cap(freq, max_token_freq)
         counts = counts.join(
-            F.broadcast(freq.filter(F.col("__f") > max_token_freq)),
+            F.broadcast(freq.filter(F.col("__f") > cap)),
             on="__tok",
             how="left_anti",
         )
@@ -343,7 +367,7 @@ def _span_postings(
     width: int,
     text_col: str,
     id_col: str,
-    max_span_freq: int | None,
+    max_span_freq: int | str | None,
 ) -> DataFrame:
     """(doc id, 1-based start position, md5 span hash) postings for every
     width-token gram — one posting per (doc, span): the FIRST in-doc
@@ -368,8 +392,9 @@ def _span_postings(
     spans = spans.groupBy("__id", "__h").agg(F.min("__pos").alias("__pos"))
     if max_span_freq is not None:
         freq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
+        freq, cap = _resolve_freq_cap(freq, max_span_freq)
         spans = spans.join(
-            F.broadcast(freq.filter(F.col("__f") > max_span_freq)),
+            F.broadcast(freq.filter(F.col("__f") > cap)),
             on="__h",
             how="left_anti",
         )
@@ -381,7 +406,7 @@ def duplicate_span_pairs(
     width: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_span_freq: int | None = 1000,
+    max_span_freq: int | str | None = 1000,
     min_spans: int = 1,
 ) -> DataFrame:
     """Exact duplicate token-span detection between documents — the
@@ -443,7 +468,7 @@ def remove_duplicate_spans(
     width: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_span_freq: int | None = 1000,
+    max_span_freq: int | str | None = 1000,
     min_run: int | None = None,
 ) -> DataFrame:
     """Exact substring dedup, the *action*: cut every cross-document
@@ -580,7 +605,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | str | None = 1000,
 ) -> DataFrame:
     """Train/test n-gram contamination scan: for each TEST document, the
     TRAIN documents whose shared distinct n-grams cover ≥ ``threshold`` of
@@ -628,7 +653,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | str | None = 1000,
 ) -> DataFrame:
     """Drop training documents contaminated by eval content: any train doc
     that covers ≥ ``threshold`` of some test doc's n-grams is removed (the

@@ -58,6 +58,46 @@ def key_skew_stats(
     )
 
 
+def auto_frequency_cap(
+    freq: DataFrame,
+    count_col: str = "__f",
+    quantile: float = 0.999,
+    multiplier: float = 4.0,
+    floor: int = 64,
+) -> int:
+    """Derive a hot-key frequency cap from the OBSERVED distribution:
+    ``cap = max(floor, ceil(multiplier · approx-quantile(count,
+    quantile)))`` over a (key, count) frame.
+
+    This is what turns the pair-join guards (stop-shingles, hot tokens,
+    hot spans — the ``max_*_freq`` parameters in ``functions.dedup``)
+    from hand-tuned constants into corpus-adaptive ones: the cap sits a
+    ``multiplier`` above the tail of the real distribution, so ordinary
+    keys (≤ the 99.9th-percentile document frequency) always survive and
+    only the boilerplate spike — the part that contributes O(freq²)
+    join pairs and ~no discriminative signal — is cut, whatever the
+    corpus' skew profile. A corpus with no spike gets a cap nothing
+    reaches (no behavior change); pass the ``floor`` up for tiny corpora
+    where the quantile itself is single-digits.
+
+    Cost: one ``percentile_approx`` aggregate over the vocabulary-sized
+    frequency frame (mergeable sketch) and a 1-value collect. The same
+    move as reading :func:`key_skew_stats` before picking a join
+    strategy, folded into the operator."""
+    import math
+
+    if not 0.0 < quantile < 1.0:
+        raise ValueError(f"quantile must be in (0, 1), got {quantile}")
+    if multiplier <= 0 or floor < 1:
+        raise ValueError("multiplier must be > 0 and floor >= 1")
+    q = freq.agg(
+        F.expr(f"percentile_approx({count_col}, {quantile!r}, 10000)").alias("q")
+    ).first()["q"]
+    if q is None:  # empty frame: nothing to cap
+        return int(floor)
+    return max(int(floor), int(math.ceil(float(q) * float(multiplier))))
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -253,3 +253,47 @@ def test_stream_temperature_mix_equals_batch(spark, tmp_path):
     # low-resource source (code) is boosted above its natural share
     code_share = sum(1 for _, s, _ in got if s == "code") / len(got)
     assert code_share > 12 / 120
+
+
+def test_auto_frequency_cap_matches_manual_on_boilerplate_corpus(spark):
+    """r6: max_*_freq="auto" derives the hot-key cap from the observed
+    doc-frequency distribution — on a boilerplate-heavy corpus it must cut
+    the same stop-shingles as a hand-tuned cap (identical pair sets) while
+    an uncapped run drowns in boilerplate-only pairs."""
+    from mini_etl_spark.functions.dedup import jaccard_pairs
+    from mini_etl_spark.operators.skew import auto_frequency_cap
+
+    # 300 docs, each ~24 unique tokens + one shared 8-token boilerplate
+    # sentence (doc-freq 300 for its shingles; everything else freq 1-2);
+    # two planted near-dup pairs overlap heavily in unique content.
+    boiler = "click here to accept cookies and privacy terms"
+    rows = []
+    for i in range(300):
+        uniq = " ".join(f"w{i}x{j}" for j in range(24))
+        rows.append((i, f"{uniq} {boiler}"))
+    rows.append((1000, rows[5][1]))   # exact dup of 5 -> jaccard 1.0
+    rows.append((1001, rows[7][1] + " extra tail tokens here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = {(5, 1000), (7, 1001)}
+    auto = {(r.id_a, r.id_b)
+            for r in jaccard_pairs(df, threshold=0.3, max_shingle_freq="auto").collect()}
+    manual = {(r.id_a, r.id_b)
+              for r in jaccard_pairs(df, threshold=0.3, max_shingle_freq=100).collect()}
+    assert auto == manual == want
+    # without any cap, boilerplate-only pairs flood the join
+    uncapped = jaccard_pairs(df, threshold=0.1, max_shingle_freq=None).count()
+    capped = jaccard_pairs(df, threshold=0.1, max_shingle_freq="auto").count()
+    assert uncapped > 1000 and capped < 10
+
+    # the helper itself: known distribution -> multiplier x quantile,
+    # floored; empty frame -> floor
+    freq = spark.createDataFrame(
+        [(f"k{i}", 1 if i else 500) for i in range(1000)], "k string, __f long"
+    )
+    cap = auto_frequency_cap(freq, floor=8)
+    assert 8 <= cap < 500  # the freq-500 spike sits above the derived cap
+    empty = spark.createDataFrame([], "k string, __f long")
+    assert auto_frequency_cap(empty, floor=64) == 64
+    with pytest.raises(ValueError, match="frequency cap"):
+        jaccard_pairs(df, max_shingle_freq="nope").count()
