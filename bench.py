@@ -236,7 +236,18 @@ def measure_reference(
     timings_min: dict[str, float] = {}
     for name in _ref_pipelines(sf_dir, tmp, csv_in):
         fn = _ref_pipelines(sf_dir, tmp, csv_in)[name]
-        fn()  # warm pass (page cache, imports) — symmetric with Spark's
+        try:
+            fn()  # warm pass (page cache, imports) — symmetric with Spark's
+        except Exception as exc:
+            # The reference can CRASH above its design scale (observed: its
+            # pairwise chunk-join DAG raises a pandas duplicate-suffix
+            # MergeError once the dim side spans >2 chunks — b4 at 10×
+            # sf0.1). Record the failure instead of aborting the whole
+            # paired run; ratios then cover the queries both sides ran.
+            print(f"# reference {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = None
+            timings_min[name] = None
+            continue
         samples = []
         for _ in range(3):  # median-of-3, mirrors the Spark side
             fresh = _ref_pipelines(sf_dir, tmp, csv_in)[name]
@@ -519,6 +530,14 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()  # raw RDD persists (none expected, belt+braces)
 
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated query names — restrict the
+    # battery (e.g. at replica scale, where the full 90+ set won't fit a
+    # session). B1-B5 are always kept: the paired gate stays comparable.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        extensions = {k: v for k, v in extensions.items() if k in keep}
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -560,8 +579,15 @@ def main() -> None:
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 3)
-    spark_b = round(sum(timings[k] for k in paired), 3)
-    ref_b = round(sum(ref_timings.values()), 3)
+    # ratios cover only the queries BOTH sides completed — the reference
+    # can fail above its design scale (None timing); those are reported
+    # in ref_failed rather than silently zeroed into the totals
+    ok_ref = {k: v for k, v in ref_timings.items() if v is not None}
+    ok_ref_min = {k: v for k, v in ref_timings_min.items() if v is not None}
+    ref_failed = sorted(k for k, v in ref_timings.items() if v is None)
+    ok_paired = [k for k in paired if k.split("_")[0] in ok_ref]
+    spark_b = round(sum(timings[k] for k in ok_paired), 3)
+    ref_b = round(sum(ok_ref.values()), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -575,13 +601,14 @@ def main() -> None:
         "ref_total_b1_b5": ref_b,
         "spark_total_b1_b5": spark_b,
         "ratio_b1_b5": round(spark_b / ref_b, 3) if ref_b else None,
+        "ref_failed": ref_failed,
         "ratio_b1_b5_min": (
             round(
-                sum(timings_min[k] for k in paired)
-                / sum(ref_timings_min.values()),
+                sum(timings_min[k] for k in ok_paired)
+                / sum(ok_ref_min.values()),
                 3,
             )
-            if ref_timings_min
+            if ok_ref_min
             else None
         ),
         "cold_queries": cold,
@@ -631,6 +658,7 @@ def main() -> None:
         "spark_total_b1_b5": spark_b,
         "ratio_b1_b5": full["ratio_b1_b5"],
         "ratio_b1_b5_min": full["ratio_b1_b5_min"],
+        "ref_failed": ref_failed,
         "cold_total": full["cold_total"],
         "n_queries": len(timings),
         "slowest_extensions": slowest,

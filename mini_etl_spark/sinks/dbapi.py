@@ -55,12 +55,19 @@ def to_dbapi(
     table: str,
     if_exists: str = "fail",
     batch_size: int = 10_000,
+    max_rows: int | None = None,
 ) -> Sink:
     """Write a DataFrame into a DBAPI database table.
 
     ``if_exists`` follows the reference's SQLLoader vocabulary
     (loaders.py:264-266): ``fail`` | ``replace`` | ``append``.
-    """
+
+    Driver-side by design (one DBAPI connection, ``toLocalIterator``
+    streaming — bounded memory, but serial): ``max_rows`` makes the size
+    guard an error — the stream aborts before COMMIT once the bound
+    passes, so a transactional target keeps nothing. Without it a single
+    warning fires past 1M rows (the "this path is for small data" rail,
+    mirroring the reference's JSON-array warning)."""
     if if_exists not in ("fail", "replace", "append"):
         raise ValueError("to_dbapi: if_exists must be fail|replace|append")
 
@@ -84,8 +91,26 @@ def to_dbapi(
                 cur.execute(_create_table_sql(df, table))
             placeholders = ", ".join(["?"] * len(df.columns))
             insert = f"INSERT INTO {table} VALUES ({placeholders})"
+            from mini_etl_spark.sinks.writers import DRIVER_PATH_WARN_ROWS
+
             buf: list[tuple] = []
+            written, warned = 0, False
             for row in df.toLocalIterator(prefetchPartitions=False):
+                written += 1
+                if max_rows is not None and written > max_rows:
+                    # abort BEFORE commit: a transactional target keeps none
+                    raise ValueError(
+                        f"to_dbapi: result exceeds max_rows={max_rows} — "
+                        "this serial driver-side path is for small data; "
+                        "raise max_rows or use the partitioned JDBC sink"
+                    )
+                if not warned and written > DRIVER_PATH_WARN_ROWS:
+                    warned = True
+                    logger.warning(
+                        "to_dbapi streaming >%d rows through one driver "
+                        "connection — prefer the partitioned JDBC sink",
+                        DRIVER_PATH_WARN_ROWS,
+                    )
                 buf.append(tuple(row))
                 if len(buf) >= batch_size:
                     cur.executemany(insert, buf)

@@ -32,6 +32,34 @@ def _spark_mode(mode: str) -> str:
     return _MODE_MAP[mode]
 
 
+# rows above which a documented driver-side path (Excel, JSON array,
+# in-memory source) warns that it is buffering on the driver — the size
+# guard mirroring the reference's JSON-array warning (loaders.py:129-133)
+DRIVER_PATH_WARN_ROWS = 1_000_000
+
+
+def _guard_driver_rows(df: DataFrame, op: str, max_rows: int | None) -> None:
+    """Size guard for driver-side small-data paths: refuse to buffer a
+    frame larger than ``max_rows`` on the driver (``None`` = warn only,
+    above :data:`DRIVER_PATH_WARN_ROWS`). The probe is a LIMITED count —
+    ``limit(bound+1).count()`` short-circuits the scan as soon as the
+    bound is passed, so the guard never pays a full pass over a table
+    that is about to be rejected anyway."""
+    bound = max(DRIVER_PATH_WARN_ROWS, max_rows or 0)
+    n = df.limit(bound + 1).count()
+    if max_rows is not None and n > max_rows:
+        raise ValueError(
+            f"{op}: result exceeds max_driver_rows={max_rows} (a documented "
+            "driver-side small-data path) — raise max_driver_rows "
+            "explicitly, or use a distributed sink (parquet/JSONL/CSV)"
+        )
+    if n > DRIVER_PATH_WARN_ROWS:
+        logger.warning(
+            "%s buffers >%d rows on the driver — this path is for small "
+            "data; prefer a distributed sink", op, DRIVER_PATH_WARN_ROWS,
+        )
+
+
 def _write_stream(
     df: DataFrame,
     path: str,
@@ -100,12 +128,15 @@ def to_json(
     lines: bool = True,
     single_file: bool = False,
     checkpoint: str | None = None,
+    max_driver_rows: int | None = None,
     **options: Any,
 ) -> Sink:
     """JSON writer (⇐ JSONLoader, loaders.py:102-194). ``lines=True`` (JSONL)
     is the distributed path. ``lines=False`` writes a single JSON array —
     driver-side and memory-bounded, warned against exactly as the reference
-    warns (loaders.py:129-133). Streaming frames write through the
+    warns (loaders.py:129-133); pass ``max_driver_rows`` to make the guard
+    an error instead of a warning (a limited count probes the size before
+    anything is buffered). Streaming frames write through the
     checkpointed availableNow path (JSONL only)."""
 
     def _write(df: DataFrame) -> None:
@@ -118,6 +149,7 @@ def to_json(
                 "to_json(lines=False) buffers the full result on the driver; "
                 "use JSONL for large outputs"
             )
+            _guard_driver_rows(df, "to_json(lines=False)", max_driver_rows)
             pdf = df.toPandas()
             target = Path(path)
             target.parent.mkdir(parents=True, exist_ok=True)
@@ -316,14 +348,23 @@ def to_jdbc(
 
 
 def to_excel(
-    path: str, sheet_name: str = "Sheet1", mode: str = "w", **kwargs: Any
+    path: str,
+    sheet_name: str = "Sheet1",
+    mode: str = "w",
+    max_driver_rows: int | None = 1_048_576,
+    **kwargs: Any,
 ) -> Sink:
     """Excel writer (⇐ ExcelLoader, loaders.py:381-450). Inherently
     driver-local (the reference fully buffered too, loaders.py:420-432);
     ``mode='a'`` replicates its append (re-read existing sheet + concat,
     loaders.py:437-446). Prefers pandas' engine (openpyxl) when installed;
     otherwise falls back to the bundled pure-stdlib codec
-    (``mini_etl_spark.xlsx``)."""
+    (``mini_etl_spark.xlsx``).
+
+    ``max_driver_rows`` defaults to the xlsx format's own hard sheet
+    limit (1,048,576): above it the output would be an invalid workbook
+    anyway, so the guard raises BEFORE buffering the frame on the driver
+    (a limited count probes the size). Pass ``None`` to disable."""
     if mode not in ("w", "a"):
         raise ValueError("to_excel: mode must be 'w' or 'a'")
 
@@ -331,6 +372,7 @@ def to_excel(
         import pandas as pd
 
         logger.warning("to_excel buffers the full result on the driver")
+        _guard_driver_rows(df, "to_excel", max_driver_rows)
         pdf = df.toPandas()
         target = Path(path)
         target.parent.mkdir(parents=True, exist_ok=True)

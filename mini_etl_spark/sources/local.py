@@ -8,11 +8,14 @@ openpyxl is not in every environment.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
 
 Source = Callable[[SparkSession], DataFrame]
 
@@ -20,12 +23,27 @@ Source = Callable[[SparkSession], DataFrame]
 def from_memory(data: Any, schema: Any | None = None) -> Source:
     """In-memory source (⇐ InMemoryExtractor, extractors.py:526-561): a pandas
     DataFrame, list of dicts/Rows, or list of pandas DataFrames (the
-    reference accepted a chunk list — concatenated here)."""
+    reference accepted a chunk list — concatenated here).
+
+    Driver-side by definition (the payload already lives in driver
+    memory); past 1M rows a warning fires — createDataFrame serializes
+    the whole payload through the driver, so big corpora should land on
+    storage and come in through a distributed scan instead."""
 
     def _read(spark: SparkSession) -> DataFrame:
         payload = data
         if isinstance(payload, list) and payload and isinstance(payload[0], pd.DataFrame):
             payload = pd.concat(payload, ignore_index=True)
+        try:
+            n = len(payload)
+        except TypeError:
+            n = -1
+        if n > 1_000_000:
+            logger.warning(
+                "from_memory serializing %d rows through the driver — "
+                "this source is for small data; write to storage and use "
+                "a distributed scan instead", n,
+            )
         if schema is not None:
             return spark.createDataFrame(payload, schema=schema)
         return spark.createDataFrame(payload)

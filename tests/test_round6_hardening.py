@@ -297,3 +297,47 @@ def test_auto_frequency_cap_matches_manual_on_boilerplate_corpus(spark):
     assert auto_frequency_cap(empty, floor=64) == 64
     with pytest.raises(ValueError, match="frequency cap"):
         jaccard_pairs(df, max_shingle_freq="nope").count()
+
+
+def test_driver_path_guards(spark, tmp_path, caplog):
+    """r6: the documented driver-side paths get size guard rails — the
+    guard raises before buffering when a max is set, warns past the 1M
+    threshold, and leaves small writes untouched."""
+    import logging
+
+    from mini_etl_spark.sinks.dbapi import to_dbapi
+    from mini_etl_spark.sinks.writers import to_excel, to_json
+    from mini_etl_spark.sources.local import from_memory
+
+    small = spark.range(10).selectExpr("id AS v")
+
+    # to_excel: guard raises BEFORE toPandas when over the limit
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        to_excel(str(tmp_path / "x.xlsx"), max_driver_rows=5)(small)
+    to_excel(str(tmp_path / "ok.xlsx"))(small)  # under default: writes
+    assert (tmp_path / "ok.xlsx").exists()
+
+    # to_json array form: warn-only by default, error when flagged
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        to_json(str(tmp_path / "a.json"), lines=False, max_driver_rows=5)(small)
+    to_json(str(tmp_path / "b.json"), lines=False)(small)
+    assert (tmp_path / "b.json").exists()
+
+    # to_dbapi: aborts before COMMIT when over max_rows — table left empty
+    import sqlite3
+    db = str(tmp_path / "g.db")
+    connect = lambda: sqlite3.connect(db)
+    with pytest.raises(ValueError, match="max_rows"):
+        to_dbapi(connect, "t", if_exists="replace", max_rows=5)(small)
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 0
+    con.close()
+    to_dbapi(connect, "t", if_exists="replace")(small)
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 10
+    con.close()
+
+    # from_memory: small payloads silent; the >1M warning is log-gated
+    with caplog.at_level(logging.WARNING, logger="mini_etl_spark.sources.local"):
+        assert from_memory([{"v": 1}, {"v": 2}])(spark).count() == 2
+    assert not [r for r in caplog.records if "from_memory" in r.message]
