@@ -37,6 +37,35 @@ SCALAR_BROADCAST_JOINS = {
 }
 
 
+# Queries whose plan contains a window with NO partition spec — allowed
+# only when the windowed frame is provably BOUNDED (vocabulary-, source-,
+# bucket-, or partition-count-sized), never the row-scaled corpus. Each
+# entry names the bounded frame.
+GLOBAL_WINDOW_OK = {
+    # per-source quota table (#sources rows): cumulative weight chain
+    "temperature_mix",
+    # ECDF over the 20-bucket histogram / digit table (bounded)
+    "benford",
+}
+
+_GLOBAL_WINDOW_RE = None
+
+
+def _has_global_window(plan: str) -> bool:
+    """True when a windowspecdefinition has an EMPTY partition clause —
+    the single-partition funnel shape. In the physical plan partition
+    columns print before the first `col ASC/DESC NULLS ...` order entry,
+    so a spec whose first element is already an order entry is global."""
+    import re
+
+    global _GLOBAL_WINDOW_RE
+    if _GLOBAL_WINDOW_RE is None:
+        _GLOBAL_WINDOW_RE = re.compile(
+            r"windowspecdefinition\([^(),]+ (?:ASC|DESC) NULLS"
+        )
+    return bool(_GLOBAL_WINDOW_RE.search(plan))
+
+
 @pytest.mark.parametrize("key", sorted(entrymod.queries().keys()))
 def test_no_scale_hazards_in_plan(spark, key):
     df = entrymod.queries()[key](spark, SF_SMALL)
@@ -46,8 +75,31 @@ def test_no_scale_hazards_in_plan(spark, key):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{key}: unexpected nested-loop join"
         )
+    if key not in GLOBAL_WINDOW_OK:
+        assert not _has_global_window(plan), (
+            f"{key}: window with no partition spec (single-partition "
+            "funnel) — repartition-safe forms exist for every global "
+            "cumsum/rank in this codebase"
+        )
 
 
 def test_codegen_present_in_simple_agg(spark):
     df = entrymod.queries()["group_agg"](spark, SF_SMALL)
     assert plans.executed_codegen_stages(df) >= 2  # partial + final agg stages
+
+
+def test_global_window_detector_not_vacuous(spark):
+    """The audit's global-window regex must actually fire on a known
+    single-partition window plan, and stay quiet on a partitioned one."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).selectExpr("id", "id % 3 AS g")
+    w_global = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    w_part = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p_global = plans.physical_plan(df.withColumn("c", F.sum("id").over(w_global)))
+    p_part = plans.physical_plan(df.withColumn("c", F.sum("id").over(w_part)))
+    assert _has_global_window(p_global)
+    assert not _has_global_window(p_part)
