@@ -518,7 +518,8 @@ class ConfigLoader:
             id_col = o.get("id", "doc_id")
             width = int(o.get("width", 8))
             cap = o.get("max_span_freq", 1000)
-            cap = None if cap is None else int(cap)
+            # "auto" = quantile-derived corpus-adaptive cap (skew.py)
+            cap = cap if cap in (None, "auto") else int(cap)
             min_run = o.get("min_run")
             min_run = None if min_run is None else int(min_run)
             return lambda df: dd.remove_duplicate_spans(
@@ -608,7 +609,7 @@ class ConfigLoader:
                 )
             threshold = float(o.get("threshold", 0.5))
             cap = o.get("max_bucket_freq", 1000)
-            cap = int(cap) if cap is not None else None
+            cap = cap if cap in (None, "auto") else int(cap)
             in_batch = bool(o.get("in_batch", True))
             return lambda df: minhash_index_filter(
                 df, path, threshold, cap, append, in_batch

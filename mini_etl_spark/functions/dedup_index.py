@@ -199,7 +199,7 @@ def minhash_index_filter(
     batch: DataFrame,
     path: str,
     threshold: float = 0.5,
-    max_bucket_freq: int | None = 1000,
+    max_bucket_freq: int | str | None = 1000,
     append_survivors: bool = False,
     in_batch: bool = True,
 ) -> DataFrame:
@@ -344,7 +344,7 @@ def minhash_index_dedup(
     path: str,
     batch: DataFrame,
     threshold: float = 0.5,
-    max_bucket_freq: int | None = 1000,
+    max_bucket_freq: int | str | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs between ``batch`` and the indexed corpus:
     (``batch_id``, ``corpus_id``, ``est_jaccard``), est_jaccard = fraction
@@ -365,7 +365,7 @@ def _probe(
     path: str,
     batch: DataFrame,
     threshold: float,
-    max_bucket_freq: int | None,
+    max_bucket_freq: int | str | None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """(scored matches, checkpointed batch signatures, meta). The batch
     signatures are ``localCheckpoint``-ed — computed exactly once, shared
@@ -380,12 +380,16 @@ def _probe(
     corpus_bands = spark.read.parquet(os.path.join(path, "bands"))
     corpus_sig = spark.read.parquet(os.path.join(path, "signatures"))
     if max_bucket_freq is not None:
-        hot = (
-            corpus_bands.groupBy("band", "bucket")
-            .count()
-            .filter(F.col("count") > max_bucket_freq)
-            .select("band", "bucket")
+        freq = corpus_bands.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__f")
         )
+        # "auto" derives the cap from the index's own bucket-size
+        # distribution (operators.skew.auto_frequency_cap) — same
+        # corpus-adaptive contract as the dedup pair joins
+        from mini_etl_spark.functions.dedup import _resolve_freq_cap
+
+        freq, cap = _resolve_freq_cap(freq, max_bucket_freq)
+        hot = freq.filter(F.col("__f") > cap).select("band", "bucket")
         corpus_bands = corpus_bands.join(
             F.broadcast(hot), ["band", "bucket"], "left_anti"
         )

@@ -341,3 +341,32 @@ def test_driver_path_guards(spark, tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="mini_etl_spark.sources.local"):
         assert from_memory([{"v": 1}, {"v": 2}])(spark).count() == 2
     assert not [r for r in caplog.records if "from_memory" in r.message]
+
+
+def test_index_dedup_auto_bucket_cap(spark, tmp_path):
+    """r6: the persisted-index probe accepts max_bucket_freq="auto" —
+    derived from the index's own bucket-size distribution — and matches
+    the default hand-tuned cap on an ordinary corpus."""
+    from mini_etl_spark.functions.dedup_index import (
+        minhash_index_dedup,
+        minhash_index_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"base document number {i} with words " + "pad " * (i % 5))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    minhash_index_write(corpus, path)
+    batch = spark.createDataFrame(
+        [(100, "base document number 7 with words " + "pad " * 2),
+         (101, "entirely unrelated fresh content nothing shared")],
+        "doc_id long, text string",
+    )
+    manual = {(r.batch_id, r.corpus_id)
+              for r in minhash_index_dedup(spark, path, batch).collect()}
+    auto = {(r.batch_id, r.corpus_id)
+            for r in minhash_index_dedup(
+                spark, path, batch, max_bucket_freq="auto").collect()}
+    assert auto == manual and (100, 7) in auto
