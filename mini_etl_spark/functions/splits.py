@@ -231,12 +231,14 @@ def token_balanced_shard_ids(
     ``shard``) must not collide with an input column — pass a fresh
     ``token_count_col`` name (the shards sink uses ``__n_tokens``) or
     the call raises, never silently shadows a payload column.
-    ``with_total=True`` returns ``(frame, n_shards)`` — the shard count
-    is already known driver-side from the bucket totals (0 for an empty
-    frame), saving the caller a full extra pass. Trailing zero-token
-    rows whose cut would land one past the last token-bearing shard are
-    clamped onto it, so ``n_shards`` always equals
-    ``1 + max(shard assigned)``.
+    ``with_total=True`` returns ``(frame, n_shards)`` — the number of
+    token-budget windows, ``ceil(total_tokens / tokens_per_shard)``
+    (0 for an empty frame), already known driver-side from the bucket
+    totals. Every assigned shard id is ``< n_shards`` (trailing
+    zero-token rows whose cut would land one window past the end are
+    clamped back); ids need not be DENSE — a document larger than the
+    budget covers whole windows, and those ids stay unoccupied (the
+    shards sink's manifest records them as zero-row shards).
 
     ``start_offset``: begin the global running total at this many tokens
     instead of 0 — the incremental hook: a later batch continues exactly

@@ -528,3 +528,67 @@ def test_normalize_url_invariants(spark, urls):
             assert "refx=keep" in n
         if "q=1" in src:
             assert "q=1" in n
+
+
+corpus_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc ids (may repeat -> deduped)
+        st.integers(min_value=0, max_value=30),      # token count for the doc
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@SLOW
+@given(data=corpus_rows, tps=st.integers(min_value=1, max_value=50))
+def test_token_shard_invariants(spark, data, tps):
+    """r6 properties for token_balanced_shard_ids on arbitrary corpora:
+    (1) n_shards == 1 + max(shard) (0 for empty); (2) shard ids dense
+    from 0; (3) each non-final shard's token mass stays within one
+    document of the budget; (4) splitting the corpus anywhere and
+    continuing with start_offset reproduces the single-pass assignment."""
+    from mini_etl_spark.functions.splits import token_balanced_shard_ids
+
+    uniq = {i: n for i, n in data}  # unique ids (contract requires it)
+    rows = [(i, "t " * n) for i, n in sorted(uniq.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else (
+        spark.createDataFrame([], "doc_id long, text string"))
+    out, n_shards = token_balanced_shard_ids(df, tokens_per_shard=tps, with_total=True)
+    got = {r.doc_id: (r.n_tokens, r.shard) for r in out.collect()}
+    if not rows:
+        assert n_shards == 0 and not got
+        return
+    shards = sorted({s for _, s in got.values()})
+    # every assigned id fits the driver-reported window count (the clamp
+    # guarantee); ids need NOT be dense — a doc larger than the budget
+    # covers whole windows, leaving those shard ids unoccupied
+    assert shards[0] == 0 and shards[-1] <= n_shards - 1
+    mass = {}
+    for n, s in got.values():
+        mass[s] = mass.get(s, 0) + n
+    assert sum(mass.values()) == sum(uniq.values())  # nothing lost
+    max_doc = max(n for n, _ in got.values())
+    for s in shards[:-1]:
+        assert mass[s] < tps + max(max_doc, 1)  # within one doc of budget
+
+    # offset composition: process the md5-order prefix, then the suffix
+    # with start_offset = prefix mass; union must equal the single pass
+    import hashlib
+    order = sorted(uniq, key=lambda i: (hashlib.md5(f"42\x1f{i}".encode()).hexdigest(), i))
+    cut = len(order) // 2
+    head, tail = set(order[:cut]), set(order[cut:])
+    # clamp=False on the head (stream semantics: final shard still open)
+    h = token_balanced_shard_ids(
+        df.filter(df.doc_id.isin(list(head))) if head else df.limit(0),
+        tokens_per_shard=tps, clamp=False)
+    h_rows = {r.doc_id: r.shard for r in h.collect()}
+    h_mass = sum(uniq[i] for i in head)
+    t = token_balanced_shard_ids(
+        df.filter(df.doc_id.isin(list(tail))) if tail else df.limit(0),
+        tokens_per_shard=tps, start_offset=h_mass, clamp=False)
+    t_rows = {r.doc_id: r.shard for r in t.collect()}
+    combined = {**h_rows, **t_rows}
+    single = {r.doc_id: r.shard
+              for r in token_balanced_shard_ids(df, tokens_per_shard=tps, clamp=False).collect()}
+    assert combined == single
