@@ -71,6 +71,7 @@ def to_training_shards(
     manifest: bool = True,
     tokens_per_shard: int | None = None,
     text_col: str = "text",
+    checkpoint: str | None = None,
     **options,
 ) -> Sink:
     """Sink: write deterministic training shards under ``path`` (hive
@@ -97,6 +98,15 @@ def to_training_shards(
 
     ``mode`` accepts only fresh-write modes (overwrite / error): append
     or ignore would break the one-file-per-shard and manifest contracts.
+
+    STREAMING frames shard incrementally instead of raising:
+    ``num_shards`` mode is a stateless per-row hash assignment, so it
+    runs as a plain checkpointed availableNow partitioned append;
+    ``tokens_per_shard`` mode delegates to
+    :func:`mini_etl_spark.streaming.corpus.stream_token_shards` (the
+    offset-carrying foreachBatch twin). Streaming writes are parquet,
+    append-mode by nature, and skip the manifest (an unbounded stream
+    has no final shard census — read counts from the files).
     """
     if (num_shards is None) == (tokens_per_shard is None):
         raise ValueError(
@@ -122,10 +132,35 @@ def to_training_shards(
 
     def _write(df: DataFrame) -> None:
         if df.isStreaming:
-            raise ValueError(
-                "to_training_shards is batch-only; land the stream first "
-                "(to_parquet), then shard the landed table"
+            if fmt != "parquet":
+                raise ValueError(
+                    "to_training_shards (streaming): fmt must be 'parquet' "
+                    f"— got {fmt!r}"
+                )
+            ckpt = checkpoint or (path.rstrip("/") + "_checkpoint")
+            if tokens_per_shard is not None:
+                from mini_etl_spark.streaming.corpus import stream_token_shards
+
+                stream_token_shards(
+                    df, path, ckpt, tokens_per_shard,
+                    text_col=text_col, id_col=key_col, seed=seed,
+                    shard_col=shard_col,
+                )
+                return
+            if shard_col in df.columns:
+                raise ValueError(
+                    f"to_training_shards: column {shard_col!r} already exists"
+                )
+            from mini_etl_spark.sinks.writers import _write_stream
+
+            sharded = df.withColumn(
+                shard_col, hash_bucket(key_col, seed=seed, num_buckets=num_shards)
             )
+            _write_stream(
+                sharded, path, "parquet", ckpt, dict(options),
+                partition_by=[shard_col],
+            )
+            return
         if shard_col in df.columns:
             raise ValueError(
                 f"to_training_shards: column {shard_col!r} already exists"

@@ -370,3 +370,40 @@ def test_index_dedup_auto_bucket_cap(spark, tmp_path):
             for r in minhash_index_dedup(
                 spark, path, batch, max_bucket_freq="auto").collect()}
     assert auto == manual and (100, 7) in auto
+
+
+def test_shards_sink_streaming_modes(spark, tmp_path):
+    """r6: the declarative shards sink accepts streaming frames — row
+    mode as a stateless checkpointed partitioned append, token mode via
+    the offset-carrying streaming sharder; assignments equal the batch
+    forms."""
+    from mini_etl_spark.functions.splits import hash_bucket, token_balanced_shard_ids
+    from mini_etl_spark.sinks.shards import to_training_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "s_src"
+    src.mkdir()
+    rows = [(i, "tok " * (4 + i % 6)) for i in range(30)]
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(src / "b0"))
+    stream = lambda: (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+
+    # row-balance mode: shard == hash_bucket, hive layout prunes
+    out_rows = str(tmp_path / "rows_out")
+    to_training_shards(out_rows, num_shards=4, fmt="parquet")(stream())
+    got = {r.doc_id: r.shard for r in spark.read.parquet(out_rows).collect()}
+    want = {r.doc_id: r.shard
+            for r in df.withColumn("shard", hash_bucket("doc_id", 42, 4)).collect()}
+    assert got == want
+
+    # token-balance mode: equals the batch sharder on a single batch
+    out_tok = str(tmp_path / "tok_out")
+    to_training_shards(out_tok, tokens_per_shard=40, fmt="parquet")(stream())
+    got_t = {r.doc_id: r.shard for r in spark.read.parquet(out_tok).collect()}
+    want_t = {r.doc_id: r.shard
+              for r in token_balanced_shard_ids(df, tokens_per_shard=40, clamp=False).collect()}
+    assert got_t == want_t
+
+    with pytest.raises(ValueError, match="parquet"):
+        to_training_shards(str(tmp_path / "x"), num_shards=2, fmt="jsonl")(stream())
