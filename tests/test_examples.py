@@ -255,3 +255,44 @@ def test_sft_release_example_runs(spark, tmp_path, monkeypatch):
         assert "@" not in r.text and "<EMAIL>" in r.text  # redacted in render
         assert r.n_pii == 1
         assert r.quality >= 0.1
+
+
+def test_streaming_shard_ingest_example_runs(spark, tmp_path, monkeypatch):
+    """r6: the declarative streaming shard-ingest pipeline — two drops,
+    two runs on one checkpoint; the offset state carries so the second
+    drop continues the final partially-filled shard instead of
+    restarting at shard 0."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "docs"
+    out = tmp_path / "o"
+
+    def _docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("tok "), F.repeat(F.lit("word "), 99)).alias("text"),
+        )
+
+    _docs(0, 30).coalesce(1).write.mode("append").parquet(str(src))
+    monkeypatch.setenv("DOCS_DIR", str(src))
+    monkeypatch.setenv("OUT_DIR", str(out))
+    from mini_etl_spark.config import ConfigLoader
+
+    loader = ConfigLoader()
+    config = loader.load("examples/streaming_shard_ingest.yaml")
+    assert config.validate() == []
+    loader.build_pipeline(config).run(spark)
+    first = spark.read.parquet(str(out / "token_shards"))
+    # 30 docs x 100 tokens = 3000 tokens -> shard 0 full at 4096? no:
+    # 3000 < 4096, everything in shard 0
+    assert first.count() == 30
+    assert {r.shard for r in first.select("shard").distinct().collect()} == {0}
+
+    _docs(100, 130).coalesce(1).write.mode("append").parquet(str(src))
+    loader.build_pipeline(config).run(spark)
+    both = spark.read.parquet(str(out / "token_shards"))
+    assert both.count() == 60
+    # 6000 tokens total: the second drop fills shard 0 to 4096 and opens
+    # shard 1 — offset state carried, no restart at 0
+    shards = {r.shard for r in both.select("shard").distinct().collect()}
+    assert shards == {0, 1}
