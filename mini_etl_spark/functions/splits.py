@@ -250,9 +250,11 @@ def token_balanced_shard_ids(
     batch keeps filling); ``clamp=True`` stays the right call for a
     complete corpus.
 
-    The bucket stats are collected from a PERSISTED frame and the same
-    frame feeds the window, so a nondeterministic input (sample(),
-    changing directory) cannot desync offsets from the cumsum pass.
+    The bucket stats are collected from a MATERIALIZED frame
+    (localCheckpoint) and the same frame feeds the window, so a
+    nondeterministic input (sample(), changing directory) cannot desync
+    offsets from the cumsum pass; checkpoint blocks release when the
+    frame is dropped (no pinned cache entry per call).
     """
     from mini_etl_spark.functions.text import tokens
 
@@ -272,6 +274,12 @@ def token_balanced_shard_ids(
             "\x1f", F.lit(str(seed)), F.col(id_col).cast("string")
         ).cast("binary")
     )
+    # localCheckpoint, not persist: the frame is consumed by the totals
+    # collect AND the window pass (and, in the streaming twin, once per
+    # micro-batch) — checkpoint blocks are released by the context
+    # cleaner when the frame drops, so a long-running stream cannot
+    # accumulate one pinned cache entry per batch; determinism guarantee
+    # is the same (the materialized rows feed both consumers).
     base = (
         df.select(
             *carried,
@@ -281,7 +289,7 @@ def token_balanced_shard_ids(
             okey.alias("__okey"),
         )
         .withColumn("__ob", F.substring("__okey", 1, 2))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     totals = {

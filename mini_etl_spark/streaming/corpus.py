@@ -127,8 +127,9 @@ def stream_token_shards(
             start_offset=offset,
             clamp=False,
         )
-        # base frame is persisted inside the call — the total is a cheap
-        # second action over it, not a recompute of the batch plan
+        # base frame is materialized (localCheckpoint) inside the call —
+        # the total is a cheap second action over it, not a recompute of
+        # the batch plan; blocks release when the frame drops
         batch_tokens = int(
             assigned.agg(F.coalesce(F.sum("__nt"), F.lit(0))).first()[0]
         )
