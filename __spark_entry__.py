@@ -1361,6 +1361,23 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.merges_df(spark, merges)
 
 
+def q_word_histogram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BPE corpus histogram (bpe.word_histogram with the round-6
+    driver-collect rails): frequency floor executor-side (min_count=2 —
+    singleton noise never reaches the driver) + deterministic top-k
+    (max_vocab=25 — BINDING at sf0.01, so the count-desc/word-asc tiebreak is exercised under the hash compare), which Spark plans
+    as TakeOrderedAndProject — per-partition heaps, no global sort. The
+    oracle replays the same HAVING floor + ORDER/LIMIT; the compare is
+    order-insensitive, so the deterministic tiebreak makes the SET
+    identical."""
+    from mini_etl_spark.functions import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.word_histogram(docs, min_count=2, max_vocab=25).select(
+        "word", F.col("count").cast("long").alias("count")
+    )
+
+
 def q_chat_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL-chat ingestion round trip: synthesized 2-turn conversations
     → to_json (Spark's JSON writer, arbitrary content incl. quotes) →
@@ -3066,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_vectors": q_hashed_vectors,
         "approx_sketches": q_approx_sketches,
         "bpe_vocab": q_bpe_vocab,
+        "word_histogram_topk": q_word_histogram_topk,
         "span_removal": q_span_removal,
         "snapshot_diff": q_snapshot_diff,
         "resample": q_resample,
@@ -4104,6 +4122,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "bpe_vocab": _d_bpe_sql(50),
+        "word_histogram_topk": f"""
+            SELECT word, CAST(count AS BIGINT) AS count
+            FROM (
+              SELECT t AS word, count(*) AS count
+              FROM (SELECT unnest({_D_TOKENS}) AS t FROM documents)
+              GROUP BY t
+              HAVING count(*) >= 2
+              ORDER BY count DESC, word
+              LIMIT 25
+            )
+        """,
         "bpe_encode": _d_bpe_encode_sql(50),
         "conversation_redaction": f"""
             WITH flat AS (

@@ -497,6 +497,7 @@ def main() -> None:
         "benford": queries["benford"],
         "quantile_buckets": queries["quantile_buckets"],
         "group_trend": queries["group_trend"],
+        "word_histogram_topk": queries["word_histogram_topk"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)
