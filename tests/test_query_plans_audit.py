@@ -44,8 +44,6 @@ SCALAR_BROADCAST_JOINS = {
 GLOBAL_WINDOW_OK = {
     # per-source quota table (#sources rows): cumulative weight chain
     "temperature_mix",
-    # ECDF over the 20-bucket histogram / digit table (bounded)
-    "benford",
 }
 
 _GLOBAL_WINDOW_RE = None
