@@ -194,6 +194,7 @@ def token_balanced_shard_ids(
     token_count_col: str = "n_tokens",
     start_offset: int = 0,
     clamp: bool = True,
+    order_buckets_hex: int = 2,
 ):
     """Assign every document to a TOKEN-balanced training shard: rows are
     laid out in deterministic md5 order and cut every
@@ -203,15 +204,19 @@ def token_balanced_shard_ids(
     document lengths do.
 
     The global running token total is a DISTRIBUTED prefix sum, never a
-    single-partition window: the md5 order key's first two hex chars
-    form 256 lexicographic buckets that partition the global order into
-    contiguous runs, so (1) one hash aggregate yields per-bucket token
-    totals — a 256-row driver collect — whose running sum gives each
-    bucket's global offset, and (2) a window cumsum WITHIN each bucket
-    (hash-partitioned, parallel) plus that offset reconstructs the exact
-    global cumulative count. All integer arithmetic — any engine's plain
-    global-window cumsum replays it value-for-value (the driver oracle
-    does exactly that).
+    single-partition window: the md5 order key's first
+    ``order_buckets_hex`` hex chars (default 2 → 256 buckets; raise to
+    3 → 4096 at 100 TB for finer partitioning) form lexicographic
+    buckets that partition the global order into contiguous runs, so
+    (1) one hash aggregate yields per-bucket token totals — a
+    16^order_buckets_hex-row driver collect — whose running sum gives
+    each bucket's global offset, and (2) a window cumsum WITHIN each
+    bucket (hash-partitioned, parallel) plus that offset reconstructs
+    the exact global cumulative count. All integer arithmetic — any
+    engine's plain global-window cumsum replays it value-for-value (the
+    driver oracle does exactly that). The bucket width never changes
+    ASSIGNMENTS (the global order is the same whatever the split), only
+    partitioning granularity.
 
     A document straddling a cut belongs to the shard where it STARTS
     (``shard = (cum_before_row) // tokens_per_shard``), so every shard's
@@ -260,6 +265,11 @@ def token_balanced_shard_ids(
 
     if tokens_per_shard < 1:
         raise ValueError(f"tokens_per_shard must be >= 1, got {tokens_per_shard}")
+    if not 1 <= order_buckets_hex <= 4:
+        raise ValueError(
+            f"order_buckets_hex must be in [1, 4] (16..65536 buckets), "
+            f"got {order_buckets_hex}"
+        )
     carried = df.columns if keep_columns else [id_col]
     if keep_columns:
         for taken in (token_count_col, "shard"):
@@ -288,7 +298,7 @@ def token_balanced_shard_ids(
             .alias(token_count_col),
             okey.alias("__okey"),
         )
-        .withColumn("__ob", F.substring("__okey", 1, 2))
+        .withColumn("__ob", F.substring("__okey", 1, int(order_buckets_hex)))
         .localCheckpoint(eager=True)
     )
 

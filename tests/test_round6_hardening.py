@@ -407,3 +407,24 @@ def test_shards_sink_streaming_modes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="parquet"):
         to_training_shards(str(tmp_path / "x"), num_shards=2, fmt="jsonl")(stream())
+
+
+def test_order_buckets_hex_invariant(spark):
+    """r6: the prefix-bucket width is a partitioning knob only — 1, 2, or
+    3 hex chars must yield IDENTICAL shard assignments (the global md5
+    order is the same whatever the split)."""
+    from mini_etl_spark.functions.splits import token_balanced_shard_ids
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (3 + i % 9)) for i in range(120)],
+        "doc_id long, text string",
+    )
+    base = {r.doc_id: r.shard
+            for r in token_balanced_shard_ids(df, tokens_per_shard=50).collect()}
+    for width in (1, 3):
+        got = {r.doc_id: r.shard
+               for r in token_balanced_shard_ids(
+                   df, tokens_per_shard=50, order_buckets_hex=width).collect()}
+        assert got == base, width
+    with pytest.raises(ValueError, match="order_buckets_hex"):
+        token_balanced_shard_ids(df, order_buckets_hex=5)
