@@ -199,8 +199,16 @@ def stream_temperature_mix(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.write.mode("append").parquet(seen)
-        full = spark.read.parquet(seen)
+        # one OVERWRITTEN directory per batch id, so an at-least-once
+        # replay of a crashed batch lands on the same directory instead
+        # of appending duplicate rows into the staging corpus (the
+        # partition-style layout also means the accumulate is idempotent
+        # across restarts); the synthetic `batch` partition column is
+        # dropped before mixing
+        batch_df.write.mode("overwrite").parquet(
+            f"{seen.rstrip('/')}/batch={batch_id}"
+        )
+        full = spark.read.parquet(seen).drop("batch")
         mixed = temperature_mix(
             full, budget, alpha, source_col, id_col, seed, repeat
         )
