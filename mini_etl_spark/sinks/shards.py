@@ -141,12 +141,13 @@ def to_training_shards(
             if tokens_per_shard is not None:
                 from mini_etl_spark.streaming.corpus import stream_token_shards
 
-                stream_token_shards(
+                # return the finished query: Pipeline.run reads observed
+                # row metrics from its recentProgress for streaming stats
+                return stream_token_shards(
                     df, path, ckpt, tokens_per_shard,
                     text_col=text_col, id_col=key_col, seed=seed,
                     shard_col=shard_col,
                 )
-                return
             if shard_col in df.columns:
                 raise ValueError(
                     f"to_training_shards: column {shard_col!r} already exists"
@@ -156,11 +157,10 @@ def to_training_shards(
             sharded = df.withColumn(
                 shard_col, hash_bucket(key_col, seed=seed, num_buckets=num_shards)
             )
-            _write_stream(
+            return _write_stream(
                 sharded, path, "parquet", ckpt, dict(options),
                 partition_by=[shard_col],
             )
-            return
         if shard_col in df.columns:
             raise ValueError(
                 f"to_training_shards: column {shard_col!r} already exists"
