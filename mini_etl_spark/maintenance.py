@@ -534,6 +534,7 @@ def group_linear_trend(
     y_col: str,
     group_cols: list[str] | None = None,
     scale: int = 100,
+    wide: bool = False,
 ):
     """Per-group ordinary-least-squares trend line (closed form) — the
     "is this metric drifting per segment" primitive, as ONE hash
@@ -549,8 +550,9 @@ def group_linear_trend(
     output bit-for-bit. Slope/intercept are in the FIXED units (value ×
     ``scale``); divide by ``scale`` for originals. Groups with zero
     x-variance emit NULL slope/intercept (vertical line). At 100 TB
-    move the sums to DECIMAL(38) if n·Σxy can exceed a long — the shape
-    is unchanged.
+    pass ``wide=True`` to route the sums (and the n·Σ products) through
+    DECIMAL(38,0) when n·Σxy can exceed a long — same shape, same
+    results wherever long doesn't overflow.
 
     Returns one row per group: group cols, ``n`` (long),
     ``slope_e6``, ``intercept_e6`` (long, NULL when degenerate).
@@ -558,8 +560,14 @@ def group_linear_trend(
     from pyspark.sql import functions as F
 
     g = group_cols or []
-    xf = F.floor(F.col(x_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")
-    yf = F.floor(F.col(y_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    # wide=True routes the five sums (and the n·Σ products) through
+    # DECIMAL(38,0) — the documented 100 TB path for when n·Σxy can
+    # exceed a long. Same fixed integer values, same float chain after
+    # the final cast, so results are bit-identical wherever long doesn't
+    # overflow (pytest-pinned).
+    st = "decimal(38,0)" if wide else "long"
+    xf = F.floor(F.col(x_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(st)
+    yf = F.floor(F.col(y_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(st)
     fixed = df.select(*g, xf.alias("__x"), yf.alias("__y")).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
@@ -570,8 +578,9 @@ def group_linear_trend(
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
         F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
     )
-    num = (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
-    den = (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    nn = F.col("n").cast(st)
+    num = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
     slope = num / den
     intercept = (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double")) / F.col("n").cast("double")
     return agg.select(

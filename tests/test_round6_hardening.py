@@ -428,3 +428,25 @@ def test_order_buckets_hex_invariant(spark):
         assert got == base, width
     with pytest.raises(ValueError, match="order_buckets_hex"):
         token_balanced_shard_ids(df, order_buckets_hex=5)
+
+
+def test_group_trend_wide_decimal_path(spark):
+    """r6: wide=True (DECIMAL-38 sums, the 100 TB overflow guard) must
+    be bit-identical to the long path wherever long doesn't overflow,
+    and survive products that WOULD overflow a long."""
+    from mini_etl_spark.maintenance import group_linear_trend
+
+    rows = [(i % 3, float(i), 2.5 * i + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    a = sorted(map(tuple, group_linear_trend(df, "x", "y", ["g"]).collect()))
+    b = sorted(map(tuple, group_linear_trend(df, "x", "y", ["g"], wide=True).collect()))
+    assert a == b and len(a) == 3
+
+    # magnitudes where n*sxy overflows long (x,y ~ 1e8 fixed -> products
+    # ~1e16, sums over 5000 rows ~5e19 > 2^63): wide stays finite/sane
+    big = spark.createDataFrame(
+        [(0, 1e6 + i, 3.0 * (1e6 + i)) for i in range(5000)],
+        "g int, x double, y double",
+    )
+    w = group_linear_trend(big, "x", "y", ["g"], wide=True).collect()[0]
+    assert w.slope_e6 is not None and abs(w.slope_e6 - 3_000_000) <= 1
