@@ -63,13 +63,15 @@ def _resolve_freq_cap(freq: DataFrame, cap) -> tuple[DataFrame, int]:
     the observed frequency distribution
     (:func:`mini_etl_spark.operators.skew.auto_frequency_cap` — 4× the
     99.9th-percentile document frequency, floored), so a corpus with a
-    different boilerplate profile needs no hand tuning. Returns the
-    (persisted-when-auto) freq frame and the int cap — persisted because
-    auto reads it twice (quantile scalar + anti-join broadcast)."""
+    different boilerplate profile needs no hand tuning. When auto the
+    freq frame is materialized via localCheckpoint — it is read twice
+    (quantile scalar + anti-join broadcast) and the blocks release when
+    the frame drops, so per-batch callers (the streaming index gate)
+    cannot pin one cache entry per call the way persist() would."""
     if cap == "auto":
         from mini_etl_spark.operators.skew import auto_frequency_cap
 
-        freq = freq.persist()
+        freq = freq.localCheckpoint(eager=True)
         return freq, auto_frequency_cap(freq)
     if not isinstance(cap, int):
         raise ValueError(

@@ -143,22 +143,22 @@ def pagerank(
             # so zero overlap would silently drive every rank toward 0.
             # Partial overlap is allowed but warned — the absent seeds'
             # share of the (1-d)*N mass is dropped, like a dangling leak.
-            present = {
-                r["node"]
-                for r in nodes.filter(F.col("node").isin(seeds_list)).collect()
-            }
-            missing = [s for s in seeds_list if s not in present]
-            if len(missing) == len(seeds_list):
+            # The check counts matches with the SAME isin predicate the
+            # teleport term uses (Spark-side, implicit-cast semantics) —
+            # a Python set comparison would false-alarm whenever the node
+            # type coerces (string nodes vs int seeds).
+            n_present = nodes.filter(F.col("node").isin(seeds_list)).count()
+            if n_present == 0:
                 raise ValueError(
                     "pagerank: none of the personalized seeds appear in the "
-                    f"graph's node set (first few: {missing[:5]!r}) — every "
+                    f"graph's node set (seeds: {seeds_list[:5]!r}…) — every "
                     "rank would decay toward 0; check the seed ids"
                 )
-            if missing:
+            if n_present < len(seeds_list):
                 logger.warning(
-                    "pagerank: %d/%d personalized seeds absent from the "
-                    "graph (e.g. %r) — their teleport share is dropped",
-                    len(missing), len(seeds_list), missing[:5],
+                    "pagerank: only %d/%d personalized seeds present in the "
+                    "graph — absent seeds' teleport share is dropped",
+                    n_present, len(seeds_list),
                 )
             # whole teleport mass on the seeds; float chain fixed as
             # ((1-d) * N) / |S| so SQL oracles replay the same double

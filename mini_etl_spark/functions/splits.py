@@ -289,7 +289,11 @@ def token_balanced_shard_ids(
     # micro-batch) — checkpoint blocks are released by the context
     # cleaner when the frame drops, so a long-running stream cannot
     # accumulate one pinned cache entry per batch; determinism guarantee
-    # is the same (the materialized rows feed both consumers).
+    # is the same (the materialized rows feed both consumers). Tradeoff:
+    # lineage is truncated, so losing an executor between the collect
+    # and the window pass fails the job instead of recomputing — on
+    # preemptible clusters use reliable checkpointing (set a checkpoint
+    # dir and swap localCheckpoint for checkpoint) for this stage.
     base = (
         df.select(
             *carried,

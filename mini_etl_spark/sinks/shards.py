@@ -131,6 +131,10 @@ def to_training_shards(
     spark_mode = _spark_mode(mode)
 
     def _write(df: DataFrame) -> None:
+        if shard_col in df.columns:
+            raise ValueError(
+                f"to_training_shards: column {shard_col!r} already exists"
+            )
         if df.isStreaming:
             if fmt != "parquet":
                 raise ValueError(
@@ -146,11 +150,7 @@ def to_training_shards(
                 return stream_token_shards(
                     df, path, ckpt, tokens_per_shard,
                     text_col=text_col, id_col=key_col, seed=seed,
-                    shard_col=shard_col,
-                )
-            if shard_col in df.columns:
-                raise ValueError(
-                    f"to_training_shards: column {shard_col!r} already exists"
+                    shard_col=shard_col, options=dict(options),
                 )
             from mini_etl_spark.sinks.writers import _write_stream
 
@@ -161,10 +161,7 @@ def to_training_shards(
                 sharded, path, "parquet", ckpt, dict(options),
                 partition_by=[shard_col],
             )
-        if shard_col in df.columns:
-            raise ValueError(
-                f"to_training_shards: column {shard_col!r} already exists"
-            )
+        n_out_token = None
         if tokens_per_shard is not None:
             from mini_etl_spark.functions.splits import token_balanced_shard_ids
 
@@ -187,6 +184,7 @@ def to_training_shards(
                 with_total=True,
                 token_count_col="__n_tokens",
             )
+            n_out_token = n_out
             sharded = (
                 assigned.withColumnRenamed("shard", shard_col)
                 .drop("__n_tokens")
@@ -217,11 +215,11 @@ def to_training_shards(
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .collect()
             }
-            n_written = (
-                num_shards
-                if num_shards is not None
-                else (max(counts) + 1 if counts else 0)
-            )
+            # token mode: n_out is the driver-computed window count —
+            # shards wholly covered by one oversized document produce no
+            # rows, and the manifest records them as zero-row entries
+            # (max(written)+1 would silently omit them)
+            n_written = num_shards if num_shards is not None else n_out_token
             doc = {
                 "num_shards": n_written,
                 "key_col": key_col,

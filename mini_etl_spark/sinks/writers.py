@@ -40,23 +40,20 @@ DRIVER_PATH_WARN_ROWS = 1_000_000
 
 def _guard_driver_rows(df: DataFrame, op: str, max_rows: int | None) -> None:
     """Size guard for driver-side small-data paths: refuse to buffer a
-    frame larger than ``max_rows`` on the driver (``None`` = warn only,
-    above :data:`DRIVER_PATH_WARN_ROWS`). The probe is a LIMITED count —
-    ``limit(bound+1).count()`` short-circuits the scan as soon as the
-    bound is passed, so the guard never pays a full pass over a table
-    that is about to be rejected anyway."""
-    bound = max(DRIVER_PATH_WARN_ROWS, max_rows or 0)
-    n = df.limit(bound + 1).count()
-    if max_rows is not None and n > max_rows:
+    frame larger than ``max_rows`` on the driver. ``None`` disables the
+    probe entirely (those paths already log a generic buffering
+    warning) — no extra job on the default path. The probe is a LIMITED
+    count — ``limit(max_rows+1).count()`` stops producing rows as soon
+    as the bound is passed, so rejecting a huge frame never pays more
+    than ``max_rows+1`` rows of work."""
+    if max_rows is None:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
         raise ValueError(
             f"{op}: result exceeds max_driver_rows={max_rows} (a documented "
             "driver-side small-data path) — raise max_driver_rows "
             "explicitly, or use a distributed sink (parquet/JSONL/CSV)"
-        )
-    if n > DRIVER_PATH_WARN_ROWS:
-        logger.warning(
-            "%s buffers >%d rows on the driver — this path is for small "
-            "data; prefer a distributed sink", op, DRIVER_PATH_WARN_ROWS,
         )
 
 

@@ -72,6 +72,18 @@ def _write_state(spark: SparkSession, path: str, doc: dict) -> None:
         out.close()
 
 
+def _resolve_offset(st: dict, batch_id: int) -> int:
+    """Running-total offset for an incoming batch given the state doc.
+    A replayed batch (same id the state was written FOR — the
+    at-least-once window between state write and checkpoint commit)
+    restarts from ``prev_offset``; its tokens are already inside
+    ``offset`` and using it would double-count them, permanently
+    shifting every later shard boundary."""
+    if st.get("batch_id") == batch_id:
+        return int(st.get("prev_offset", 0))
+    return int(st.get("offset", 0))
+
+
 def stream_token_shards(
     stream_df: DataFrame,
     out_path: str,
@@ -84,6 +96,7 @@ def stream_token_shards(
     state_path: str | None = None,
     available_now: bool = True,
     await_termination: bool = True,
+    options: dict | None = None,
 ):
     """Streaming token-balanced sharding: every micro-batch continues the
     global running token total exactly where the previous batch stopped
@@ -100,22 +113,32 @@ def stream_token_shards(
     next shard for the following batch to keep filling (the batch-mode
     clamp is a complete-corpus rule).
 
-    State caveat, stated: the parquet append and the state write are two
-    non-atomic steps (state last). A crash between them replays the batch
-    with the old offset — the checkpoint makes foreachBatch at-least-once,
-    so the replay overwrites the same logical assignment but may leave
-    duplicate part files; dedup on ``id_col`` at read time if the job is
-    crash-prone, or land on a table format whose append is transactional.
+    Replay safety: the state document records the batch id it was written
+    FOR plus the offset both before and after that batch. A replayed
+    batch (same incoming id as the stored one — the at-least-once window
+    between the state write and the checkpoint commit) restarts from
+    ``prev_offset``, reproducing its original assignment instead of
+    double-counting its own tokens into the running total. The remaining
+    caveat is duplicate part files from the replayed append — dedup on
+    ``id_col`` at read time if the job is crash-prone, or land on a
+    table format whose append is transactional.
+
+    The state file defaults to ``<checkpoint>/_token_offset.json`` so its
+    lifecycle is TIED to the checkpoint: wiping the checkpoint to
+    reprocess from scratch wipes the offset with it (a stale offset
+    against a fresh checkpoint would silently shift every assignment).
+
+    ``options`` pass through to the parquet writer (e.g. compression).
     """
     from mini_etl_spark.functions.splits import token_balanced_shard_ids
 
     if tokens_per_shard < 1:
         raise ValueError("stream_token_shards: tokens_per_shard must be >= 1")
-    state = state_path or (out_path.rstrip("/") + ".offset.json")
+    state = state_path or (checkpoint.rstrip("/") + "/_token_offset.json")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        offset = int(_read_state(spark, state).get("offset", 0))
+        offset = _resolve_offset(_read_state(spark, state), batch_id)
         assigned = token_balanced_shard_ids(
             batch_df,
             text_col,
@@ -133,15 +156,22 @@ def stream_token_shards(
         batch_tokens = int(
             assigned.agg(F.coalesce(F.sum("__nt"), F.lit(0))).first()[0]
         )
-        (
+        writer = (
             assigned.withColumnRenamed("shard", shard_col)
             .drop("__nt")
             .write.mode("append")
-            .partitionBy(shard_col)
-            .parquet(out_path)
         )
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.partitionBy(shard_col).parquet(out_path)
         _write_state(
-            spark, state, {"offset": offset + batch_tokens, "batch_id": batch_id}
+            spark,
+            state,
+            {
+                "offset": offset + batch_tokens,
+                "prev_offset": offset,
+                "batch_id": batch_id,
+            },
         )
         logger.info(
             "stream_token_shards batch %d: %d tokens, offset now %d",

@@ -450,3 +450,41 @@ def test_group_trend_wide_decimal_path(spark):
     )
     w = group_linear_trend(big, "x", "y", ["g"], wide=True).collect()[0]
     assert w.slope_e6 is not None and abs(w.slope_e6 - 3_000_000) <= 1
+
+
+def test_stream_offset_replay_and_manifest_gaps(spark, tmp_path):
+    """Review follow-ups: (a) a replayed batch (same id as the stored
+    state) restarts from prev_offset instead of double-counting its own
+    tokens; (b) the token-mode manifest records window-count shards
+    including zero-row gaps left by oversized documents; (c) pagerank's
+    seed check uses Spark isin semantics (int seeds vs string nodes do
+    not false-alarm)."""
+    from mini_etl_spark.functions.graph import pagerank
+    from mini_etl_spark.sinks.shards import read_shard_manifest, to_training_shards
+    from mini_etl_spark.streaming.corpus import _resolve_offset
+
+    # (a) pure offset logic
+    st = {"batch_id": 3, "prev_offset": 100, "offset": 150}
+    assert _resolve_offset(st, 3) == 100   # replay of batch 3
+    assert _resolve_offset(st, 4) == 150   # next batch continues
+    assert _resolve_offset({}, 0) == 0     # fresh stream
+
+    # (b) one 10-token doc then (in md5 order) one 500-token doc spanning
+    # whole windows: manifest must still record every window id
+    rows = [(1, "tok " * 10), (2, "tok " * 500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "gaps")
+    to_training_shards(path, tokens_per_shard=100, fmt="parquet")(df)
+    man = read_shard_manifest(path, spark)
+    assert man["num_shards"] == 6  # ceil(510/100)
+    assert set(man["shards"]) == {str(i) for i in range(6)}
+    assert sum(v for v in man["shards"].values()) == 2  # rows conserved
+    assert 0 in {int(k) for k, v in man["shards"].items() if v == 0} or \
+           any(v == 0 for v in man["shards"].values())  # gap shards recorded
+
+    # (c) string nodes + int seeds: isin coerces, check must not raise
+    e = spark.createDataFrame([("1", "2"), ("2", "3"), ("3", "1")],
+                              "src string, dst string")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(e, iterations=3, personalized=[1]).collect()}
+    assert set(ranks) == {"1", "2", "3"} and ranks["1"] > 0
