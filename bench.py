@@ -235,31 +235,23 @@ def measure_reference(
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name in _ref_pipelines(sf_dir, tmp, csv_in):
-        fn = _ref_pipelines(sf_dir, tmp, csv_in)[name]
-        try:
-            fn()  # warm pass (page cache, imports) — symmetric with Spark's
-        except Exception as exc:
-            # The reference can CRASH above its design scale (observed: its
-            # pairwise chunk-join DAG raises a pandas duplicate-suffix
-            # MergeError once the dim side spans >2 chunks — b4 at 10×
-            # sf0.1). Record the failure instead of aborting the whole
-            # paired run; ratios then cover the queries both sides ran.
-            print(f"# reference {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = None
-            timings_min[name] = None
-            continue
+        # The reference can CRASH above its design scale (observed: its
+        # pairwise chunk-join DAG raises a pandas duplicate-suffix
+        # MergeError once the dim side spans >2 chunks — b4 at 10×
+        # sf0.1), or fail intermittently under load in a timed pass.
+        # Record the failure instead of aborting the whole paired run;
+        # ratios then cover the queries both sides ran.
         samples = []
         try:
+            fn = _ref_pipelines(sf_dir, tmp, csv_in)[name]
+            fn()  # warm pass (page cache, imports) — symmetric with Spark's
             for _ in range(3):  # median-of-3, mirrors the Spark side
                 fresh = _ref_pipelines(sf_dir, tmp, csv_in)[name]
                 t0 = time.monotonic()
                 fresh()
                 samples.append(time.monotonic() - t0)
         except Exception as exc:
-            # intermittent failure under load (survived the warm pass):
-            # record as failed rather than aborting the whole paired run
-            print(f"# reference {name} FAILED in timed pass: {exc}",
-                  file=sys.stderr)
+            print(f"# reference {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = None
             timings_min[name] = None
             continue

@@ -143,11 +143,18 @@ def pagerank(
             # so zero overlap would silently drive every rank toward 0.
             # Partial overlap is allowed but warned — the absent seeds'
             # share of the (1-d)*N mass is dropped, like a dangling leak.
-            # The check counts matches with the SAME isin predicate the
-            # teleport term uses (Spark-side, implicit-cast semantics) —
-            # a Python set comparison would false-alarm whenever the node
-            # type coerces (string nodes vs int seeds).
-            n_present = nodes.filter(F.col("node").isin(seeds_list)).count()
+            # The check counts SEEDS with a graph match, using the same
+            # implicit-cast equality semantics as the teleport isin —
+            # a Python set comparison would false-alarm whenever the
+            # node type coerces (string nodes vs int seeds), and
+            # counting matched NODES would let one multi-matching seed
+            # mask another that is absent.
+            seeds_df = nodes.sparkSession.createDataFrame(
+                [(s,) for s in seeds_list], ["__seed"]
+            )
+            n_present = seeds_df.join(
+                nodes, F.col("__seed") == F.col("node"), "left_semi"
+            ).count()
             if n_present == 0:
                 raise ValueError(
                     "pagerank: none of the personalized seeds appear in the "

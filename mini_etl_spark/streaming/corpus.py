@@ -72,15 +72,34 @@ def _write_state(spark: SparkSession, path: str, doc: dict) -> None:
         out.close()
 
 
-def _resolve_offset(st: dict, batch_id: int) -> int:
+def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str:
+    """The stable streaming-query id Structured Streaming persists at
+    ``<checkpoint>/metadata`` — survives restarts of the same checkpoint,
+    regenerates when the checkpoint is wiped. This is the identity that
+    scopes batch ids: batch numbering restarts at 0 for a fresh
+    checkpoint, so replay detection must never match a batch id recorded
+    under a different checkpoint incarnation."""
+    try:
+        doc = _read_state(spark, checkpoint.rstrip("/") + "/metadata")
+        return str(doc.get("id", ""))
+    except Exception:  # metadata unreadable: disable id scoping, not the op
+        return ""
+
+
+def _resolve_offset(st: dict, batch_id: int, query_id: str = "") -> int:
     """Running-total offset for an incoming batch given the state doc.
-    A replayed batch (same id the state was written FOR — the
-    at-least-once window between state write and checkpoint commit)
-    restarts from ``prev_offset``; its tokens are already inside
-    ``offset`` and using it would double-count them, permanently
-    shifting every later shard boundary."""
-    if st.get("batch_id") == batch_id:
-        return int(st.get("prev_offset", 0))
+    A replayed batch (same id the state was written FOR, under the SAME
+    checkpoint incarnation — the at-least-once window between state
+    write and checkpoint commit) restarts from ``prev_offset``; its
+    tokens are already inside ``offset`` and using it would
+    double-count them, permanently shifting every later shard boundary.
+    A matching batch id under a DIFFERENT query id is a fresh checkpoint
+    reusing id 0, not a replay — it continues from ``offset``. A state
+    doc lacking ``prev_offset`` (written before replay tracking) falls
+    back to ``offset`` — the documented old may-double-count caveat,
+    never a silent reset to 0."""
+    if st.get("batch_id") == batch_id and st.get("query_id", query_id) == query_id:
+        return int(st.get("prev_offset", st.get("offset", 0)))
     return int(st.get("offset", 0))
 
 
@@ -138,7 +157,8 @@ def stream_token_shards(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        offset = _resolve_offset(_read_state(spark, state), batch_id)
+        qid = _checkpoint_query_id(spark, checkpoint)
+        offset = _resolve_offset(_read_state(spark, state), batch_id, qid)
         assigned = token_balanced_shard_ids(
             batch_df,
             text_col,
@@ -171,6 +191,7 @@ def stream_token_shards(
                 "offset": offset + batch_tokens,
                 "prev_offset": offset,
                 "batch_id": batch_id,
+                "query_id": qid,
             },
         )
         logger.info(

@@ -463,11 +463,17 @@ def test_stream_offset_replay_and_manifest_gaps(spark, tmp_path):
     from mini_etl_spark.sinks.shards import read_shard_manifest, to_training_shards
     from mini_etl_spark.streaming.corpus import _resolve_offset
 
-    # (a) pure offset logic
-    st = {"batch_id": 3, "prev_offset": 100, "offset": 150}
-    assert _resolve_offset(st, 3) == 100   # replay of batch 3
-    assert _resolve_offset(st, 4) == 150   # next batch continues
-    assert _resolve_offset({}, 0) == 0     # fresh stream
+    # (a) pure offset logic, scoped by checkpoint incarnation
+    st = {"batch_id": 3, "prev_offset": 100, "offset": 150, "query_id": "q1"}
+    assert _resolve_offset(st, 3, "q1") == 100   # replay of batch 3
+    assert _resolve_offset(st, 4, "q1") == 150   # next batch continues
+    assert _resolve_offset({}, 0, "q1") == 0     # fresh stream
+    # same batch id under a DIFFERENT checkpoint incarnation = fresh
+    # checkpoint reusing id 0, NOT a replay: continue from offset
+    assert _resolve_offset(st, 3, "q2") == 150
+    # legacy state without prev_offset: fall back to offset (the old
+    # may-double-count caveat), never a silent reset to 0
+    assert _resolve_offset({"batch_id": 3, "offset": 150}, 3, "") == 150
 
     # (b) one 10-token doc then (in md5 order) one 500-token doc spanning
     # whole windows: manifest must still record every window id
@@ -479,8 +485,7 @@ def test_stream_offset_replay_and_manifest_gaps(spark, tmp_path):
     assert man["num_shards"] == 6  # ceil(510/100)
     assert set(man["shards"]) == {str(i) for i in range(6)}
     assert sum(v for v in man["shards"].values()) == 2  # rows conserved
-    assert 0 in {int(k) for k, v in man["shards"].items() if v == 0} or \
-           any(v == 0 for v in man["shards"].values())  # gap shards recorded
+    assert any(v == 0 for v in man["shards"].values())  # gap shards recorded
 
     # (c) string nodes + int seeds: isin coerces, check must not raise
     e = spark.createDataFrame([("1", "2"), ("2", "3"), ("3", "1")],
