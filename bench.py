@@ -635,8 +635,15 @@ def main() -> None:
     # stdout line — small enough that the driver's tail capture always
     # contains it whole, carrying the gate number (ratio_b1_b5) plus the
     # paired B1-B5 map and the 5 slowest extension queries.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    # A restricted battery (SPARK_GRAFT_BENCH_ONLY) or a non-default
+    # scale factor is a smoke/scale run, not the canonical record — park
+    # its sidecar in /tmp so it cannot clobber the committed full-battery
+    # sf0.1 BENCH_FULL.json.
+    canonical = only is None and SF_DIR.rstrip("/").endswith("sf0.1")
+    sidecar = (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+        if canonical
+        else os.path.join(tempfile.gettempdir(), "BENCH_FULL_smoke.json")
     )
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1)
