@@ -464,6 +464,18 @@ class ConfigLoader:
             max_vocab = o.get("max_vocab")
             max_vocab = int(max_vocab) if max_vocab is not None else None
 
+            if not merges_path and min_count <= 1 and max_vocab is None:
+                # same guard class as the driver-path size warnings: the
+                # corpus-fit histogram collect is distinct-word-sized
+                # unless at least one bound is set
+                logger.warning(
+                    "bpe_encode: corpus-fit training with neither "
+                    "min_count nor max_vocab — the driver-side word "
+                    "histogram is unbounded (distinct-word-sized). Set "
+                    "min_count and/or max_vocab for large corpora, or "
+                    "train offline and pass merges_path."
+                )
+
             def _bpe(df):
                 if merges_path:
                     rows = (

@@ -266,7 +266,9 @@ def dedup_conversations(
     turn (prompt mode) or a NULL messages array has nothing comparable,
     so every such row is kept as-is rather than silently merged under one
     shared empty key. Implementation keys those rows by their own id, so
-    the single window stays skew-free (no one giant NULL partition).
+    the single window stays skew-free (no one giant NULL partition);
+    rows where BOTH the key and the id are NULL bypass the window
+    entirely (deterministic under task retry — no synthetic row ids).
 
     One md5 projection + one window on the key (single shuffle).
     """
@@ -288,32 +290,30 @@ def dedup_conversations(
         raise ValueError(
             f"dedup_conversations: by must be 'full' or 'prompt', got {by!r}"
         )
-    keyed = df.withColumn(
+    # keyless NULL-id rows have no deterministic per-row key at all (any
+    # synthetic id — monotonically_increasing_id, rand — is recomputed
+    # differently on partial stage retry/speculation, the known Spark
+    # hazard that can duplicate or drop rows across the window's
+    # shuffle). But they also never lose a dedup contest (every one is
+    # kept, per the guarantee above), so they BYPASS the window entirely
+    # instead of being keyed into it: same result, fully deterministic,
+    # and one fewer row class in the shuffle.
+    keyless_null = key_src.isNull() & F.col(id_col).isNull()
+    keyed = df.filter(~keyless_null).withColumn(
         "__ck",
         F.when(key_src.isNotNull(), F.md5(key_src.cast("binary"))).otherwise(
-            # keyless rows: per-row unique key => rn=1 always, no skew.
-            # NULL ids fall back to a per-row synthetic id — without the
-            # coalesce the concat itself is NULL and every NULL-id
-            # keyless row would collapse into one NULL partition,
-            # violating the never-collapsed guarantee above.
-            F.concat(
-                F.lit("\x00nokey:"),
-                F.coalesce(
-                    F.col(id_col).cast("string"),
-                    F.concat(
-                        F.lit("\x00mid:"),
-                        F.monotonically_increasing_id().cast("string"),
-                    ),
-                ),
-            )
+            # keyless rows with an id: keyed by their own id => rn=1
+            # whenever ids are unique, no skew, never a shared NULL key
+            F.concat(F.lit("\x00nokey:"), F.col(id_col).cast("string"))
         ),
     )
     w = Window.partitionBy("__ck").orderBy(id_col)
-    return (
+    deduped = (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__ck", "__rn")
     )
+    return deduped.unionByName(df.filter(keyless_null))
 
 
 def redact_conversations(

@@ -104,9 +104,12 @@ def to_training_shards(
     runs as a plain checkpointed availableNow partitioned append;
     ``tokens_per_shard`` mode delegates to
     :func:`mini_etl_spark.streaming.corpus.stream_token_shards` (the
-    offset-carrying foreachBatch twin). Streaming writes are parquet,
-    append-mode by nature, and skip the manifest (an unbounded stream
-    has no final shard census — read counts from the files).
+    offset-carrying foreachBatch twin — per-batch ``batch=B/shard=K/``
+    directories with commit markers; read exactly-once with
+    :func:`mini_etl_spark.streaming.read_token_shards`). Streaming
+    writes are parquet, append-mode by nature, and skip the batch-mode
+    manifest (an unbounded stream has no final shard census — read
+    counts from the files).
     """
     if (num_shards is None) == (tokens_per_shard is None):
         raise ValueError(

@@ -348,7 +348,7 @@ def to_excel(
     path: str,
     sheet_name: str = "Sheet1",
     mode: str = "w",
-    max_driver_rows: int | None = 1_048_576,
+    max_driver_rows: int | None = 1_048_575,
     **kwargs: Any,
 ) -> Sink:
     """Excel writer (⇐ ExcelLoader, loaders.py:381-450). Inherently
@@ -358,10 +358,12 @@ def to_excel(
     otherwise falls back to the bundled pure-stdlib codec
     (``mini_etl_spark.xlsx``).
 
-    ``max_driver_rows`` defaults to the xlsx format's own hard sheet
-    limit (1,048,576): above it the output would be an invalid workbook
-    anyway, so the guard raises BEFORE buffering the frame on the driver
-    (a limited count probes the size). Pass ``None`` to disable."""
+    ``max_driver_rows`` defaults to the xlsx format's hard sheet limit
+    (1,048,576 rows) MINUS the header row pandas writes: above it the
+    output would be an invalid workbook anyway, so the guard raises
+    BEFORE buffering the frame on the driver (a limited count probes the
+    size). In append mode the existing sheet's rows count against the
+    same budget. Pass ``None`` to disable."""
     if mode not in ("w", "a"):
         raise ValueError("to_excel: mode must be 'w' or 'a'")
 
@@ -369,21 +371,28 @@ def to_excel(
         import pandas as pd
 
         logger.warning("to_excel buffers the full result on the driver")
-        _guard_driver_rows(df, "to_excel", max_driver_rows)
-        pdf = df.toPandas()
         target = Path(path)
+        existing = None
+        if mode == "a" and target.exists():
+            try:
+                existing = pd.read_excel(target, sheet_name=sheet_name)
+            except ImportError:  # openpyxl missing → stdlib codec
+                from mini_etl_spark.xlsx import read_xlsx
+
+                existing = read_xlsx(str(target), sheet_name=sheet_name)
+        budget = max_driver_rows
+        if budget is not None and existing is not None:
+            budget = max(0, budget - len(existing))
+        _guard_driver_rows(df, "to_excel", budget)
+        pdf = df.toPandas()
+        if existing is not None:
+            pdf = pd.concat([existing, pdf], ignore_index=True)
         target.parent.mkdir(parents=True, exist_ok=True)
         try:
-            if mode == "a" and target.exists():
-                existing = pd.read_excel(target, sheet_name=sheet_name)
-                pdf = pd.concat([existing, pdf], ignore_index=True)
             pdf.to_excel(target, sheet_name=sheet_name, index=False, **kwargs)
         except ImportError:  # openpyxl missing → stdlib codec
-            from mini_etl_spark.xlsx import read_xlsx, write_xlsx
+            from mini_etl_spark.xlsx import write_xlsx
 
-            if mode == "a" and target.exists():
-                existing = read_xlsx(str(target), sheet_name=sheet_name)
-                pdf = pd.concat([existing, pdf], ignore_index=True)
             write_xlsx(pdf, str(target), sheet_name=sheet_name)
 
     return _write

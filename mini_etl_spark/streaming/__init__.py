@@ -37,6 +37,7 @@ from mini_etl_spark.streaming.events import (
     tumbling_window_agg,
 )
 from mini_etl_spark.streaming.corpus import (
+    read_token_shards,
     stream_temperature_mix,
     stream_token_shards,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "stream_lm_update",
     "stream_upsert_to_parquet",
     "stream_token_shards",
+    "read_token_shards",
     "stream_temperature_mix",
     "read_latest_snapshot",
     "run_stream_to_memory",

@@ -16,6 +16,10 @@ Two different incrementality shapes, matched to the operator's math:
   every batch's work is batch-sized. Arrival order becomes the global
   order (a stream cannot re-order history); within a batch the usual
   md5 layout applies, so a replayed batch reproduces its assignment.
+  Output is published per-batch with a commit marker written LAST, so a
+  replayed batch overwrites its own directory and re-commits the same
+  marker — :func:`read_token_shards` sees every committed row exactly
+  once with no read-time dedup.
 - **temperature mixing is a global quota over per-source counts** — any
   new document can change every source's quota, so there is no per-batch
   state smaller than the corpus. :func:`stream_temperature_mix` is
@@ -24,7 +28,9 @@ Two different incrementality shapes, matched to the operator's math:
   and publish it as an atomic snapshot. Cost per batch is one mixture
   job over the corpus-so-far — the honest price of a global quota; at
   100 TB you run it on a cadence (trigger intervals), not per-record,
-  exactly like any other snapshot-maintaining sink here.
+  exactly like any other snapshot-maintaining sink here. The staging
+  table is compacted every ``compact_every`` batches (pointer-committed,
+  replay-safe) so the per-batch directory count stays bounded.
 """
 
 from __future__ import annotations
@@ -39,7 +45,7 @@ from mini_etl_spark.streaming.events import _publish_snapshot
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["stream_token_shards", "stream_temperature_mix"]
+__all__ = ["stream_token_shards", "read_token_shards", "stream_temperature_mix"]
 
 
 def _state_io(spark: SparkSession, path: str):
@@ -58,18 +64,39 @@ def _read_state(spark: SparkSession, path: str) -> dict:
     stream = fs.open(hpath)
     try:
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        return json.loads(text)
     finally:
         stream.close()
+    try:
+        return json.loads(text)
+    except ValueError as exc:
+        raise ValueError(
+            f"corrupt streaming state file {path!r} ({exc}). Do NOT just "
+            f"delete it — a missing state file silently resets the running "
+            f"offset to 0 against a live checkpoint, shifting every later "
+            f"shard boundary. Recover by restoring the file (a valid "
+            f"'{path}.tmp' sibling from an interrupted write may hold the "
+            f"intended content), or wipe the checkpoint AND the output "
+            f"path together and reprocess from scratch."
+        ) from exc
 
 
 def _write_state(spark: SparkSession, path: str, doc: dict) -> None:
+    """Write a small JSON state doc via tmp-file + rename, so a crash
+    mid-write leaves the previous doc intact (never a truncated/corrupt
+    target). Hadoop's local filesystem rename is an atomic POSIX rename;
+    on no-overwrite filesystems (HDFS semantics) the fallback clears the
+    target first — a narrow non-atomic window, still never a torn file."""
     fs, hpath = _state_io(spark, path)
-    out = fs.create(hpath, True)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
         out.close()
+    if not fs.rename(tmp, hpath):
+        fs.delete(hpath, False)
+        if not fs.rename(tmp, hpath):
+            raise IOError(f"could not publish state file {path!r}")
 
 
 def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str:
@@ -78,11 +105,14 @@ def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str:
     regenerates when the checkpoint is wiped. This is the identity that
     scopes batch ids: batch numbering restarts at 0 for a fresh
     checkpoint, so replay detection must never match a batch id recorded
-    under a different checkpoint incarnation."""
+    under a different checkpoint incarnation. Unreadable metadata returns
+    ``""``, which :func:`_resolve_offset` treats as a WILDCARD match —
+    the degraded mode keeps replay protection (conservative direction)
+    instead of disabling it."""
     try:
         doc = _read_state(spark, checkpoint.rstrip("/") + "/metadata")
         return str(doc.get("id", ""))
-    except Exception:  # metadata unreadable: disable id scoping, not the op
+    except Exception:  # metadata unreadable: degrade to wildcard matching
         return ""
 
 
@@ -94,13 +124,57 @@ def _resolve_offset(st: dict, batch_id: int, query_id: str = "") -> int:
     tokens are already inside ``offset`` and using it would
     double-count them, permanently shifting every later shard boundary.
     A matching batch id under a DIFFERENT query id is a fresh checkpoint
-    reusing id 0, not a replay — it continues from ``offset``. A state
-    doc lacking ``prev_offset`` (written before replay tracking) falls
-    back to ``offset`` — the documented old may-double-count caveat,
-    never a silent reset to 0."""
-    if st.get("batch_id") == batch_id and st.get("query_id", query_id) == query_id:
+    reusing id 0, not a replay — it continues from ``offset``. An EMPTY
+    query id on either side (checkpoint metadata unreadable, or a state
+    doc written before id scoping) is a wildcard: the batch-id collision
+    is then treated as a replay, because degrading toward ``prev_offset``
+    re-runs an identical assignment at worst, while degrading toward
+    ``offset`` double-counts — the unsafe direction. A state doc lacking
+    ``prev_offset`` (written before replay tracking) falls back to
+    ``offset`` — the documented old may-double-count caveat, never a
+    silent reset to 0."""
+    stored_qid = str(st.get("query_id", ""))
+    qid_match = (not query_id) or (not stored_qid) or stored_qid == query_id
+    if st.get("batch_id") == batch_id and qid_match:
         return int(st.get("prev_offset", st.get("offset", 0)))
     return int(st.get("offset", 0))
+
+
+def _commit_dir(out_path: str) -> str:
+    return out_path.rstrip("/") + "/_commits"
+
+
+def _committed_batches(spark: SparkSession, out_path: str) -> list[int]:
+    """Batch ids with a published commit marker under ``out_path``."""
+    fs, hdir = _state_io(spark, _commit_dir(out_path))
+    if not fs.exists(hdir):
+        return []
+    ids = []
+    for status in fs.listStatus(hdir):
+        name = status.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                ids.append(int(name[: -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def read_token_shards(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """Exactly-once reader for :func:`stream_token_shards` output: takes
+    only batch directories with a published commit marker, so a crash
+    between data write and marker publish (or a half-written replay in
+    flight) is invisible. No read-time dedup is needed — a replayed
+    batch OVERWRITES its own ``batch=K/`` directory. Returns ``None``
+    when nothing has been committed yet. The synthetic ``batch``
+    partition column is dropped; the shard column survives as the
+    hive-style partition it was written with."""
+    ids = _committed_batches(spark, out_path)
+    if not ids:
+        return None
+    root = out_path.rstrip("/")
+    dirs = [f"{root}/batch={i}" for i in ids]
+    return spark.read.option("basePath", root).parquet(*dirs).drop("batch")
 
 
 def stream_token_shards(
@@ -121,8 +195,9 @@ def stream_token_shards(
     global running token total exactly where the previous batch stopped
     (one-integer state file), assigns shards with the SAME cut rule as
     the batch operator (``shard = cum_before // tokens_per_shard``,
-    md5 layout within the batch, documents whole), and appends hive-style
-    ``shard=K/`` parquet under ``out_path``.
+    md5 layout within the batch, documents whole), and publishes
+    hive-style ``batch=B/shard=K/`` parquet under ``out_path`` with a
+    per-batch commit marker.
 
     Equivalence contract (pytest-gated): streaming over batches B1,B2,…
     equals the batch prefix sum over the batches processed in arrival
@@ -132,20 +207,31 @@ def stream_token_shards(
     next shard for the following batch to keep filling (the batch-mode
     clamp is a complete-corpus rule).
 
-    Replay safety: the state document records the batch id it was written
-    FOR plus the offset both before and after that batch. A replayed
-    batch (same incoming id as the stored one — the at-least-once window
-    between the state write and the checkpoint commit) restarts from
-    ``prev_offset``, reproducing its original assignment instead of
-    double-counting its own tokens into the running total. The remaining
-    caveat is duplicate part files from the replayed append — dedup on
-    ``id_col`` at read time if the job is crash-prone, or land on a
-    table format whose append is transactional.
+    Replay safety — offsets: the state document records the batch id it
+    was written FOR plus the offset both before and after that batch. A
+    replayed batch (same incoming id as the stored one — the
+    at-least-once window between the state write and the checkpoint
+    commit) restarts from ``prev_offset``, reproducing its original
+    assignment instead of double-counting its own tokens into the
+    running total.
+
+    Replay safety — files (exactly-once publish): each batch writes its
+    rows to its OWN ``batch=B/`` directory in overwrite mode and then
+    publishes an atomic commit marker (``_commits/B.json``) LAST. A
+    replayed batch therefore replaces its earlier attempt's files and
+    re-publishes an identical marker — no duplicate part files, ever.
+    Read the output with :func:`read_token_shards` (takes only committed
+    batches); a plain ``spark.read.parquet(out_path)`` also works but
+    may see an in-flight uncommitted batch directory.
 
     The state file defaults to ``<checkpoint>/_token_offset.json`` so its
     lifecycle is TIED to the checkpoint: wiping the checkpoint to
     reprocess from scratch wipes the offset with it (a stale offset
     against a fresh checkpoint would silently shift every assignment).
+    ``out_path`` must be wiped TOGETHER with the checkpoint — batch
+    numbering restarts at 0 for a fresh checkpoint, so reprocessing into
+    an old output directory would overwrite its early batches while
+    leaving later ones stale.
 
     ``options`` pass through to the parquet writer (e.g. compression).
     """
@@ -153,6 +239,11 @@ def stream_token_shards(
 
     if tokens_per_shard < 1:
         raise ValueError("stream_token_shards: tokens_per_shard must be >= 1")
+    if shard_col == "batch":
+        raise ValueError(
+            "stream_token_shards: shard_col='batch' collides with the "
+            "per-batch publish partition column"
+        )
     state = state_path or (checkpoint.rstrip("/") + "/_token_offset.json")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -179,11 +270,12 @@ def stream_token_shards(
         writer = (
             assigned.withColumnRenamed("shard", shard_col)
             .drop("__nt")
-            .write.mode("append")
+            .write.mode("overwrite")
         )
         for k, v in (options or {}).items():
             writer = writer.option(k, v)
-        writer.partitionBy(shard_col).parquet(out_path)
+        batch_dir = f"{out_path.rstrip('/')}/batch={batch_id}"
+        writer.partitionBy(shard_col).parquet(batch_dir)
         _write_state(
             spark,
             state,
@@ -192,6 +284,19 @@ def stream_token_shards(
                 "prev_offset": offset,
                 "batch_id": batch_id,
                 "query_id": qid,
+            },
+        )
+        # commit marker LAST — the reader-visibility flip. A crash before
+        # this line leaves the batch invisible to read_token_shards; the
+        # replay rewrites the same directory and publishes the marker.
+        _write_state(
+            spark,
+            f"{_commit_dir(out_path)}/{batch_id}.json",
+            {
+                "batch_id": batch_id,
+                "query_id": qid,
+                "tokens": batch_tokens,
+                "offset_before": offset,
             },
         )
         logger.info(
@@ -212,6 +317,85 @@ def stream_token_shards(
     return query
 
 
+def _staging_batch_dirs(spark: SparkSession, seen: str) -> dict[int, str]:
+    """Numeric ``batch=K`` staging directories under ``seen``."""
+    fs, hroot = _state_io(spark, seen)
+    if not fs.exists(hroot):
+        return {}
+    out = {}
+    for status in fs.listStatus(hroot):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch="):
+            try:
+                out[int(name[len("batch="):])] = f"{seen.rstrip('/')}/{name}"
+            except ValueError:
+                continue
+    return out
+
+
+def _read_staging(spark: SparkSession, seen: str) -> DataFrame | None:
+    """The corpus-so-far: the active compacted generation (if any) plus
+    every per-batch directory NEWER than it. Directories already folded
+    into the compaction pointer are excluded even if their deletion
+    failed — orphans are invisible, and re-GC'd next compaction."""
+    st = _read_state(spark, seen.rstrip("/") + "/_COMPACT.json")
+    upto = int(st["upto"]) if st else -1
+    dirs = [d for k, d in sorted(_staging_batch_dirs(spark, seen).items())
+            if k > upto]
+    if st:
+        dirs.insert(0, st["dir"])
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def _compact_staging(spark: SparkSession, seen: str, upto: int) -> None:
+    """Fold the compacted generation + all ``batch=K`` dirs with
+    ``K <= upto`` into one new compacted directory, flip the
+    ``_COMPACT.json`` pointer atomically, then best-effort delete the
+    subsumed directories. Crash-safe at every point: before the pointer
+    flip the new directory is unreferenced; after it, survivors of a
+    failed delete are excluded by the read rule. Idempotent on replay —
+    re-running with the same ``upto`` rewrites identical content over
+    the same directory and re-flips the pointer to the same value."""
+    root = seen.rstrip("/")
+    pointer = root + "/_COMPACT.json"
+    st = _read_state(spark, pointer)
+    prev_upto = int(st["upto"]) if st else -1
+    batch_dirs = _staging_batch_dirs(spark, seen)
+    subsumed = {k: d for k, d in batch_dirs.items() if prev_upto < k <= upto}
+    # replay no-op: a re-run whose batches are already folded (pointer at
+    # or past `upto`, or the subsumed dirs already GC'd) must not rewrite
+    # the live compacted dir over itself — the pointer is already correct
+    if prev_upto >= upto or not subsumed:
+        return
+    sources = ([st["dir"]] if st else []) + [d for _, d in sorted(subsumed.items())]
+    target = f"{root}/compact/upto={upto}"
+    fs, _ = _state_io(spark, root)
+    jvm = spark._jvm
+    # size the rewrite from the file listing (metadata-only), same rule
+    # as maintenance.compact_parquet: ~128 MB output files
+    total_bytes = sum(
+        fs.getContentSummary(jvm.org.apache.hadoop.fs.Path(d)).getLength()
+        for d in sources
+    )
+    n = max(1, -(-total_bytes // (128 * 1024 * 1024)))
+    spark.read.parquet(*sources).repartition(int(n)).write.mode(
+        "overwrite"
+    ).parquet(target)
+    _write_state(spark, pointer, {"upto": upto, "dir": target})
+    # GC: everything the pointer has superseded — the just-subsumed batch
+    # dirs, the previous compacted generation, and any older orphans a
+    # previously-failed GC left behind (k <= upto is always excluded by
+    # the read rule, so sweeping them here is safe at any time).
+    gc = [d for k, d in batch_dirs.items() if k <= upto]
+    for d in gc + ([st["dir"]] if st else []):
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        except Exception:
+            logger.warning("compaction GC failed for %s (orphan, ignored)", d)
+
+
 def stream_temperature_mix(
     stream_df: DataFrame,
     out_path: str,
@@ -223,6 +407,7 @@ def stream_temperature_mix(
     seed: int = 42,
     repeat: bool = True,
     seen_path: str | None = None,
+    compact_every: int | None = 8,
     available_now: bool = True,
     await_termination: bool = True,
 ):
@@ -241,25 +426,46 @@ def stream_temperature_mix(
     (``floor(budget · n_s**alpha / Σ w)``), so no per-batch state smaller
     than the per-source corpus can maintain them; the staging table +
     snapshot is the smallest honest incremental form.
+
+    Staging lifecycle: ``seen_path`` defaults to ``<checkpoint>/_seen``
+    so wiping the checkpoint to reprocess from scratch wipes the staged
+    corpus with it — a stale staging table against a fresh checkpoint
+    would mix already-processed documents into every new snapshot. If
+    you pass an explicit ``seen_path``, wipe it together with the
+    checkpoint. Every ``compact_every`` batches the per-batch staging
+    directories are folded into one compacted generation
+    (pointer-committed, replay-idempotent, crash-safe — see
+    :func:`_compact_staging`), so the staging file count stays bounded
+    at any trigger cadence instead of accruing one ``batch=K/``
+    directory forever. ``compact_every=None`` disables compaction.
     """
     from mini_etl_spark.functions.mixing import temperature_mix
 
     if budget <= 0:
         raise ValueError("stream_temperature_mix: budget must be positive")
-    seen = seen_path or (out_path.rstrip("/") + "_seen")
+    if compact_every is not None and compact_every < 2:
+        raise ValueError("stream_temperature_mix: compact_every must be >= 2")
+    seen = seen_path or (checkpoint.rstrip("/") + "/_seen")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # one OVERWRITTEN directory per batch id, so an at-least-once
         # replay of a crashed batch lands on the same directory instead
-        # of appending duplicate rows into the staging corpus (the
-        # partition-style layout also means the accumulate is idempotent
-        # across restarts); the synthetic `batch` partition column is
-        # dropped before mixing
+        # of appending duplicate rows into the staging corpus; the
+        # `batch` partition value never reaches the mixture (directories
+        # are read explicitly, not via partition discovery)
         batch_df.write.mode("overwrite").parquet(
             f"{seen.rstrip('/')}/batch={batch_id}"
         )
-        full = spark.read.parquet(seen).drop("batch")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # fold strictly-previous batches only: the current batch dir
+            # stays outside the compacted generation, so a replay of this
+            # batch re-runs an identical (idempotent) compaction and then
+            # overwrites its own directory — no row ever lands in both
+            _compact_staging(spark, seen, upto=batch_id - 1)
+        full = _read_staging(spark, seen)
+        if full is None:  # nothing staged yet (unreachable after a write)
+            return
         mixed = temperature_mix(
             full, budget, alpha, source_col, id_col, seed, repeat
         )
