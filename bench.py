@@ -226,7 +226,7 @@ def _ref_pipelines(sf_dir: str, tmp: str, csv_in: str):
 
 def measure_reference(
     sf_dir: str, tmp: str, csv_in: str
-) -> tuple[dict[str, float], dict[str, float]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
     _stub_ref_deps()
     sys.path.insert(0, REF_DIR)
     import logging
@@ -234,6 +234,7 @@ def measure_reference(
     logging.getLogger("mini_etl").setLevel(logging.ERROR)
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in _ref_pipelines(sf_dir, tmp, csv_in):
         # The reference can CRASH above its design scale (observed: its
         # pairwise chunk-join DAG raises a pandas duplicate-suffix
@@ -257,7 +258,8 @@ def measure_reference(
             continue
         timings[name] = round(sorted(samples)[1], 3)
         timings_min[name] = round(min(samples), 3)
-    return timings, timings_min
+        all_samples[name] = [round(s, 3) for s in samples]
+    return timings, timings_min, all_samples
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +303,9 @@ def main() -> None:
     )
 
     # ---- reference measurement (same run, same data) ----
-    ref_timings, ref_timings_min = measure_reference(SF_DIR, tmp, csv_in_single)
+    ref_timings, ref_timings_min, ref_samples = measure_reference(
+        SF_DIR, tmp, csv_in_single
+    )
 
     def b1_scan_filter_project_write(spark, sf_dir):
         df = read_parquet(f"{sf_dir}/lineitem.parquet")(spark)
@@ -542,6 +546,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    spark_samples: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     for name, fn in paired.items():
         run_once(fn)  # steady-state warm pass (codegen, shuffle machinery)
@@ -552,6 +557,7 @@ def main() -> None:
             run_once(fn)
             samples.append(time.monotonic() - t0)
             clear_cached_state()
+        spark_samples[name] = [round(s, 3) for s in samples]
         timings[name] = round(sorted(samples)[1], 3)
         # min-of-3 rides alongside the median so a single loaded run on
         # the driver box cannot masquerade as a plan regression (the r4
@@ -613,6 +619,23 @@ def main() -> None:
             if ok_ref_min
             else None
         ),
+        # per-timed-pass ratio spread (VERDICT r6 #7): the i-th timed
+        # pass on each side summed over the co-completed paired queries —
+        # the same-day run-to-run variance lives in the JSON, so noise
+        # vs regression is adjudicable from the artifact alone
+        "ratio_runs": [
+            round(
+                sum(spark_samples[k][i] for k in ok_paired)
+                / sum(ref_samples[k][i] for k in ok_ref),
+                3,
+            )
+            for i in range(3)
+            if ok_ref
+            and all(len(ref_samples.get(k, [])) == 3 for k in ok_ref)
+            and sum(ref_samples[k][i] for k in ok_ref) > 0
+        ],
+        "samples_b1_b5": {"spark": spark_samples,
+                          "ref": {k: v for k, v in ref_samples.items()}},
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "methodology": (
@@ -667,6 +690,7 @@ def main() -> None:
         "spark_total_b1_b5": spark_b,
         "ratio_b1_b5": full["ratio_b1_b5"],
         "ratio_b1_b5_min": full["ratio_b1_b5_min"],
+        "ratio_runs": full["ratio_runs"],
         "ref_failed": ref_failed,
         "cold_total": full["cold_total"],
         "n_queries": len(timings),
