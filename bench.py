@@ -623,19 +623,24 @@ def main() -> None:
         # pass on each side summed over the co-completed paired queries —
         # the same-day run-to-run variance lives in the JSON, so noise
         # vs regression is adjudicable from the artifact alone
-        "ratio_runs": [
-            round(
-                sum(spark_samples[k][i] for k in ok_paired)
-                / sum(ref_samples[k][i] for k in ok_ref),
-                3,
-            )
-            for i in range(3)
+        # list is index-aligned to the timed passes: a pass whose
+        # reference sum rounds to 0 records null, never a shortened list
+        "ratio_runs": (
+            [
+                (
+                    round(
+                        sum(spark_samples[k][i] for k in ok_paired) / rsum, 3
+                    )
+                    if (rsum := sum(ref_samples[k][i] for k in ok_ref)) > 0
+                    else None
+                )
+                for i in range(3)
+            ]
             if ok_ref
             and all(len(ref_samples.get(k, [])) == 3 for k in ok_ref)
-            and sum(ref_samples[k][i] for k in ok_ref) > 0
-        ],
-        "samples_b1_b5": {"spark": spark_samples,
-                          "ref": {k: v for k, v in ref_samples.items()}},
+            else []
+        ),
+        "samples_b1_b5": {"spark": spark_samples, "ref": ref_samples},
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "methodology": (

@@ -265,10 +265,11 @@ def dedup_conversations(
     Rows with a NULL key are never collapsed: a conversation with no user
     turn (prompt mode) or a NULL messages array has nothing comparable,
     so every such row is kept as-is rather than silently merged under one
-    shared empty key. Implementation keys those rows by their own id, so
-    the single window stays skew-free (no one giant NULL partition);
-    rows where BOTH the key and the id are NULL bypass the window
-    entirely (deterministic under task retry — no synthetic row ids).
+    shared empty key. Implementation keys those rows by their own id
+    (no one giant shared key); rows where BOTH the key and the id are
+    NULL keep a NULL key and are passed through the window's keep-filter
+    wholesale — deterministic under task retry (no synthetic row ids),
+    still one scan and one shuffle.
 
     One md5 projection + one window on the key (single shuffle).
     """
@@ -295,25 +296,28 @@ def dedup_conversations(
     # differently on partial stage retry/speculation, the known Spark
     # hazard that can duplicate or drop rows across the window's
     # shuffle). But they also never lose a dedup contest (every one is
-    # kept, per the guarantee above), so they BYPASS the window entirely
-    # instead of being keyed into it: same result, fully deterministic,
-    # and one fewer row class in the shuffle.
-    keyless_null = key_src.isNull() & F.col(id_col).isNull()
-    keyed = df.filter(~keyless_null).withColumn(
+    # kept, per the guarantee above), so their key stays NULL and the
+    # keep-filter passes the whole NULL partition through: one scan, one
+    # shuffle, fully deterministic output. The NULL partition's size is
+    # the count of rows with neither a key nor an id — degenerate rows
+    # that are ~absent from any real corpus, so no skew in practice.
+    keyed = df.withColumn(
         "__ck",
         F.when(key_src.isNotNull(), F.md5(key_src.cast("binary"))).otherwise(
             # keyless rows with an id: keyed by their own id => rn=1
-            # whenever ids are unique, no skew, never a shared NULL key
-            F.concat(F.lit("\x00nokey:"), F.col(id_col).cast("string"))
+            # whenever ids are unique, no skew, never a shared empty key
+            F.when(
+                F.col(id_col).isNotNull(),
+                F.concat(F.lit("\x00nokey:"), F.col(id_col).cast("string")),
+            )
         ),
     )
     w = Window.partitionBy("__ck").orderBy(id_col)
-    deduped = (
+    return (
         keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__ck").isNull() | (F.col("__rn") == 1))
         .drop("__ck", "__rn")
     )
-    return deduped.unionByName(df.filter(keyless_null))
 
 
 def redact_conversations(

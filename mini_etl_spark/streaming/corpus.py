@@ -60,6 +60,13 @@ def _state_io(spark: SparkSession, path: str):
 def _read_state(spark: SparkSession, path: str) -> dict:
     fs, hpath = _state_io(spark, path)
     if not fs.exists(hpath):
+        # a crash inside _write_state's no-overwrite fallback (between
+        # the rename-to-.bak and the rename-into-place) leaves only the
+        # backup — recover the pre-update doc rather than silently
+        # resetting to {} (which would restart the offset at 0)
+        bak = spark._jvm.org.apache.hadoop.fs.Path(path + ".bak")
+        if fs.exists(bak):
+            return _read_state(spark, path + ".bak")
         return {}
     stream = fs.open(hpath)
     try:
@@ -84,19 +91,28 @@ def _write_state(spark: SparkSession, path: str, doc: dict) -> None:
     """Write a small JSON state doc via tmp-file + rename, so a crash
     mid-write leaves the previous doc intact (never a truncated/corrupt
     target). Hadoop's local filesystem rename is an atomic POSIX rename;
-    on no-overwrite filesystems (HDFS semantics) the fallback clears the
-    target first — a narrow non-atomic window, still never a torn file."""
+    on no-overwrite filesystems (HDFS semantics) the fallback first
+    renames the live doc to ``.bak`` and then renames the tmp into
+    place — a crash in between leaves the backup, which
+    :func:`_read_state` recovers (the conservative pre-update doc),
+    never a missing file that would silently reset the offset to 0."""
+    jvm = spark._jvm
     fs, hpath = _state_io(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
         out.close()
+    bak = jvm.org.apache.hadoop.fs.Path(path + ".bak")
     if not fs.rename(tmp, hpath):
-        fs.delete(hpath, False)
+        fs.delete(bak, False)
+        fs.rename(hpath, bak)
         if not fs.rename(tmp, hpath):
             raise IOError(f"could not publish state file {path!r}")
+    # clear any backup (from this call's fallback or an older crash) so
+    # a stale doc can never be resurrected after a successful publish
+    fs.delete(bak, False)
 
 
 def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str:
@@ -239,15 +255,34 @@ def stream_token_shards(
 
     if tokens_per_shard < 1:
         raise ValueError("stream_token_shards: tokens_per_shard must be >= 1")
-    if shard_col == "batch":
+    if shard_col == "batch" or "batch" in stream_df.columns:
         raise ValueError(
-            "stream_token_shards: shard_col='batch' collides with the "
-            "per-batch publish partition column"
+            "stream_token_shards: a column named 'batch' (shard_col or "
+            "input) collides with the per-batch publish partition "
+            "directory — partition discovery would shadow the data "
+            "column and read_token_shards drops it. Rename it upstream."
         )
     state = state_path or (checkpoint.rstrip("/") + "/_token_offset.json")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # legacy-layout guard: output written by the pre-manifest version
+        # (flat shard=K/ at the root, no _commits/) must not be silently
+        # continued — the mixed depths break partition discovery and
+        # read_token_shards would drop every pre-upgrade row
+        fs, hroot = _state_io(spark, out_path)
+        if fs.exists(hroot) and not fs.exists(
+            _state_io(spark, _commit_dir(out_path))[1]
+        ):
+            for status in fs.listStatus(hroot):
+                if status.getPath().getName().startswith(f"{shard_col}="):
+                    raise ValueError(
+                        f"stream_token_shards: {out_path!r} holds a "
+                        "legacy flat shard layout (pre-manifest). Point "
+                        "out_path at a fresh directory, or migrate the "
+                        "old files into a batch=<n>/ directory with a "
+                        "matching _commits/<n>.json marker."
+                    )
         qid = _checkpoint_query_id(spark, checkpoint)
         offset = _resolve_offset(_read_state(spark, state), batch_id, qid)
         assigned = token_balanced_shard_ids(
@@ -264,9 +299,21 @@ def stream_token_shards(
         # base frame is materialized (localCheckpoint) inside the call —
         # the total is a cheap second action over it, not a recompute of
         # the batch plan; blocks release when the frame drops
-        batch_tokens = int(
-            assigned.agg(F.coalesce(F.sum("__nt"), F.lit(0))).first()[0]
-        )
+        totals = assigned.agg(
+            F.coalesce(F.sum("__nt"), F.lit(0)).alias("__t"),
+            F.count(F.lit(1)).alias("__n"),
+        ).first()
+        batch_tokens, batch_rows = int(totals[0]), int(totals[1])
+        if batch_rows == 0:
+            # an empty batch (e.g. fully filtered upstream) publishes no
+            # directory and no marker — a partitioned write of zero rows
+            # leaves a dataless dir that breaks schema inference on read.
+            # State is still advanced so replay bookkeeping stays exact.
+            _write_state(spark, state, {
+                "offset": offset, "prev_offset": offset,
+                "batch_id": batch_id, "query_id": qid,
+            })
+            return
         writer = (
             assigned.withColumnRenamed("shard", shard_col)
             .drop("__nt")
@@ -385,11 +432,18 @@ def _compact_staging(spark: SparkSession, seen: str, upto: int) -> None:
     ).parquet(target)
     _write_state(spark, pointer, {"upto": upto, "dir": target})
     # GC: everything the pointer has superseded — the just-subsumed batch
-    # dirs, the previous compacted generation, and any older orphans a
-    # previously-failed GC left behind (k <= upto is always excluded by
-    # the read rule, so sweeping them here is safe at any time).
+    # dirs, EVERY non-current compacted generation (including orphans a
+    # crash between a previous pointer flip and its GC left behind), and
+    # any older batch-dir orphans (k <= upto is always excluded by the
+    # read rule, so sweeping them here is safe at any time).
     gc = [d for k, d in batch_dirs.items() if k <= upto]
-    for d in gc + ([st["dir"]] if st else []):
+    compact_root = jvm.org.apache.hadoop.fs.Path(root + "/compact")
+    if fs.exists(compact_root):
+        for status in fs.listStatus(compact_root):
+            d = f"{root}/compact/{status.getPath().getName()}"
+            if d != target:
+                gc.append(d)
+    for d in gc:
         try:
             fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
         except Exception:
@@ -449,6 +503,25 @@ def stream_temperature_mix(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if seen_path is None:
+            # migration guard: an earlier version staged under
+            # <out_path>_seen — resuming its checkpoint with the new
+            # checkpoint-scoped default would silently drop every
+            # previously staged document from the mixture (the
+            # checkpoint blocks re-delivery of the old input)
+            legacy = spark._jvm.org.apache.hadoop.fs.Path(
+                out_path.rstrip("/") + "_seen"
+            )
+            fs = legacy.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(legacy):
+                raise ValueError(
+                    "stream_temperature_mix: found a legacy staging "
+                    f"directory at {out_path.rstrip('/')}_seen but "
+                    "seen_path was not given (staging now defaults "
+                    "under the checkpoint). Pass seen_path pointing at "
+                    "the legacy directory to continue it, or remove it "
+                    "together with the checkpoint to start fresh."
+                )
         # one OVERWRITTEN directory per batch id, so an at-least-once
         # replay of a crashed batch lands on the same directory instead
         # of appending duplicate rows into the staging corpus; the

@@ -110,7 +110,10 @@ def pick_queries(registry: dict) -> list[str]:
     else:
         names = list(registry)
     skip = {q.strip() for q in os.environ.get("SCALE_SKIP", "").split(",")}
-    return [q for q in names if q not in skip]
+    unknown = [q for q in names if q not in registry]
+    if unknown:  # a typo must not abort a multi-hour sweep
+        print(f"# ignoring unknown queries: {unknown}", file=sys.stderr)
+    return [q for q in names if q in registry and q not in skip]
 
 
 def build_big(spark) -> None:
@@ -166,7 +169,16 @@ def build_big(spark) -> None:
             # ACROSS replicas — without it, each vector's 9 verbatim
             # copies are perfect near-duplicates and every pair/cell
             # query's output grows ~replicas² for a fixture reason.
-            dim = len(df.select("embedding").first()[0])
+            first = df.select("embedding").first()
+            dim = len(first[0]) if first and first[0] is not None else 0
+            if 0 < dim < REPLICAS:
+                # shifts r*step mod dim would collide (step=1, r wraps),
+                # leaving verbatim replica pairs — the exact artifact the
+                # rotation exists to remove; refuse rather than mislead
+                raise ValueError(
+                    f"embedding dim {dim} < replicas {REPLICAS}: rotation "
+                    "cannot decorrelate that many replicas"
+                )
             step = max(1, dim // max(REPLICAS, 2))
             shift = F.pmod(F.col("__r") * F.lit(step), F.lit(dim))
             rep = rep.withColumn(

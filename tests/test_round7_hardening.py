@@ -366,3 +366,120 @@ def test_config_bpe_unbounded_warns(spark, tmp_path, caplog):
         loader.build_pipeline(loader.parse(_cfg({"max_vocab": 100})))
         loader.build_pipeline(loader.parse(_cfg({"min_count": 2})))
     assert not any("corpus-fit" in r.message for r in caplog.records)
+
+
+# ---------------------------------------------------------------------------
+# review follow-ups (round-7 diff review)
+
+
+def test_token_shards_guards_batch_column_and_legacy_layout(spark, tmp_path):
+    """(a) an input column named 'batch' would be shadowed by the
+    per-batch publish partition dir and destroyed on read — rejected up
+    front; (b) output holding the pre-manifest flat shard=K layout is
+    refused instead of silently continued (pre-upgrade rows would be
+    invisible to read_token_shards)."""
+    from mini_etl_spark.streaming import stream_token_shards
+
+    schema = "doc_id long, text string, batch int"
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    with pytest.raises(ValueError, match="batch"):
+        stream_token_shards(stream, str(tmp_path / "o"), str(tmp_path / "c"))
+
+    # legacy layout: flat shard=K at the output root, no _commits
+    out = tmp_path / "legacy_out"
+    spark.createDataFrame([(1, "a b")], "doc_id long, text string") \
+        .withColumn("shard", F.lit(0)).write.partitionBy("shard") \
+        .parquet(str(out))
+    schema2 = "doc_id long, text string"
+    spark.createDataFrame([(2, "c d")], schema2).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream2 = (spark.readStream.schema(schema2)
+               .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    with pytest.raises(Exception, match="legacy flat shard layout"):
+        stream_token_shards(stream2, str(out), str(tmp_path / "c2"))
+
+
+def test_token_shards_empty_batch_publishes_nothing(spark, tmp_path):
+    """A fully-empty micro-batch publishes no directory and no commit
+    marker (a zero-row partitioned write leaves a dataless dir that
+    breaks schema inference); the offset state still records the batch;
+    a following non-empty batch continues at the same offset."""
+    from mini_etl_spark.streaming import read_token_shards, stream_token_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    empty = spark.createDataFrame([], schema)
+    empty.coalesce(1).write.parquet(str(src / "b0"))
+    stream = lambda: (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    stream_token_shards(stream(), str(out), str(ckpt), tokens_per_shard=10)
+    assert read_token_shards(spark, str(out)) is None
+    assert not (out / "batch=0").exists()
+    state = json.loads((ckpt / "_token_offset.json").read_text())
+    assert state["offset"] == 0 and state["batch_id"] == 0
+
+    spark.createDataFrame([(1, "a b c")], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream_token_shards(stream(), str(out), str(ckpt), tokens_per_shard=10)
+    got = read_token_shards(spark, str(out)).collect()
+    assert [(r.doc_id, r.shard) for r in got] == [(1, 0)]
+
+
+def test_state_backup_recovery(spark, tmp_path):
+    """A crash inside the no-overwrite rename fallback leaves only the
+    .bak sibling; _read_state recovers the pre-update doc from it rather
+    than returning {} (the silent offset-reset-to-0 direction). After a
+    successful publish no .bak survives."""
+    from mini_etl_spark.streaming.corpus import _read_state, _write_state
+
+    p = tmp_path / "st.json"
+    (tmp_path / "st.json.bak").write_text('{"offset": 42}')
+    assert _read_state(spark, str(p)) == {"offset": 42}
+
+    _write_state(spark, str(p), {"offset": 50})
+    assert not (tmp_path / "st.json.bak").exists()
+    assert _read_state(spark, str(p)) == {"offset": 50}
+
+
+def test_temperature_mix_legacy_seen_guard(spark, tmp_path):
+    """Resuming with the old <out_path>_seen staging present and no
+    explicit seen_path raises instead of silently dropping the staged
+    corpus from every future snapshot."""
+    from mini_etl_spark.streaming import stream_temperature_mix
+
+    schema = "doc_id long, source string, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "mix")
+    legacy = tmp_path / "mix_seen"
+    legacy.mkdir()
+    (legacy / "batch=0").mkdir()
+    spark.createDataFrame([(1, "web", "doc")], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    with pytest.raises(Exception, match="legacy staging"):
+        stream_temperature_mix(stream, out, str(tmp_path / "ckpt"), budget=5)
+
+
+def test_dedup_conversations_single_scan(spark):
+    """The keyless-NULL-id handling must not split the plan into a
+    two-scan union: one scan, one window shuffle."""
+    from mini_etl_spark.functions.conversations import dedup_conversations
+
+    df = spark.createDataFrame(
+        [(1, [{"role": "user", "content": "hi"}]), (None, None)],
+        "conv_id int, messages array<struct<role string, content string>>",
+    )
+    out = dedup_conversations(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert out.count() == 2
