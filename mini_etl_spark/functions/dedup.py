@@ -1278,7 +1278,16 @@ def embedding_cosine_pairs(
         F.col(vec_col).alias("__v"),
         norm.alias("__n"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # The theta join plans as a broadcast nested loop streaming the LEFT
+    # side — its partition count IS the task count. Embedding tables are
+    # byte-small, so the scan often lands in one partition and the whole
+    # O(N²) pair scan would grind on a single core; spreading the
+    # streamed side across the cluster first makes the documented
+    # baseline at least embarrassingly parallel (same work, ~cores× the
+    # throughput). The broadcast side stays as-scanned.
+    sc = df.sparkSession.sparkContext
+    a = base.repartition(sc.defaultParallelism).alias("a")
+    b = base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
