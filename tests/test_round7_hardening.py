@@ -483,3 +483,46 @@ def test_dedup_conversations_single_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert out.count() == 2
+
+
+def test_temperature_mix_randomized_replay_soak(spark, tmp_path):
+    """Seeded random soak for the second streaming twin: 8 micro-batches
+    delivered one file per run with compact_every=3, a forced replay
+    (deleted checkpoint commit) injected after a random subset of runs —
+    including possibly ON compaction batches. Whatever the crash
+    schedule, the drained snapshot equals the batch temperature_mix over
+    the full input and the staging stays bounded."""
+    from mini_etl_spark.functions.mixing import temperature_mix
+    from mini_etl_spark.streaming import read_latest_snapshot, stream_temperature_mix
+
+    rng = random.Random(4219)
+    schema = "doc_id long, source string, text string"
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    rows = [(i, ("web", "code", "wiki")[i % 3], f"doc {i}") for i in range(80)]
+    for b in range(8):
+        spark.createDataFrame(rows[b * 10:(b + 1) * 10], schema).coalesce(
+            1
+        ).write.parquet(str(src / f"f{b}"))
+        stream_temperature_mix(_file_stream(spark, src, schema), out, str(ckpt),
+                               budget=45, alpha=0.4, seed=9, compact_every=3)
+        if rng.random() < 0.5:  # crash before this batch's commit
+            _drop_commit(ckpt)
+            stream_temperature_mix(_file_stream(spark, src, schema), out,
+                                   str(ckpt), budget=45, alpha=0.4, seed=9,
+                                   compact_every=3)
+
+    snap = read_latest_snapshot(spark, out)
+    got = sorted((r.doc_id, r.source, r.epoch) for r in snap.collect())
+    want = sorted(
+        (r.doc_id, r.source, r.epoch)
+        for r in temperature_mix(
+            spark.createDataFrame(rows, schema), 45, alpha=0.4, seed=9
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    seen = ckpt / "_seen"
+    n_batch_dirs = sum(1 for d in seen.iterdir() if d.name.startswith("batch="))
+    assert n_batch_dirs <= 3  # bounded by compact_every
