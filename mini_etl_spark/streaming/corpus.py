@@ -264,25 +264,28 @@ def stream_token_shards(
         )
     state = state_path or (checkpoint.rstrip("/") + "/_token_offset.json")
 
+    # legacy-layout guard (once, at call time — the condition can only be
+    # true before the stream starts): output written by the pre-manifest
+    # version (flat shard=K/ at the root, no _commits/) must not be
+    # silently continued — the mixed depths break partition discovery and
+    # read_token_shards would drop every pre-upgrade row
+    _session = stream_df.sparkSession
+    fs, hroot = _state_io(_session, out_path)
+    if fs.exists(hroot) and not fs.exists(
+        _state_io(_session, _commit_dir(out_path))[1]
+    ):
+        for status in fs.listStatus(hroot):
+            if status.getPath().getName().startswith(f"{shard_col}="):
+                raise ValueError(
+                    f"stream_token_shards: {out_path!r} holds a "
+                    "legacy flat shard layout (pre-manifest). Point "
+                    "out_path at a fresh directory, or migrate the "
+                    "old files into a batch=<n>/ directory with a "
+                    "matching _commits/<n>.json marker."
+                )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # legacy-layout guard: output written by the pre-manifest version
-        # (flat shard=K/ at the root, no _commits/) must not be silently
-        # continued — the mixed depths break partition discovery and
-        # read_token_shards would drop every pre-upgrade row
-        fs, hroot = _state_io(spark, out_path)
-        if fs.exists(hroot) and not fs.exists(
-            _state_io(spark, _commit_dir(out_path))[1]
-        ):
-            for status in fs.listStatus(hroot):
-                if status.getPath().getName().startswith(f"{shard_col}="):
-                    raise ValueError(
-                        f"stream_token_shards: {out_path!r} holds a "
-                        "legacy flat shard layout (pre-manifest). Point "
-                        "out_path at a fresh directory, or migrate the "
-                        "old files into a batch=<n>/ directory with a "
-                        "matching _commits/<n>.json marker."
-                    )
         qid = _checkpoint_query_id(spark, checkpoint)
         offset = _resolve_offset(_read_state(spark, state), batch_id, qid)
         assigned = token_balanced_shard_ids(
@@ -365,13 +368,27 @@ def stream_token_shards(
 
 
 def _staging_batch_dirs(spark: SparkSession, seen: str) -> dict[int, str]:
-    """Numeric ``batch=K`` staging directories under ``seen``."""
+    """Numeric ``batch=K`` staging directories under ``seen``. Flat data
+    files at the staging ROOT (the oldest legacy layout, which appended
+    ``part-*.parquet`` directly under ``seen``) would be silently
+    ignored by the batch-directory read rule — every staged row from
+    that era would vanish from the mixture — so their presence is an
+    error, not a skip."""
     fs, hroot = _state_io(spark, seen)
     if not fs.exists(hroot):
         return {}
     out = {}
     for status in fs.listStatus(hroot):
         name = status.getPath().getName()
+        if status.isFile() and name.endswith(".parquet"):
+            raise ValueError(
+                f"stream_temperature_mix: staging {seen!r} holds flat "
+                "data files from the pre-batch layout; the "
+                "batch-directory read rule would silently skip them. "
+                "Migrate them into a batch=<n>/ subdirectory (any n "
+                "below the checkpoint's next batch id), or wipe the "
+                "staging together with the checkpoint."
+            )
         if status.isDirectory() and name.startswith("batch="):
             try:
                 out[int(name[len("batch="):])] = f"{seen.rstrip('/')}/{name}"
@@ -384,7 +401,8 @@ def _read_staging(spark: SparkSession, seen: str) -> DataFrame | None:
     """The corpus-so-far: the active compacted generation (if any) plus
     every per-batch directory NEWER than it. Directories already folded
     into the compaction pointer are excluded even if their deletion
-    failed — orphans are invisible, and re-GC'd next compaction."""
+    failed — orphans are invisible, and re-GC'd next compaction. Flat
+    legacy data files at the root raise (see _staging_batch_dirs)."""
     st = _read_state(spark, seen.rstrip("/") + "/_COMPACT.json")
     upto = int(st["upto"]) if st else -1
     dirs = [d for k, d in sorted(_staging_batch_dirs(spark, seen).items())
@@ -500,28 +518,28 @@ def stream_temperature_mix(
     if compact_every is not None and compact_every < 2:
         raise ValueError("stream_temperature_mix: compact_every must be >= 2")
     seen = seen_path or (checkpoint.rstrip("/") + "/_seen")
+    if seen_path is None:
+        # migration guard (once, at call time): an earlier version staged
+        # under <out_path>_seen — resuming its checkpoint with the new
+        # checkpoint-scoped default would silently drop every previously
+        # staged document from the mixture (the checkpoint blocks
+        # re-delivery of the old input)
+        fs, legacy = _state_io(
+            stream_df.sparkSession, out_path.rstrip("/") + "_seen"
+        )
+        if fs.exists(legacy):
+            raise ValueError(
+                "stream_temperature_mix: found a legacy staging "
+                f"directory at {out_path.rstrip('/')}_seen but "
+                "seen_path was not given (staging now defaults "
+                "under the checkpoint). Pass seen_path pointing at "
+                "the legacy directory to continue it (flat pre-batch "
+                "layouts are detected and refused on read), or remove "
+                "it together with the checkpoint to start fresh."
+            )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if seen_path is None:
-            # migration guard: an earlier version staged under
-            # <out_path>_seen — resuming its checkpoint with the new
-            # checkpoint-scoped default would silently drop every
-            # previously staged document from the mixture (the
-            # checkpoint blocks re-delivery of the old input)
-            legacy = spark._jvm.org.apache.hadoop.fs.Path(
-                out_path.rstrip("/") + "_seen"
-            )
-            fs = legacy.getFileSystem(spark._jsc.hadoopConfiguration())
-            if fs.exists(legacy):
-                raise ValueError(
-                    "stream_temperature_mix: found a legacy staging "
-                    f"directory at {out_path.rstrip('/')}_seen but "
-                    "seen_path was not given (staging now defaults "
-                    "under the checkpoint). Pass seen_path pointing at "
-                    "the legacy directory to continue it, or remove it "
-                    "together with the checkpoint to start fresh."
-                )
         # one OVERWRITTEN directory per batch id, so an at-least-once
         # replay of a crashed batch lands on the same directory instead
         # of appending duplicate rows into the staging corpus; the

@@ -171,7 +171,16 @@ def build_big(spark) -> None:
             # query's output grows ~replicas² for a fixture reason.
             first = df.select("embedding").first()
             dim = len(first[0]) if first and first[0] is not None else 0
-            if 0 < dim < REPLICAS:
+            if dim == 0:
+                # a NULL/empty first embedding must fail loudly: with
+                # dim=0 the rotation expression evaluates to NULL for
+                # EVERY row and the replica build would silently stamp
+                # an all-NULL embedding column as _OK
+                raise ValueError(
+                    "embeddings table's first row has a NULL/empty "
+                    "embedding — cannot derive the rotation dimension"
+                )
+            if dim < REPLICAS:
                 # shifts r*step mod dim would collide (step=1, r wraps),
                 # leaving verbatim replica pairs — the exact artifact the
                 # rotation exists to remove; refuse rather than mislead

@@ -526,3 +526,25 @@ def test_temperature_mix_randomized_replay_soak(spark, tmp_path):
     seen = ckpt / "_seen"
     n_batch_dirs = sum(1 for d in seen.iterdir() if d.name.startswith("batch="))
     assert n_batch_dirs <= 3  # bounded by compact_every
+
+
+def test_temperature_mix_flat_legacy_staging_refused(spark, tmp_path):
+    """An explicitly passed seen_path holding FLAT part files (the
+    oldest staging layout, appended directly at the root) is refused:
+    the batch-directory read rule would silently skip those rows."""
+    from mini_etl_spark.streaming import stream_temperature_mix
+
+    schema = "doc_id long, source string, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    seen = tmp_path / "legacy_seen"
+    spark.createDataFrame([(9, "web", "old doc")], schema).coalesce(1) \
+        .write.parquet(str(seen))  # flat part-*.parquet at the root
+    spark.createDataFrame([(1, "web", "doc")], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    with pytest.raises(Exception, match="pre-batch layout"):
+        stream_temperature_mix(stream, str(tmp_path / "out"),
+                               str(tmp_path / "ckpt"), budget=5,
+                               seen_path=str(seen))
