@@ -63,19 +63,34 @@ def _resolve_freq_cap(freq: DataFrame, cap) -> tuple[DataFrame, int]:
     the observed frequency distribution
     (:func:`mini_etl_spark.operators.skew.auto_frequency_cap` — 4× the
     99.9th-percentile document frequency, floored), so a corpus with a
-    different boilerplate profile needs no hand tuning. When auto the
-    freq frame is materialized via localCheckpoint — it is read twice
-    (quantile scalar + anti-join broadcast) and the blocks release when
-    the frame drops, so per-batch callers (the streaming index gate)
-    cannot pin one cache entry per call the way persist() would."""
-    if cap == "auto":
+    different boilerplate profile needs no hand tuning.
+    ``"auto:<budget>"`` (e.g. ``"auto:1e9"``) additionally bounds the
+    post-cap candidate volume ``Σ df²`` — the inverted-index join's
+    actual work — to the budget: a distribution with many keys just
+    under a plain cap can pay ``survivors × cap²`` even with no single
+    hot key (the 20× replica measurement in SCALE.md), and the budget
+    form turns that into a hard ceiling. When auto the freq frame is
+    materialized via localCheckpoint — it is read twice (quantile
+    scalar + anti-join broadcast) and the blocks release when the frame
+    drops, so per-batch callers (the streaming index gate) cannot pin
+    one cache entry per call the way persist() would."""
+    if isinstance(cap, str) and (cap == "auto" or cap.startswith("auto:")):
         from mini_etl_spark.operators.skew import auto_frequency_cap
 
+        budget = None
+        if ":" in cap:
+            try:
+                budget = int(float(cap.split(":", 1)[1]))
+            except ValueError:
+                raise ValueError(
+                    f"frequency cap budget must be numeric, got {cap!r}"
+                ) from None
         freq = freq.localCheckpoint(eager=True)
-        return freq, auto_frequency_cap(freq)
+        return freq, auto_frequency_cap(freq, max_candidate_volume=budget)
     if not isinstance(cap, int):
         raise ValueError(
-            f"frequency cap must be an int, None, or 'auto', got {cap!r}"
+            f"frequency cap must be an int, None, 'auto', or "
+            f"'auto:<candidate-volume budget>', got {cap!r}"
         )
     return freq, cap
 

@@ -16,7 +16,7 @@ fact partitions) or large-large joins with a known hot-key list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,7 @@ def auto_frequency_cap(
     quantile: float = 0.999,
     multiplier: float = 4.0,
     floor: int = 64,
+    max_candidate_volume: int | None = None,
 ) -> int:
     """Derive a hot-key frequency cap from the OBSERVED distribution:
     ``cap = max(floor, ceil(multiplier · approx-quantile(count,
@@ -80,22 +81,57 @@ def auto_frequency_cap(
     reaches (no behavior change); pass the ``floor`` up for tiny corpora
     where the quantile itself is single-digits.
 
+    ``max_candidate_volume`` adds a HARD WORK BOUND on top of the
+    quantile rule: an inverted-index pair join's cost is the candidate
+    volume ``Σ count²`` over the keys that survive the cap, and a
+    distribution with many keys just under a frequency cap can pay
+    ``survivors × cap²`` even though no single key is hot (measured at
+    20× replica scale: time tracks post-cap ``Σ count²`` to within 1% —
+    SCALE.md round-7 second pass). When set, the cap is lowered to the
+    largest value whose surviving candidate volume fits the budget, so
+    the join's total work is bounded whatever the corpus' shape. The
+    ``floor`` still wins below it (a floor-level cap keeps the operator
+    usable on tiny corpora; the budget is a scale guard, not a
+    correctness knob).
+
     Cost: one ``percentile_approx`` aggregate over the vocabulary-sized
-    frequency frame (mergeable sketch) and a 1-value collect. The same
-    move as reading :func:`key_skew_stats` before picking a join
-    strategy, folded into the operator."""
+    frequency frame (mergeable sketch) and a 1-value collect; with
+    ``max_candidate_volume`` one extra shuffle of that same
+    vocabulary-sized frame (cumulative ``count²`` ordered by count) and
+    a second 1-value collect. The same move as reading
+    :func:`key_skew_stats` before picking a join strategy, folded into
+    the operator."""
     import math
 
     if not 0.0 < quantile < 1.0:
         raise ValueError(f"quantile must be in (0, 1), got {quantile}")
     if multiplier <= 0 or floor < 1:
         raise ValueError("multiplier must be > 0 and floor >= 1")
+    if max_candidate_volume is not None and max_candidate_volume < 1:
+        raise ValueError("max_candidate_volume must be >= 1")
     q = freq.agg(
         F.expr(f"percentile_approx({count_col}, {quantile!r}, 10000)").alias("q")
     ).first()["q"]
     if q is None:  # empty frame: nothing to cap
         return int(floor)
-    return max(int(floor), int(math.ceil(float(q) * float(multiplier))))
+    cap = max(int(floor), int(math.ceil(float(q) * float(multiplier))))
+    if max_candidate_volume is not None:
+        # largest cap whose post-cap Σ count² fits the budget: running
+        # Σ count² over counts ascending — every key with count ≤ c
+        # survives a cap of c, so the cumulative sum AT a count value is
+        # exactly the candidate volume that cap admits
+        fit = (
+            freq.select(F.col(count_col).cast("long").alias("__c"))
+            .withColumn("__cum", F.sum(F.col("__c").cast("double") * F.col("__c")).over(
+                Window.orderBy(F.col("__c")).rangeBetween(Window.unboundedPreceding, 0)
+            ))
+            .filter(F.col("__cum") <= float(max_candidate_volume))
+            .agg(F.max("__c"))
+            .first()[0]
+        )
+        budget_cap = int(fit) if fit is not None else 1
+        cap = max(int(floor), min(cap, budget_cap))
+    return cap
 
 
 def salted_join(

@@ -548,3 +548,51 @@ def test_temperature_mix_flat_legacy_staging_refused(spark, tmp_path):
         stream_temperature_mix(stream, str(tmp_path / "out"),
                                str(tmp_path / "ckpt"), budget=5,
                                seen_path=str(seen))
+
+
+def test_auto_frequency_cap_candidate_volume_budget(spark):
+    """auto_frequency_cap(max_candidate_volume=...) lowers the cap to
+    the largest value whose surviving Σf² fits the budget — the hard
+    work bound for inverted-index joins whose distribution has many
+    just-under-cap keys (the 20× set_jaccard finding)."""
+    from mini_etl_spark.operators.skew import auto_frequency_cap
+
+    # 1000 keys at f=2 (Σf²=4000) + 20 keys at f=50 (adds 50_000)
+    rows = [(f"lo{i}", 2) for i in range(1000)] + [
+        (f"hi{i}", 50) for i in range(20)
+    ]
+    freq = spark.createDataFrame(rows, "k string, __f long")
+    # no budget: quantile rule keeps everything (cap >= 50)
+    assert auto_frequency_cap(freq, floor=1) >= 50
+    # budget excludes the f=50 tier but keeps the f=2 tier
+    assert auto_frequency_cap(freq, floor=1, max_candidate_volume=10_000) == 2
+    # budget large enough for everything: quantile rule unchanged
+    assert auto_frequency_cap(
+        freq, floor=1, max_candidate_volume=10_000_000
+    ) >= 50
+    # unmeetable budget: floor wins (scale guard, not correctness knob)
+    assert auto_frequency_cap(freq, floor=7, max_candidate_volume=1) == 7
+    with pytest.raises(ValueError, match="max_candidate_volume"):
+        auto_frequency_cap(freq, max_candidate_volume=0)
+
+
+def test_jaccard_pairs_auto_budget_cap(spark):
+    """The "auto:<budget>" cap string flows through the pair-join guard:
+    with a tight candidate budget the boilerplate tier is cut and the
+    planted near-dup pairs still surface; a malformed budget raises."""
+    from mini_etl_spark.functions.dedup import jaccard_pairs
+
+    boiler = "shared boilerplate sentence appearing in every document here"
+    rows = []
+    for i in range(200):
+        uniq = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append((i, f"{uniq} {boiler}"))
+    rows.append((1000, rows[3][1]))  # exact dup of 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.id_a, r.id_b)
+           for r in jaccard_pairs(df, threshold=0.5,
+                                  max_shingle_freq="auto:200000").collect()}
+    assert (3, 1000) in got
+    with pytest.raises(ValueError, match="budget must be numeric"):
+        jaccard_pairs(df, max_shingle_freq="auto:abc").count()
