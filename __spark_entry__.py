@@ -2125,6 +2125,26 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
 
 
+def q_jaccard_pairs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact Jaccard join through the CANDIDATE-VOLUME BUDGET cap
+    path (`max_shingle_freq="auto:<budget>"` →
+    operators/skew.py auto_frequency_cap(max_candidate_volume=...)): the
+    cap is fitted so the surviving posting-list join work Σdf² stays
+    inside the budget — the 100 TB-default form of the hot-shingle
+    guard. At the oracle SF the whole distribution fits the budget
+    (max shingle df ≈ 7, Σdf² ≈ 5e4 « 1e9) and no shingle reaches the
+    floor cap, so results equal the uncapped SQL twin bit-for-bit while
+    the driver exercises the budget fit (pre-aggregated
+    distinct-count-value frame, never a per-key global window —
+    plan-asserted in tests/test_round8_hardening.py) end-to-end."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(
+        docs, threshold=0.5, max_shingle_freq="auto:1000000000"
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate token-span detection (substring-dedup family): doc
     pairs sharing identical 5-token spans, with the count of shared spans
@@ -3199,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs_budget": q_jaccard_pairs_budget,
         "near_dup_groups": q_near_dup_groups,
         "corpus_clean": q_corpus_clean,
         "contamination": q_contamination,
@@ -5330,6 +5351,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY fp
         """,
         "jaccard_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, sh, len(sh) AS sz
+              FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+              WHERE len(sh) > 0)
+            SELECT id_a, id_b, jaccard
+            FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         round(len(list_intersect(a.sh, b.sh))
+                               / (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::DOUBLE,
+                               4) AS jaccard
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5
+        """,
+        # jaccard_pairs_budget: the budget cap is fitted from the observed
+        # df distribution and provably admits everything at oracle SF
+        # (Σdf² « budget, max df « floor), so the uncapped exact-Jaccard
+        # SQL is the oracle for the budget path too
+        "jaccard_pairs_budget": f"""
             WITH s AS (
               SELECT doc_id, sh, len(sh) AS sz
               FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)

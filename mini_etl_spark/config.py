@@ -75,6 +75,27 @@ def _substitute_env(text: str) -> str:
     return _ENV_RE.sub(_sub, text)
 
 
+def _parse_freq_cap(cap):
+    """Declarative form of a hot-key frequency cap (``max_*_freq``):
+    ``None`` (uncapped), an int, ``"auto"`` (quantile-derived —
+    operators/skew.py auto_frequency_cap), or ``"auto:<budget>"``
+    (additionally bounds the post-cap candidate volume Σdf² to the
+    budget — the form a 100 TB config should default to; the numeric
+    budget accepts scientific notation, e.g. ``"auto:1e9"``)."""
+    if cap is None or cap == "auto":
+        return cap
+    if isinstance(cap, str) and cap.startswith("auto:"):
+        try:
+            int(float(cap.split(":", 1)[1]))
+        except ValueError:
+            raise ValueError(
+                f"max_*_freq budget must be numeric "
+                f"('auto:<candidate-volume>'), got {cap!r}"
+            ) from None
+        return cap
+    return int(cap)
+
+
 @dataclass
 class ComponentConfig:
     type: str
@@ -529,9 +550,7 @@ class ConfigLoader:
             col = o.get("column", "text")
             id_col = o.get("id", "doc_id")
             width = int(o.get("width", 8))
-            cap = o.get("max_span_freq", 1000)
-            # "auto" = quantile-derived corpus-adaptive cap (skew.py)
-            cap = cap if cap in (None, "auto") else int(cap)
+            cap = _parse_freq_cap(o.get("max_span_freq", 1000))
             min_run = o.get("min_run")
             min_run = None if min_run is None else int(min_run)
             return lambda df: dd.remove_duplicate_spans(
@@ -620,8 +639,8 @@ class ConfigLoader:
                     f"index_dedup: kind must be minhash|exact, got {kind!r}"
                 )
             threshold = float(o.get("threshold", 0.5))
-            cap = o.get("max_bucket_freq", 1000)
-            cap = cap if cap in (None, "auto") else int(cap)
+            # "auto" / "auto:<budget>" = corpus-adaptive cap (skew.py)
+            cap = _parse_freq_cap(o.get("max_bucket_freq", 1000))
             in_batch = bool(o.get("in_batch", True))
             return lambda df: minhash_index_filter(
                 df, path, threshold, cap, append, in_batch

@@ -69,7 +69,10 @@ def _resolve_freq_cap(freq: DataFrame, cap) -> tuple[DataFrame, int]:
     actual work — to the budget: a distribution with many keys just
     under a plain cap can pay ``survivors × cap²`` even with no single
     hot key (the 20× replica measurement in SCALE.md), and the budget
-    form turns that into a hard ceiling. When auto the freq frame is
+    form bounds it (up to the cap floor — see
+    :func:`~mini_etl_spark.operators.skew.auto_frequency_cap`, which
+    warns when the floor overrides the fitted budget). When auto the
+    freq frame is
     materialized via localCheckpoint — it is read twice (quantile
     scalar + anti-join broadcast) and the blocks release when the frame
     drops, so per-batch callers (the streaming index gate) cannot pin

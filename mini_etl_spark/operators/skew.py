@@ -16,8 +16,12 @@ fact partitions) or large-large joins with a known hot-key list.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def key_skew_stats(
@@ -81,26 +85,29 @@ def auto_frequency_cap(
     reaches (no behavior change); pass the ``floor`` up for tiny corpora
     where the quantile itself is single-digits.
 
-    ``max_candidate_volume`` adds a HARD WORK BOUND on top of the
-    quantile rule: an inverted-index pair join's cost is the candidate
-    volume ``Σ count²`` over the keys that survive the cap, and a
-    distribution with many keys just under a frequency cap can pay
+    ``max_candidate_volume`` adds a WORK BUDGET on top of the quantile
+    rule: an inverted-index pair join's cost is the candidate volume
+    ``Σ count²`` over the keys that survive the cap, and a distribution
+    with many keys just under a frequency cap can pay
     ``survivors × cap²`` even though no single key is hot (measured at
     20× replica scale: time tracks post-cap ``Σ count²`` to within 1% —
     SCALE.md round-7 second pass). When set, the cap is lowered to the
     largest value whose surviving candidate volume fits the budget, so
-    the join's total work is bounded whatever the corpus' shape. The
-    ``floor`` still wins below it (a floor-level cap keeps the operator
-    usable on tiny corpora; the budget is a scale guard, not a
-    correctness knob).
+    the join's total work is bounded whatever the corpus' shape — with
+    ONE exception: the ``floor`` still wins below it, so on a corpus
+    whose floor-level volume already exceeds the budget the post-cap
+    ``Σ count²`` CAN exceed ``max_candidate_volume`` (a warning is
+    logged when that happens). The floor keeps the operator usable on
+    tiny corpora; pass ``floor=1`` to make the budget binding alone.
 
     Cost: one ``percentile_approx`` aggregate over the vocabulary-sized
     frequency frame (mergeable sketch) and a 1-value collect; with
-    ``max_candidate_volume`` one extra shuffle of that same
-    vocabulary-sized frame (cumulative ``count²`` ordered by count) and
-    a second 1-value collect. The same move as reading
-    :func:`key_skew_stats` before picking a join strategy, folded into
-    the operator."""
+    ``max_candidate_volume`` one extra aggregate of that frame down to
+    the distinct count VALUES (bounded by the max observed frequency,
+    not the vocabulary — see :func:`_budget_fit_frame`), a cumulative
+    window over that small frame, and a second 1-value collect. The
+    same move as reading :func:`key_skew_stats` before picking a join
+    strategy, folded into the operator."""
     import math
 
     if not 0.0 < quantile < 1.0:
@@ -116,22 +123,64 @@ def auto_frequency_cap(
         return int(floor)
     cap = max(int(floor), int(math.ceil(float(q) * float(multiplier))))
     if max_candidate_volume is not None:
-        # largest cap whose post-cap Σ count² fits the budget: running
-        # Σ count² over counts ascending — every key with count ≤ c
-        # survives a cap of c, so the cumulative sum AT a count value is
-        # exactly the candidate volume that cap admits
-        fit = (
-            freq.select(F.col(count_col).cast("long").alias("__c"))
-            .withColumn("__cum", F.sum(F.col("__c").cast("double") * F.col("__c")).over(
-                Window.orderBy(F.col("__c")).rangeBetween(Window.unboundedPreceding, 0)
-            ))
-            .filter(F.col("__cum") <= float(max_candidate_volume))
-            .agg(F.max("__c"))
-            .first()[0]
-        )
-        budget_cap = int(fit) if fit is not None else 1
+        budget = float(max_candidate_volume)
+        # one action: the largest count value whose admitted volume fits
+        # the budget, and the smallest one that overflows it (None when
+        # the whole distribution fits)
+        row = _budget_fit_frame(freq, count_col).agg(
+            F.max(F.when(F.col("__cum") <= budget, F.col("__c"))).alias("fit"),
+            F.min(F.when(F.col("__cum") > budget, F.col("__c"))).alias("over"),
+        ).first()
+        budget_cap = int(row["fit"]) if row["fit"] is not None else 1
         cap = max(int(floor), min(cap, budget_cap))
+        # the budget is actually exceeded only when a count value the
+        # FINAL cap admits has cumulative volume past it — a floor (or
+        # fitted cap) above max(count) admits nothing extra
+        if row["over"] is not None and cap >= int(row["over"]):
+            logger.warning(
+                "auto_frequency_cap: floor=%d overrides the fitted "
+                "budget cap %d — post-cap candidate volume exceeds "
+                "max_candidate_volume=%d. Pass floor=1 to make the "
+                "budget binding alone.",
+                floor, budget_cap, max_candidate_volume,
+            )
     return cap
+
+
+def _budget_fit_frame(freq: DataFrame, count_col: str) -> DataFrame:
+    """``(__c, __cum)``: for each distinct count value ``__c``, the
+    candidate volume ``Σ count²`` a cap of ``__c`` would admit — every
+    key with count ≤ c survives a cap of c, so the running sum of
+    ``count²`` over counts ascending, evaluated AT a count value, is
+    exactly that cap's admitted volume.
+
+    Shape matters here: the per-key frequency frame has one row per
+    distinct KEY, which scales with the corpus (billions of shingles at
+    100 TB), so the cumulative sum is computed in two steps — first a
+    hash aggregate ``groupBy(count) → Σ count²`` collapsing the frame to
+    one row per distinct count VALUE (bounded by the max observed
+    document frequency, realistically ≤ ~10⁶ rows at any corpus size),
+    then the partition-less cumulative window over that bounded frame.
+    Running the window directly over the per-key frame would funnel the
+    whole vocabulary into a single task — the exact single-partition
+    hazard this function exists to guard against (round-7 VERDICT
+    finding #1; the aggregate-below-window shape is plan-asserted in
+    tests/test_round8_hardening.py)."""
+    per_value = (
+        freq.select(F.col(count_col).cast("long").alias("__c"))
+        .groupBy("__c")
+        .agg(
+            F.sum((F.col("__c") * F.col("__c")).cast("double")).alias("__vol")
+        )
+    )
+    return per_value.withColumn(
+        "__cum",
+        F.sum("__vol").over(
+            Window.orderBy(F.col("__c")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
 
 
 def salted_join(
