@@ -735,6 +735,7 @@ class ConfigLoader:
         if spec.type == "shards":
             ns = o.pop("num_shards", None)
             tps = o.pop("tokens_per_shard", None)
+            ce = o.pop("compact_every", 64)
             return snk.to_training_shards(
                 path,
                 num_shards=int(ns) if ns is not None else None,
@@ -744,6 +745,7 @@ class ConfigLoader:
                 seed=int(o.pop("seed", 42)),
                 tokens_per_shard=int(tps) if tps is not None else None,
                 text_col=o.pop("text", "text"),
+                compact_every=int(ce) if ce is not None else None,
                 **o,
             )
         raise ValueError(f"unknown sink type {spec.type!r}")

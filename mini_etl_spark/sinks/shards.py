@@ -72,6 +72,7 @@ def to_training_shards(
     tokens_per_shard: int | None = None,
     text_col: str = "text",
     checkpoint: str | None = None,
+    compact_every: int | None = 64,
     **options,
 ) -> Sink:
     """Sink: write deterministic training shards under ``path`` (hive
@@ -110,6 +111,19 @@ def to_training_shards(
     writes are parquet, append-mode by nature, and skip the batch-mode
     manifest (an unbounded stream has no final shard census — read
     counts from the files).
+
+    Streaming output RETENTION: every ``compact_every`` micro-batches
+    (default 64; ``None`` disables) the committed batch directories are
+    folded into one shard-partitioned compacted generation behind an
+    atomic pointer — crash-safe, replay-idempotent, with a one-cycle GC
+    grace for concurrent readers — so directory, file and marker counts
+    stay bounded at any trigger cadence instead of accruing one
+    ``batch=B/`` directory per micro-batch forever. Each compaction
+    rewrites the output-so-far once; size ``compact_every`` to the
+    trigger cadence (64 ≈ hourly at a 1-minute trigger). The checkpoint
+    (default ``<path>_checkpoint``) and ``path`` must always be wiped
+    TOGETHER to reprocess from scratch — enforced at stream start via
+    the query id persisted in the commit markers.
     """
     if (num_shards is None) == (tokens_per_shard is None):
         raise ValueError(
@@ -153,7 +167,8 @@ def to_training_shards(
                 return stream_token_shards(
                     df, path, ckpt, tokens_per_shard,
                     text_col=text_col, id_col=key_col, seed=seed,
-                    shard_col=shard_col, options=dict(options),
+                    shard_col=shard_col, compact_every=compact_every,
+                    options=dict(options),
                 )
             from mini_etl_spark.sinks.writers import _write_stream
 

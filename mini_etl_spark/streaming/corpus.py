@@ -19,7 +19,10 @@ Two different incrementality shapes, matched to the operator's math:
   Output is published per-batch with a commit marker written LAST, so a
   replayed batch overwrites its own directory and re-commits the same
   marker — :func:`read_token_shards` sees every committed row exactly
-  once with no read-time dedup.
+  once with no read-time dedup. Committed batch directories are folded
+  into a compacted generation every ``compact_every`` batches
+  (pointer-committed, one-cycle reader grace), so directory, file and
+  marker counts stay bounded at any trigger cadence.
 - **temperature mixing is a global quota over per-source counts** — any
   new document can change every source's quota, so there is no per-batch
   state smaller than the corpus. :func:`stream_temperature_mix` is
@@ -160,6 +163,10 @@ def _commit_dir(out_path: str) -> str:
     return out_path.rstrip("/") + "/_commits"
 
 
+def _output_pointer(out_path: str) -> str:
+    return out_path.rstrip("/") + "/_COMPACT.json"
+
+
 def _committed_batches(spark: SparkSession, out_path: str) -> list[int]:
     """Batch ids with a published commit marker under ``out_path``."""
     fs, hdir = _state_io(spark, _commit_dir(out_path))
@@ -177,20 +184,170 @@ def _committed_batches(spark: SparkSession, out_path: str) -> list[int]:
 
 
 def read_token_shards(spark: SparkSession, out_path: str) -> DataFrame | None:
-    """Exactly-once reader for :func:`stream_token_shards` output: takes
-    only batch directories with a published commit marker, so a crash
-    between data write and marker publish (or a half-written replay in
-    flight) is invisible. No read-time dedup is needed — a replayed
-    batch OVERWRITES its own ``batch=K/`` directory. Returns ``None``
+    """Exactly-once reader for :func:`stream_token_shards` output: the
+    active compacted generation (all committed batches up to the
+    ``_COMPACT.json`` pointer, if compaction is enabled) plus every
+    batch directory NEWER than it that has a published commit marker.
+    A crash between data write and marker publish (or a half-written
+    replay in flight) is invisible, and no read-time dedup is needed —
+    a replayed batch OVERWRITES its own ``batch=K/`` directory, and a
+    replayed compaction rewrites the same generation. Returns ``None``
     when nothing has been committed yet. The synthetic ``batch``
     partition column is dropped; the shard column survives as the
-    hive-style partition it was written with."""
-    ids = _committed_batches(spark, out_path)
-    if not ids:
-        return None
+    hive-style partition it was written with (in the compacted
+    generation too — compaction preserves the shard partitioning).
+
+    Concurrency contract: the returned DataFrame lists its directories
+    at call time, and compaction GC retains everything a reader could
+    have listed for ONE full further compaction cycle (directories are
+    deleted only after they have been invisible to new readers since
+    the previous pointer flip). Consume the frame within a cycle; a
+    FileNotFound on a very stale frame just means re-calling this
+    function."""
     root = out_path.rstrip("/")
-    dirs = [f"{root}/batch={i}" for i in ids]
-    return spark.read.option("basePath", root).parquet(*dirs).drop("batch")
+    # a corrupt pointer RAISES (via _read_state's diagnosis): silently
+    # treating it as absent would read grace-retained folded batch dirs
+    # in place of the generation and drop every GC'd batch's rows
+    st = _read_state(spark, _output_pointer(out_path))
+    upto = int(st["upto"]) if st else -1
+    ids = [i for i in _committed_batches(spark, out_path) if i > upto]
+    parts = []
+    if st:
+        parts.append(spark.read.parquet(st["dir"]))
+    if ids:
+        dirs = [f"{root}/batch={i}" for i in ids]
+        parts.append(
+            spark.read.option("basePath", root).parquet(*dirs).drop("batch")
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _output_batch_dirs(spark: SparkSession, out_path: str) -> dict[int, str]:
+    """Numeric ``batch=K`` directories under the shard OUTPUT root
+    (``_commits/``, ``compact/`` and pointer/marker files are skipped)."""
+    fs, hroot = _state_io(spark, out_path)
+    if not fs.exists(hroot):
+        return {}
+    out = {}
+    for status in fs.listStatus(hroot):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch="):
+            try:
+                out[int(name[len("batch="):])] = (
+                    f"{out_path.rstrip('/')}/{name}"
+                )
+            except ValueError:
+                continue
+    return out
+
+
+def _existing_output_query_ids(spark: SparkSession, out_path: str) -> set:
+    """Non-empty query ids recorded in the output's commit markers and
+    compaction pointer — the persisted identity of the checkpoint
+    incarnation(s) that produced it. Unreadable documents are skipped
+    (they cannot positively identify a FOREIGN incarnation)."""
+    qids = set()
+    try:
+        st = _read_state(spark, _output_pointer(out_path))
+        if st.get("query_id"):
+            qids.add(str(st["query_id"]))
+    except ValueError:
+        pass
+    for i in _committed_batches(spark, out_path):
+        try:
+            doc = _read_state(spark, f"{_commit_dir(out_path)}/{i}.json")
+        except ValueError:
+            continue
+        if doc.get("query_id"):
+            qids.add(str(doc["query_id"]))
+    return qids
+
+
+def _compact_output(
+    spark: SparkSession,
+    out_path: str,
+    upto: int,
+    shard_col: str,
+    query_id: str,
+) -> None:
+    """Fold the compacted generation + every COMMITTED ``batch=K`` dir
+    with ``K <= upto`` into one new shard-partitioned generation, flip
+    the ``_COMPACT.json`` pointer atomically, then GC with a ONE-CYCLE
+    GRACE: only directories and markers that the PREVIOUS flip already
+    made invisible to new readers (``<= prev_upto``, plus superseded
+    generations other than the one the pre-flip pointer named) are
+    deleted — anything a concurrent :func:`read_token_shards` call could
+    have listed since that flip survives until the next compaction.
+
+    Crash-safe at every point (same argument as :func:`_compact_staging`):
+    before the pointer flip the new generation is unreferenced; after
+    it, survivors of a failed GC are invisible to the read rule and
+    re-swept next cycle. Idempotent on replay — same ``upto`` rewrites
+    identical content over the same directory. Cost: one rewrite of the
+    output-so-far per compaction (``repartition(shard)`` → ~one file
+    per shard), so size ``compact_every`` to your trigger cadence; at a
+    1-minute cadence the default (64) compacts hourly."""
+    root = out_path.rstrip("/")
+    pointer = _output_pointer(out_path)
+    st = _read_state(spark, pointer)
+    prev_upto = int(st["upto"]) if st else -1
+    if prev_upto >= upto:
+        return  # replay of an already-applied compaction
+    new_ids = [
+        i for i in _committed_batches(spark, out_path)
+        if prev_upto < i <= upto
+    ]
+    if not new_ids:
+        return
+    new = (
+        spark.read.option("basePath", root)
+        .parquet(*[f"{root}/batch={i}" for i in new_ids])
+        .drop("batch")
+    )
+    full = spark.read.parquet(st["dir"]).unionByName(new) if st else new
+    target = f"{root}/compact/upto={upto}"
+    (
+        full.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(target)
+    )
+    _write_state(
+        spark, pointer, {"upto": upto, "dir": target, "query_id": query_id}
+    )
+    # GC (one-cycle grace): generations other than the new target and the
+    # one the PRE-flip pointer named (in-flight readers may hold it);
+    # batch dirs and markers <= prev_upto (invisible since the previous
+    # flip — includes replay-orphan rewrites of long-folded batches)
+    keep = {target} | ({st["dir"]} if st else set())
+    jvm = spark._jvm
+    fs, _ = _state_io(spark, root)
+    gc = []
+    compact_root = jvm.org.apache.hadoop.fs.Path(root + "/compact")
+    if fs.exists(compact_root):
+        for status in fs.listStatus(compact_root):
+            d = f"{root}/compact/{status.getPath().getName()}"
+            if d not in keep:
+                gc.append(d)
+    gc += [
+        d for k, d in _output_batch_dirs(spark, out_path).items()
+        if k <= prev_upto
+    ]
+    gc += [
+        f"{_commit_dir(out_path)}/{i}.json"
+        for i in _committed_batches(spark, out_path)
+        if i <= prev_upto
+    ]
+    for d in gc:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        except Exception:
+            logger.warning("output compaction GC failed for %s (ignored)", d)
 
 
 def stream_token_shards(
@@ -203,6 +360,7 @@ def stream_token_shards(
     seed: int = 42,
     shard_col: str = "shard",
     state_path: str | None = None,
+    compact_every: int | None = 64,
     available_now: bool = True,
     await_termination: bool = True,
     options: dict | None = None,
@@ -236,9 +394,24 @@ def stream_token_shards(
     publishes an atomic commit marker (``_commits/B.json``) LAST. A
     replayed batch therefore replaces its earlier attempt's files and
     re-publishes an identical marker — no duplicate part files, ever.
-    Read the output with :func:`read_token_shards` (takes only committed
-    batches); a plain ``spark.read.parquet(out_path)`` also works but
-    may see an in-flight uncommitted batch directory.
+    Read the output with :func:`read_token_shards` (takes the compacted
+    generation plus newer committed batches); a plain
+    ``spark.read.parquet(out_path)`` is NOT equivalent once compaction
+    has run (it would double-count grace-retained folded batch dirs)
+    and may see an in-flight uncommitted batch directory.
+
+    Output retention — compaction: at a real trigger cadence the
+    per-batch publish accrues one ``batch=B/`` directory plus one
+    commit marker per micro-batch forever, and the reader's directory
+    list grows with it. Every ``compact_every`` batches the committed
+    batch directories are folded into one shard-partitioned compacted
+    generation behind an atomic ``_COMPACT.json`` pointer
+    (:func:`_compact_output` — crash-safe, replay-idempotent, one-cycle
+    GC grace for concurrent readers), bounding the directory, file and
+    marker count at any cadence. Each compaction rewrites the
+    output-so-far once, so size it to your cadence (default 64 ≈ hourly
+    at a 1-minute trigger); ``compact_every=None`` disables compaction
+    and keeps the pure per-batch layout.
 
     The state file defaults to ``<checkpoint>/_token_offset.json`` so its
     lifecycle is TIED to the checkpoint: wiping the checkpoint to
@@ -247,7 +420,11 @@ def stream_token_shards(
     ``out_path`` must be wiped TOGETHER with the checkpoint — batch
     numbering restarts at 0 for a fresh checkpoint, so reprocessing into
     an old output directory would overwrite its early batches while
-    leaving later ones stale.
+    leaving later ones stale. This is ENFORCED at stream start: if the
+    output's commit markers (or compaction pointer) record a readable
+    query id different from the current checkpoint's — a fresh
+    checkpoint included — the call raises instead of silently
+    corrupting the output.
 
     ``options`` pass through to the parquet writer (e.g. compression).
     """
@@ -255,6 +432,8 @@ def stream_token_shards(
 
     if tokens_per_shard < 1:
         raise ValueError("stream_token_shards: tokens_per_shard must be >= 1")
+    if compact_every is not None and compact_every < 2:
+        raise ValueError("stream_token_shards: compact_every must be >= 2")
     if shard_col == "batch" or "batch" in stream_df.columns:
         raise ValueError(
             "stream_token_shards: a column named 'batch' (shard_col or "
@@ -284,9 +463,47 @@ def stream_token_shards(
                     "matching _commits/<n>.json marker."
                 )
 
+    # incarnation guard (once, at call time): the output's commit markers
+    # persist the query id of the checkpoint that produced them. Starting
+    # a DIFFERENT checkpoint incarnation (a fresh checkpoint restarts
+    # batch ids at 0) against that output would silently overwrite its
+    # early batches while read_token_shards keeps serving stale later
+    # ones. Skipped only when the current checkpoint EXISTS but its
+    # metadata is unreadable (the documented degraded-wildcard mode);
+    # a fresh checkpoint (no metadata yet) against foreign markers raises.
+    _meta_exists = fs.exists(
+        _state_io(_session, checkpoint.rstrip("/") + "/metadata")[1]
+    )
+    _ckpt_qid = _checkpoint_query_id(_session, checkpoint)
+    if not (_meta_exists and not _ckpt_qid):
+        _foreign = {
+            q for q in _existing_output_query_ids(_session, out_path)
+            if q != _ckpt_qid
+        }
+        if _foreign:
+            raise ValueError(
+                f"stream_token_shards: {out_path!r} was produced by a "
+                f"different checkpoint incarnation (query id(s) "
+                f"{sorted(_foreign)} != {_ckpt_qid or '<fresh checkpoint>'}). "
+                "Batch ids restart at 0 for a fresh checkpoint, so "
+                "continuing would overwrite early batches and corrupt "
+                "the output. Wipe out_path TOGETHER with the checkpoint "
+                "to reprocess from scratch, or resume the original "
+                "checkpoint."
+            )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         qid = _checkpoint_query_id(spark, checkpoint)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # fold strictly-previous COMMITTED batches before this batch
+            # publishes: a replay of this batch re-runs an identical
+            # (idempotent) compaction and then overwrites its own
+            # directory, so no row ever lands in both the generation and
+            # a live batch dir
+            _compact_output(
+                spark, out_path, batch_id - 1, shard_col, qid
+            )
         offset = _resolve_offset(_read_state(spark, state), batch_id, qid)
         assigned = token_balanced_shard_ids(
             batch_df,
@@ -540,6 +757,13 @@ def stream_temperature_mix(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # same guard as stream_token_shards: a zero-row partitioned
+            # write leaves a DATALESS batch=K dir (only _SUCCESS) that
+            # breaks parquet schema inference when it is the first/only
+            # staging dir — and the staged corpus, mixture and snapshot
+            # are all unchanged by an empty batch anyway
+            return
         # one OVERWRITTEN directory per batch id, so an at-least-once
         # replay of a crashed batch lands on the same directory instead
         # of appending duplicate rows into the staging corpus; the

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""VERDICT r8 #5: re-run the 20× `set_jaccard` scale check with the
+candidate-volume budget cap active (`max_element_freq="auto:<budget>"`).
+
+Round 7 adjudicated the lone SCALE20 flag by measurement: the engine is
+exactly linear in its documented cost model (post-cap Σ df²), and the
+20× workload blow-up is a replica-salting/truncation fixture artifact
+(many just-under-cap keys). The `auto:<budget>` knob exists precisely
+for that distribution — this script proves it END-TO-END on the same
+fixture: with the budget active, post-cap candidate volume is pinned to
+the budget at any scale, the big/base time ratio drops back inside the
+linearity allowance, and recall is reported against BOTH the fixed
+cap=1000 pair set (the flagged configuration) and the fully UNCAPPED
+exact pair set.
+
+Usage (20× replicas reuse scale_check.py's cached build):
+
+    SCALE_FACTOR=20 python scripts/sj_budget_evidence.py > SCALE20_SJ_BUDGET.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.scale_check import BASE, BIG, REPLICAS, build_big  # noqa: E402
+
+BUDGET = int(float(os.environ.get("SCALE_SJ_BUDGET", "1e7")))
+
+
+def _tags(spark, sf_dir):
+    """The exact q_set_jaccard input frame (__spark_entry__)."""
+    from mini_etl_spark.functions import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.array_distinct(tx.tokens(F.substring("text", 1, 60))).alias("tags"),
+    )
+
+
+def _volumes(spark, sf_dir, cap_budget: int) -> dict:
+    """Candidate volumes Σ df² the three cap configurations admit."""
+    elems = _tags(spark, sf_dir).select(F.explode("tags").alias("g"))
+    freq = elems.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+    r = freq.agg(
+        F.sum(F.col("__f") * F.col("__f")).alias("uncapped"),
+        F.sum(
+            F.when(F.col("__f") <= 1000, F.col("__f") * F.col("__f"))
+        ).alias("cap1000"),
+        F.sum(
+            F.when(F.col("__f") <= cap_budget, F.col("__f") * F.col("__f"))
+        ).alias("budget"),
+        F.max("__f").alias("max_df"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).first()
+    return {
+        "uncapped": int(r["uncapped"] or 0),
+        "cap1000": int(r["cap1000"] or 0),
+        "budget_capped": int(r["budget"] or 0),
+        "max_df": int(r["max_df"] or 0),
+        "n_keys": int(r["n_keys"] or 0),
+    }
+
+
+def _pairs(spark, sf_dir, cap) -> tuple[set, float]:
+    """(pair set, warm wall-clock) of set_jaccard_pairs at the cap."""
+    from mini_etl_spark.functions import dedup as dd
+
+    d = _tags(spark, sf_dir)
+    dd.set_jaccard_pairs(d, "tags", threshold=0.5,
+                         max_element_freq=cap).count()  # warm
+    spark.catalog.clearCache()
+    t = time.monotonic()
+    rows = dd.set_jaccard_pairs(
+        d, "tags", threshold=0.5, max_element_freq=cap
+    ).collect()
+    dt = time.monotonic() - t
+    spark.catalog.clearCache()
+    return {(r.id_a, r.id_b) for r in rows}, dt
+
+
+def main() -> None:
+    from mini_etl_spark import get_spark
+    from mini_etl_spark.operators.skew import auto_frequency_cap
+
+    spark = get_spark("sj-budget-evidence")
+    build_big(spark)
+
+    out = {"replicas": REPLICAS, "budget": BUDGET, "scales": {}}
+    for label, sf_dir in (("base", BASE), ("big", BIG)):
+        elems = _tags(spark, sf_dir).select(F.explode("tags").alias("g"))
+        freq = elems.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
+        derived = auto_frequency_cap(
+            freq, floor=1, max_candidate_volume=BUDGET
+        )
+        vols = _volumes(spark, sf_dir, derived)
+        capped, t_capped = _pairs(spark, sf_dir, f"auto:{BUDGET}")
+        fixed, t_fixed = _pairs(spark, sf_dir, 1000)
+        uncapped, t_uncapped = _pairs(spark, sf_dir, None)
+        out["scales"][label] = {
+            "derived_budget_cap": derived,
+            "volumes": vols,
+            "pairs": {
+                "budget": len(capped),
+                "cap1000": len(fixed),
+                "uncapped": len(uncapped),
+            },
+            "seconds": {
+                "budget": round(t_capped, 3),
+                "cap1000": round(t_fixed, 3),
+                "uncapped": round(t_uncapped, 3),
+            },
+            "recall_budget_vs_cap1000": round(
+                len(capped & fixed) / len(fixed), 4
+            ) if fixed else 1.0,
+            "recall_budget_vs_uncapped": round(
+                len(capped & uncapped) / len(uncapped), 4
+            ) if uncapped else 1.0,
+            "recall_cap1000_vs_uncapped": round(
+                len(fixed & uncapped) / len(uncapped), 4
+            ) if uncapped else 1.0,
+            "false_pairs_budget_vs_uncapped": len(capped - uncapped),
+        }
+        print(f"# {label}: {out['scales'][label]}", file=sys.stderr)
+
+    b, g = out["scales"]["base"], out["scales"]["big"]
+    ratio = (
+        g["seconds"]["budget"] / b["seconds"]["budget"]
+        if b["seconds"]["budget"] > 0 else None
+    )
+    out["time_ratio_budget"] = round(ratio, 2) if ratio else None
+    out["data_ratio"] = REPLICAS
+    out["inside_allowance"] = bool(ratio is not None
+                                   and ratio <= REPLICAS * 1.25)
+    out["volume_pinned_to_budget"] = bool(
+        g["volumes"]["budget_capped"] <= BUDGET
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,10 +23,20 @@ ADVICE findings:
 """
 
 import json
+import os
 import random
+import sys
 
 import pytest
 from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_round7_hardening import (  # noqa: E402
+    _drop_commit,
+    _file_stream,
+    _shard_oracle,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -185,3 +195,319 @@ def test_index_dedup_config_accepts_auto_budget(spark, tmp_path):
     loader.build_pipeline(loader.parse(cfg)).run(spark)
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {103}  # exact dup of corpus doc 1 dropped
+
+
+# ---------------------------------------------------------------------------
+# stream_token_shards OUTPUT compaction (VERDICT r7 #3)
+# ---------------------------------------------------------------------------
+
+
+def _out_layout(out):
+    """(batch ids on disk, committed marker ids, generation names)."""
+    import pathlib
+
+    root = pathlib.Path(out)
+    dirs = sorted(
+        int(d.name.split("=", 1)[1])
+        for d in root.iterdir()
+        if d.is_dir() and d.name.startswith("batch=")
+    )
+    commits = root / "_commits"
+    markers = sorted(
+        int(p.name[:-5])
+        for p in commits.iterdir()
+        if p.name.endswith(".json")
+    ) if commits.is_dir() else []
+    gens = sorted(
+        d.name for d in (root / "compact").iterdir() if d.is_dir()
+    ) if (root / "compact").is_dir() else []
+    return dirs, markers, gens
+
+
+def test_token_shards_output_compaction_bounded_exactly_once(spark, tmp_path):
+    """12 micro-batches at compact_every=4 (compactions at batches 4, 8:
+    upto 3 and 7): the directory/marker count stays bounded (grace = one
+    cycle), the compacted generation keeps the shard partitioning, and
+    read_token_shards returns every row exactly once, equal to the
+    prefix-sum oracle — including across a forced replay."""
+    from mini_etl_spark.streaming import read_token_shards, stream_token_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    tps = 23
+    batches = []
+    for b in range(10):
+        rows = [(b * 100 + i, "tok " * (2 + (b + i) % 6)) for i in range(6)]
+        batches.append(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{b:02d}")
+        )
+    stream_token_shards(_file_stream(spark, src, schema), out, str(ckpt),
+                        tokens_per_shard=tps, seed=5, compact_every=4)
+
+    dirs, markers, gens = _out_layout(out)
+    # compactions at batch 4 (fold 0-3) and 8 (fold 4-7 + gen3, GC <=3)
+    assert dirs == [4, 5, 6, 7, 8, 9]      # 0-3 GC'd, 4-7 grace-retained
+    assert markers == [4, 5, 6, 7, 8, 9]
+    assert gens == ["upto=3", "upto=7"]    # current + one grace generation
+    pointer = json.loads((tmp_path / "out" / "_COMPACT.json").read_text())
+    assert pointer["upto"] == 7
+    # generation preserves hive shard partitioning
+    import pathlib
+    gen = pathlib.Path(out) / "compact" / "upto=7"
+    assert any(d.name.startswith("shard=") for d in gen.iterdir())
+
+    got = [(r.doc_id, r.shard) for r in read_token_shards(spark, out).collect()]
+    assert len(got) == 60 and len(set(i for i, _ in got)) == 60
+    assert dict(got) == _shard_oracle(batches, 5, tps)
+
+    # forced replay of the next batch, which is also a compaction batch
+    # (batch 12 folds <=11): replayed compaction must be idempotent
+    for b in range(10, 13):
+        rows = [(b * 100 + i, "tok " * (2 + (b + i) % 6)) for i in range(6)]
+        batches.append(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{b:02d}")
+        )
+    stream_token_shards(_file_stream(spark, src, schema), out, str(ckpt),
+                        tokens_per_shard=tps, seed=5, compact_every=4)
+    _drop_commit(ckpt)     # crash before the last checkpoint commit
+    stream_token_shards(_file_stream(spark, src, schema), out, str(ckpt),
+                        tokens_per_shard=tps, seed=5, compact_every=4)
+
+    dirs, markers, gens = _out_layout(out)
+    assert dirs == [8, 9, 10, 11, 12]      # <=7 GC'd at the upto=11 fold
+    assert markers == [8, 9, 10, 11, 12]
+    assert gens == ["upto=11", "upto=7"]   # gen3 swept, gen7 grace-retained
+    got = [(r.doc_id, r.shard) for r in read_token_shards(spark, out).collect()]
+    assert len(got) == 78 and dict(got) == _shard_oracle(batches, 5, tps)
+
+    with pytest.raises(ValueError, match="compact_every"):
+        stream_token_shards(_file_stream(spark, src, schema), out,
+                            str(tmp_path / "c2"), compact_every=1)
+
+
+def test_token_shards_compaction_randomized_replay_soak(spark, tmp_path):
+    """Seeded random kill-and-replay soak WITH output compaction live
+    (compact_every=3): whatever the crash schedule, read_token_shards is
+    exactly-once and equals the prefix-sum oracle."""
+    from mini_etl_spark.streaming import read_token_shards, stream_token_shards
+
+    rng = random.Random(827)
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    tps = 17
+    batches = []
+    for b in range(9):
+        rows = [(b * 100 + i, "tok " * rng.randint(2, 7)) for i in range(5)]
+        batches.append(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{b}")
+        )
+        stream_token_shards(_file_stream(spark, src, schema), out, str(ckpt),
+                            tokens_per_shard=tps, seed=11, compact_every=3)
+        if rng.random() < 0.5:  # crash before this batch's commit
+            _drop_commit(ckpt)
+            stream_token_shards(_file_stream(spark, src, schema), out,
+                                str(ckpt), tokens_per_shard=tps, seed=11,
+                                compact_every=3)
+
+    got = [(r.doc_id, r.shard) for r in read_token_shards(spark, out).collect()]
+    assert len(got) == sum(len(b) for b in batches)
+    assert dict(got) == _shard_oracle(batches, 11, tps)
+    # compaction actually ran and bounded the layout
+    dirs, markers, _ = _out_layout(out)
+    assert len(dirs) < 9 and len(markers) < 9
+
+
+def test_token_shards_reader_grace_across_compaction(spark, tmp_path):
+    """VERDICT #7 (concurrent-reader isolation): a DataFrame returned by
+    read_token_shards BEFORE a compaction still collects correctly after
+    that compaction ran (one-cycle GC grace retains everything it
+    listed); a fresh read after the flip is exactly-once too."""
+    from mini_etl_spark.streaming import read_token_shards, stream_token_shards
+    from mini_etl_spark.streaming.corpus import (
+        _checkpoint_query_id,
+        _compact_output,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    batches = []
+    for b in range(4):
+        rows = [(b * 10 + i, "tok " * (1 + i)) for i in range(4)]
+        batches.append(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{b}")
+        )
+    stream_token_shards(_file_stream(spark, src, schema), out, str(ckpt),
+                        tokens_per_shard=11, seed=2, compact_every=None)
+
+    reader = read_token_shards(spark, out)      # lists batch dirs 0-3
+    qid = _checkpoint_query_id(spark, str(ckpt))
+    _compact_output(spark, out, 3, "shard", qid)   # flip mid-"flight"
+    want = _shard_oracle(batches, 2, 11)
+    got = {r.doc_id: r.shard for r in reader.collect()}
+    assert got == want                          # grace kept dirs 0-3 alive
+    fresh = {r.doc_id: r.shard
+             for r in read_token_shards(spark, out).collect()}
+    assert fresh == want
+
+
+def test_token_shards_half_published_state_invisible(spark, tmp_path):
+    """VERDICT #7: readers between publish steps — a batch dir without a
+    marker AND a compacted generation without a pointer flip are both
+    invisible; the reader sees exactly the committed rows."""
+    from mini_etl_spark.streaming import read_token_shards, stream_token_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame([(1, "a b c"), (2, "d e")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    stream_token_shards(_file_stream(spark, src, schema), str(out), str(ckpt),
+                        tokens_per_shard=4, seed=3)
+    # half-published BATCH: data dir, no marker
+    spark.createDataFrame([(99, "x y")], schema).write.parquet(
+        str(out / "batch=9" / "shard=0")
+    )
+    # half-published COMPACTION: generation dir, no pointer flip
+    spark.createDataFrame([(98, "z"), (1, "a b c")], schema).write.parquet(
+        str(out / "compact" / "upto=0" / "shard=0")
+    )
+    got = sorted(r.doc_id for r in read_token_shards(spark, str(out)).collect())
+    assert got == [1, 2]
+
+
+def test_token_shards_query_id_guard(spark, tmp_path):
+    """ADVICE: reusing an out_path with a FRESH checkpoint (batch ids
+    restart at 0) raises at stream start instead of silently overwriting
+    early batches; resuming the original checkpoint keeps working."""
+    from mini_etl_spark.streaming import read_token_shards, stream_token_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    spark.createDataFrame([(1, "a b"), (2, "c")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    stream_token_shards(_file_stream(spark, src, schema), out, str(ckpt),
+                        tokens_per_shard=3, seed=1)
+
+    with pytest.raises(ValueError, match="different checkpoint incarnation"):
+        stream_token_shards(_file_stream(spark, src, schema), out,
+                            str(tmp_path / "fresh_ckpt"), tokens_per_shard=3,
+                            seed=1)
+
+    # the original checkpoint resumes fine
+    spark.createDataFrame([(3, "d e f")], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream_token_shards(_file_stream(spark, src, schema), out, str(ckpt),
+                        tokens_per_shard=3, seed=1)
+    assert read_token_shards(spark, out).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# stream_temperature_mix: zero-row micro-batches (ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_empty_batch_writes_no_staging_dir(spark, tmp_path):
+    """An empty micro-batch (fully filtered / empty source file) writes
+    NO staging directory — including as the FIRST batch, where a
+    dataless dir used to kill schema inference on the staging read."""
+    from mini_etl_spark.functions.mixing import temperature_mix
+    from mini_etl_spark.streaming import (
+        read_latest_snapshot,
+        stream_temperature_mix,
+    )
+
+    schema = "doc_id long, source string, text string"
+    empty = spark.createDataFrame([], schema)
+
+    # first-batch-empty: the old code died on _read_staging here
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    empty.coalesce(1).write.parquet(str(src1 / "f0"))
+    out1 = str(tmp_path / "out1")
+    ckpt1 = str(tmp_path / "ckpt1")
+    stream_temperature_mix(_file_stream(spark, src1, schema), out1, ckpt1,
+                           budget=10, seed=1)
+    assert read_latest_snapshot(spark, out1) is None
+    assert not any(
+        d.name.startswith("batch=")
+        for d in (tmp_path / "ckpt1" / "_seen").iterdir()
+    ) if (tmp_path / "ckpt1" / "_seen").is_dir() else True
+
+    # empty batch in the middle: skipped, snapshot equals the batch mix
+    rows = [(i, "web" if i % 3 else "code", f"doc {i}") for i in range(20)]
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    spark.createDataFrame(rows[:10], schema).coalesce(1).write.parquet(
+        str(src2 / "f0")
+    )
+    empty.coalesce(1).write.parquet(str(src2 / "f1"))
+    spark.createDataFrame(rows[10:], schema).coalesce(1).write.parquet(
+        str(src2 / "f2")
+    )
+    out2 = str(tmp_path / "out2")
+    ckpt2 = tmp_path / "ckpt2"
+    stream_temperature_mix(_file_stream(spark, src2, schema), out2,
+                           str(ckpt2), budget=12, alpha=0.4, seed=9)
+    staged = sorted(
+        d.name for d in (ckpt2 / "_seen").iterdir()
+        if d.name.startswith("batch=")
+    )
+    assert staged == ["batch=0", "batch=2"]     # no dataless batch=1
+    got = sorted((r.doc_id, r.epoch)
+                 for r in read_latest_snapshot(spark, out2).collect())
+    want = sorted(
+        (r.doc_id, r.epoch)
+        for r in temperature_mix(
+            spark.createDataFrame(rows, schema), 12, alpha=0.4, seed=9
+        ).collect()
+    )
+    assert got == want
+
+
+def test_snapshot_reader_ignores_half_published_snap(spark, tmp_path):
+    """VERDICT #7 for the snapshot twin: a snap directory written without
+    the _LATEST pointer flip (publish crash window) is invisible to
+    read_latest_snapshot."""
+    from mini_etl_spark.streaming import (
+        read_latest_snapshot,
+        stream_temperature_mix,
+    )
+
+    schema = "doc_id long, source string, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, "web", f"doc {i}") for i in range(8)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    out = str(tmp_path / "out")
+    stream_temperature_mix(_file_stream(spark, src, schema), out,
+                           str(tmp_path / "ckpt"), budget=5, seed=4)
+    before = sorted(r.doc_id for r in read_latest_snapshot(spark, out).collect())
+    # half-published later snapshot: directory lands, pointer never flips
+    spark.createDataFrame([(999, "web", "phantom")], schema).write.parquet(
+        str(tmp_path / "out" / "snap=999")
+    )
+    after = sorted(r.doc_id for r in read_latest_snapshot(spark, out).collect())
+    assert after == before and 999 not in after
