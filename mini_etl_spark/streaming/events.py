@@ -233,21 +233,90 @@ def stream_stream_join(
     return lw.join(rw, cond, how)
 
 
+def _read_pointer(target_path: str) -> dict:
+    """The ``_LATEST`` pointer as ``{"snap": name, "prev": name|None}``
+    (empty dict when absent). Reads both formats: the JSON document
+    written since round 8, and the original plain ``snap=B`` line (no
+    recorded predecessor)."""
+    import json
+    import os
+
+    pointer = os.path.join(target_path, "_LATEST")
+    if not os.path.exists(pointer):
+        return {}
+    with open(pointer) as fh:
+        text = fh.read().strip()
+    if text.startswith("{"):
+        doc = json.loads(text)
+        return {"snap": doc["snap"], "prev": doc.get("prev")}
+    return {"snap": text, "prev": None}
+
+
 def _publish_snapshot(df: DataFrame, target_path: str, batch_id: int) -> None:
     """Write ``df`` as ``snap={batch_id}`` under ``target_path`` and flip
     the ``_LATEST`` pointer atomically (os.replace) — the shared
     publication protocol of every snapshot-maintaining foreachBatch sink
-    (upsert, LM trainer, CM sketch). The pointer flip being LAST is the
-    crash-safety contract: a failure before it leaves the previous
-    snapshot live and the orphan directory unreferenced."""
-    import os
+    (upsert, LM trainer, CM sketch, temperature mix). The pointer flip
+    being LAST is the crash-safety contract: a failure before it leaves
+    the previous snapshot live and the orphan directory unreferenced.
 
-    snap = os.path.join(target_path, f"snap={batch_id}")
+    The pointer records the PREDECESSOR snapshot too: merge-shaped sinks
+    use it (via :func:`_merge_base`) to rebuild a replayed batch from the
+    state BEFORE that batch's earlier attempt, instead of double-merging
+    into their own output — closing the crash window between the pointer
+    flip and the checkpoint commit.
+
+    Retention: superseded snapshot directories other than the new one
+    and its recorded predecessor are deleted after the flip (one-cycle
+    grace — anything a reader could have resolved through the pointer
+    since the previous flip survives until the next one), so the
+    directory count stays at ~2 at any trigger cadence. A replayed batch
+    overwrites its own directory and re-records the same predecessor, so
+    GC never touches a directory the replay still needs."""
+    import json
+    import os
+    import re
+    import shutil
+
+    prev = _read_pointer(target_path)
+    name = f"snap={batch_id}"
+    # a REPLAY's pointer may already name this batch's earlier attempt:
+    # keep pointing prev at the true predecessor, not at ourselves
+    prev_name = prev.get("snap") if prev else None
+    if prev_name == name:
+        prev_name = prev.get("prev")
+    snap = os.path.join(target_path, name)
     df.write.mode("overwrite").parquet(snap)
     tmp = os.path.join(target_path, "_LATEST.tmp")
     with open(tmp, "w") as fh:
-        fh.write(f"snap={batch_id}")
+        fh.write(json.dumps({"snap": name, "prev": prev_name}))
     os.replace(tmp, os.path.join(target_path, "_LATEST"))
+    keep = {name, prev_name}
+    for entry in os.listdir(target_path):
+        if re.fullmatch(r"snap=\d+", entry) and entry not in keep:
+            shutil.rmtree(os.path.join(target_path, entry),
+                          ignore_errors=True)
+
+
+def _merge_base(spark: SparkSession, target_path: str, batch_id: int):
+    """The snapshot a merge-shaped sink should fold batch ``batch_id``
+    into: normally the pointer's current snapshot, but when the pointer
+    already names ``snap={batch_id}`` — this batch's own earlier attempt,
+    i.e. a checkpoint replay after a crash in the flip→commit window —
+    the recorded PREDECESSOR, so the batch's rows are never merged twice.
+    ``None`` when the base is empty (first batch, or a replayed first
+    batch whose predecessor never existed)."""
+    import os
+
+    p = _read_pointer(target_path)
+    if not p:
+        return None
+    name = p["snap"]
+    if name == f"snap={batch_id}":
+        name = p.get("prev")
+        if name is None:
+            return None
+    return spark.read.parquet(os.path.join(target_path, name))
 
 
 def stream_upsert_to_parquet(
@@ -288,7 +357,10 @@ def stream_upsert_to_parquet(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        current = read_latest_snapshot(spark, target_path)
+        # replay-safe base: a replayed batch merges into the PREDECESSOR
+        # snapshot, never its own earlier attempt (idempotent either way
+        # for upsert, but keeps the snapshot chain's lineage honest)
+        current = _merge_base(spark, target_path, batch_id)
         if order_col is not None:
             # true last-write-wins: keep the row with the max order value
             # per key (one hash aggregate over the batch)
@@ -442,16 +514,21 @@ def stream_lm_update(
     with :func:`stream_lm_gate` pointed at the published snapshots for a
     gate whose model improves as data flows.
 
-    Not idempotent under checkpoint REPLAY of a half-processed batch
-    (counts would double): exactly-once here relies on the pointer flip
-    being the last step — a crash before the flip leaves the previous
-    snapshot live and the orphan directory unreferenced."""
+    Idempotent under checkpoint REPLAY on both sides of the publish: a
+    crash BEFORE the pointer flip leaves the previous snapshot live and
+    the orphan directory unreferenced; a crash AFTER the flip (but
+    before the checkpoint commit) is caught by :func:`_merge_base` — the
+    pointer records its predecessor, and a replayed batch re-merges into
+    THAT, never into its own earlier attempt, so counts are never
+    doubled."""
     from mini_etl_spark.functions.lm import merge_bigram_lms, train_bigram_lm
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = train_bigram_lm(batch_df, text_col, id_col)
-        current = read_latest_snapshot(spark, model_path)
+        # replay-safe base (_merge_base): a replayed batch re-merges into
+        # the PREDECESSOR snapshot, so its counts are never summed twice
+        current = _merge_base(spark, model_path, batch_id)
         merged = merge_bigram_lms(current, delta) if current is not None else delta
         _publish_snapshot(merged, model_path, batch_id)
 
@@ -519,15 +596,16 @@ def stream_lm_gate(
 
 def read_latest_snapshot(spark: SparkSession, target_path: str) -> DataFrame | None:
     """Read the snapshot the ``_LATEST`` pointer names (see
-    :func:`stream_upsert_to_parquet`); None when no snapshot exists yet."""
+    :func:`stream_upsert_to_parquet`); None when no snapshot exists yet.
+    Consume the returned frame promptly: the publisher retains a
+    superseded snapshot for one further publish cycle (the recorded
+    predecessor), then GCs it."""
     import os
 
-    pointer = os.path.join(target_path, "_LATEST")
-    if not os.path.exists(pointer):
+    p = _read_pointer(target_path)
+    if not p:
         return None
-    with open(pointer) as fh:
-        snap = fh.read().strip()
-    return spark.read.parquet(os.path.join(target_path, snap))
+    return spark.read.parquet(os.path.join(target_path, p["snap"]))
 
 
 def run_stream_to_memory(
@@ -606,15 +684,17 @@ def stream_cm_update(
     The 100 TB frequency-state shape: per batch the corpus is touched
     once, and only sketch-sized (≤ depth·width rows) frames merge —
     heavy-hitter queries over an unbounded stream with constant state.
-    Same replay caveat as the LM trainer: exactly-once relies on the
-    pointer flip being last (a crash before it leaves the previous
-    snapshot live and the orphan unreferenced)."""
+    Same replay protocol as the LM trainer: a crash before the pointer
+    flip leaves the previous snapshot live; a replay after the flip
+    re-merges into the recorded PREDECESSOR (:func:`_merge_base`), so
+    cell counts are never summed twice."""
     from mini_etl_spark.functions.text import cm_merge, cm_sketch_table
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = cm_sketch_table(batch_df, text_col, id_col, depth, width, seed)
-        current = read_latest_snapshot(spark, sketch_path)
+        # replay-safe base: see stream_lm_update
+        current = _merge_base(spark, sketch_path, batch_id)
         merged = cm_merge(current, delta) if current is not None else delta
         _publish_snapshot(merged, sketch_path, batch_id)
 

@@ -511,3 +511,105 @@ def test_snapshot_reader_ignores_half_published_snap(spark, tmp_path):
     )
     after = sorted(r.doc_id for r in read_latest_snapshot(spark, out).collect())
     assert after == before and 999 not in after
+
+
+# ---------------------------------------------------------------------------
+# snapshot sinks: replay-safe merge base + bounded snap retention
+# ---------------------------------------------------------------------------
+
+
+def test_lm_update_replay_after_flip_no_double_count(spark, tmp_path):
+    """The LM trainer's documented replay caveat is closed: a crash
+    AFTER the pointer flip but BEFORE the checkpoint commit replays the
+    batch, which now re-merges into the recorded PREDECESSOR snapshot —
+    the final model equals training on the full corpus, counts never
+    doubled."""
+    from mini_etl_spark.functions.lm import train_bigram_lm
+    from mini_etl_spark.streaming import read_latest_snapshot
+    from mini_etl_spark.streaming.events import stream_lm_update
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    mdir = str(tmp_path / "model")
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    b1 = [(1, "the cat sat on the mat"), (2, "the dog sat")]
+    b2 = [(3, "the cat ran far away"), (4, "a dog ran")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f1"))
+    stream_lm_update(_file_stream(spark, src, schema), mdir, str(ckpt))
+    # crash in the flip -> checkpoint-commit window: the marker batch
+    # replays and re-merges. Pre-fix, its bigram counts doubled.
+    _drop_commit(ckpt)
+    stream_lm_update(_file_stream(spark, src, schema), mdir, str(ckpt))
+
+    got = {
+        (r.prev, r.cur): r.cnt
+        for r in read_latest_snapshot(spark, mdir).collect()
+    }
+    want = {
+        (r.prev, r.cur): r.cnt
+        for r in train_bigram_lm(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_snapshot_retention_bounded_with_reader_grace(spark, tmp_path):
+    """Superseded snap= directories are GC'd down to current+predecessor
+    after every publish, a reader holding the pre-publish snapshot still
+    collects (one-cycle grace), and the final state is the full upsert."""
+    from mini_etl_spark.streaming import read_latest_snapshot
+    from mini_etl_spark.streaming.events import stream_upsert_to_parquet
+
+    schema = "k long, val string"
+    src = tmp_path / "src"
+    target = tmp_path / "target"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    for b in range(5):
+        spark.createDataFrame(
+            [(i, f"v{b}") for i in range(b, b + 3)], schema
+        ).coalesce(1).write.parquet(str(src / f"f{b}"))
+    stream_upsert_to_parquet(_file_stream(spark, src, schema), str(target),
+                             ["k"], ckpt)
+    snaps = sorted(d.name for d in target.iterdir()
+                   if d.name.startswith("snap="))
+    assert snaps == ["snap=3", "snap=4"]   # current + grace predecessor
+
+    reader = read_latest_snapshot(spark, str(target))   # resolves snap=4
+    spark.createDataFrame([(100, "tail")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f5"))
+    stream_upsert_to_parquet(_file_stream(spark, src, schema), str(target),
+                             ["k"], ckpt)               # publishes snap=5
+    assert {r.k: r.val for r in reader.collect()} == {
+        0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "v4", 5: "v4", 6: "v4"
+    }                                                    # grace kept snap=4
+    latest = {r.k: r.val
+              for r in read_latest_snapshot(spark, str(target)).collect()}
+    assert latest[100] == "tail" and len(latest) == 8
+    snaps = sorted(d.name for d in target.iterdir()
+                   if d.name.startswith("snap="))
+    assert snaps == ["snap=4", "snap=5"]
+
+
+def test_latest_pointer_backcompat_plain_format(spark, tmp_path):
+    """A pre-round-8 plain-text _LATEST file still resolves for both the
+    reader and the merge base; a replayed FIRST batch (no predecessor)
+    rebuilds from an empty base."""
+    from mini_etl_spark.streaming import read_latest_snapshot
+    from mini_etl_spark.streaming.events import _merge_base
+
+    target = tmp_path / "target"
+    target.mkdir()
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        str(target / "snap=0")
+    )
+    (target / "_LATEST").write_text("snap=0")   # legacy plain format
+    assert [r.k for r in read_latest_snapshot(spark, str(target)).collect()] == [1]
+    base = _merge_base(spark, str(target), 1)   # later batch: current snap
+    assert [r.k for r in base.collect()] == [1]
+    # replay of batch 0 under a legacy pointer: predecessor unknown/None
+    assert _merge_base(spark, str(target), 0) is None
