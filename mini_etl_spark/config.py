@@ -85,13 +85,9 @@ def _parse_freq_cap(cap):
     if cap is None or cap == "auto":
         return cap
     if isinstance(cap, str) and cap.startswith("auto:"):
-        try:
-            int(float(cap.split(":", 1)[1]))
-        except ValueError:
-            raise ValueError(
-                f"max_*_freq budget must be numeric "
-                f"('auto:<candidate-volume>'), got {cap!r}"
-            ) from None
+        from mini_etl_spark.operators.skew import parse_freq_budget
+
+        parse_freq_budget(cap)  # build-time validation, same grammar
         return cap
     return int(cap)
 

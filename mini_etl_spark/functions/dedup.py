@@ -78,16 +78,12 @@ def _resolve_freq_cap(freq: DataFrame, cap) -> tuple[DataFrame, int]:
     drops, so per-batch callers (the streaming index gate) cannot pin
     one cache entry per call the way persist() would."""
     if isinstance(cap, str) and (cap == "auto" or cap.startswith("auto:")):
-        from mini_etl_spark.operators.skew import auto_frequency_cap
+        from mini_etl_spark.operators.skew import (
+            auto_frequency_cap,
+            parse_freq_budget,
+        )
 
-        budget = None
-        if ":" in cap:
-            try:
-                budget = int(float(cap.split(":", 1)[1]))
-            except ValueError:
-                raise ValueError(
-                    f"frequency cap budget must be numeric, got {cap!r}"
-                ) from None
+        budget = parse_freq_budget(cap) if ":" in cap else None
         freq = freq.localCheckpoint(eager=True)
         return freq, auto_frequency_cap(freq, max_candidate_volume=budget)
     if not isinstance(cap, int):

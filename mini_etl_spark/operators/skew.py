@@ -62,6 +62,22 @@ def key_skew_stats(
     )
 
 
+def parse_freq_budget(cap: str) -> int:
+    """The numeric candidate-volume budget inside an ``"auto:<budget>"``
+    cap string (scientific notation accepted, e.g. ``"auto:1e9"``).
+    THE one parser for the budget grammar — config-time validation
+    (config._parse_freq_cap) and runtime resolution
+    (functions.dedup._resolve_freq_cap) both call it, so the accepted
+    form can never drift between the two."""
+    try:
+        return int(float(cap.split(":", 1)[1]))
+    except ValueError:
+        raise ValueError(
+            f"frequency cap budget must be numeric "
+            f"('auto:<candidate-volume>'), got {cap!r}"
+        ) from None
+
+
 def auto_frequency_cap(
     freq: DataFrame,
     count_col: str = "__f",
@@ -170,7 +186,10 @@ def _budget_fit_frame(freq: DataFrame, count_col: str) -> DataFrame:
         freq.select(F.col(count_col).cast("long").alias("__c"))
         .groupBy("__c")
         .agg(
-            F.sum((F.col("__c") * F.col("__c")).cast("double")).alias("__vol")
+            # cast BEFORE multiplying: long·long wraps negative past
+            # 2^63 (df > ~3.04e9 — reachable at the corpus scale this
+            # budget targets) and would silently understate the volume
+            F.sum(F.col("__c").cast("double") * F.col("__c")).alias("__vol")
         )
     )
     return per_value.withColumn(

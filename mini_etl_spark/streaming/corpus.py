@@ -213,7 +213,10 @@ def read_token_shards(spark: SparkSession, out_path: str) -> DataFrame | None:
     ids = [i for i in _committed_batches(spark, out_path) if i > upto]
     parts = []
     if st:
-        parts.append(spark.read.parquet(st["dir"]))
+        # generation dir derived from upto (never the pointer's recorded
+        # absolute path) so a copied/relocated output root reads ITS OWN
+        # generation, not the original location's
+        parts.append(spark.read.parquet(_gen_dir(out_path, upto)))
     if ids:
         dirs = [f"{root}/batch={i}" for i in ids]
         parts.append(
@@ -246,11 +249,18 @@ def _output_batch_dirs(spark: SparkSession, out_path: str) -> dict[int, str]:
     return out
 
 
-def _existing_output_query_ids(spark: SparkSession, out_path: str) -> set:
-    """Non-empty query ids recorded in the output's commit markers and
-    compaction pointer — the persisted identity of the checkpoint
-    incarnation(s) that produced it. Unreadable documents are skipped
-    (they cannot positively identify a FOREIGN incarnation)."""
+def _existing_output_query_ids(
+    spark: SparkSession, out_path: str, max_markers: int = 16
+) -> set:
+    """Non-empty query ids recorded in the output's compaction pointer
+    and its NEWEST ``max_markers`` commit markers — the persisted
+    identity of the checkpoint incarnation(s) that produced it.
+    Unreadable documents are skipped (they cannot positively identify a
+    FOREIGN incarnation). The scan is bounded and newest-first so a
+    compaction-disabled output with 10⁵ markers costs ~16 driver-side
+    reads at stream start, not one per batch ever published; within one
+    incarnation every marker carries the same id, so the newest ones
+    are as authoritative as all of them."""
     qids = set()
     try:
         st = _read_state(spark, _output_pointer(out_path))
@@ -258,14 +268,25 @@ def _existing_output_query_ids(spark: SparkSession, out_path: str) -> set:
             qids.add(str(st["query_id"]))
     except ValueError:
         pass
-    for i in _committed_batches(spark, out_path):
+    newest_first = sorted(_committed_batches(spark, out_path), reverse=True)
+    for i in newest_first[:max_markers]:
         try:
             doc = _read_state(spark, f"{_commit_dir(out_path)}/{i}.json")
         except ValueError:
             continue
         if doc.get("query_id"):
             qids.add(str(doc["query_id"]))
+            break  # one readable id identifies the incarnation
     return qids
+
+
+def _gen_dir(out_path: str, upto: int) -> str:
+    """A compacted generation's directory, DERIVED from its upto value —
+    never read back from the pointer document, so a copied/relocated
+    output root keeps working (the pointer still records ``dir`` for
+    human debugging, but trusting a persisted absolute path would read
+    stale data from the old location after a copy)."""
+    return f"{out_path.rstrip('/')}/compact/upto={upto}"
 
 
 def _compact_output(
@@ -274,6 +295,7 @@ def _compact_output(
     upto: int,
     shard_col: str,
     query_id: str,
+    options: dict | None = None,
 ) -> None:
     """Fold the compacted generation + every COMMITTED ``batch=K`` dir
     with ``K <= upto`` into one new shard-partitioned generation, flip
@@ -309,14 +331,18 @@ def _compact_output(
         .parquet(*[f"{root}/batch={i}" for i in new_ids])
         .drop("batch")
     )
-    full = spark.read.parquet(st["dir"]).unionByName(new) if st else new
-    target = f"{root}/compact/upto={upto}"
-    (
-        full.repartition(F.col(shard_col))
-        .write.mode("overwrite")
-        .partitionBy(shard_col)
-        .parquet(target)
+    prev_gen = _gen_dir(out_path, prev_upto)
+    full = spark.read.parquet(prev_gen).unionByName(new) if st else new
+    target = _gen_dir(out_path, upto)
+    writer = (
+        full.repartition(F.col(shard_col)).write.mode("overwrite")
     )
+    # same writer options (compression, …) as the per-batch publishes —
+    # the generation holds nearly all the data, so dropping them here
+    # would silently override the sink's configuration for the bulk
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy(shard_col).parquet(target)
     _write_state(
         spark, pointer, {"upto": upto, "dir": target, "query_id": query_id}
     )
@@ -324,7 +350,7 @@ def _compact_output(
     # one the PRE-flip pointer named (in-flight readers may hold it);
     # batch dirs and markers <= prev_upto (invisible since the previous
     # flip — includes replay-orphan rewrites of long-folded batches)
-    keep = {target} | ({st["dir"]} if st else set())
+    keep = {target} | ({prev_gen} if st else set())
     jvm = spark._jvm
     fs, _ = _state_io(spark, root)
     gc = []
@@ -471,9 +497,12 @@ def stream_token_shards(
     # ones. Skipped only when the current checkpoint EXISTS but its
     # metadata is unreadable (the documented degraded-wildcard mode);
     # a fresh checkpoint (no metadata yet) against foreign markers raises.
-    _meta_exists = fs.exists(
-        _state_io(_session, checkpoint.rstrip("/") + "/metadata")[1]
+    # the checkpoint may live on a DIFFERENT filesystem than out_path
+    # (hdfs:// checkpoint, s3a:// output) — resolve its own fs
+    _meta_fs, _meta_path = _state_io(
+        _session, checkpoint.rstrip("/") + "/metadata"
     )
+    _meta_exists = _meta_fs.exists(_meta_path)
     _ckpt_qid = _checkpoint_query_id(_session, checkpoint)
     if not (_meta_exists and not _ckpt_qid):
         _foreign = {
@@ -502,7 +531,8 @@ def stream_token_shards(
             # directory, so no row ever lands in both the generation and
             # a live batch dir
             _compact_output(
-                spark, out_path, batch_id - 1, shard_col, qid
+                spark, out_path, batch_id - 1, shard_col, qid,
+                options=options,
             )
         offset = _resolve_offset(_read_state(spark, state), batch_id, qid)
         assigned = token_balanced_shard_ids(

@@ -234,10 +234,10 @@ def stream_stream_join(
 
 
 def _read_pointer(target_path: str) -> dict:
-    """The ``_LATEST`` pointer as ``{"snap": name, "prev": name|None}``
-    (empty dict when absent). Reads both formats: the JSON document
-    written since round 8, and the original plain ``snap=B`` line (no
-    recorded predecessor)."""
+    """The ``_LATEST`` pointer as ``{"snap": name, "prev": name|None,
+    "query_id": str}`` (empty dict when absent). Reads both formats: the
+    JSON document written since round 8, and the original plain
+    ``snap=B`` line (no recorded predecessor or query id)."""
     import json
     import os
 
@@ -248,11 +248,53 @@ def _read_pointer(target_path: str) -> dict:
         text = fh.read().strip()
     if text.startswith("{"):
         doc = json.loads(text)
-        return {"snap": doc["snap"], "prev": doc.get("prev")}
-    return {"snap": text, "prev": None}
+        return {
+            "snap": doc["snap"],
+            "prev": doc.get("prev"),
+            "query_id": str(doc.get("query_id") or ""),
+        }
+    return {"snap": text, "prev": None, "query_id": ""}
 
 
-def _publish_snapshot(df: DataFrame, target_path: str, batch_id: int) -> None:
+def _snapshot_incarnation_guard(
+    spark: SparkSession, target_path: str, checkpoint: str
+) -> None:
+    """Refuse to start a MERGE-shaped snapshot sink (upsert / LM / CM —
+    sinks whose target IS their state) against a target produced by a
+    DIFFERENT checkpoint incarnation: batch ids restart at 0 for a fresh
+    checkpoint, so batch 0 would collide with the old ``snap=0``, be
+    misdetected as a replay by :func:`_merge_base`, and overwrite the
+    accumulated state with the new batch's delta alone. Wipe the target
+    TOGETHER with the checkpoint to start over. Skipped when the
+    checkpoint EXISTS but its metadata is unreadable (the documented
+    degraded mode), and for pre-round-8 pointers that recorded no query
+    id (cannot positively identify a foreign incarnation)."""
+    from mini_etl_spark.streaming.corpus import (
+        _checkpoint_query_id,
+        _state_io,
+    )
+
+    fs, meta = _state_io(spark, checkpoint.rstrip("/") + "/metadata")
+    meta_exists = fs.exists(meta)
+    qid = _checkpoint_query_id(spark, checkpoint)
+    if meta_exists and not qid:
+        return  # degraded: metadata unreadable — wildcard mode
+    stored = str(_read_pointer(target_path).get("query_id") or "")
+    if stored and stored != qid:
+        raise ValueError(
+            f"snapshot target {target_path!r} was produced by a "
+            f"different checkpoint incarnation (query id {stored!r} != "
+            f"{qid or '<fresh checkpoint>'!r}). Batch ids restart at 0 "
+            "for a fresh checkpoint and would overwrite the accumulated "
+            "state with one batch's delta. Wipe the target TOGETHER "
+            "with the checkpoint to reprocess from scratch, or resume "
+            "the original checkpoint."
+        )
+
+
+def _publish_snapshot(
+    df: DataFrame, target_path: str, batch_id: int, query_id: str = ""
+) -> None:
     """Write ``df`` as ``snap={batch_id}`` under ``target_path`` and flip
     the ``_LATEST`` pointer atomically (os.replace) — the shared
     publication protocol of every snapshot-maintaining foreachBatch sink
@@ -289,7 +331,9 @@ def _publish_snapshot(df: DataFrame, target_path: str, batch_id: int) -> None:
     df.write.mode("overwrite").parquet(snap)
     tmp = os.path.join(target_path, "_LATEST.tmp")
     with open(tmp, "w") as fh:
-        fh.write(json.dumps({"snap": name, "prev": prev_name}))
+        fh.write(json.dumps(
+            {"snap": name, "prev": prev_name, "query_id": query_id}
+        ))
     os.replace(tmp, os.path.join(target_path, "_LATEST"))
     keep = {name, prev_name}
     for entry in os.listdir(target_path):
@@ -355,8 +399,15 @@ def stream_upsert_to_parquet(
     """
     from mini_etl_spark.operators.merge import merge_upsert
 
+    _snapshot_incarnation_guard(
+        stream_df.sparkSession, target_path, checkpoint
+    )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from mini_etl_spark.streaming.corpus import _checkpoint_query_id
+
         spark = batch_df.sparkSession
+        qid = _checkpoint_query_id(spark, checkpoint)
         # replay-safe base: a replayed batch merges into the PREDECESSOR
         # snapshot, never its own earlier attempt (idempotent either way
         # for upsert, but keeps the snapshot chain's lineage honest)
@@ -382,7 +433,7 @@ def stream_upsert_to_parquet(
         merged = (
             merge_upsert(current, delta, keys) if current is not None else delta
         )
-        _publish_snapshot(merged, target_path, batch_id)
+        _publish_snapshot(merged, target_path, batch_id, qid)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -523,14 +574,21 @@ def stream_lm_update(
     doubled."""
     from mini_etl_spark.functions.lm import merge_bigram_lms, train_bigram_lm
 
+    _snapshot_incarnation_guard(
+        stream_df.sparkSession, model_path, checkpoint
+    )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from mini_etl_spark.streaming.corpus import _checkpoint_query_id
+
         spark = batch_df.sparkSession
         delta = train_bigram_lm(batch_df, text_col, id_col)
         # replay-safe base (_merge_base): a replayed batch re-merges into
         # the PREDECESSOR snapshot, so its counts are never summed twice
         current = _merge_base(spark, model_path, batch_id)
         merged = merge_bigram_lms(current, delta) if current is not None else delta
-        _publish_snapshot(merged, model_path, batch_id)
+        _publish_snapshot(merged, model_path, batch_id,
+                          _checkpoint_query_id(spark, checkpoint))
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -690,13 +748,20 @@ def stream_cm_update(
     cell counts are never summed twice."""
     from mini_etl_spark.functions.text import cm_merge, cm_sketch_table
 
+    _snapshot_incarnation_guard(
+        stream_df.sparkSession, sketch_path, checkpoint
+    )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from mini_etl_spark.streaming.corpus import _checkpoint_query_id
+
         spark = batch_df.sparkSession
         delta = cm_sketch_table(batch_df, text_col, id_col, depth, width, seed)
         # replay-safe base: see stream_lm_update
         current = _merge_base(spark, sketch_path, batch_id)
         merged = cm_merge(current, delta) if current is not None else delta
-        _publish_snapshot(merged, sketch_path, batch_id)
+        _publish_snapshot(merged, sketch_path, batch_id,
+                          _checkpoint_query_id(spark, checkpoint))
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -32,6 +32,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from scripts.scale_check import BASE, BIG, REPLICAS, build_big  # noqa: E402
 
 BUDGET = int(float(os.environ.get("SCALE_SJ_BUDGET", "1e7")))
+# the UNCAPPED reference pair set is only executed when its candidate
+# volume fits this bound — above it, the uncapped join IS the scale
+# hazard the caps exist to prevent (measured: at 20x the fixture's
+# 7.6e8 uncapped candidates funnel through a handful of mega-hot
+# elements, grinding a single skewed partition for hours), so the
+# artifact records its volume and skips executing it.
+UNCAPPED_LIMIT = int(float(os.environ.get("SCALE_SJ_UNCAPPED_LIMIT", "2e8")))
 
 
 def _tags(spark, sf_dir):
@@ -103,30 +110,42 @@ def main() -> None:
         vols = _volumes(spark, sf_dir, derived)
         capped, t_capped = _pairs(spark, sf_dir, f"auto:{BUDGET}")
         fixed, t_fixed = _pairs(spark, sf_dir, 1000)
-        uncapped, t_uncapped = _pairs(spark, sf_dir, None)
+        run_uncapped = vols["uncapped"] <= UNCAPPED_LIMIT
+        if run_uncapped:
+            uncapped, t_uncapped = _pairs(spark, sf_dir, None)
+        else:
+            uncapped, t_uncapped = None, None
         out["scales"][label] = {
             "derived_budget_cap": derived,
             "volumes": vols,
             "pairs": {
                 "budget": len(capped),
                 "cap1000": len(fixed),
-                "uncapped": len(uncapped),
+                "uncapped": len(uncapped) if run_uncapped else None,
             },
             "seconds": {
                 "budget": round(t_capped, 3),
                 "cap1000": round(t_fixed, 3),
-                "uncapped": round(t_uncapped, 3),
+                "uncapped": round(t_uncapped, 3) if run_uncapped else None,
             },
             "recall_budget_vs_cap1000": round(
                 len(capped & fixed) / len(fixed), 4
             ) if fixed else 1.0,
-            "recall_budget_vs_uncapped": round(
+            "recall_budget_vs_uncapped": (round(
                 len(capped & uncapped) / len(uncapped), 4
-            ) if uncapped else 1.0,
-            "recall_cap1000_vs_uncapped": round(
+            ) if uncapped else 1.0) if run_uncapped else None,
+            "recall_cap1000_vs_uncapped": (round(
                 len(fixed & uncapped) / len(uncapped), 4
-            ) if uncapped else 1.0,
-            "false_pairs_budget_vs_uncapped": len(capped - uncapped),
+            ) if uncapped else 1.0) if run_uncapped else None,
+            "false_pairs_budget_vs_uncapped": (
+                len(capped - uncapped) if run_uncapped else None
+            ),
+            "uncapped_skipped": None if run_uncapped else (
+                f"uncapped candidate volume {vols['uncapped']:.3g} exceeds "
+                f"SCALE_SJ_UNCAPPED_LIMIT={UNCAPPED_LIMIT:.3g} — executing "
+                "it is the exact single-reducer hazard the caps prevent; "
+                "volume recorded, join skipped"
+            ),
         }
         print(f"# {label}: {out['scales'][label]}", file=sys.stderr)
 

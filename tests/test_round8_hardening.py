@@ -613,3 +613,100 @@ def test_latest_pointer_backcompat_plain_format(spark, tmp_path):
     assert [r.k for r in base.collect()] == [1]
     # replay of batch 0 under a legacy pointer: predecessor unknown/None
     assert _merge_base(spark, str(target), 0) is None
+
+
+# ---------------------------------------------------------------------------
+# round-8 code-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_budget_fit_survives_beyond_long_square_overflow(spark):
+    """df² for a single key past ~3.04e9 overflows long·long; the volume
+    must be computed in double space so the fitted cap stays honest."""
+    from mini_etl_spark.operators.skew import _budget_fit_frame, auto_frequency_cap
+
+    freq = spark.createDataFrame(
+        [("hot", 4_000_000_000)], "k string, __f long"
+    )
+    row = _budget_fit_frame(freq, "__f").collect()[0]
+    assert row["__cum"] == pytest.approx(1.6e19, rel=1e-6)  # not negative
+    # nothing fits a 1e9 budget -> fitted cap degrades to 1 (floor wins)
+    assert auto_frequency_cap(freq, floor=1, max_candidate_volume=10**9) == 1
+
+
+def test_output_compaction_respects_writer_options(spark, tmp_path):
+    """The compacted generation is written with the same parquet options
+    as the per-batch publishes (compression shows up in file names)."""
+    from mini_etl_spark.streaming import stream_token_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, "tok " * (1 + i)) for i in range(3)], schema
+        ).coalesce(1).write.parquet(str(src / f"f{b}"))
+    stream_token_shards(_file_stream(spark, src, schema), str(out),
+                        str(tmp_path / "ckpt"), tokens_per_shard=9, seed=1,
+                        compact_every=3, options={"compression": "gzip"})
+    gen = out / "compact" / "upto=2"
+    files = list(gen.rglob("*.parquet"))
+    assert files and all(".gz.parquet" in f.name for f in files)
+
+
+def test_read_token_shards_survives_output_relocation(spark, tmp_path):
+    """The generation directory is derived from the pointer's upto, not
+    its recorded absolute path — a copied output root reads its OWN
+    files, so relocation cannot silently serve stale data."""
+    import shutil
+
+    from mini_etl_spark.streaming import read_token_shards, stream_token_shards
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, "tok " * (1 + i)) for i in range(3)], schema
+        ).coalesce(1).write.parquet(str(src / f"f{b}"))
+    stream_token_shards(_file_stream(spark, src, schema), str(out),
+                        str(tmp_path / "ckpt"), tokens_per_shard=9, seed=1,
+                        compact_every=3)
+    want = sorted(r.doc_id for r in read_token_shards(spark, str(out)).collect())
+    moved = tmp_path / "relocated"
+    shutil.copytree(out, moved)
+    shutil.rmtree(out)     # the ORIGINAL location is gone
+    got = sorted(r.doc_id for r in read_token_shards(spark, str(moved)).collect())
+    assert got == want and len(got) == 12
+
+
+def test_snapshot_sink_incarnation_guard(spark, tmp_path):
+    """A fresh checkpoint against an existing merge-shaped snapshot
+    target raises at stream start (batch 0 would be misread as a replay
+    of the old snap=0 and overwrite the accumulated state); resuming the
+    original checkpoint keeps working."""
+    from mini_etl_spark.streaming import read_latest_snapshot
+    from mini_etl_spark.streaming.events import stream_lm_update
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    mdir = str(tmp_path / "model")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    spark.createDataFrame([(1, "the cat sat")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    stream_lm_update(_file_stream(spark, src, schema), mdir, ckpt)
+
+    with pytest.raises(ValueError, match="different checkpoint incarnation"):
+        stream_lm_update(_file_stream(spark, src, schema), mdir,
+                         str(tmp_path / "fresh_ckpt"))
+
+    spark.createDataFrame([(2, "the dog ran")], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    stream_lm_update(_file_stream(spark, src, schema), mdir, ckpt)
+    model = read_latest_snapshot(spark, mdir)
+    assert model.count() > 0
