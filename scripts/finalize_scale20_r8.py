@@ -15,23 +15,27 @@ import sys
 
 d = json.load(open("/tmp/scale20_r8.json"))
 
+# clean-session re-measurements: a full scale_check run restricted to
+# the flagged queries (SCALE_QUERIES=...), written by the same script
+# with the same warm/clear protocol — both base and big timings replace
+# the contended in-sweep pair; raw values are preserved per query
+REMEASURE_PATH = os.environ.get("SCALE_REMEASURE_JSON",
+                                "/tmp/remeasure_r8.json")
 remeasured = {}
-for pair in os.environ.get("SCALE_REMEASURED", "").split(","):
-    if "=" in pair:
-        name, sec = pair.split("=", 1)
-        remeasured[name.strip()] = float(sec)
+if os.path.exists(REMEASURE_PATH):
+    remeasured = json.load(open(REMEASURE_PATH))["results"]
 
-for name, big_s in remeasured.items():
+for name, clean in remeasured.items():
     r = d["results"].get(name)
     if not r:
         continue
-    r["big_s_raw_in_sweep"] = r["big_s"]
-    r["time_ratio_raw_in_sweep"] = r["time_ratio"]
-    r["big_s"] = round(big_s, 3)
-    ratio = big_s / r["base_s"] if r["base_s"] else None
-    r["time_ratio"] = round(ratio, 2) if ratio else None
-    allowed = max(r["data_ratio"], r["rows_ratio"]) * 1.25
-    r["superlinear"] = bool(ratio and ratio > allowed)
+    if "time_ratio_raw_in_sweep" not in r:
+        r["base_s_raw_in_sweep"] = r["base_s"]
+        r["big_s_raw_in_sweep"] = r["big_s"]
+        r["time_ratio_raw_in_sweep"] = r["time_ratio"]
+    for k in ("base_s", "big_s", "time_ratio", "rows_ratio",
+              "superlinear", "output_bound", "base_rows", "big_rows"):
+        r[k] = clean[k]
     r["remeasured_clean_session"] = True
 
 d["n_superlinear"] = sum(1 for r in d["results"].values() if r["superlinear"])
