@@ -21,6 +21,15 @@ for vectors):
   is atomic-enough for a single-writer ingest loop; concurrent writers
   should serialize appends (same contract as any parquet dataset).
 
+Retention: every append adds one small file per component per batch —
+at a real trigger cadence (``streaming.stream_dedup_against_index``)
+the index accrues thousands of tiny files and every probe pays the
+per-file open cost. Fold them on a maintenance cadence with
+:func:`mini_etl_spark.maintenance.compact_minhash_index` (in-place,
+crash-recovering two-rename swap, band partitioning preserved, probe
+results unchanged) — it joins the same serialized write schedule as the
+appends.
+
 Scale notes (100 TB): the index is O(docs × num_hashes × 8 bytes) — ~0.5 KB
 per document at the default 64 hashes, i.e. ~3 orders of magnitude smaller
 than the text it summarizes. The batch-vs-index join shuffles only

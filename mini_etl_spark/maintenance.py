@@ -221,6 +221,115 @@ def compact_parquet(
     return {"before": before, "after": after, "target_files": n}
 
 
+def compact_dataset_inplace(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite ONE parquet dataset directory into ~``target_file_mb``
+    files IN PLACE, preserving single-level hive partitioning when
+    ``partition_by`` is given. The swap is two renames with a recovery
+    rule instead of a bare overwrite (which deletes the only copy before
+    the rewrite is durable):
+
+    1. rewrite into ``<path>.compact-tmp``;
+    2. rename ``<path>`` → ``<path>.old``;
+    3. rename the tmp into place;
+    4. delete ``<path>.old``.
+
+    A crash before (2) leaves the live dataset untouched (stray tmp is
+    cleaned on the next run); a crash between (2) and (3) leaves only
+    ``.old``, which the NEXT call (or any caller) restores by renaming
+    it back — that recovery runs automatically at the top of this
+    function. A crash between (3) and (4) leaves a stale ``.old`` that
+    the next run deletes. WRITERS MUST BE QUIESCED for the duration
+    (the same serialize-appends contract the incremental index already
+    documents); an in-flight reader that listed files before the swap
+    may hit FileNotFound and should re-read — the caveat every in-place
+    OPTIMIZE without a transactional table format carries.
+
+    Returns before/after :func:`dataset_stats`."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path + ".old")
+    # recovery: a crash between the two swap renames left only .old
+    if not fs.exists(hpath) and fs.exists(old):
+        if not fs.rename(old, hpath):
+            raise IOError(f"could not restore {path!r} from its .old backup")
+    fs.delete(tmp, True)  # stray tmp from a pre-swap crash
+    fs.delete(old, True)  # stale backup from a post-swap crash
+    before = dataset_stats(spark, path)
+    n = max(1, math.ceil(before["total_bytes"] / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    writer = (
+        df.repartition(n, *partition_by) if partition_by else df.repartition(n)
+    ).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path + ".compact-tmp")
+    if not fs.rename(hpath, old):
+        raise IOError(f"could not stage {path!r} for the compaction swap")
+    if not fs.rename(tmp, hpath):
+        # put the original back rather than leaving the dataset missing
+        fs.rename(old, hpath)
+        raise IOError(f"could not publish compacted {path!r}")
+    fs.delete(old, True)
+    after = dataset_stats(spark, path)
+    return {"before": before, "after": after, "target_files": n}
+
+
+def compact_minhash_index(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> dict:
+    """Compact an incremental dedup index
+    (:mod:`mini_etl_spark.functions.dedup_index`) in place: every
+    per-batch ``mode("append")`` from the ingestion gate
+    (``minhash_index_filter(append_survivors=True)``,
+    ``fingerprint_index_filter``, or the streaming
+    ``stream_dedup_against_index``) adds one small file per component
+    per batch — at a real trigger cadence the index accrues thousands
+    of tiny files and every probe pays the per-file open cost. This
+    folds each component (``signatures``, the band-partitioned
+    ``bands`` postings — hive layout preserved so probes keep pruning
+    by band — and the exact-gate ``fingerprints``) into
+    ~``target_file_mb`` files via :func:`compact_dataset_inplace`.
+
+    Run it between batches on the index's maintenance cadence — the
+    index already requires appends to be serialized, and this operation
+    joins that schedule as just another (write) turn. Probe results are
+    unchanged (pytest-gated: identical survivors before/after).
+    Returns per-component before/after stats."""
+    import os
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    out = {}
+    for comp, part_by in (
+        ("signatures", None),
+        ("bands", ["band"]),
+        ("fingerprints", None),
+    ):
+        cdir = os.path.join(path, comp)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(cdir)) and not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(cdir + ".old")
+        ):
+            continue
+        out[comp] = compact_dataset_inplace(
+            spark, cdir, target_file_mb, partition_by=part_by
+        )
+    if not out:
+        raise ValueError(
+            f"compact_minhash_index: {path!r} holds no index components "
+            "(signatures/bands/fingerprints)"
+        )
+    return out
+
+
 def zorder_value(df, columns: list[str], bits: int = 16):
     """Z-order (Morton) key over 2+ numeric columns: each column is
     bucketed into ``2^bits`` min-max buckets (bounds from ONE tiny

@@ -710,3 +710,81 @@ def test_snapshot_sink_incarnation_guard(spark, tmp_path):
     stream_lm_update(_file_stream(spark, src, schema), mdir, ckpt)
     model = read_latest_snapshot(spark, mdir)
     assert model.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# incremental-index compaction (the third streaming surface's retention)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_minhash_index_inplace(spark, tmp_path):
+    """Per-batch appends accrue small files in every index component;
+    compact_minhash_index folds them in place — probe results identical,
+    band hive-partitioning preserved, file count reduced."""
+    from mini_etl_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_filter,
+        minhash_index_write,
+    )
+    from mini_etl_spark.maintenance import compact_minhash_index, dataset_stats
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = [(1, "the quick brown fox jumps over the lazy dog tonight"),
+              (2, "completely different sentence about database engines")]
+    path = str(tmp_path / "idx")
+    minhash_index_write(_df(corpus), path, num_hashes=32, bands=8)
+    for b in range(5):  # one small append per "micro-batch"
+        minhash_index_append(
+            _df([(100 + b, f"novel document number {b} about topic {b}")]),
+            path,
+        )
+    probe = [(900, corpus[0][1]),               # near-dup of indexed doc 1
+             (901, "an entirely fresh sentence never indexed before")]
+    before_kept = {r.doc_id for r in minhash_index_filter(_df(probe), path).collect()}
+    before_files = dataset_stats(spark, path + "/bands")["n_files"]
+
+    stats = compact_minhash_index(spark, path)
+    assert set(stats) == {"signatures", "bands"}
+    assert stats["bands"]["after"]["n_files"] < before_files
+    # hive band layout survives (probes prune by band)
+    bands = [d.name for d in (tmp_path / "idx" / "bands").iterdir()
+             if d.is_dir()]
+    assert bands and all(b.startswith("band=") for b in bands)
+    after_kept = {r.doc_id for r in minhash_index_filter(_df(probe), path).collect()}
+    assert after_kept == before_kept == {901}
+
+
+def test_compact_dataset_inplace_crash_recovery(spark, tmp_path):
+    """The two-rename swap recovers from every crash window: stray
+    .compact-tmp (pre-swap), only-.old (between renames), and a stale
+    .old next to the live dataset (post-swap)."""
+    import shutil
+
+    from mini_etl_spark.maintenance import compact_dataset_inplace
+
+    d = tmp_path / "ds"
+    spark.range(100).selectExpr("id", "id % 3 AS g").repartition(
+        8
+    ).write.parquet(str(d))
+    want = set(range(100))
+
+    # pre-swap crash: stray tmp with garbage must be cleaned, not merged
+    (tmp_path / "ds.compact-tmp").mkdir()
+    (tmp_path / "ds.compact-tmp" / "junk").write_text("x")
+    compact_dataset_inplace(spark, str(d), target_file_mb=128)
+    assert {r.id for r in spark.read.parquet(str(d)).collect()} == want
+    assert not (tmp_path / "ds.compact-tmp").exists()
+
+    # between-renames crash: only .old exists -> restored then compacted
+    shutil.move(str(d), str(tmp_path / "ds.old"))
+    compact_dataset_inplace(spark, str(d), target_file_mb=128)
+    assert {r.id for r in spark.read.parquet(str(d)).collect()} == want
+    assert not (tmp_path / "ds.old").exists()
+
+    # post-swap crash: stale .old next to the live dataset -> deleted
+    shutil.copytree(str(d), str(tmp_path / "ds.old"))
+    compact_dataset_inplace(spark, str(d), target_file_mb=128)
+    assert {r.id for r in spark.read.parquet(str(d)).collect()} == want
+    assert not (tmp_path / "ds.old").exists()
