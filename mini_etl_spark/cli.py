@@ -226,6 +226,51 @@ def ui(history: str, host: str, port: int, allow_run: bool) -> None:
 
 
 @main.command()
+@click.argument("path", type=click.Path(exists=True))
+@click.option(
+    "--target-file-mb", default=128, type=int,
+    help="Target output file size for the rewrite.",
+)
+@click.option(
+    "--kind",
+    default="dataset",
+    type=click.Choice(["dataset", "index"]),
+    help="'dataset' = one parquet directory in place; 'index' = an "
+    "incremental dedup index root (signatures + band postings + "
+    "fingerprints, band partitioning preserved).",
+)
+@click.option(
+    "--partition-by", default=None,
+    help="Comma-separated hive partition columns to preserve "
+    "(dataset kind only).",
+)
+def compact(path: str, target_file_mb: int, kind: str,
+            partition_by: str | None) -> None:
+    """Fold small files from incremental appends back into ~target-size
+    files, in place (crash-recovering two-rename swap). Quiesce writers
+    for the duration — same serialize contract as the appends that made
+    the small files."""
+    from mini_etl_spark.maintenance import (
+        compact_dataset_inplace,
+        compact_minhash_index,
+    )
+    from mini_etl_spark.session import get_spark
+
+    spark = get_spark("mini-etl-compact")
+    if kind == "index":
+        stats = compact_minhash_index(spark, path, target_file_mb)
+    else:
+        cols = (
+            [c.strip() for c in partition_by.split(",")]
+            if partition_by else None
+        )
+        stats = compact_dataset_inplace(
+            spark, path, target_file_mb, partition_by=cols
+        )
+    click.echo(json.dumps(stats))
+
+
+@main.command()
 def info() -> None:
     """Show engine / environment info."""
     import pyspark

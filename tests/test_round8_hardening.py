@@ -788,3 +788,42 @@ def test_compact_dataset_inplace_crash_recovery(spark, tmp_path):
     compact_dataset_inplace(spark, str(d), target_file_mb=128)
     assert {r.id for r in spark.read.parquet(str(d)).collect()} == want
     assert not (tmp_path / "ds.old").exists()
+
+
+def test_cli_compact_dataset_and_index(spark, tmp_path):
+    """`mini-etl-spark compact` folds an appended dataset (and an index
+    root with --kind index) in place and prints before/after stats."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from mini_etl_spark.cli import main
+    from mini_etl_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_write,
+    )
+
+    d = tmp_path / "ds"
+    for _ in range(4):
+        spark.range(50).selectExpr("id").coalesce(2).write.mode(
+            "append"
+        ).parquet(str(d))
+    res = CliRunner().invoke(
+        main, ["compact", str(d), "--target-file-mb", "128"]
+    )
+    assert res.exit_code == 0, res.output
+    stats = _json.loads(res.output.strip().splitlines()[-1])
+    assert stats["after"]["n_files"] < stats["before"]["n_files"]
+    assert spark.read.parquet(str(d)).count() == 200
+
+    idx = tmp_path / "idx"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    minhash_index_write(mk([(1, "alpha beta gamma delta epsilon zeta")]),
+                        str(idx), num_hashes=32, bands=8)
+    for b in range(3):
+        minhash_index_append(mk([(10 + b, f"fresh doc {b} wholly new")]),
+                             str(idx))
+    res = CliRunner().invoke(main, ["compact", str(idx), "--kind", "index"])
+    assert res.exit_code == 0, res.output
+    stats = _json.loads(res.output.strip().splitlines()[-1])
+    assert stats["bands"]["after"]["n_files"] < stats["bands"]["before"]["n_files"]
