@@ -15,6 +15,18 @@ import sys
 
 d = json.load(open("/tmp/scale20_r8.json"))
 
+# second sweep pass over the REST of the registry (disjoint query set,
+# same protocol/session shape) — merged verbatim
+REST_PATH = os.environ.get("SCALE_REST_JSON", "/tmp/scale20_rest.json")
+if os.path.exists(REST_PATH) and os.path.getsize(REST_PATH):
+    rest = json.load(open(REST_PATH))
+    overlap = set(rest["results"]) & set(d["results"])
+    if overlap:
+        raise SystemExit(f"rest sweep overlaps main sweep: {sorted(overlap)}")
+    d["results"].update(rest["results"])
+    d["errors"].update(rest.get("errors", {}))
+    d["n_queries"] = len(d["results"])
+
 # clean-session re-measurements: a full scale_check run restricted to
 # the flagged queries (SCALE_QUERIES=...), written by the same script
 # with the same warm/clear protocol — both base and big timings replace
@@ -41,13 +53,16 @@ for name, clean in remeasured.items():
 d["n_superlinear"] = sum(1 for r in d["results"].values() if r["superlinear"])
 d["notes"] = {
     "battery": (
-        "65-query set at 20x: the 35-query round-7 headline set plus the "
+        "20x sweep over effectively the full registry (all queries except "
+        "cosine_pairs / cosine_pairs_lsh — the documented O(N^2)-output "
+        "exact-baseline pair listings, output-bound-verified at 10x in "
+        "SCALE10.json): the 35-query round-7 headline set, the "
         "candidate-volume family (jaccard_pairs, jaccard_pairs_budget, "
         "incremental_dedup, span_removal, duplicate_spans, "
-        "near_dup_groups, simhash_*, contamination, decontaminated) and "
-        "the corpus-assembly ops (chunk/pack/bm25/mix/sample/shuffle/"
-        "ANN/quantize/sketch). Full 151-query battery at 10x lives in "
-        "SCALE10.json."
+        "near_dup_groups, simhash_*, contamination, decontaminated), the "
+        "corpus-assembly ops, and the remaining TPC-H/window/text/"
+        "streaming-snapshot queries. Full 151-query battery at 10x lives "
+        "in SCALE10.json."
     ),
     "remeasured_clean_session": sorted(remeasured),
     "contention_caveat": (
