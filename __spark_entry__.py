@@ -2145,6 +2145,46 @@ def q_jaccard_pairs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_cap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-volume budget FIT itself, with a BINDING budget
+    (round-8 VERDICT minor #2: the jaccard budget oracle proves the
+    plumbing but its budget never binds at oracle SF). Key frequencies
+    of lineitem.l_partkey give a spread count distribution (26-36
+    distinct count values at the test SFs); a 20 000 candidate-volume
+    budget binds well below the max count at every SF, so the derived
+    cap comes from the budget fit (operators/skew.py:auto_frequency_cap
+    → _budget_fit_frame: groupBy(count) → Σcount² → cumulative window →
+    largest fitting count value), not the quantile rule (multiplier 1e9
+    pushes the quantile cap out of range) or the floor (1). The DuckDB
+    twin replays the fit math itself — the derived cap, the admitted
+    post-cap volume Σcount² (exact: integer-valued doubles « 2^53, so
+    summation order cannot flip a bit), and the surviving key count are
+    all bit-level locked."""
+    from mini_etl_spark.operators.skew import auto_frequency_cap
+
+    li = _t(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__f"))
+    cap = auto_frequency_cap(
+        freq, count_col="__f", quantile=0.999, multiplier=1e9,
+        floor=1, max_candidate_volume=20_000,
+    )
+    return (
+        freq.filter(F.col("__f") <= F.lit(cap))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__f").cast("double") * F.col("__f")),
+                F.lit(0.0),
+            ).alias("admitted_volume"),
+            F.count(F.lit(1)).alias("surviving_keys"),
+        )
+        .select(
+            F.lit(cap).cast("long").alias("derived_cap"),
+            "admitted_volume",
+            "surviving_keys",
+        )
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate token-span detection (substring-dedup family): doc
     pairs sharing identical 5-token spans, with the count of shared spans
@@ -3220,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_pairs_budget": q_jaccard_pairs_budget,
+        "budget_cap_fit": q_budget_cap_fit,
         "near_dup_groups": q_near_dup_groups,
         "corpus_clean": q_corpus_clean,
         "contamination": q_contamination,
@@ -5379,6 +5420,34 @@ def oracle_sql() -> dict[str, str]:
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.5
+        """,
+        # budget_cap_fit: replays the auto_frequency_cap BUDGET FIT math
+        # itself (operators/skew.py _budget_fit_frame) with a budget that
+        # BINDS at every test SF: per-count-value volumes, cumulative sum
+        # ascending, largest count value whose admitted Σcount² fits
+        # 20000 (floor 1; quantile rule pushed out of range by the 1e9
+        # multiplier on the Spark side, so the budget alone decides)
+        "budget_cap_fit": """
+            WITH freq AS (
+              SELECT l_partkey, count(*) AS f FROM lineitem
+              GROUP BY l_partkey),
+            per_value AS (
+              SELECT f AS c, sum(CAST(f AS DOUBLE) * f) AS vol
+              FROM freq GROUP BY f),
+            cum AS (
+              SELECT c, sum(vol) OVER (ORDER BY c) AS cumvol
+              FROM per_value),
+            cap AS (
+              SELECT coalesce(max(CASE WHEN cumvol <= 20000 THEN c END), 1)
+                       AS derived_cap
+              FROM cum)
+            SELECT cap.derived_cap AS derived_cap,
+                   coalesce(sum(CAST(f AS DOUBLE) * f), 0.0)
+                     AS admitted_volume,
+                   count(*) AS surviving_keys
+            FROM freq, cap
+            WHERE f <= cap.derived_cap
+            GROUP BY cap.derived_cap
         """,
         "group_trend": """
             WITH f AS (

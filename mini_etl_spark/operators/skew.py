@@ -68,14 +68,23 @@ def parse_freq_budget(cap: str) -> int:
     THE one parser for the budget grammar — config-time validation
     (config._parse_freq_cap) and runtime resolution
     (functions.dedup._resolve_freq_cap) both call it, so the accepted
-    form can never drift between the two."""
+    form can never drift between the two. A non-positive budget raises
+    here (config-load time), not at runtime: ``auto:0`` would otherwise
+    silently degenerate to the floor-only cap with nothing but a log
+    warning — a misconfiguration, not a tuning choice."""
     try:
-        return int(float(cap.split(":", 1)[1]))
+        budget = int(float(cap.split(":", 1)[1]))
     except ValueError:
         raise ValueError(
             f"frequency cap budget must be numeric "
             f"('auto:<candidate-volume>'), got {cap!r}"
         ) from None
+    if budget <= 0:
+        raise ValueError(
+            f"frequency cap budget must be positive "
+            f"('auto:<candidate-volume>'), got {cap!r}"
+        )
+    return budget
 
 
 def auto_frequency_cap(
@@ -116,6 +125,13 @@ def auto_frequency_cap(
     logged when that happens). The floor keeps the operator usable on
     tiny corpora; pass ``floor=1`` to make the budget binding alone.
 
+    Recall trade, stated honestly (same as SCALE.md's 20× adjudication):
+    when the budget BINDS below the quantile cap, pairs mediated ONLY by
+    keys above the lowered cap are sacrificed — the same trade every
+    frequency cap makes, now with a work bound attached. An INFO line is
+    logged at fit time (derived cap, admitted volume, budget) so the
+    trade is visible in production logs, not only in offline artifacts.
+
     Cost: one ``percentile_approx`` aggregate over the vocabulary-sized
     frequency frame (mergeable sketch) and a 1-value collect; with
     ``max_candidate_volume`` one extra aggregate of that frame down to
@@ -141,14 +157,39 @@ def auto_frequency_cap(
     if max_candidate_volume is not None:
         budget = float(max_candidate_volume)
         # one action: the largest count value whose admitted volume fits
-        # the budget, and the smallest one that overflows it (None when
-        # the whole distribution fits)
+        # the budget (plus that volume), and the smallest one that
+        # overflows it (None when the whole distribution fits)
         row = _budget_fit_frame(freq, count_col).agg(
             F.max(F.when(F.col("__cum") <= budget, F.col("__c"))).alias("fit"),
+            F.max(F.when(F.col("__cum") <= budget, F.col("__cum"))).alias(
+                "fit_vol"
+            ),
             F.min(F.when(F.col("__cum") > budget, F.col("__c"))).alias("over"),
         ).first()
         budget_cap = int(row["fit"]) if row["fit"] is not None else 1
-        cap = max(int(floor), min(cap, budget_cap))
+        quantile_cap, cap = cap, max(int(floor), min(cap, budget_cap))
+        # "binds" = some count value actually overflows the budget (keys
+        # are being cut) and the budget — not the quantile rule or the
+        # floor — decided the final cap; a distribution that fits whole
+        # stays silent even though the fitted value sits below the
+        # quantile cap (lowering to max(count) cuts nothing)
+        if (
+            row["over"] is not None
+            and cap == budget_cap
+            and budget_cap < quantile_cap
+        ):
+            # the budget lowered the quantile-derived cap: make the
+            # recall trade visible at fit time, not only in artifacts —
+            # pairs mediated only by keys above the lowered cap are cut
+            logger.info(
+                "auto_frequency_cap: candidate-volume budget binds — "
+                "cap lowered %d -> %d (admitted volume %s <= budget %d). "
+                "Pairs mediated only by keys with count > %d are "
+                "sacrificed for the work bound.",
+                quantile_cap, budget_cap,
+                int(row["fit_vol"]) if row["fit_vol"] is not None else 0,
+                max_candidate_volume, budget_cap,
+            )
         # the budget is actually exceeded only when a count value the
         # FINAL cap admits has cumulative volume past it — a floor (or
         # fitted cap) above max(count) admits nothing extra

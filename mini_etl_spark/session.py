@@ -45,9 +45,23 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # runtime litter OFF the repo/cwd: the Hive-less warehouse dir and the
+    # Derby metastore log serve nothing in this engine (no managed tables),
+    # so park both under the system temp dir instead of regenerating
+    # ./spark-warehouse and ./derby.log wherever the process starts
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), "mini-etl-spark")
+    os.makedirs(scratch, exist_ok=True)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={scratch} -Dderby.stream.error.file="
+            f"{os.path.join(scratch, 'derby.log')}",
+        )
         # local mode = one JVM; driver memory is the only heap knob.
         # No effect if a session already exists (builder reuses it).
         .config("spark.driver.memory", driver_mem)

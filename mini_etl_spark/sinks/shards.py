@@ -73,6 +73,7 @@ def to_training_shards(
     text_col: str = "text",
     checkpoint: str | None = None,
     compact_every: int | None = 64,
+    max_segments: int = 16,
     **options,
 ) -> Sink:
     """Sink: write deterministic training shards under ``path`` (hive
@@ -114,13 +115,15 @@ def to_training_shards(
 
     Streaming output RETENTION: every ``compact_every`` micro-batches
     (default 64; ``None`` disables) the committed batch directories are
-    folded into one shard-partitioned compacted generation behind an
-    atomic pointer — crash-safe, replay-idempotent, with a one-cycle GC
-    grace for concurrent readers — so directory, file and marker counts
-    stay bounded at any trigger cadence instead of accruing one
-    ``batch=B/`` directory per micro-batch forever. Each compaction
-    rewrites the output-so-far once; size ``compact_every`` to the
-    trigger cadence (64 ≈ hourly at a 1-minute trigger). The checkpoint
+    sealed into an IMMUTABLE shard-partitioned segment behind an atomic
+    pointer carrying the segment list — crash-safe, replay-idempotent,
+    with a one-cycle GC grace for concurrent readers — so directory,
+    file and marker counts stay bounded at any trigger cadence instead
+    of accruing one ``batch=B/`` directory per micro-batch forever.
+    Sealed segments are never rewritten; when the list exceeds
+    ``max_segments`` (default 16) the two adjacent segments with the
+    smallest combined span LSM-merge, so each cycle's write cost is
+    bounded by segment size — not the output-so-far. The checkpoint
     (default ``<path>_checkpoint``) and ``path`` must always be wiped
     TOGETHER to reprocess from scratch — enforced at stream start via
     the query id persisted in the commit markers.
@@ -168,7 +171,7 @@ def to_training_shards(
                     df, path, ckpt, tokens_per_shard,
                     text_col=text_col, id_col=key_col, seed=seed,
                     shard_col=shard_col, compact_every=compact_every,
-                    options=dict(options),
+                    max_segments=max_segments, options=dict(options),
                 )
             from mini_etl_spark.sinks.writers import _write_stream
 

@@ -19,10 +19,12 @@ Two different incrementality shapes, matched to the operator's math:
   Output is published per-batch with a commit marker written LAST, so a
   replayed batch overwrites its own directory and re-commits the same
   marker — :func:`read_token_shards` sees every committed row exactly
-  once with no read-time dedup. Committed batch directories are folded
-  into a compacted generation every ``compact_every`` batches
-  (pointer-committed, one-cycle reader grace), so directory, file and
-  marker counts stay bounded at any trigger cadence.
+  once with no read-time dedup. Committed batch directories are sealed
+  into IMMUTABLE compacted segments every ``compact_every`` batches
+  (pointer-committed, one-cycle reader grace, LSM-merged when the
+  segment list exceeds ``max_segments``), so directory, file and marker
+  counts stay bounded at any trigger cadence while each cycle's write
+  cost stays segment-sized, not output-so-far.
 - **temperature mixing is a global quota over per-source counts** — any
   new document can change every source's quota, so there is no per-batch
   state smaller than the corpus. :func:`stream_temperature_mix` is
@@ -32,8 +34,10 @@ Two different incrementality shapes, matched to the operator's math:
   job over the corpus-so-far — the honest price of a global quota; at
   100 TB you run it on a cadence (trigger intervals), not per-record,
   exactly like any other snapshot-maintaining sink here. The staging
-  table is compacted every ``compact_every`` batches (pointer-committed,
-  replay-safe) so the per-batch directory count stays bounded.
+  table is compacted into immutable segments every ``compact_every``
+  batches (pointer-committed, replay-safe) so the per-batch directory
+  count stays bounded and each cycle rewrites one segment, not the
+  staging-so-far.
 """
 
 from __future__ import annotations
@@ -44,7 +48,10 @@ import logging
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mini_etl_spark.streaming.events import _publish_snapshot
+from mini_etl_spark.streaming.events import (
+    _publish_snapshot,
+    _snapshot_incarnation_guard,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -185,17 +192,18 @@ def _committed_batches(spark: SparkSession, out_path: str) -> list[int]:
 
 def read_token_shards(spark: SparkSession, out_path: str) -> DataFrame | None:
     """Exactly-once reader for :func:`stream_token_shards` output: the
-    active compacted generation (all committed batches up to the
-    ``_COMPACT.json`` pointer, if compaction is enabled) plus every
-    batch directory NEWER than it that has a published commit marker.
-    A crash between data write and marker publish (or a half-written
-    replay in flight) is invisible, and no read-time dedup is needed —
-    a replayed batch OVERWRITES its own ``batch=K/`` directory, and a
-    replayed compaction rewrites the same generation. Returns ``None``
-    when nothing has been committed yet. The synthetic ``batch``
-    partition column is dropped; the shard column survives as the
-    hive-style partition it was written with (in the compacted
-    generation too — compaction preserves the shard partitioning).
+    sealed compacted segments the ``_COMPACT.json`` pointer lists (all
+    committed batches up to its ``upto``, if compaction is enabled) plus
+    every batch directory NEWER than it that has a published commit
+    marker. A crash between data write and marker publish (or a
+    half-written replay in flight) is invisible, and no read-time dedup
+    is needed — a replayed batch OVERWRITES its own ``batch=K/``
+    directory, and a replayed compaction rewrites the same segment
+    directories. Returns ``None`` when nothing has been committed yet.
+    The synthetic ``batch`` partition column is dropped; the shard
+    column survives as the hive-style partition it was written with (in
+    the compacted segments too — compaction preserves the shard
+    partitioning).
 
     Concurrency contract: the returned DataFrame lists its directories
     at call time, and compaction GC retains everything a reader could
@@ -207,16 +215,21 @@ def read_token_shards(spark: SparkSession, out_path: str) -> DataFrame | None:
     root = out_path.rstrip("/")
     # a corrupt pointer RAISES (via _read_state's diagnosis): silently
     # treating it as absent would read grace-retained folded batch dirs
-    # in place of the generation and drop every GC'd batch's rows
+    # in place of the segments and drop every GC'd batch's rows
     st = _read_state(spark, _output_pointer(out_path))
     upto = int(st["upto"]) if st else -1
     ids = [i for i in _committed_batches(spark, out_path) if i > upto]
     parts = []
-    if st:
-        # generation dir derived from upto (never the pointer's recorded
-        # absolute path) so a copied/relocated output root reads ITS OWN
-        # generation, not the original location's
-        parts.append(spark.read.parquet(_gen_dir(out_path, upto)))
+    segs = _pointer_segments(st)
+    # segment dirs derived from the pointer's RELATIVE names (never a
+    # persisted absolute path) so a copied/relocated output root reads
+    # ITS OWN segments, not the original location's. One read PER segment
+    # (unioned) so each dir is its own partition-discovery base — shard=K
+    # is a column, and a legacy upto=N generation name can't collide with
+    # the seg-… names in one multi-path discovery.
+    parts += [
+        spark.read.parquet(f"{root}/compact/{name}") for _, _, name in segs
+    ]
     if ids:
         dirs = [f"{root}/batch={i}" for i in ids]
         parts.append(
@@ -258,9 +271,10 @@ def _existing_output_query_ids(
     Unreadable documents are skipped (they cannot positively identify a
     FOREIGN incarnation). The scan is bounded and newest-first so a
     compaction-disabled output with 10⁵ markers costs ~16 driver-side
-    reads at stream start, not one per batch ever published; within one
-    incarnation every marker carries the same id, so the newest ones
-    are as authoritative as all of them."""
+    reads at stream start, not one per batch ever published; ALL
+    ``max_markers`` newest markers are read (no early exit), so an
+    output interleaving markers from two incarnations within that
+    window surfaces both ids."""
     qids = set()
     try:
         st = _read_state(spark, _output_pointer(out_path))
@@ -276,17 +290,52 @@ def _existing_output_query_ids(
             continue
         if doc.get("query_id"):
             qids.add(str(doc["query_id"]))
-            break  # one readable id identifies the incarnation
     return qids
 
 
-def _gen_dir(out_path: str, upto: int) -> str:
-    """A compacted generation's directory, DERIVED from its upto value —
-    never read back from the pointer document, so a copied/relocated
-    output root keeps working (the pointer still records ``dir`` for
-    human debugging, but trusting a persisted absolute path would read
-    stale data from the old location after a copy)."""
-    return f"{out_path.rstrip('/')}/compact/upto={upto}"
+def _seg_name(lo: int, hi: int) -> str:
+    """A sealed segment's directory name under ``compact/`` — derived
+    from the batch range it covers, never trusted from a persisted
+    absolute path, so a copied/relocated output root keeps working.
+    Deliberately NOT ``key=value``-shaped: partition discovery would
+    otherwise parse the segment dir itself as a partition component and
+    refuse multi-segment reads (CONFLICTING_DIRECTORY_STRUCTURES)."""
+    return f"seg-{lo}-{hi}"
+
+
+def _pointer_segments(st: dict) -> list[tuple[int, int, str]]:
+    """``(lo, hi, relative dir name under compact/)`` for every sealed
+    segment a ``_COMPACT.json`` pointer references, oldest first. Names
+    are RELATIVE to the output root (relocation-safe — the pointer never
+    stores an absolute path the reader would trust). A legacy pre-round-9
+    pointer (``{"upto", "dir"}`` — the monolithic-generation era) maps to
+    ONE segment covering ``0..upto`` under its historical ``upto=<n>``
+    directory name; it is carried as a sealed segment from then on and
+    eventually merged away by the normal LSM rule — no migration
+    rewrite."""
+    if not st:
+        return []
+    segs = st.get("segments")
+    if segs is None:
+        upto = int(st["upto"])
+        return [(0, upto, f"upto={upto}")]
+    return [(int(e[0]), int(e[1]), str(e[2])) for e in segs]
+
+
+def _choose_merge(segments: list[tuple[int, int, str]]) -> int:
+    """Index ``i`` of the adjacent pair ``(i, i+1)`` with the smallest
+    combined batch span — the size-tiered (LSM-style) merge pick.
+    Deterministic from the pointer alone (a replayed compaction must
+    rewrite the SAME directories); leftmost wins ties so equal-span
+    segments fold oldest-first."""
+    best, best_span = 0, None
+    for i in range(len(segments) - 1):
+        span = (segments[i][1] - segments[i][0] + 1) + (
+            segments[i + 1][1] - segments[i + 1][0] + 1
+        )
+        if best_span is None or span < best_span:
+            best, best_span = i, span
+    return best
 
 
 def _compact_output(
@@ -296,70 +345,125 @@ def _compact_output(
     shard_col: str,
     query_id: str,
     options: dict | None = None,
-) -> None:
-    """Fold the compacted generation + every COMMITTED ``batch=K`` dir
-    with ``K <= upto`` into one new shard-partitioned generation, flip
-    the ``_COMPACT.json`` pointer atomically, then GC with a ONE-CYCLE
-    GRACE: only directories and markers that the PREVIOUS flip already
-    made invisible to new readers (``<= prev_upto``, plus superseded
-    generations other than the one the pre-flip pointer named) are
-    deleted — anything a concurrent :func:`read_token_shards` call could
-    have listed since that flip survives until the next compaction.
+    max_segments: int = 16,
+) -> dict | None:
+    """Seal every COMMITTED ``batch=K`` dir with ``prev_upto < K <= upto``
+    into ONE new IMMUTABLE shard-partitioned segment
+    (``compact/seg=<lo>-<hi>/``), LSM-merge the two adjacent segments
+    with the smallest combined span while the segment list exceeds
+    ``max_segments``, flip the ``_COMPACT.json`` pointer atomically
+    (it carries the segment LIST), then GC with a ONE-CYCLE GRACE: only
+    directories and markers that the PREVIOUS flip already made invisible
+    to new readers (batches ``<= prev_upto``, plus ``compact/`` dirs
+    referenced by NEITHER the new nor the pre-flip pointer) are deleted —
+    anything a concurrent :func:`read_token_shards` call could have
+    listed since that flip survives until the next compaction.
+
+    Write amplification — the round-8 weak item this design closes: a
+    sealed segment is NEVER rewritten by later cycles, so the bytes
+    written per cycle are one new segment (≈ ``compact_every`` batches)
+    plus at most one merged pair — bounded by segment size, not by the
+    output-so-far. Smallest-adjacent-pair merging gives the binary-counter
+    shape (segment sizes ~powers of two), so a row is rewritten
+    O(log n_cycles) times over the stream's life instead of once per
+    cycle; with the default ``max_segments=16`` the counter holds ~2^16
+    cycles (~8 years at an hourly cadence) before a forced large merge.
 
     Crash-safe at every point (same argument as :func:`_compact_staging`):
-    before the pointer flip the new generation is unreferenced; after
-    it, survivors of a failed GC are invisible to the read rule and
-    re-swept next cycle. Idempotent on replay — same ``upto`` rewrites
-    identical content over the same directory. Cost: one rewrite of the
-    output-so-far per compaction (``repartition(shard)`` → ~one file
-    per shard), so size ``compact_every`` to your trigger cadence; at a
-    1-minute cadence the default (64) compacts hourly."""
+    before the pointer flip the new segment and merge dirs are
+    unreferenced (a replay re-runs the identical deterministic plan and
+    overwrites them); after it, survivors of a failed GC are invisible to
+    the read rule and re-swept next cycle. Idempotent on replay — same
+    ``upto`` rewrites identical content over the same directories.
+
+    Returns per-cycle stats ``{"upto", "segments", "folded_batches",
+    "merges", "bytes_written"}`` (None for a no-op replay) — the scale
+    sweep and the write-amplification regression test consume these."""
     root = out_path.rstrip("/")
     pointer = _output_pointer(out_path)
     st = _read_state(spark, pointer)
     prev_upto = int(st["upto"]) if st else -1
     if prev_upto >= upto:
-        return  # replay of an already-applied compaction
+        return None  # replay of an already-applied compaction
     new_ids = [
         i for i in _committed_batches(spark, out_path)
         if prev_upto < i <= upto
     ]
     if not new_ids:
-        return
-    new = (
-        spark.read.option("basePath", root)
-        .parquet(*[f"{root}/batch={i}" for i in new_ids])
-        .drop("batch")
-    )
-    prev_gen = _gen_dir(out_path, prev_upto)
-    full = spark.read.parquet(prev_gen).unionByName(new) if st else new
-    target = _gen_dir(out_path, upto)
-    writer = (
-        full.repartition(F.col(shard_col)).write.mode("overwrite")
-    )
-    # same writer options (compression, …) as the per-batch publishes —
-    # the generation holds nearly all the data, so dropping them here
-    # would silently override the sink's configuration for the bulk
-    for k, v in (options or {}).items():
-        writer = writer.option(k, v)
-    writer.partitionBy(shard_col).parquet(target)
-    _write_state(
-        spark, pointer, {"upto": upto, "dir": target, "query_id": query_id}
-    )
-    # GC (one-cycle grace): generations other than the new target and the
-    # one the PRE-flip pointer named (in-flight readers may hold it);
-    # batch dirs and markers <= prev_upto (invisible since the previous
-    # flip — includes replay-orphan rewrites of long-folded batches)
-    keep = {target} | ({prev_gen} if st else set())
+        return None
     jvm = spark._jvm
     fs, _ = _state_io(spark, root)
+
+    def _write_seg(df, name: str) -> None:
+        writer = df.repartition(F.col(shard_col)).write.mode("overwrite")
+        # same writer options (compression, …) as the per-batch publishes
+        # — segments hold nearly all the data, so dropping them here would
+        # silently override the sink's configuration for the bulk
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.partitionBy(shard_col).parquet(f"{root}/compact/{name}")
+
+    # 1. seal the newly committed batches into their own tail segment
+    #    (lo tiles from prev_upto+1 so segment ranges partition 0..upto
+    #    even when some batch ids in the range were empty)
+    prev_segments = _pointer_segments(st)
+    tail = (prev_upto + 1, upto, _seg_name(prev_upto + 1, upto))
+    _write_seg(
+        spark.read.option("basePath", root)
+        .parquet(*[f"{root}/batch={i}" for i in new_ids])
+        .drop("batch"),
+        tail[2],
+    )
+    written = [tail[2]]
+    segments = prev_segments + [tail]
+    # 2. bound the list: merge the smallest-span adjacent pair until it
+    #    fits (sealed segments other than the merged pair are untouched)
+    merges = 0
+    while len(segments) > max(1, max_segments):
+        i = _choose_merge(segments)
+        a, b = segments[i], segments[i + 1]
+        m = (a[0], b[1], _seg_name(a[0], b[1]))
+        # one read per source segment (unioned): each dir is its own
+        # partition-discovery base, so a legacy upto=N generation merges
+        # cleanly with seg-… neighbors
+        _write_seg(
+            spark.read.parquet(f"{root}/compact/{a[2]}").unionByName(
+                spark.read.parquet(f"{root}/compact/{b[2]}")
+            ),
+            m[2],
+        )
+        written.append(m[2])
+        segments[i:i + 2] = [m]
+        merges += 1
+    # 3. single atomic pointer flip — the reader-visibility point
+    _write_state(
+        spark,
+        pointer,
+        {
+            "upto": upto,
+            "segments": [[lo, hi, name] for lo, hi, name in segments],
+            "query_id": query_id,
+        },
+    )
+    bytes_written = sum(
+        fs.getContentSummary(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/compact/{name}")
+        ).getLength()
+        for name in written
+    )
+    # GC (one-cycle grace): compact/ dirs referenced by NEITHER the new
+    # nor the PRE-flip pointer (in-flight readers may hold the latter);
+    # batch dirs and markers <= prev_upto (invisible since the previous
+    # flip — includes replay-orphan rewrites of long-folded batches)
+    keep = {name for _, _, name in segments}
+    keep |= {name for _, _, name in prev_segments}
     gc = []
     compact_root = jvm.org.apache.hadoop.fs.Path(root + "/compact")
     if fs.exists(compact_root):
         for status in fs.listStatus(compact_root):
-            d = f"{root}/compact/{status.getPath().getName()}"
-            if d not in keep:
-                gc.append(d)
+            name = status.getPath().getName()
+            if name not in keep:
+                gc.append(f"{root}/compact/{name}")
     gc += [
         d for k, d in _output_batch_dirs(spark, out_path).items()
         if k <= prev_upto
@@ -374,6 +478,13 @@ def _compact_output(
             fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
         except Exception:
             logger.warning("output compaction GC failed for %s (ignored)", d)
+    return {
+        "upto": upto,
+        "segments": len(segments),
+        "folded_batches": len(new_ids),
+        "merges": merges,
+        "bytes_written": int(bytes_written),
+    }
 
 
 def stream_token_shards(
@@ -387,6 +498,7 @@ def stream_token_shards(
     shard_col: str = "shard",
     state_path: str | None = None,
     compact_every: int | None = 64,
+    max_segments: int = 16,
     available_now: bool = True,
     await_termination: bool = True,
     options: dict | None = None,
@@ -430,14 +542,19 @@ def stream_token_shards(
     per-batch publish accrues one ``batch=B/`` directory plus one
     commit marker per micro-batch forever, and the reader's directory
     list grows with it. Every ``compact_every`` batches the committed
-    batch directories are folded into one shard-partitioned compacted
-    generation behind an atomic ``_COMPACT.json`` pointer
+    batch directories are sealed into one IMMUTABLE shard-partitioned
+    segment (``compact/seg=<lo>-<hi>/``) behind an atomic
+    ``_COMPACT.json`` pointer that carries the segment LIST
     (:func:`_compact_output` — crash-safe, replay-idempotent, one-cycle
     GC grace for concurrent readers), bounding the directory, file and
-    marker count at any cadence. Each compaction rewrites the
-    output-so-far once, so size it to your cadence (default 64 ≈ hourly
-    at a 1-minute trigger); ``compact_every=None`` disables compaction
-    and keeps the pure per-batch layout.
+    marker count at any cadence. A sealed segment is never rewritten;
+    when the list exceeds ``max_segments`` the two adjacent segments
+    with the smallest combined span LSM-merge into one, so the bytes
+    written per cycle are bounded by segment size — not by the
+    output-so-far — and a row is rewritten O(log cycles) times over the
+    stream's life (the round-8 full-rewrite design rewrote everything
+    every cycle). ``compact_every=None`` disables compaction and keeps
+    the pure per-batch layout.
 
     The state file defaults to ``<checkpoint>/_token_offset.json`` so its
     lifecycle is TIED to the checkpoint: wiping the checkpoint to
@@ -460,6 +577,8 @@ def stream_token_shards(
         raise ValueError("stream_token_shards: tokens_per_shard must be >= 1")
     if compact_every is not None and compact_every < 2:
         raise ValueError("stream_token_shards: compact_every must be >= 2")
+    if max_segments < 1:
+        raise ValueError("stream_token_shards: max_segments must be >= 1")
     if shard_col == "batch" or "batch" in stream_df.columns:
         raise ValueError(
             "stream_token_shards: a column named 'batch' (shard_col or "
@@ -532,7 +651,7 @@ def stream_token_shards(
             # a live batch dir
             _compact_output(
                 spark, out_path, batch_id - 1, shard_col, qid,
-                options=options,
+                options=options, max_segments=max_segments,
             )
         offset = _resolve_offset(_read_state(spark, state), batch_id, qid)
         assigned = token_balanced_shard_ids(
@@ -645,31 +764,45 @@ def _staging_batch_dirs(spark: SparkSession, seen: str) -> dict[int, str]:
 
 
 def _read_staging(spark: SparkSession, seen: str) -> DataFrame | None:
-    """The corpus-so-far: the active compacted generation (if any) plus
-    every per-batch directory NEWER than it. Directories already folded
-    into the compaction pointer are excluded even if their deletion
-    failed — orphans are invisible, and re-GC'd next compaction. Flat
-    legacy data files at the root raise (see _staging_batch_dirs)."""
-    st = _read_state(spark, seen.rstrip("/") + "/_COMPACT.json")
+    """The corpus-so-far: the sealed compacted segments the pointer lists
+    (if any) plus every per-batch directory NEWER than its ``upto``.
+    Directories already folded into the compaction pointer are excluded
+    even if their deletion failed — orphans are invisible, and re-GC'd
+    next compaction. Flat legacy data files at the root raise (see
+    _staging_batch_dirs)."""
+    root = seen.rstrip("/")
+    st = _read_state(spark, root + "/_COMPACT.json")
     upto = int(st["upto"]) if st else -1
-    dirs = [d for k, d in sorted(_staging_batch_dirs(spark, seen).items())
-            if k > upto]
-    if st:
-        dirs.insert(0, st["dir"])
+    dirs = [f"{root}/compact/{name}" for _, _, name in _pointer_segments(st)]
+    dirs += [d for k, d in sorted(_staging_batch_dirs(spark, seen).items())
+             if k > upto]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
 
 
-def _compact_staging(spark: SparkSession, seen: str, upto: int) -> None:
-    """Fold the compacted generation + all ``batch=K`` dirs with
-    ``K <= upto`` into one new compacted directory, flip the
-    ``_COMPACT.json`` pointer atomically, then best-effort delete the
-    subsumed directories. Crash-safe at every point: before the pointer
-    flip the new directory is unreferenced; after it, survivors of a
-    failed delete are excluded by the read rule. Idempotent on replay —
-    re-running with the same ``upto`` rewrites identical content over
-    the same directory and re-flips the pointer to the same value."""
+def _compact_staging(
+    spark: SparkSession, seen: str, upto: int, max_segments: int = 16
+) -> None:
+    """Seal all ``batch=K`` dirs with ``prev_upto < K <= upto`` into one
+    new IMMUTABLE segment (``compact/seg=<lo>-<hi>/``), LSM-merge the
+    smallest-span adjacent pair while the segment list exceeds
+    ``max_segments``, flip the ``_COMPACT.json`` pointer (carrying the
+    segment list) atomically, then best-effort delete the superseded
+    directories. Same write-amplification bound as
+    :func:`_compact_output`: sealed segments are never rewritten, so a
+    cycle's write cost is one batch-sized segment plus at most one
+    merged pair — not the staging-so-far. GC here is immediate (no
+    grace): staging is read only inside the same foreachBatch call, so
+    there are no concurrent readers to protect.
+
+    Crash-safe at every point: before the pointer flip the new
+    directories are unreferenced (a replay re-runs the identical
+    deterministic plan over them); after it, survivors of a failed
+    delete are excluded by the read rule and re-swept next cycle.
+    Idempotent on replay — re-running with the same ``upto`` rewrites
+    identical content over the same directories and re-flips the pointer
+    to the same value."""
     root = seen.rstrip("/")
     pointer = root + "/_COMPACT.json"
     st = _read_state(spark, pointer)
@@ -678,36 +811,58 @@ def _compact_staging(spark: SparkSession, seen: str, upto: int) -> None:
     subsumed = {k: d for k, d in batch_dirs.items() if prev_upto < k <= upto}
     # replay no-op: a re-run whose batches are already folded (pointer at
     # or past `upto`, or the subsumed dirs already GC'd) must not rewrite
-    # the live compacted dir over itself — the pointer is already correct
+    # the live segments over themselves — the pointer is already correct
     if prev_upto >= upto or not subsumed:
         return
-    sources = ([st["dir"]] if st else []) + [d for _, d in sorted(subsumed.items())]
-    target = f"{root}/compact/upto={upto}"
     fs, _ = _state_io(spark, root)
     jvm = spark._jvm
-    # size the rewrite from the file listing (metadata-only), same rule
-    # as maintenance.compact_parquet: ~128 MB output files
-    total_bytes = sum(
-        fs.getContentSummary(jvm.org.apache.hadoop.fs.Path(d)).getLength()
-        for d in sources
+
+    def _write_seg(sources: list[str], name: str) -> None:
+        # size the rewrite from the file listing (metadata-only), same
+        # rule as maintenance.compact_parquet: ~128 MB output files
+        total_bytes = sum(
+            fs.getContentSummary(jvm.org.apache.hadoop.fs.Path(d)).getLength()
+            for d in sources
+        )
+        n = max(1, -(-total_bytes // (128 * 1024 * 1024)))
+        spark.read.parquet(*sources).repartition(int(n)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/compact/{name}")
+
+    prev_segments = _pointer_segments(st)
+    tail = (prev_upto + 1, upto, _seg_name(prev_upto + 1, upto))
+    _write_seg([d for _, d in sorted(subsumed.items())], tail[2])
+    segments = prev_segments + [tail]
+    while len(segments) > max(1, max_segments):
+        i = _choose_merge(segments)
+        a, b = segments[i], segments[i + 1]
+        m = (a[0], b[1], _seg_name(a[0], b[1]))
+        _write_seg(
+            [f"{root}/compact/{a[2]}", f"{root}/compact/{b[2]}"], m[2]
+        )
+        segments[i:i + 2] = [m]
+    _write_state(
+        spark,
+        pointer,
+        {
+            "upto": upto,
+            "segments": [[lo, hi, name] for lo, hi, name in segments],
+        },
     )
-    n = max(1, -(-total_bytes // (128 * 1024 * 1024)))
-    spark.read.parquet(*sources).repartition(int(n)).write.mode(
-        "overwrite"
-    ).parquet(target)
-    _write_state(spark, pointer, {"upto": upto, "dir": target})
     # GC: everything the pointer has superseded — the just-subsumed batch
-    # dirs, EVERY non-current compacted generation (including orphans a
-    # crash between a previous pointer flip and its GC left behind), and
-    # any older batch-dir orphans (k <= upto is always excluded by the
-    # read rule, so sweeping them here is safe at any time).
+    # dirs, every compact/ dir the new segment list does NOT reference
+    # (merged-away segments, plus orphans a crash between a previous
+    # pointer flip and its GC left behind), and any older batch-dir
+    # orphans (k <= upto is always excluded by the read rule, so
+    # sweeping them here is safe at any time).
+    keep = {name for _, _, name in segments}
     gc = [d for k, d in batch_dirs.items() if k <= upto]
     compact_root = jvm.org.apache.hadoop.fs.Path(root + "/compact")
     if fs.exists(compact_root):
         for status in fs.listStatus(compact_root):
-            d = f"{root}/compact/{status.getPath().getName()}"
-            if d != target:
-                gc.append(d)
+            name = status.getPath().getName()
+            if name not in keep:
+                gc.append(f"{root}/compact/{name}")
     for d in gc:
         try:
             fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
@@ -727,6 +882,7 @@ def stream_temperature_mix(
     repeat: bool = True,
     seen_path: str | None = None,
     compact_every: int | None = 8,
+    max_segments: int = 16,
     available_now: bool = True,
     await_termination: bool = True,
 ):
@@ -752,11 +908,22 @@ def stream_temperature_mix(
     would mix already-processed documents into every new snapshot. If
     you pass an explicit ``seen_path``, wipe it together with the
     checkpoint. Every ``compact_every`` batches the per-batch staging
-    directories are folded into one compacted generation
-    (pointer-committed, replay-idempotent, crash-safe — see
-    :func:`_compact_staging`), so the staging file count stays bounded
-    at any trigger cadence instead of accruing one ``batch=K/``
-    directory forever. ``compact_every=None`` disables compaction.
+    directories are sealed into an immutable compacted segment
+    (pointer-committed, replay-idempotent, crash-safe, LSM-merged when
+    the list exceeds ``max_segments`` — see :func:`_compact_staging`),
+    so the staging file count stays bounded at any trigger cadence
+    instead of accruing one ``batch=K/`` directory forever, and each
+    cycle's write cost is segment-sized, not staging-so-far.
+    ``compact_every=None`` disables compaction.
+
+    Incarnation safety (same protocol as the other snapshot sinks): the
+    published ``_LATEST`` pointer records the checkpoint's query id, and
+    starting a DIFFERENT checkpoint incarnation against an existing
+    ``out_path`` raises at stream start — a fresh checkpoint restarts
+    batch ids at 0, which would silently reuse ``snap=B`` names and let
+    snapshot GC delete the old incarnation's directories. Wipe
+    ``out_path`` together with the checkpoint (and staging) to start
+    over.
     """
     from mini_etl_spark.functions.mixing import temperature_mix
 
@@ -764,6 +931,9 @@ def stream_temperature_mix(
         raise ValueError("stream_temperature_mix: budget must be positive")
     if compact_every is not None and compact_every < 2:
         raise ValueError("stream_temperature_mix: compact_every must be >= 2")
+    if max_segments < 1:
+        raise ValueError("stream_temperature_mix: max_segments must be >= 1")
+    _snapshot_incarnation_guard(stream_df.sparkSession, out_path, checkpoint)
     seen = seen_path or (checkpoint.rstrip("/") + "/_seen")
     if seen_path is None:
         # migration guard (once, at call time): an earlier version staged
@@ -804,17 +974,22 @@ def stream_temperature_mix(
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # fold strictly-previous batches only: the current batch dir
-            # stays outside the compacted generation, so a replay of this
+            # stays outside the sealed segments, so a replay of this
             # batch re-runs an identical (idempotent) compaction and then
             # overwrites its own directory — no row ever lands in both
-            _compact_staging(spark, seen, upto=batch_id - 1)
+            _compact_staging(
+                spark, seen, upto=batch_id - 1, max_segments=max_segments
+            )
         full = _read_staging(spark, seen)
         if full is None:  # nothing staged yet (unreachable after a write)
             return
         mixed = temperature_mix(
             full, budget, alpha, source_col, id_col, seed, repeat
         )
-        _publish_snapshot(mixed, out_path, batch_id)
+        _publish_snapshot(
+            mixed, out_path, batch_id,
+            _checkpoint_query_id(spark, checkpoint),
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -235,9 +235,12 @@ def stream_stream_join(
 
 def _read_pointer(target_path: str) -> dict:
     """The ``_LATEST`` pointer as ``{"snap": name, "prev": name|None,
-    "query_id": str}`` (empty dict when absent). Reads both formats: the
-    JSON document written since round 8, and the original plain
-    ``snap=B`` line (no recorded predecessor or query id)."""
+    "query_id": str, "legacy": bool}`` (empty dict when absent). Reads
+    both formats: the JSON document written since round 8, and the
+    original plain ``snap=B`` line — the latter flagged ``legacy`` so
+    callers can tell "predecessor recorded as none" (a genuine first
+    batch) from "predecessor never recorded" (pre-round-8 format), which
+    :func:`_merge_base` must treat differently on replay."""
     import json
     import os
 
@@ -252,8 +255,9 @@ def _read_pointer(target_path: str) -> dict:
             "snap": doc["snap"],
             "prev": doc.get("prev"),
             "query_id": str(doc.get("query_id") or ""),
+            "legacy": False,
         }
-    return {"snap": text, "prev": None, "query_id": ""}
+    return {"snap": text, "prev": None, "query_id": "", "legacy": True}
 
 
 def _snapshot_incarnation_guard(
@@ -349,7 +353,16 @@ def _merge_base(spark: SparkSession, target_path: str, batch_id: int):
     i.e. a checkpoint replay after a crash in the flip→commit window —
     the recorded PREDECESSOR, so the batch's rows are never merged twice.
     ``None`` when the base is empty (first batch, or a replayed first
-    batch whose predecessor never existed)."""
+    batch whose JSON pointer genuinely recorded no predecessor).
+
+    A LEGACY plain-format pointer (pre-round-8: no predecessor ever
+    recorded) that names the replayed batch is the one ambiguous case:
+    treating the base as empty would REPLACE the accumulated state with
+    this batch's delta alone — silent state loss. We fall back to the
+    named snapshot instead (the documented pre-round-8 may-double-count
+    behavior: conservative in the direction that keeps history) and log
+    a loud warning so the upgrade-during-crash window is visible."""
+    import logging
     import os
 
     p = _read_pointer(target_path)
@@ -357,9 +370,19 @@ def _merge_base(spark: SparkSession, target_path: str, batch_id: int):
         return None
     name = p["snap"]
     if name == f"snap={batch_id}":
-        name = p.get("prev")
-        if name is None:
-            return None
+        if p.get("legacy"):
+            logging.getLogger(__name__).warning(
+                "_merge_base: replayed batch %d found a LEGACY plain "
+                "_LATEST pointer naming its own earlier attempt at %s — "
+                "the predecessor was never recorded. Falling back to the "
+                "named snapshot (pre-upgrade may-double-count behavior) "
+                "rather than discarding the accumulated state.",
+                batch_id, target_path,
+            )
+        else:
+            name = p.get("prev")
+            if name is None:
+                return None
     return spark.read.parquet(os.path.join(target_path, name))
 
 

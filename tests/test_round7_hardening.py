@@ -190,7 +190,11 @@ def test_temperature_mix_staging_under_checkpoint_and_compaction(spark, tmp_path
     # compactions at batches 3 (upto 2) and 6 (upto 5): dirs 6,7,8 remain
     assert sorted(d.name for d in batch_dirs) == ["batch=6", "batch=7", "batch=8"]
     pointer = json.loads((seen / "_COMPACT.json").read_text())
-    assert pointer["upto"] == 5 and (seen / "compact" / "upto=5").is_dir()
+    # compactions sealed two immutable segments: batches 0-2 and 3-5
+    assert pointer["upto"] == 5
+    assert [(lo, hi) for lo, hi, _ in pointer["segments"]] == [(0, 2), (3, 5)]
+    assert (seen / "compact" / "seg-0-2").is_dir()
+    assert (seen / "compact" / "seg-3-5").is_dir()
 
     snap = read_latest_snapshot(spark, out)
     got = sorted((r.doc_id, r.source, r.epoch) for r in snap.collect())

@@ -249,15 +249,16 @@ def test_token_shards_output_compaction_bounded_exactly_once(spark, tmp_path):
                         tokens_per_shard=tps, seed=5, compact_every=4)
 
     dirs, markers, gens = _out_layout(out)
-    # compactions at batch 4 (fold 0-3) and 8 (fold 4-7 + gen3, GC <=3)
+    # compactions at batch 4 (seal 0-3) and 8 (seal 4-7, GC batches <=3)
     assert dirs == [4, 5, 6, 7, 8, 9]      # 0-3 GC'd, 4-7 grace-retained
     assert markers == [4, 5, 6, 7, 8, 9]
-    assert gens == ["upto=3", "upto=7"]    # current + one grace generation
+    assert gens == ["seg-0-3", "seg-4-7"]  # two sealed immutable segments
     pointer = json.loads((tmp_path / "out" / "_COMPACT.json").read_text())
     assert pointer["upto"] == 7
-    # generation preserves hive shard partitioning
+    assert [(lo, hi) for lo, hi, _ in pointer["segments"]] == [(0, 3), (4, 7)]
+    # segments preserve hive shard partitioning
     import pathlib
-    gen = pathlib.Path(out) / "compact" / "upto=7"
+    gen = pathlib.Path(out) / "compact" / "seg-4-7"
     assert any(d.name.startswith("shard=") for d in gen.iterdir())
 
     got = [(r.doc_id, r.shard) for r in read_token_shards(spark, out).collect()]
@@ -279,9 +280,10 @@ def test_token_shards_output_compaction_bounded_exactly_once(spark, tmp_path):
                         tokens_per_shard=tps, seed=5, compact_every=4)
 
     dirs, markers, gens = _out_layout(out)
-    assert dirs == [8, 9, 10, 11, 12]      # <=7 GC'd at the upto=11 fold
+    assert dirs == [8, 9, 10, 11, 12]      # <=7 GC'd at the upto=11 seal
     assert markers == [8, 9, 10, 11, 12]
-    assert gens == ["upto=11", "upto=7"]   # gen3 swept, gen7 grace-retained
+    # sealed segments are never rewritten — all three are live
+    assert gens == ["seg-0-3", "seg-4-7", "seg-8-11"]
     got = [(r.doc_id, r.shard) for r in read_token_shards(spark, out).collect()]
     assert len(got) == 78 and dict(got) == _shard_oracle(batches, 5, tps)
 
@@ -611,8 +613,13 @@ def test_latest_pointer_backcompat_plain_format(spark, tmp_path):
     assert [r.k for r in read_latest_snapshot(spark, str(target)).collect()] == [1]
     base = _merge_base(spark, str(target), 1)   # later batch: current snap
     assert [r.k for r in base.collect()] == [1]
-    # replay of batch 0 under a legacy pointer: predecessor unknown/None
-    assert _merge_base(spark, str(target), 0) is None
+    # replay of batch 0 under a legacy pointer: the predecessor was never
+    # RECORDED (≠ recorded-as-none), so since round 9 the base falls back
+    # to the named snapshot — keeping accumulated state (may-double-count,
+    # the pre-upgrade behavior) instead of discarding it (ADVICE r8;
+    # warning coverage in tests/test_round9_hardening.py)
+    base = _merge_base(spark, str(target), 0)
+    assert [r.k for r in base.collect()] == [1]
 
 
 # ---------------------------------------------------------------------------
@@ -650,7 +657,7 @@ def test_output_compaction_respects_writer_options(spark, tmp_path):
     stream_token_shards(_file_stream(spark, src, schema), str(out),
                         str(tmp_path / "ckpt"), tokens_per_shard=9, seed=1,
                         compact_every=3, options={"compression": "gzip"})
-    gen = out / "compact" / "upto=2"
+    gen = out / "compact" / "seg-0-2"
     files = list(gen.rglob("*.parquet"))
     assert files and all(".gz.parquet" in f.name for f in files)
 
