@@ -2284,6 +2284,43 @@ def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_bloom_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram MEMBERSHIP decontamination, Bloom-accelerated (the
+    GPT-3 recipe): drop every train doc sharing ANY 5-gram with the test
+    split. The benchmark side folds into a broadcast bitmask
+    (functions/bloom.py), the corpus side is tested map-side — k
+    broadcast joins, zero shuffles of the training grams — and the tiny
+    might-contain remainder is exact-verified, so the result is
+    independent of the filter sizing and the plain exact-membership SQL
+    is a full oracle. Complements `decontaminated` (containment-ratio
+    criterion via the inverted-index join)."""
+    from mini_etl_spark.functions import bloom as bl
+
+    train, test = _contamination_splits(spark, sf_dir)
+    out = bl.bloom_decontaminate(train, test, n=5)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom word table ITSELF over the test split's distinct
+    5-grams — bit-level lock on the filter construction (one md5 per
+    gram, Kirsch–Mitzenmacher double hashing, 62-bit words so every mask
+    is a positive long in both engines). The DuckDB twin replays hex →
+    int halves, the odd-stride positions, and the bit_or fold word for
+    word. Small n_bits keeps the oracle's group count readable; the
+    construction is sizing-independent."""
+    from mini_etl_spark.functions import bloom as bl
+    from mini_etl_spark.functions.dedup import _shingled
+
+    _, test = _contamination_splits(spark, sf_dir)
+    grams = (
+        _shingled(test, "text", "doc_id", 5)
+        .select(F.explode("__sh").alias("gram"))
+        .distinct()
+    )
+    return bl.bloom_build(grams, "gram", n_bits=62 * 64, k=5, seed=42)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified. The verify stage
     re-scores candidates with TRUE Jaccard, and the pytest recall gate
@@ -3209,6 +3246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
+        "bloom_decontaminated": q_bloom_decontaminated,
+        "bloom_bits": q_bloom_bits,
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
         "lm_score": q_lm_score,
@@ -3331,6 +3370,17 @@ _D_SHINGLES = (
     f"i -> array_to_string(({_D_TOKENS})[i:i+2], ' '))) "
     "ELSE [] END"
 )
+
+
+def _d_shingles_n(n: int) -> str:
+    """DuckDB twin of text.shingles (distinct token n-grams) for any n —
+    the generalized form of _D_SHINGLES (which pins n=3)."""
+    return (
+        f"CASE WHEN len({_D_TOKENS}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({_D_TOKENS})-{n - 1}+1), "
+        f"i -> array_to_string(({_D_TOKENS})[i:i+{n - 1}], ' '))) "
+        "ELSE [] END"
+    )
 def _d_md5_64(x: str) -> str:
     """DuckDB twin of dedup._element_hash64(hash_fn='md5'): two 32-bit md5
     halves packed into one signed 64-bit word. Spark's shiftleft(hi,32)
@@ -5570,6 +5620,51 @@ def oracle_sql() -> dict[str, str]:
                     >= 0.5)
             SELECT doc_id, lang, source, n_chars
             FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        # bloom_decontaminated: the Bloom screen is a semantics-preserving
+        # accelerator (exact verify kills false positives; Bloom filters
+        # have no false negatives), so plain exact 5-gram membership SQL
+        # is a FULL oracle — independent of the filter's n_bits/k sizing.
+        "bloom_decontaminated": f"""
+            WITH s AS (
+              SELECT doc_id, lang, source, n_chars,
+                     {_d_shingles_n(5)} AS sh,
+                     {_d_hash_bucket('doc_id', 42)} AS bucket
+              FROM documents),
+            tr AS (SELECT * FROM s WHERE bucket < 5000),
+            te AS (SELECT DISTINCT gram
+                   FROM (SELECT unnest(sh) AS gram
+                         FROM s WHERE bucket >= 5000)),
+            bad AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(sh) AS gram FROM tr) ex
+              JOIN te USING (gram))
+            SELECT doc_id, lang, source, n_chars
+            FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        # bloom_bits: replays the filter CONSTRUCTION bit for bit — one
+        # md5 per gram, hex halves as 32-bit ints, odd-forced h2 stride
+        # (Kirsch–Mitzenmacher), 62-bit words, bit_or fold. Same byte
+        # layout as the hash_bucket oracles ('seed' || chr(31) || value).
+        "bloom_bits": f"""
+            WITH s AS (
+              SELECT {_d_shingles_n(5)} AS sh,
+                     {_d_hash_bucket('doc_id', 42)} AS bucket
+              FROM documents),
+            g AS (SELECT DISTINCT gram
+                  FROM (SELECT unnest(sh) AS gram
+                        FROM s WHERE bucket >= 5000)),
+            h AS (SELECT
+                    ('0x' || substr(md5('42' || chr(31) || gram), 1, 8))::BIGINT
+                      AS h1,
+                    ('0x' || substr(md5('42' || chr(31) || gram), 9, 8))::BIGINT
+                      AS h2r
+                  FROM g),
+            p AS (SELECT (h1 + i * (h2r + 1 - h2r % 2)) % {62 * 64} AS pos
+                  FROM h, range(0, 5) t(i))
+            SELECT pos // 62 AS word_idx,
+                   bit_or(CAST(pow(2, pos % 62) AS BIGINT)) AS word
+            FROM p GROUP BY word_idx
         """,
         # Transitive closure via recursive CTE — O(V·E), fine at oracle
         # scale; the engine runs iterative min-label propagation instead.

@@ -36,9 +36,13 @@ materialization.
 - :mod:`web`        — URL parse/normalize/extract + registered-domain
                       grouping key + broadcast blocklist filtering (the
                       C4/CCNet per-host curation front end; pure codegen)
+- :mod:`bloom`      — Bloom-filter membership screening: broadcast-bitmask
+                      exact n-gram decontamination (GPT-3 recipe) with a
+                      shuffle-free map-side corpus test
 """
 
 from mini_etl_spark.functions import (
+    bloom,
     bpe,
     chunking,
     classify,
@@ -62,5 +66,5 @@ from mini_etl_spark.functions import (
 __all__ = [
     "text", "dedup", "dedup_index", "fuzzy", "similarity", "multimodal",
     "corpus", "splits", "chunking", "mixing", "bpe", "privacy", "graph", "lm",
-    "classify", "web", "ranking", "retrieval",
+    "classify", "web", "ranking", "retrieval", "bloom",
 ]

@@ -1,0 +1,237 @@
+"""Bloom-filter membership screening — broadcast-bitmask decontamination.
+
+No reference parity: the reference (single-process pandas,
+/root/reference/mini_etl) has no probabilistic membership structure. This
+is part of the LLM-data-pipeline extension: the GPT-3-style exact n-gram
+decontamination recipe (Brown et al. 2020, appendix C: build a Bloom
+filter over benchmark n-grams, screen every training document against it)
+and, more generally, "is this key in the small set" tests against a
+corpus too large to shuffle.
+
+Why a Bloom filter at 100 TB
+----------------------------
+The benchmark/blocklist side of a decontamination join is tiny (millions
+of n-grams); the corpus side is the whole 100 TB. A plain equi-join
+shuffles corpus-scale n-gram postings on the join key. The Bloom form
+never shuffles the corpus: the benchmark set is folded into a bitmask of
+a few MB, and every corpus n-gram is tested map-side. Only the tiny
+might-contain remainder (true hits + the controlled false-positive rate)
+reaches an exact verification join, so false positives cost a little
+extra verify work and never change the result — and Bloom filters have
+no false negatives, so nothing leaks past the screen.
+
+Engine portability
+------------------
+Bit positions come from ONE md5 per value, split into two 32-bit halves
+and combined Kirsch–Mitzenmacher style (pos_i = h1 + i·h2 mod n_bits,
+h2 forced odd) — the standard "two hashes simulate k" construction, and
+bit-replayable in DuckDB (same ``md5(seed || US || value)`` byte layout
+as :func:`mini_etl_spark.functions.splits.hash_bucket`). Words hold
+**62** bits, not 64: every mask stays a positive long computed as an
+exact power of two in plain arithmetic, dodging the bit-63 divergence
+(Spark's long ``shiftleft`` wraps where DuckDB's ``<<`` overflow-checks)
+that the SimHash oracle has to special-case.
+
+Plan shape
+----------
+``bloom_build`` is one explode + hash aggregate over the SMALL side.
+``with_might_contain`` is k broadcast hash joins against the word table
+— no shuffle, no explode, no re-grouping of the corpus side; the whole
+membership test stays inside one map stage of whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bits carried per word of the filter. 62 (not 64) so every mask is a
+#: positive long and ``pow(2, bit)`` is exact in double precision in both
+#: engines — see the module docstring.
+BITS_PER_WORD = 62
+
+_US = "\x1f"  # unit separator: delimits seed from value, as in splits.py
+
+
+def bloom_parameters(n_items: int, target_fp: float = 0.01) -> tuple[int, int]:
+    """Classic sizing: (n_bits, k) for ``n_items`` keys at ``target_fp``
+    false-positive rate — n_bits = -n·ln(p)/ln(2)², k = (n_bits/n)·ln(2).
+    n_bits is rounded up to a whole word so the word table is dense."""
+    if n_items <= 0:
+        raise ValueError("bloom_parameters: n_items must be positive")
+    if not 0.0 < target_fp < 1.0:
+        raise ValueError("bloom_parameters: target_fp must be in (0, 1)")
+    n_bits = math.ceil(-n_items * math.log(target_fp) / (math.log(2) ** 2))
+    n_bits = ((n_bits + BITS_PER_WORD - 1) // BITS_PER_WORD) * BITS_PER_WORD
+    k = max(1, round((n_bits / n_items) * math.log(2)))
+    return n_bits, int(k)
+
+
+def bloom_fp_rate(n_items: int, n_bits: int, k: int) -> float:
+    """Expected false-positive rate (1 − e^(−k·n/m))^k — the sizing
+    inverse of :func:`bloom_parameters`, for logging/assertions."""
+    if min(n_items, n_bits, k) <= 0:
+        raise ValueError("bloom_fp_rate: all arguments must be positive")
+    return (1.0 - math.exp(-k * n_items / n_bits)) ** k
+
+
+def _hash_halves(col: Column, seed: int) -> tuple[Column, Column]:
+    """(h1, h2) from one md5 of (seed, value): first/second 8 hex chars as
+    32-bit ints, h2 forced odd (h2 + 1 − h2 % 2) so the i·h2 stride never
+    degenerates to a single position. Pure arithmetic — no bit ops — so
+    DuckDB replays it verbatim."""
+    h = F.md5(
+        F.concat_ws(_US, F.lit(str(seed)), col.cast("string")).cast("binary")
+    )
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2r = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return h1, h2r + F.lit(1) - (h2r % F.lit(2))
+
+
+def _word_idx(pos: Column) -> Column:
+    return F.floor(pos / F.lit(BITS_PER_WORD)).cast("long")
+
+
+def _word_mask(pos: Column) -> Column:
+    # exact: 2^b for b ≤ 61 is exactly representable in double
+    return F.pow(F.lit(2.0), (pos % F.lit(BITS_PER_WORD)).cast("double")).cast(
+        "long"
+    )
+
+
+def _validate(n_bits: int, k: int) -> None:
+    if n_bits < BITS_PER_WORD:
+        raise ValueError(f"bloom: n_bits must be >= {BITS_PER_WORD}")
+    if not 1 <= k <= 32:
+        raise ValueError("bloom: k must be in [1, 32]")
+
+
+def bloom_build(
+    df: DataFrame,
+    column: str,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """Fold ``df[column]`` into a Bloom word table ``(word_idx, word)``
+    — sparse (all-zero words absent), at most ``ceil(n_bits / 62)`` rows
+    regardless of input size. One explode(k positions) + one hash
+    aggregate; nulls contribute nothing. Build this over the SMALL side
+    (benchmark n-grams, a blocklist) — the table is what
+    :func:`with_might_contain` broadcasts."""
+    _validate(n_bits, k)
+    h1, h2 = _hash_halves(F.col(column), seed)
+    positions = F.array(
+        *[(F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(n_bits) for i in range(k)]
+    )
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(F.col(column))
+        .withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .select(F.explode(positions).alias("__pos"))
+        .groupBy(_word_idx(F.col("__pos")).alias("word_idx"))
+        .agg(F.bit_or(_word_mask(F.col("__pos"))).alias("word"))
+    )
+
+
+def with_might_contain(
+    df: DataFrame,
+    column: str,
+    bloom: DataFrame,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 7,
+    seed: int = 42,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """``df`` plus a boolean ``out_col``: true iff all ``k`` bits for
+    ``df[column]`` are set in ``bloom`` (a :func:`bloom_build` table with
+    the SAME n_bits/k/seed — mismatched parameters test garbage bits).
+
+    The corpus-side scale path: k broadcast hash joins on word index —
+    the big side is never shuffled, exploded, or re-grouped, so the test
+    runs entirely map-side. False positives are possible (size with
+    :func:`bloom_parameters`); false negatives are not. ``bloom`` is
+    referenced k times — pass a materialized frame (persist or
+    localCheckpoint) so the build isn't recomputed per join. Null keys
+    test false."""
+    _validate(n_bits, k)
+    h1, h2 = _hash_halves(F.col(column), seed)
+    d = df.withColumn("__h1", h1).withColumn("__h2", h2)
+    temp = ["__h1", "__h2"]
+    hit = None
+    for i in range(k):
+        pos = (F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(n_bits)
+        d = d.withColumn(f"__m{i}", _word_mask(pos)).withColumn(
+            f"__w{i}", _word_idx(pos)
+        )
+        side = bloom.select(
+            F.col("word_idx").alias(f"__bi{i}"), F.col("word").alias(f"__bw{i}")
+        )
+        d = d.join(
+            F.broadcast(side), F.col(f"__w{i}") == F.col(f"__bi{i}"), "left"
+        )
+        h = F.col(f"__bw{i}").isNotNull() & (
+            F.col(f"__bw{i}").bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}")
+        )
+        hit = h if hit is None else hit & h
+        temp += [f"__m{i}", f"__w{i}", f"__bi{i}", f"__bw{i}"]
+    return d.withColumn(out_col, F.coalesce(hit, F.lit(False))).drop(*temp)
+
+
+def bloom_decontaminate(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    n_bits: int = 1 << 20,
+    k: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact n-gram MEMBERSHIP decontamination, Bloom-accelerated: drop
+    every training document sharing ANY token ``n``-gram with the
+    benchmark (``test_df``) — the GPT-3 recipe (13-grams there; ``n`` is
+    the dial). Complements :func:`mini_etl_spark.functions.dedup.decontaminate`,
+    which drops on n-gram CONTAINMENT ratio ≥ threshold via an
+    inverted-index join: membership screening is the stricter/cheaper
+    front line, containment the graded second pass.
+
+    Pipeline: benchmark n-grams → Bloom words (materialized eagerly —
+    one job over the SMALL side; the k broadcast joins then read the
+    computed blocks instead of re-running the build) → map-side
+    might-contain over the training grams → exact verify of the tiny
+    remainder against the broadcast benchmark grams → anti-join. The
+    verify join makes Bloom false positives invisible in the result:
+    output is EXACTLY "train docs with no shared n-gram", independent of
+    n_bits/k — which is what lets a plain SQL oracle replay it.
+
+    The training corpus is never shuffled: grams are tested in the scan
+    stage and only might-contain rows reach the (broadcast) verify."""
+    from mini_etl_spark.functions.dedup import _shingled
+
+    te_grams = (
+        _shingled(test_df, text_col, id_col, n)
+        .select(F.explode("__sh").alias("__gram"))
+        .distinct()
+    )
+    bloom = bloom_build(
+        te_grams, "__gram", n_bits=n_bits, k=k, seed=seed
+    ).localCheckpoint(eager=True)
+    tr_grams = _shingled(train_df, text_col, id_col, n).select(
+        "__id", F.explode("__sh").alias("__gram")
+    )
+    candidates = with_might_contain(
+        tr_grams, "__gram", bloom, n_bits=n_bits, k=k, seed=seed
+    ).filter(F.col("might_contain"))
+    bad = (
+        candidates.join(F.broadcast(te_grams), "__gram", "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return train_df.join(bad, on=id_col, how="left_anti")

@@ -1,0 +1,185 @@
+"""Bloom-filter membership screening (functions/bloom.py).
+
+No reference parity — the reference has no probabilistic membership
+structure; this locks the extension's three contracts:
+
+1. bit layout: the Spark word table equals a pure-Python replay of the
+   same md5 double-hash construction (the same math the DuckDB oracle
+   replays in SQL);
+2. semantics: no false negatives ever, false positives pruned by the
+   exact verify so bloom_decontaminate equals the plain exact-join
+   answer for ANY (n_bits, k);
+3. plan: the corpus-side test is k broadcast joins — no shuffle of the
+   big side, and the pruning actually bites (candidates ≪ grams).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_etl_spark.functions import bloom as bl
+from tests.conftest import SF_ORACLE
+
+
+def _py_positions(value: str, k: int, n_bits: int, seed: int) -> list[int]:
+    """Pure-Python twin of bloom._hash_halves + the K-M stride."""
+    h = hashlib.md5(f"{seed}\x1f{value}".encode()).hexdigest()
+    h1 = int(h[:8], 16)
+    h2 = int(h[8:16], 16)
+    h2 += 1 - h2 % 2
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+def _py_words(values, k: int, n_bits: int, seed: int) -> dict[int, int]:
+    words: dict[int, int] = {}
+    for v in values:
+        for pos in _py_positions(v, k, n_bits, seed):
+            w, b = divmod(pos, bl.BITS_PER_WORD)
+            words[w] = words.get(w, 0) | (1 << b)
+    return words
+
+
+def test_word_table_matches_python_replay(spark):
+    vals = [f"gram {i} x" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], ["g"])
+    got = {
+        r["word_idx"]: r["word"]
+        for r in bl.bloom_build(df, "g", n_bits=1 << 12, k=5, seed=9).collect()
+    }
+    assert got == _py_words(vals, 5, 1 << 12, 9)
+
+
+def test_no_false_negatives_and_fp_rate_in_band(spark):
+    member = [f"in-{i}" for i in range(500)]
+    other = [f"out-{i}" for i in range(5000)]
+    n_bits, k = bl.bloom_parameters(len(member), 0.01)
+    words = bl.bloom_build(
+        spark.createDataFrame([(v,) for v in member], ["g"]),
+        "g", n_bits=n_bits, k=k,
+    ).localCheckpoint(eager=True)
+    probe = spark.createDataFrame([(v,) for v in member + other], ["g"])
+    flagged = bl.with_might_contain(
+        probe, "g", words, n_bits=n_bits, k=k
+    )
+    hits = {r["g"] for r in flagged.filter("might_contain").collect()}
+    assert set(member) <= hits  # a Bloom filter never misses a member
+    fp = (len(hits) - len(member)) / len(other)
+    # 0.01 design point; allow generous sampling slack
+    assert fp <= 0.05, fp
+
+
+def test_null_keys_never_match(spark):
+    words = bl.bloom_build(
+        spark.createDataFrame([("a",)], ["g"]), "g", n_bits=62 * 4, k=2
+    ).localCheckpoint(eager=True)
+    out = bl.with_might_contain(
+        spark.createDataFrame([("a",), (None,)], ["g"]),
+        "g", words, n_bits=62 * 4, k=2,
+    ).collect()
+    by_key = {r["g"]: r["might_contain"] for r in out}
+    assert by_key["a"] is True
+    assert by_key[None] is False
+
+
+def test_empty_benchmark_keeps_everything(spark):
+    train = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                                  ["doc_id", "text"])
+    test = spark.createDataFrame([], "doc_id int, text string")
+    out = bl.bloom_decontaminate(train, test, n=3)
+    assert out.count() == 1
+
+
+def test_decontaminate_equals_exact_join_any_sizing(spark):
+    """The headline contract: for ANY (n_bits, k) — including an
+    undersized filter with a terrible FP rate — the verify stage makes
+    the result EXACTLY 'train docs sharing no n-gram with test'."""
+    from mini_etl_spark.functions.dedup import _shingled
+    from mini_etl_spark.functions import splits as sp
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    bucket = sp.hash_bucket("doc_id")
+    train, test = docs.filter(bucket < 5000), docs.filter(bucket >= 5000)
+
+    def grams(df):
+        return _shingled(df, "text", "doc_id", 5).select(
+            "__id", F.explode("__sh").alias("g")
+        )
+
+    bad = (
+        grams(train).join(grams(test).select("g").distinct(), "g", "left_semi")
+        .select(F.col("__id").alias("doc_id")).distinct()
+    )
+    exact = {r["doc_id"] for r in train.join(bad, "doc_id", "left_anti")
+             .select("doc_id").collect()}
+    for n_bits, k in ((62 * 8, 2), (1 << 16, 5)):  # saturated and sane
+        got = {
+            r["doc_id"]
+            for r in bl.bloom_decontaminate(
+                train, test, n=5, n_bits=n_bits, k=k
+            ).select("doc_id").collect()
+        }
+        assert got == exact, (n_bits, k)
+
+
+def test_corpus_side_plan_is_broadcast_only(spark):
+    """No shuffle of the probed side: every join in with_might_contain is
+    a BroadcastHashJoin and no Exchange hashpartitions the corpus grams."""
+    words = bl.bloom_build(
+        spark.createDataFrame([("x",)], ["g"]), "g", n_bits=1 << 12, k=4
+    ).localCheckpoint(eager=True)
+    probe = spark.range(1000).select(F.concat(F.lit("g"), "id").alias("g"))
+    plan = (
+        bl.with_might_contain(probe, "g", words, n_bits=1 << 12, k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_pruning_actually_bites(spark):
+    """The screen must shrink the verify input: with a properly sized
+    filter, might-contain candidates ≈ true hits, a small fraction of
+    the corpus grams tested."""
+    from mini_etl_spark.functions.dedup import _shingled
+    from mini_etl_spark.functions import splits as sp
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    bucket = sp.hash_bucket("doc_id")
+    train, test = docs.filter(bucket < 5000), docs.filter(bucket >= 5000)
+    te = (
+        _shingled(test, "text", "doc_id", 5)
+        .select(F.explode("__sh").alias("g")).distinct()
+    )
+    n_te = te.count()
+    n_bits, k = bl.bloom_parameters(n_te, 0.01)
+    words = bl.bloom_build(te, "g", n_bits=n_bits, k=k).localCheckpoint(
+        eager=True
+    )
+    tr = _shingled(train, "text", "doc_id", 5).select(
+        "__id", F.explode("__sh").alias("g")
+    )
+    total = tr.count()
+    cand = bl.with_might_contain(tr, "g", words, n_bits=n_bits, k=k).filter(
+        "might_contain"
+    )
+    n_cand = cand.count()
+    true_hits = tr.join(te, "g", "left_semi").count()
+    assert true_hits <= n_cand <= true_hits + math.ceil(0.05 * total)
+    assert n_cand < total / 2  # the screen prunes, it doesn't pass-through
+
+
+def test_parameter_validation():
+    with pytest.raises(ValueError):
+        bl.bloom_parameters(0)
+    with pytest.raises(ValueError):
+        bl.bloom_parameters(10, 1.5)
+    with pytest.raises(ValueError):
+        bl.bloom_fp_rate(10, 0, 3)
+    n_bits, k = bl.bloom_parameters(1000, 0.01)
+    assert n_bits % bl.BITS_PER_WORD == 0
+    assert bl.bloom_fp_rate(1000, n_bits, k) < 0.015
