@@ -53,7 +53,7 @@ TRANSFORMER_TYPES = {
     "normalize",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
-    "nb_classify", "outliers",
+    "nb_classify", "outliers", "decontaminate",
     "parse_urls", "url_blocklist", "html_text",
     "temperature_mix",
     # conversation (chat/SFT) modality
@@ -645,6 +645,54 @@ class ConfigLoader:
             in_batch = bool(o.get("in_batch", True))
             return lambda df: minhash_index_filter(
                 df, path, threshold, cap, append, in_batch
+            )
+        if spec.type == "decontaminate":
+            # drop training docs that leak benchmark/eval content; the
+            # benchmark is a parquet path read at run time (side input,
+            # like index_dedup). method "bloom" = exact n-gram MEMBERSHIP
+            # via the broadcast-bitmask screen (functions/bloom.py, GPT-3
+            # recipe, default 5-grams); "containment" = n-gram coverage
+            # ratio >= threshold via the inverted-index join
+            # (functions/dedup.py, default 3-grams).
+            bench = o["benchmark"]
+            text_col = o.get("column", "text")
+            id_col = o.get("id", "doc_id")
+            method = o.get("method", "bloom")
+            if method == "bloom":
+                from mini_etl_spark.functions.bloom import bloom_decontaminate
+
+                n = int(o.get("n", 5))
+                n_bits = int(float(o.get("n_bits", 1 << 20)))
+                n_hashes = int(o.get("hashes", 7))
+                seed = int(o.get("seed", 42))
+                return lambda df: bloom_decontaminate(
+                    df,
+                    df.sparkSession.read.parquet(bench),
+                    text_col=text_col,
+                    id_col=id_col,
+                    n=n,
+                    n_bits=n_bits,
+                    k=n_hashes,
+                    seed=seed,
+                )
+            if method != "containment":
+                raise ValueError(
+                    "decontaminate: method must be bloom|containment, "
+                    f"got {method!r}"
+                )
+            from mini_etl_spark.functions.dedup import decontaminate
+
+            n = int(o.get("n", 3))
+            threshold = float(o.get("threshold", 0.5))
+            cap = _parse_freq_cap(o.get("max_shingle_freq", 1000))
+            return lambda df: decontaminate(
+                df,
+                df.sparkSession.read.parquet(bench),
+                text_col,
+                id_col,
+                n,
+                threshold,
+                cap,
             )
         if spec.type == "nb_classify":
             # score every row against a PERSISTED NB model (classify.nb_save)

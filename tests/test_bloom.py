@@ -183,3 +183,61 @@ def test_parameter_validation():
     n_bits, k = bl.bloom_parameters(1000, 0.01)
     assert n_bits % bl.BITS_PER_WORD == 0
     assert bl.bloom_fp_rate(1000, n_bits, k) < 0.015
+
+
+def test_decontaminate_config_node(spark, tmp_path):
+    """YAML surface: both methods drop the leaking doc, keep the clean one
+    (side-input benchmark parquet, like the index_dedup node)."""
+    from mini_etl_spark.config import ConfigLoader
+
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    ).write.parquet(bench)
+    src = str(tmp_path / "train.parquet")
+    spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely unrelated training document about spark plans"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    for method, extra in (
+        ("bloom", {"n": 5}),
+        ("containment", {"n": 3, "threshold": 0.5}),
+    ):
+        out = str(tmp_path / f"out_{method}.parquet")
+        cfg = {
+            "pipeline": {
+                "name": "decon",
+                "source": {"type": "parquet", "path": src},
+                "transformers": [
+                    {"type": "decontaminate", "benchmark": bench,
+                     "method": method, **extra}
+                ],
+                "sink": {"type": "parquet", "path": out, "mode": "w"},
+            }
+        }
+        loader = ConfigLoader()
+        loader.build_pipeline(loader.parse(cfg)).run(spark)
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {2}, method
+
+
+def test_decontaminate_config_rejects_unknown_method(spark, tmp_path):
+    from mini_etl_spark.config import ConfigLoader
+
+    cfg = {
+        "pipeline": {
+            "name": "bad",
+            "source": {"type": "parquet", "path": str(tmp_path / "x")},
+            "transformers": [
+                {"type": "decontaminate", "benchmark": "b", "method": "nope"}
+            ],
+            "sink": {"type": "null"},
+        }
+    }
+    loader = ConfigLoader()
+    with pytest.raises(ValueError, match="bloom|containment"):
+        loader.build_pipeline(loader.parse(cfg))
