@@ -296,3 +296,27 @@ def test_streaming_shard_ingest_example_runs(spark, tmp_path, monkeypatch):
     # shard 1 — offset state carried, no restart at 0
     shards = {r.shard for r in both.select("shard").distinct().collect()}
     assert shards == {0, 1}
+
+
+def test_decontaminate_release_example_runs(spark, tmp_path, monkeypatch):
+    """The eval-hygiene release gate: Bloom membership screen + graded
+    containment pass. Eval docs sampled FROM the corpus must all be
+    dropped (they share every n-gram with themselves); the rest of the
+    corpus survives."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    eval_ids = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+    bench = str(tmp_path / "eval.parquet")
+    docs.filter(docs.doc_id.isin(eval_ids)).select("doc_id", "text").write.parquet(bench)
+    monkeypatch.setenv("DOCS_DIR", f"{SF_SMALL}/documents.parquet")
+    monkeypatch.setenv("EVAL_DIR", bench)
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    loader = ConfigLoader()
+    config = loader.load("examples/decontaminate_release.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] > 0
+    out = spark.read.parquet(str(tmp_path / "released_corpus"))
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not (set(eval_ids) & kept)  # leaked docs are gone
+    assert kept  # but the gate is not a drop-everything
+    assert "lang_id" in out.columns  # text_features ran downstream
