@@ -20,10 +20,17 @@ Strategy mapping:
   but never implemented there; implemented properly here
 - BRANCH ⇒ two filters off one cached parent (the reference's BRANCH node
   was pass-through only, dag.py:367-374; real routing implemented here)
+
+Beyond the reference: CHECKPOINT nodes (``add_checkpoint``) — durable
+fingerprinted materialization barriers, so a failed multi-hour run resumes
+from the last checkpoint instead of re-earning every upstream stage.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import logging
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -37,11 +44,15 @@ from pyspark.sql import functions as F
 from mini_etl_spark.session import get_spark
 
 
+logger = logging.getLogger(__name__)
+
+
 class NodeType(Enum):
     SOURCE = "source"
     TRANSFORM = "transform"
     MERGE = "merge"
     BRANCH = "branch"
+    CHECKPOINT = "checkpoint"
     SINK = "sink"
 
 
@@ -73,6 +84,7 @@ class PipelineDAG:
         self.nodes: dict[str, Node] = {}
         self.edges: dict[str, list[str]] = {}   # node -> downstream nodes
         self.in_edges: dict[str, list[str]] = {}  # node -> upstream nodes (ordered)
+        self._ckpt_log: dict[str, list[str]] = {"restored": [], "materialized": []}
 
     # -- construction --------------------------------------------------------
     def _add(self, node: Node) -> "PipelineDAG":
@@ -110,6 +122,42 @@ class PipelineDAG:
         downstream nodes with ``add_edge(name, child, port="match"|"nomatch")``."""
         return self._add(Node(name, NodeType.BRANCH, condition=condition))
 
+    def add_checkpoint(
+        self, name: str, path: str | None = None, version: str = "1"
+    ) -> "PipelineDAG":
+        """Durable materialization barrier: the upstream result is written
+        to parquet once and RESTORED (not recomputed) by later runs whose
+        upstream subgraph fingerprint still matches — restartability for
+        the multi-hour DAG, where a failure in stage 9 must not re-earn
+        stages 1-8. The reference has nothing comparable (its runs are
+        single-process and minutes-long); at 100 TB this is the difference
+        between resuming and re-paying a day of cluster time.
+
+        The parquet lands at ``path``, or ``<checkpoint_dir>/<name>`` from
+        ``run``/``build`` when ``path`` is None. A ``_FINGERPRINT.json``
+        marker (written only AFTER the parquet action commits, via the
+        same tmp+rename protocol as the streaming state files) records the
+        upstream-subgraph fingerprint; on the next run a matching marker
+        short-circuits the node to ``spark.read.parquet`` — which also
+        cuts the plan's lineage, so downstream optimization works over a
+        plain scan instead of the whole upstream graph.
+
+        The fingerprint covers the upstream STRUCTURE (node names, types,
+        edges, merge strategy/keys, branch conditions) and a best-effort
+        token per callable (its name, bytecode digest, and primitive
+        closure/constant values — so ``ops.filter_rows("x > 1")`` changes
+        the fingerprint when the expression changes). Non-introspectable
+        changes (new data under an unchanged source path, an edited
+        extension module) are invisible — bump ``version`` to force
+        recomputation, exactly like a dbt model checksum bump."""
+        return self._add(
+            Node(
+                name,
+                NodeType.CHECKPOINT,
+                metadata={"path": path, "version": str(version)},
+            )
+        )
+
     def add_sink(self, name: str, sink: Callable[[DataFrame], None]) -> "PipelineDAG":
         return self._add(Node(name, NodeType.SINK, func=sink))
 
@@ -134,7 +182,11 @@ class PipelineDAG:
                 errors.append(f"sink {name!r} cannot have outputs")
             if node.node_type == NodeType.SINK and not ups:
                 errors.append(f"sink {name!r} has no input")
-            if node.node_type in (NodeType.TRANSFORM, NodeType.BRANCH) and len(ups) != 1:
+            if (
+                node.node_type
+                in (NodeType.TRANSFORM, NodeType.BRANCH, NodeType.CHECKPOINT)
+                and len(ups) != 1
+            ):
                 errors.append(f"{node.node_type.value} {name!r} needs exactly one input")
             if node.node_type == NodeType.MERGE and len(ups) < 2:
                 errors.append(f"merge {name!r} needs at least two inputs")
@@ -174,16 +226,145 @@ class PipelineDAG:
             raise ValueError("graph contains a cycle")
         return order
 
+    # -- checkpoint fingerprinting --------------------------------------------
+    def _upstream_closure(self, name: str) -> list[str]:
+        """Every node whose output can influence ``name`` (inclusive)."""
+        seen: set[str] = set()
+        stack = [name]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(k.split(".", 1)[0] for k in self.in_edges[n])
+        return sorted(seen)
+
+    @staticmethod
+    def _callable_token(fn: Any) -> str | None:
+        """Best-effort identity of a node callable: name + bytecode digest
+        + primitive constants and closure values (so a config-style
+        closure like filter_rows("x > 1") changes token when its captured
+        expression changes). Opaque callables degrade to their name —
+        the documented reason add_checkpoint has a ``version`` knob."""
+        if fn is None:
+            return None
+        parts = [getattr(fn, "__name__", type(fn).__name__)]
+        code = getattr(fn, "__code__", None)
+        if code is not None:
+            parts.append(hashlib.sha256(code.co_code).hexdigest()[:16])
+            parts.append(
+                repr(
+                    tuple(
+                        c
+                        for c in code.co_consts
+                        if isinstance(c, (str, int, float, bool, type(None)))
+                    )
+                )
+            )
+        for cell in getattr(fn, "__closure__", None) or ():
+            try:
+                v = cell.cell_contents
+            except ValueError:  # empty cell
+                continue
+            if isinstance(v, (str, int, float, bool, tuple, frozenset)):
+                parts.append(repr(v))
+        return "|".join(parts)
+
+    def checkpoint_fingerprint(self, name: str) -> str:
+        """Structural hash of the checkpoint's upstream subgraph — what
+        the ``_FINGERPRINT.json`` marker must match for a restore."""
+        doc = []
+        for n in self._upstream_closure(name):
+            nd = self.nodes[n]
+            doc.append(
+                {
+                    "name": n,
+                    "type": nd.node_type.value,
+                    "in": self.in_edges[n],
+                    "strategy": nd.strategy.value if nd.strategy else None,
+                    "join_keys": nd.join_keys,
+                    "join_how": nd.join_how,
+                    "condition": (
+                        str(nd.condition) if nd.condition is not None else None
+                    ),
+                    "func": self._callable_token(nd.func),
+                    "version": nd.metadata.get("version"),
+                }
+            )
+        return hashlib.sha256(
+            json.dumps(doc, sort_keys=True).encode("utf-8")
+        ).hexdigest()
+
+    def _restore_or_materialize(
+        self,
+        spark: SparkSession,
+        node: Node,
+        upstream: DataFrame,
+        checkpoint_dir: str | None,
+    ) -> DataFrame:
+        # the state-file protocol (tmp+rename publish, .bak recovery) is
+        # shared with the streaming sinks — one crash-safety impl, not two
+        from mini_etl_spark.streaming.corpus import _read_state, _write_state
+
+        target = node.metadata.get("path") or (
+            f"{checkpoint_dir.rstrip('/')}/{node.name}" if checkpoint_dir else None
+        )
+        if target is None:
+            raise ValueError(
+                f"checkpoint {node.name!r} has no path: pass path= to "
+                "add_checkpoint or checkpoint_dir= to run()/build()"
+            )
+        fp = self.checkpoint_fingerprint(node.name)
+        marker = f"{target}/_FINGERPRINT.json"
+        try:
+            state = _read_state(spark, marker)
+        except Exception:  # noqa: BLE001 — any unreadable marker (corrupt
+            # JSON, Hadoop checksum mismatch from an out-of-band edit, FS
+            # hiccup) means "no trustworthy marker"; recomputing is always
+            # safe, trusting a half-readable one never is
+            state = {}
+        if state.get("fingerprint") == fp:
+            self._ckpt_log["restored"].append(node.name)
+            logger.info("checkpoint %r: fingerprint match — restoring %s",
+                        node.name, target)
+            return spark.read.parquet(target)
+        # The overwrite clears the target dir (marker included) when the
+        # job STARTS, so a crash mid-write leaves no marker and the next
+        # run recomputes; the marker is republished only after the
+        # parquet action commits. Data without marker = recompute;
+        # marker without matching fingerprint = recompute.
+        upstream.write.mode("overwrite").parquet(target)
+        _write_state(
+            spark,
+            marker,
+            {
+                "fingerprint": fp,
+                "node": node.name,
+                "version": node.metadata.get("version"),
+            },
+        )
+        self._ckpt_log["materialized"].append(node.name)
+        logger.info("checkpoint %r: materialized %s", node.name, target)
+        return spark.read.parquet(target)
+
     # -- execution ------------------------------------------------------------
-    def build(self, spark: SparkSession | None = None) -> dict[str, DataFrame]:
-        """Build the lazy DataFrame for every node output (no action). Branch
-        nodes produce two entries: ``{name}.match`` and ``{name}.nomatch``."""
+    def build(
+        self,
+        spark: SparkSession | None = None,
+        checkpoint_dir: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build the lazy DataFrame for every node output (no action —
+        except checkpoint nodes, which are materialization BARRIERS: a
+        stale/missing checkpoint runs its parquet write here, a fresh one
+        short-circuits to a scan). Branch nodes produce two entries:
+        ``{name}.match`` and ``{name}.nomatch``."""
         errors = self.validate()
         if errors:
             raise ValueError("invalid DAG: " + "; ".join(errors))
         spark = spark or self._spark or get_spark()
         outputs: dict[str, DataFrame] = {}
         fanout = {n: len(self.edges[n]) for n in self.nodes}
+        self._ckpt_log = {"restored": [], "materialized": []}
 
         for name in self.topological_sort():
             node = self.nodes[name]
@@ -192,6 +373,10 @@ class PipelineDAG:
                 df = node.func(spark)
             elif node.node_type == NodeType.TRANSFORM:
                 df = node.func(inputs[0])
+            elif node.node_type == NodeType.CHECKPOINT:
+                df = self._restore_or_materialize(
+                    spark, node, inputs[0], checkpoint_dir
+                )
             elif node.node_type == NodeType.MERGE:
                 df = self._merge(node, inputs)
             elif node.node_type == NodeType.BRANCH:
@@ -227,12 +412,17 @@ class PipelineDAG:
             )
         raise ValueError(f"unknown merge strategy {node.strategy}")
 
-    def run(self, spark: SparkSession | None = None) -> dict[str, Any]:
+    def run(
+        self,
+        spark: SparkSession | None = None,
+        checkpoint_dir: str | None = None,
+    ) -> dict[str, Any]:
         """Execute: one action per sink (⇐ dag.py:300-390, minus the full
-        materialization)."""
+        materialization). ``checkpoint_dir`` gives path-less checkpoint
+        nodes their parquet home (``<dir>/<node>``)."""
         start = time.monotonic()
         spark = spark or self._spark or get_spark()
-        outputs = self.build(spark)
+        outputs = self.build(spark, checkpoint_dir=checkpoint_dir)
         sinks = [n for n in self.nodes.values() if n.node_type == NodeType.SINK]
         for node in sinks:
             upstream = outputs[node.name]
@@ -249,6 +439,8 @@ class PipelineDAG:
             "nodes_executed": len(self.nodes),
             "sinks": len(sinks),
             "duration": duration,
+            "checkpoints_restored": list(self._ckpt_log["restored"]),
+            "checkpoints_materialized": list(self._ckpt_log["materialized"]),
         }
 
     # -- introspection (⇐ dag.py:392-416) -------------------------------------
