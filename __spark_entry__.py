@@ -2310,12 +2310,12 @@ def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     word. Small n_bits keeps the oracle's group count readable; the
     construction is sizing-independent."""
     from mini_etl_spark.functions import bloom as bl
-    from mini_etl_spark.functions.dedup import _shingled
+    from mini_etl_spark.functions.text import exploded_shingles
 
     _, test = _contamination_splits(spark, sf_dir)
     grams = (
-        _shingled(test, "text", "doc_id", 5)
-        .select(F.explode("__sh").alias("gram"))
+        exploded_shingles(test, "text", "doc_id", "__id", "gram", 5)
+        .select("gram")
         .distinct()
     )
     return bl.bloom_build(grams, "gram", n_bits=62 * 64, k=5, seed=42)

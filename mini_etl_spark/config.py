@@ -662,7 +662,12 @@ class ConfigLoader:
                 from mini_etl_spark.functions.bloom import bloom_decontaminate
 
                 n = int(o.get("n", 5))
-                n_bits = int(float(o.get("n_bits", 1 << 20)))
+                # default "auto": size the filter from the measured
+                # benchmark gram count (a fixed size saturates — fp -> 1 —
+                # the day the benchmark outgrows it)
+                n_bits = o.get("n_bits", "auto")
+                if n_bits != "auto":
+                    n_bits = int(float(n_bits))
                 n_hashes = int(o.get("hashes", 7))
                 seed = int(o.get("seed", 42))
                 return lambda df: bloom_decontaminate(

@@ -65,7 +65,9 @@ def bloom_parameters(n_items: int, target_fp: float = 0.01) -> tuple[int, int]:
         raise ValueError("bloom_parameters: target_fp must be in (0, 1)")
     n_bits = math.ceil(-n_items * math.log(target_fp) / (math.log(2) ** 2))
     n_bits = ((n_bits + BITS_PER_WORD - 1) // BITS_PER_WORD) * BITS_PER_WORD
-    k = max(1, round((n_bits / n_items) * math.log(2)))
+    # clamp to the validated hash-count range: the word-rounding slack
+    # can push the optimal k absurdly high for tiny n_items (n=1 -> 43)
+    k = min(32, max(1, round((n_bits / n_items) * math.log(2))))
     return n_bits, int(k)
 
 
@@ -190,9 +192,10 @@ def bloom_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
-    n_bits: int = 1 << 20,
+    n_bits: int | str = "auto",
     k: int = 7,
     seed: int = 42,
+    target_fp: float = 0.01,
 ) -> DataFrame:
     """Exact n-gram MEMBERSHIP decontamination, Bloom-accelerated: drop
     every training document sharing ANY token ``n``-gram with the
@@ -202,35 +205,47 @@ def bloom_decontaminate(
     inverted-index join: membership screening is the stricter/cheaper
     front line, containment the graded second pass.
 
-    Pipeline: benchmark n-grams → Bloom words (materialized eagerly —
-    one job over the SMALL side; the k broadcast joins then read the
-    computed blocks instead of re-running the build) → map-side
+    Pipeline: benchmark n-grams (materialized once, reused by the build
+    and the verify) → Bloom words sized to the MEASURED gram count at
+    ``target_fp`` when ``n_bits="auto"`` (a fixed size silently
+    saturates when the benchmark outgrows it — fp → 1 and the screen
+    stops pruning; auto keeps the fp honest at any scale for the price
+    of one count on the already-materialized frame) → map-side
     might-contain over the training grams → exact verify of the tiny
-    remainder against the broadcast benchmark grams → anti-join. The
-    verify join makes Bloom false positives invisible in the result:
-    output is EXACTLY "train docs with no shared n-gram", independent of
-    n_bits/k — which is what lets a plain SQL oracle replay it.
+    remainder → anti-join. The verify join is NOT hint-forced: the
+    candidate side is bloom-pruned small, the benchmark side is whatever
+    it is, and AQE picks broadcast vs shuffle from real sizes — forcing
+    a broadcast would collect the whole benchmark to the driver the day
+    it grows past memory. The verify makes Bloom false positives
+    invisible in the result: output is EXACTLY "train docs with no
+    shared n-gram", independent of sizing — which is what lets a plain
+    SQL oracle replay it.
 
-    The training corpus is never shuffled: grams are tested in the scan
-    stage and only might-contain rows reach the (broadcast) verify."""
-    from mini_etl_spark.functions.dedup import _shingled
+    The training corpus is never shuffled in the screen itself: grams
+    are tested in the scan stage and only might-contain rows reach the
+    verify join."""
+    from mini_etl_spark.functions.text import exploded_shingles
 
     te_grams = (
-        _shingled(test_df, text_col, id_col, n)
-        .select(F.explode("__sh").alias("__gram"))
+        exploded_shingles(test_df, text_col, id_col, "__id", "__gram", n)
+        .select("__gram")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    if n_bits == "auto":
+        n_bits, k = bloom_parameters(max(te_grams.count(), 1), target_fp)
+    elif not isinstance(n_bits, int):
+        raise ValueError(f'bloom_decontaminate: n_bits must be int or "auto", '
+                         f"got {n_bits!r}")
     bloom = bloom_build(
         te_grams, "__gram", n_bits=n_bits, k=k, seed=seed
     ).localCheckpoint(eager=True)
-    tr_grams = _shingled(train_df, text_col, id_col, n).select(
-        "__id", F.explode("__sh").alias("__gram")
-    )
+    tr_grams = exploded_shingles(train_df, text_col, id_col, "__id", "__gram", n)
     candidates = with_might_contain(
         tr_grams, "__gram", bloom, n_bits=n_bits, k=k, seed=seed
     ).filter(F.col("might_contain"))
     bad = (
-        candidates.join(F.broadcast(te_grams), "__gram", "left_semi")
+        candidates.join(te_grams, "__gram", "left_semi")
         .select(F.col("__id").alias(id_col))
         .distinct()
     )

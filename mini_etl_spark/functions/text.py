@@ -178,6 +178,35 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(ngrams_from_tokens(toks, n))
 
 
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    id_alias: str,
+    gram_alias: str,
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) postings — one row per DISTINCT token n-gram per doc,
+    for single-consumer explode chains. Same explode_outer + null-filter
+    barrier as :func:`exploded_tokens`: a plain ``explode`` over the
+    shingle projection lets Catalyst re-inline the tokenize+ngram chain
+    per OUTPUT row (measured 25× slower at sf0.1 — 19.7s vs 0.8s), while
+    the un-sinkable null filter pins one evaluation per document with no
+    cache and no shuffle. Multi-consumer chains (e.g. jaccard's
+    sizes+postings) persist the shingled frame instead — see
+    dedup._pair_shingle_stats. Docs shorter than ``n`` vanish, same as
+    plain explode."""
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("__shg", shingles_from_tokens(F.col("__toks"), n))
+        .select(
+            F.col(id_col).alias(id_alias),
+            F.explode_outer("__shg").alias(gram_alias),
+        )
+        .filter(F.col(gram_alias).isNotNull())
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles from raw text. Convenience form — fine for
     small frames and tests; hot paths should materialize tokens first and
