@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mini_etl_spark.functions.text import tokens
+from mini_etl_spark.functions.text import exploded_tokens
 
 __all__ = [
     "NaiveBayesModel",
@@ -80,9 +80,10 @@ def nb_train(
     table and the scalar V are computed in the same pass family. All
     exact integer counts → the model replays in any engine.
     """
-    tok = df.select(
-        F.col(label_col).alias("label"), F.explode(tokens(text_col)).alias("token")
-    )
+    # exploded_tokens, not explode(tokens(...)): the barrier pins ONE
+    # tokenizer evaluation per document (the inline form re-evaluates the
+    # regex chain through the generator — measured 4× slower at sf0.1)
+    tok = exploded_tokens(df, text_col, label_col, "label", "token")
     counts = tok.groupBy("label", "token").agg(F.count(F.lit(1)).alias("__c"))
     if min_count > 1:
         counts = counts.filter(F.col("__c") >= min_count)
@@ -165,7 +166,7 @@ def nb_score(
     contract, same as pagerank; Σ lp·cnt and the per-occurrence Σ lp
     differ only in last-ulp accumulation noise, absorbed by the round —
     the DuckDB oracle computes the identical count-weighted chain)."""
-    tok = df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token"))
+    tok = exploded_tokens(df, text_col, id_col, "__id", "token")
     tokc = tok.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("__cnt"))
     grid = df.select(F.col(id_col).alias("__id")).crossJoin(
         F.broadcast(model.classes)
