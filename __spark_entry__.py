@@ -2301,6 +2301,31 @@ def q_bloom_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_bloom_decontaminated_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same membership screen as `bloom_decontaminated`, but against a
+    PERSISTED decontamination index (functions/bloom.py
+    decontamination_index_write — the production shape: benchmark grams
+    + Bloom words + params built once, nightly batches screened without
+    re-reading the benchmark). Result contract is identical and
+    sizing-independent, so the same exact-membership SQL is a full
+    oracle; differing from `bloom_decontaminated` only in WHERE the
+    benchmark side lives makes the pair a persistence-roundtrip
+    differential test."""
+    import hashlib
+    import tempfile
+
+    from mini_etl_spark.functions import bloom as bl
+
+    train, test = _contamination_splits(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "mini_etl_bloom_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    bl.decontamination_index_write(test, path, n=5)
+    out = bl.bloom_decontaminate_indexed(train, path)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom word table ITSELF over the test split's distinct
     5-grams — bit-level lock on the filter construction (one md5 per
@@ -3247,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
         "bloom_decontaminated": q_bloom_decontaminated,
+        "bloom_decontaminated_indexed": q_bloom_decontaminated_indexed,
         "bloom_bits": q_bloom_bits,
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
@@ -5626,6 +5652,25 @@ def oracle_sql() -> dict[str, str]:
         # have no false negatives), so plain exact 5-gram membership SQL
         # is a FULL oracle — independent of the filter's n_bits/k sizing.
         "bloom_decontaminated": f"""
+            WITH s AS (
+              SELECT doc_id, lang, source, n_chars,
+                     {_d_shingles_n(5)} AS sh,
+                     {_d_hash_bucket('doc_id', 42)} AS bucket
+              FROM documents),
+            tr AS (SELECT * FROM s WHERE bucket < 5000),
+            te AS (SELECT DISTINCT gram
+                   FROM (SELECT unnest(sh) AS gram
+                         FROM s WHERE bucket >= 5000)),
+            bad AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(sh) AS gram FROM tr) ex
+              JOIN te USING (gram))
+            SELECT doc_id, lang, source, n_chars
+            FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        # bloom_decontaminated_indexed: persistence changes WHERE the
+        # benchmark side lives, not the result — same full oracle.
+        "bloom_decontaminated_indexed": f"""
             WITH s AS (
               SELECT doc_id, lang, source, n_chars,
                      {_d_shingles_n(5)} AS sh,

@@ -654,10 +654,30 @@ class ConfigLoader:
             # recipe, default 5-grams); "containment" = n-gram coverage
             # ratio >= threshold via the inverted-index join
             # (functions/dedup.py, default 3-grams).
-            bench = o["benchmark"]
+            bench = o.get("benchmark")
+            index = o.get("index")
+            if (bench is None) == (index is None):
+                raise ValueError(
+                    "decontaminate: exactly one of benchmark (parquet of "
+                    "eval docs) or index (decontamination_index_write dir) "
+                    "is required"
+                )
             text_col = o.get("column", "text")
             id_col = o.get("id", "doc_id")
             method = o.get("method", "bloom")
+            if index is not None:
+                if method != "bloom":
+                    raise ValueError(
+                        "decontaminate: index= is the persisted BLOOM form; "
+                        f"method {method!r} does not apply"
+                    )
+                from mini_etl_spark.functions.bloom import (
+                    bloom_decontaminate_indexed,
+                )
+
+                return lambda df: bloom_decontaminate_indexed(
+                    df, index, text_col=text_col, id_col=id_col
+                )
             if method == "bloom":
                 from mini_etl_spark.functions.bloom import bloom_decontaminate
 

@@ -250,3 +250,112 @@ def bloom_decontaminate(
         .distinct()
     )
     return train_df.join(bad, on=id_col, how="left_anti")
+
+
+def decontamination_index_write(
+    benchmark_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    n_bits: int | str = "auto",
+    k: int = 7,
+    seed: int = 42,
+    target_fp: float = 0.01,
+) -> dict:
+    """Build ONCE, screen many: persist the benchmark's distinct n-grams
+    (``<path>/grams``), their Bloom word table (``<path>/words``), and
+    the hash parameters (``<path>/_BLOOM.json``) — the production shape
+    of decontamination, where the benchmark suite is fixed and every
+    nightly ingestion batch gets screened without re-shingling it
+    (mirrors dedup_index's build-once/probe-many contract,
+    dedup_index.py minhash_index_write).
+
+    The params doc is published LAST via the tmp+rename state protocol,
+    so a crash mid-build leaves no readable marker and
+    :func:`bloom_decontaminate_indexed` refuses the half-built index
+    loudly. Auto sizing counts the PERSISTED grams (one metadata-cheap
+    scan), so the filter is sized to the real benchmark. Returns the
+    resolved params."""
+    from mini_etl_spark.functions.text import exploded_shingles
+    from mini_etl_spark.streaming.corpus import _write_state
+
+    spark = benchmark_df.sparkSession
+    (
+        exploded_shingles(benchmark_df, text_col, id_col, "__id", "gram", n)
+        .select("gram")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{path}/grams")
+    )
+    grams = spark.read.parquet(f"{path}/grams")
+    if n_bits == "auto":
+        n_bits, k = bloom_parameters(max(grams.count(), 1), target_fp)
+    elif not isinstance(n_bits, int):
+        raise ValueError(
+            f'decontamination_index_write: n_bits must be int or "auto", '
+            f"got {n_bits!r}"
+        )
+    bloom_build(grams, "gram", n_bits=n_bits, k=k, seed=seed).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/words")
+    params = {"n": n, "n_bits": n_bits, "k": k, "seed": seed, "format": 1}
+    _write_state(spark, f"{path}/_BLOOM.json", params)
+    return params
+
+
+def bloom_decontaminate_indexed(
+    batch_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Screen an ingestion batch against a PERSISTED decontamination
+    index (:func:`decontamination_index_write`) — the benchmark text is
+    never re-read or re-shingled. Hash parameters come from the index's
+    own ``_BLOOM.json`` (a probe with drifted parameters would test
+    garbage bits, so they are not arguments here); a missing or
+    unreadable marker fails loudly rather than screening against a
+    half-built index. Same result contract as
+    :func:`bloom_decontaminate`: batch docs sharing no n-gram with the
+    benchmark, independent of the filter sizing."""
+    from mini_etl_spark.functions.text import exploded_shingles
+    from mini_etl_spark.streaming.corpus import _read_state
+
+    spark = batch_df.sparkSession
+    marker = f"{path}/_BLOOM.json"
+    try:
+        params = _read_state(spark, marker)
+    except ValueError as exc:
+        raise ValueError(
+            f"unreadable decontamination index marker {marker!r}"
+        ) from exc
+    if not params or "n_bits" not in params:
+        raise ValueError(
+            f"{path!r} is not a decontamination index (no {marker!r} — "
+            "half-built index from a crashed write, or wrong path). "
+            "Rebuild with decontamination_index_write."
+        )
+    words = spark.read.parquet(f"{path}/words")
+    te_grams = spark.read.parquet(f"{path}/grams").select(
+        F.col("gram").alias("__gram")
+    )
+    batch_grams = exploded_shingles(
+        batch_df, text_col, id_col, "__id", "__gram", int(params["n"])
+    )
+    candidates = with_might_contain(
+        batch_grams,
+        "__gram",
+        words,
+        n_bits=int(params["n_bits"]),
+        k=int(params["k"]),
+        seed=int(params["seed"]),
+    ).filter(F.col("might_contain"))
+    bad = (
+        candidates.join(te_grams, "__gram", "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return batch_df.join(bad, on=id_col, how="left_anti")

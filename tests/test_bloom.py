@@ -241,3 +241,90 @@ def test_decontaminate_config_rejects_unknown_method(spark, tmp_path):
     loader = ConfigLoader()
     with pytest.raises(ValueError, match="bloom|containment"):
         loader.build_pipeline(loader.parse(cfg))
+
+
+def test_index_roundtrip_equals_direct(spark, tmp_path):
+    """Persisted-index screen == direct bloom_decontaminate == exact
+    membership, and the params marker round-trips the auto sizing."""
+    from mini_etl_spark.functions import splits as sp
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    bucket = sp.hash_bucket("doc_id")
+    train, test = docs.filter(bucket < 5000), docs.filter(bucket >= 5000)
+    path = str(tmp_path / "decon_idx")
+    params = bl.decontamination_index_write(test, path, n=5)
+    assert params["n_bits"] % bl.BITS_PER_WORD == 0 and params["k"] >= 1
+    via_index = {
+        r["doc_id"]
+        for r in bl.bloom_decontaminate_indexed(train, path)
+        .select("doc_id").collect()
+    }
+    direct = {
+        r["doc_id"]
+        for r in bl.bloom_decontaminate(train, test, n=5)
+        .select("doc_id").collect()
+    }
+    assert via_index == direct
+
+
+def test_index_missing_or_halfbuilt_fails_loudly(spark, tmp_path):
+    train = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="not a decontamination index"):
+        bl.bloom_decontaminate_indexed(train, str(tmp_path / "nope"))
+    # half-built: grams/words exist but the marker was never published
+    path = str(tmp_path / "half")
+    bench = spark.createDataFrame([(9, "a b c d e f")], ["doc_id", "text"])
+    bl.decontamination_index_write(bench, path, n=3)
+    import os
+    os.remove(f"{path}/_BLOOM.json")
+    with pytest.raises(ValueError, match="not a decontamination index"):
+        bl.bloom_decontaminate_indexed(train, path)
+
+
+def test_index_config_node(spark, tmp_path):
+    from mini_etl_spark.config import ConfigLoader
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    bl.decontamination_index_write(bench, idx, n=5)
+    src = str(tmp_path / "train.parquet")
+    spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely unrelated training document about spark plans"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    out = str(tmp_path / "out.parquet")
+    cfg = {
+        "pipeline": {
+            "name": "decon_idx",
+            "source": {"type": "parquet", "path": src},
+            "transformers": [{"type": "decontaminate", "index": idx}],
+            "sink": {"type": "parquet", "path": out, "mode": "w"},
+        }
+    }
+    loader = ConfigLoader()
+    loader.build_pipeline(loader.parse(cfg)).run(spark)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {2}
+
+
+def test_config_rejects_ambiguous_benchmark_and_index(spark):
+    from mini_etl_spark.config import ConfigLoader
+
+    loader = ConfigLoader()
+    for opts in ({}, {"benchmark": "b", "index": "i"}):
+        cfg = {
+            "pipeline": {
+                "name": "bad",
+                "source": {"type": "parquet", "path": "x"},
+                "transformers": [{"type": "decontaminate", **opts}],
+                "sink": {"type": "null"},
+            }
+        }
+        with pytest.raises(ValueError, match="exactly one of"):
+            loader.build_pipeline(loader.parse(cfg))
