@@ -103,6 +103,23 @@ def _word_mask(pos: Column) -> Column:
     )
 
 
+def _reject_streaming(df: DataFrame, op: str) -> None:
+    """The decontamination screens end in an anti-join of the frame
+    against doc ids derived FROM the frame — a stream-stream join
+    Structured Streaming cannot run (and the eager index checkpoint
+    cannot either). Screening a stream is still one line, just per
+    micro-batch: foreachBatch(lambda b, _:
+    bloom_decontaminate_indexed(b, index_path)...), or the repeated
+    availableNow batch pattern the incremental examples use."""
+    if getattr(df, "isStreaming", False):
+        raise ValueError(
+            f"{op}: the corpus frame is a streaming DataFrame — the "
+            "screen's final anti-join is stream-stream and unsupported. "
+            "Apply it per micro-batch inside foreachBatch (see docstring) "
+            "or run the batch pipeline incrementally."
+        )
+
+
 def _validate(n_bits: int, k: int) -> None:
     if n_bits < BITS_PER_WORD:
         raise ValueError(f"bloom: n_bits must be >= {BITS_PER_WORD}")
@@ -226,6 +243,8 @@ def bloom_decontaminate(
     verify join."""
     from mini_etl_spark.functions.text import exploded_shingles
 
+    _reject_streaming(train_df, "bloom_decontaminate")
+
     te_grams = (
         exploded_shingles(test_df, text_col, id_col, "__id", "__gram", n)
         .select("__gram")
@@ -324,6 +343,7 @@ def bloom_decontaminate_indexed(
     from mini_etl_spark.functions.text import exploded_shingles
     from mini_etl_spark.streaming.corpus import _read_state
 
+    _reject_streaming(batch_df, "bloom_decontaminate_indexed")
     spark = batch_df.sparkSession
     marker = f"{path}/_BLOOM.json"
     try:

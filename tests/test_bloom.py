@@ -328,3 +328,16 @@ def test_config_rejects_ambiguous_benchmark_and_index(spark):
         }
         with pytest.raises(ValueError, match="exactly one of"):
             loader.build_pipeline(loader.parse(cfg))
+
+
+def test_streaming_frame_rejected_with_guidance(spark, tmp_path):
+    src = str(tmp_path / "sdocs")
+    spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    bench = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="foreachBatch"):
+        bl.bloom_decontaminate(stream, bench, n=3)
+    idx = str(tmp_path / "idx")
+    bl.decontamination_index_write(bench, idx, n=3)
+    with pytest.raises(ValueError, match="foreachBatch"):
+        bl.bloom_decontaminate_indexed(stream, idx)
