@@ -461,6 +461,7 @@ def main() -> None:
         "cosine_pairs_lsh": queries["cosine_pairs_lsh"],
         "lsh_topk": queries["lsh_topk"],
         "contamination": queries["contamination"],
+        "bloom_decontaminated": queries["bloom_decontaminated"],
         "product_profit": queries["product_profit"],
         "doc_repetition": queries["doc_repetition"],
         "doc_chunks": queries["doc_chunks"],
