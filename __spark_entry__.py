@@ -3009,6 +3009,34 @@ def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two epochs of the events
+    stream (event_id parity split — deterministic, both sides scan-
+    prunable): per-bin counts/fractions and PSI contributions over 10
+    shared equi-width bins (maintenance.distribution_drift — same
+    width_bucket chain the histogram/zorder oracles replay
+    bit-identically). The ops-side "did the new batch shift the
+    distribution" monitor; Σ psi_contrib is the PSI. Floats rounded to
+    6 (cross-engine ln/division ulp contract, same as pagerank)."""
+    from mini_etl_spark import maintenance as mt
+
+    ev = _t(spark, sf_dir, "events")
+    out = mt.distribution_drift(
+        ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1"),
+        "value", bins=10,
+    )
+    return out.select(
+        "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "count_a",
+        "count_b",
+        F.round("frac_a", 6).alias("frac_a"),
+        F.round("frac_b", 6).alias("frac_b"),
+        F.round("psi_contrib", 6).alias("psi_contrib"),
+    )
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency decile assignment (maintenance.quantile_buckets):
     exact cents-fixed percentile boundaries from one tiny aggregate,
@@ -3231,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "benford": q_benford,
         "quantile_buckets": q_quantile_buckets,
+        "column_drift": q_column_drift,
         "group_trend": q_group_trend,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
@@ -5553,6 +5582,53 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n AS DOUBLE)) * 1e6)
                        AS BIGINT) END AS intercept_e6
             FROM a
+        """,
+        # column_drift: replays the shared-bin PSI chain — union min/max,
+        # the width_bucket float-division bucket (same chain the
+        # zorder/histogram oracles pin), spine left joins, epsilon-guarded
+        # fractions, (pa-pb)*ln(pa/pb) — rounded 6 (ln ulp contract).
+        "column_drift": """
+            WITH v AS (SELECT CAST(value AS DOUBLE) AS v,
+                              event_id % 2 AS side
+                       FROM events WHERE value IS NOT NULL),
+            s AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+            bucketed AS (
+              SELECT side,
+                     GREATEST(0, LEAST(9,
+                       (CAST(floor((v - mn) / ((mx - mn) / 10))
+                             AS BIGINT) + 1) - 1)) AS bin
+              FROM v, s),
+            ca AS (SELECT bin, count(*) AS count_a
+                   FROM bucketed WHERE side = 0 GROUP BY bin),
+            cb AS (SELECT bin, count(*) AS count_b
+                   FROM bucketed WHERE side = 1 GROUP BY bin),
+            n AS (SELECT (SELECT count(*) FROM v WHERE side = 0) AS na,
+                         (SELECT count(*) FROM v WHERE side = 1) AS nb),
+            spine AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+            j AS (SELECT bin,
+                         COALESCE(count_a, 0) AS count_a,
+                         COALESCE(count_b, 0) AS count_b
+                  FROM spine LEFT JOIN ca USING (bin)
+                             LEFT JOIN cb USING (bin)),
+            f AS (SELECT j.*,
+                         CASE WHEN na > 0 THEN count_a / CAST(na AS DOUBLE)
+                              ELSE 0.0 END AS frac_a,
+                         CASE WHEN nb > 0 THEN count_b / CAST(nb AS DOUBLE)
+                              ELSE 0.0 END AS frac_b,
+                         mn, mx
+                  FROM j, n, s)
+            SELECT bin,
+                   round(mn + bin * ((mx - mn) / 10), 6) AS lo,
+                   round(mn + (bin + 1) * ((mx - mn) / 10), 6) AS hi,
+                   count_a, count_b,
+                   round(frac_a, 6) AS frac_a,
+                   round(frac_b, 6) AS frac_b,
+                   round((CASE WHEN frac_a <= 0 THEN 0.000001 ELSE frac_a END
+                          - CASE WHEN frac_b <= 0 THEN 0.000001 ELSE frac_b END)
+                         * ln(CASE WHEN frac_a <= 0 THEN 0.000001 ELSE frac_a END
+                              / CASE WHEN frac_b <= 0 THEN 0.000001 ELSE frac_b END),
+                         6) AS psi_contrib
+            FROM f
         """,
         "quantile_buckets": f"""
             WITH b AS (

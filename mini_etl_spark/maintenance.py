@@ -195,6 +195,120 @@ def histogram(df, column: str, bins: int = 20, lo: float | None = None,
     )
 
 
+def distribution_drift(
+    df_a,
+    df_b,
+    column: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    epsilon: float = 1e-6,
+):
+    """Population Stability Index between two epochs of one numeric
+    column — the "did yesterday's ingestion shift the distribution"
+    monitor a recurring 100 TB pipeline runs before training on the new
+    batch. Returns one row per bin: (``bin``, ``lo``, ``hi``,
+    ``count_a``, ``count_b``, ``frac_a``, ``frac_b``, ``psi_contrib``);
+    PSI = Σ psi_contrib (rule of thumb: < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted).
+
+    Shared equi-width bins over [lo, hi] (min/max across BOTH epochs
+    when not given — one tiny aggregate; the same width_bucket chain as
+    :func:`histogram`/:func:`zorder_value`, so external engines replay
+    the bin assignment bit-identically). Zero-count bins take
+    ``epsilon`` in place of their fraction (the standard PSI guard —
+    a bin emptying out IS drift and must contribute, not divide by
+    zero). Plan shape: one partial+final count aggregate per epoch
+    (exchange carries ≤ ``bins`` rows), a ``bins``-row spine join, and
+    the two scalar totals broadcast — no global window, nothing
+    corpus-sized on the driver. NULLs are dropped on both sides."""
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError("distribution_drift: bins must be >= 1")
+    if lo is not None and hi is not None and lo > hi:
+        raise ValueError(
+            f"distribution_drift: lo must be <= hi, got lo={lo} hi={hi}"
+        )
+    spark = df_a.sparkSession
+    a_vals = df_a.select(F.col(column).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    b_vals = df_b.select(F.col(column).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    if lo is None or hi is None:
+        stats = (
+            a_vals.unionByName(b_vals)
+            .agg(F.min("__v").alias("mn"), F.max("__v").alias("mx"))
+            .first()
+        )
+        lo = stats["mn"] if lo is None else lo
+        hi = stats["mx"] if hi is None else hi
+    if lo is None or hi is None:
+        raise ValueError(
+            f"distribution_drift: column {column!r} has no non-null values "
+            "in either epoch"
+        )
+    lo, hi = float(lo), float(hi)
+    if lo == hi:
+        bins = 1  # constant column: one shared bucket, PSI measures count mix
+        bucket = F.lit(0)
+        width = 0.0
+    else:
+        width = (hi - lo) / bins
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.width_bucket(F.col("__v"), F.lit(lo), F.lit(hi), F.lit(bins))
+                - 1,
+            ),
+        )
+
+    def counts(vals, name):
+        return vals.groupBy(bucket.alias("bin")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        spine.join(counts(a_vals, "count_a"), "bin", "left")
+        .join(counts(b_vals, "count_b"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
+    )
+    totals = a_vals.agg(F.count(F.lit(1)).alias("__na")).crossJoin(
+        b_vals.agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    frac_a = F.when(
+        F.col("__na") > 0, F.col("count_a") / F.col("__na")
+    ).otherwise(F.lit(0.0))
+    frac_b = F.when(
+        F.col("__nb") > 0, F.col("count_b") / F.col("__nb")
+    ).otherwise(F.lit(0.0))
+    pa = F.when(F.col("frac_a") <= 0, F.lit(epsilon)).otherwise(F.col("frac_a"))
+    pb = F.when(F.col("frac_b") <= 0, F.lit(epsilon)).otherwise(F.col("frac_b"))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .withColumn("frac_a", frac_a)
+        .withColumn("frac_b", frac_b)
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "count_a",
+            "count_b",
+            "frac_a",
+            "frac_b",
+            ((pa - pb) * F.log(pa / pb)).alias("psi_contrib"),
+        )
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

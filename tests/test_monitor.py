@@ -49,3 +49,67 @@ def test_json_twin_roundtrips(tmp_path):
     path = tmp_path / "h.json"
     history_to_json(HIST, str(path))
     assert json.loads(path.read_text()) == HIST
+
+
+# ---------------------------------------------------------------------------
+# distribution_drift (maintenance.py) — the PSI epoch monitor
+# ---------------------------------------------------------------------------
+
+def _psi(rows):
+    return sum(r["psi_contrib"] for r in rows)
+
+
+def test_drift_identical_epochs_is_zero(spark):
+    from mini_etl_spark import maintenance as mt
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+    rows = mt.distribution_drift(df, df, "v", bins=10).collect()
+    assert len(rows) == 10
+    assert abs(_psi(rows)) < 1e-12
+    assert all(r["count_a"] == r["count_b"] for r in rows)
+
+
+def test_drift_detects_shift(spark):
+    from mini_etl_spark import maintenance as mt
+
+    a = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    b = spark.range(1000).selectExpr("CAST(50 + id % 100 AS DOUBLE) AS v")
+    rows = mt.distribution_drift(a, b, "v", bins=10).collect()
+    assert _psi(rows) > 0.25  # half the mass moved: well past "shifted"
+
+
+def test_drift_empty_bin_uses_epsilon_not_nan(spark):
+    from mini_etl_spark import maintenance as mt
+    import math
+
+    a = spark.range(100).selectExpr("CAST(id % 10 AS DOUBLE) AS v")
+    b = spark.range(100).selectExpr("CAST(id % 5 AS DOUBLE) AS v")
+    rows = mt.distribution_drift(a, b, "v", bins=10, lo=0.0, hi=10.0).collect()
+    assert all(math.isfinite(r["psi_contrib"]) for r in rows)
+    # bins 5..9 are empty on the b side but still contribute drift
+    assert _psi(rows) > 0.1
+
+
+def test_drift_constant_column_single_bucket(spark):
+    from mini_etl_spark import maintenance as mt
+
+    a = spark.range(10).selectExpr("CAST(7 AS DOUBLE) AS v")
+    b = spark.range(30).selectExpr("CAST(7 AS DOUBLE) AS v")
+    rows = mt.distribution_drift(a, b, "v").collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0
+    assert rows[0]["count_a"] == 10 and rows[0]["count_b"] == 30
+    assert abs(rows[0]["psi_contrib"]) < 1e-12  # same (full) fraction each
+
+
+def test_drift_validation(spark):
+    from mini_etl_spark import maintenance as mt
+    import pytest as pt
+
+    df = spark.range(5).selectExpr("CAST(id AS DOUBLE) AS v")
+    empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pt.raises(ValueError, match="bins"):
+        mt.distribution_drift(df, df, "v", bins=0)
+    with pt.raises(ValueError, match="lo must be <= hi"):
+        mt.distribution_drift(df, df, "v", lo=5.0, hi=1.0)
+    with pt.raises(ValueError, match="no non-null"):
+        mt.distribution_drift(empty, empty, "v")

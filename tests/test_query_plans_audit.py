@@ -34,6 +34,8 @@ SCALAR_BROADCAST_JOINS = {
     "url_blocklist",
     # 1-row grand-total broadcast (digit shares need the scalar sum)
     "benford",
+    # 1-row epoch-totals broadcast (PSI fractions need both scalar counts)
+    "column_drift",
 }
 
 
