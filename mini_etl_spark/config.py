@@ -53,7 +53,7 @@ TRANSFORMER_TYPES = {
     "normalize",
     "cap_per_group", "remove_spans", "bpe_encode", "quantize",
     "weighted_sample", "validate", "k_anonymize", "index_dedup",
-    "nb_classify", "outliers", "decontaminate",
+    "nb_classify", "outliers", "decontaminate", "drift",
     "parse_urls", "url_blocklist", "html_text",
     "temperature_mix",
     # conversation (chat/SFT) modality
@@ -719,6 +719,49 @@ class ConfigLoader:
                 threshold,
                 cap,
             )
+        if spec.type == "drift":
+            # epoch drift monitor: PSI of the flowing frame vs a BASELINE
+            # parquet (side input, like decontaminate/index_dedup). The
+            # node REPLACES the frame with the per-bin drift report —
+            # put it on a branch/multi-sink leg, or follow with
+            # max_psi to fail the run on a shifted distribution.
+            from mini_etl_spark.maintenance import distribution_drift
+
+            baseline = o["baseline"]
+            column = o["column"]
+            bins = int(o.get("bins", 10))
+            lo = o.get("lo")
+            hi = o.get("hi")
+            max_psi = o.get("max_psi")
+
+            def _drift(df, _b=baseline, _c=column, _n=bins, _lo=lo, _hi=hi,
+                       _cap=max_psi):
+                from pyspark.sql import functions as FF
+
+                base = df.sparkSession.read.parquet(_b)
+                out = distribution_drift(
+                    base, df, _c, bins=_n,
+                    lo=None if _lo is None else float(_lo),
+                    hi=None if _hi is None else float(_hi),
+                )
+                if _cap is not None:
+                    psi = out.agg(
+                        FF.coalesce(FF.sum("psi_contrib"), FF.lit(0.0))
+                    ).first()[0]
+                    if psi > float(_cap):
+                        raise ValueError(
+                            f"drift: PSI {psi:.4f} of column {_c!r} vs "
+                            f"baseline {_b!r} exceeds max_psi {_cap} — "
+                            "the new epoch's distribution has shifted; "
+                            "refusing to publish it"
+                        )
+                    logger.info(
+                        "drift: column %r PSI %.4f <= max_psi %s vs %r",
+                        _c, psi, _cap, _b,
+                    )
+                return out
+
+            return _drift
         if spec.type == "nb_classify":
             # score every row against a PERSISTED NB model (classify.nb_save)
             # and append (label, score); keep_label optionally filters to

@@ -113,3 +113,38 @@ def test_drift_validation(spark):
         mt.distribution_drift(df, df, "v", lo=5.0, hi=1.0)
     with pt.raises(ValueError, match="no non-null"):
         mt.distribution_drift(empty, empty, "v")
+
+
+def test_drift_config_node_report_and_gate(spark, tmp_path):
+    """YAML surface: the drift node replaces the frame with the per-bin
+    report, and max_psi fails the run loudly on a shifted epoch."""
+    from mini_etl_spark.config import ConfigLoader
+
+    base = str(tmp_path / "baseline.parquet")
+    spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v").write.parquet(base)
+    same = str(tmp_path / "same.parquet")
+    spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v").write.parquet(same)
+    shifted = str(tmp_path / "shifted.parquet")
+    spark.range(1000).selectExpr("CAST(50 + id % 100 AS DOUBLE) AS v").write.parquet(shifted)
+
+    def cfg(src, **extra):
+        return {
+            "pipeline": {
+                "name": "drift_gate",
+                "source": {"type": "parquet", "path": src},
+                "transformers": [
+                    {"type": "drift", "baseline": base, "column": "v", **extra}
+                ],
+                "sink": {"type": "parquet",
+                         "path": str(tmp_path / "report.parquet"), "mode": "w"},
+            }
+        }
+
+    loader = ConfigLoader()
+    loader.build_pipeline(loader.parse(cfg(same, max_psi=0.1))).run(spark)
+    report = spark.read.parquet(str(tmp_path / "report.parquet"))
+    assert {"bin", "frac_a", "frac_b", "psi_contrib"} <= set(report.columns)
+
+    import pytest as pt
+    with pt.raises(ValueError, match="exceeds max_psi"):
+        loader.build_pipeline(loader.parse(cfg(shifted, max_psi=0.1))).run(spark)
