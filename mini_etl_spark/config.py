@@ -745,6 +745,10 @@ class ConfigLoader:
                     hi=None if _hi is None else float(_hi),
                 )
                 if _cap is not None:
+                    # the gate's sum is an action and the sink is another:
+                    # cache the bins-row report so both epochs are scanned
+                    # once, not twice (the report itself is tiny)
+                    out = out.persist()
                     psi = out.agg(
                         FF.coalesce(FF.sum("psi_contrib"), FF.lit(0.0))
                     ).first()[0]
