@@ -2311,16 +2311,15 @@ def q_bloom_decontaminated_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     oracle; differing from `bloom_decontaminated` only in WHERE the
     benchmark side lives makes the pair a persistence-roundtrip
     differential test."""
-    import hashlib
     import tempfile
 
     from mini_etl_spark.functions import bloom as bl
 
     train, test = _contamination_splits(spark, sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "mini_etl_bloom_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
+    # per-call unique dir (mkdtemp): two concurrent runs over the same
+    # sf_dir must not race one fixed path's overwrite against the
+    # other's read — mirrors q_ivf_topk_indexed
+    path = tempfile.mkdtemp(prefix="mini_etl_bloom_index_")
     bl.decontamination_index_write(test, path, n=5)
     out = bl.bloom_decontaminate_indexed(train, path)
     return out.select("doc_id", "lang", "source", "n_chars")
@@ -2686,7 +2685,6 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature mode (16 hashes / 4 bands) so DuckDB replays the entire
     chain — signatures, band buckets, candidate join, and the agreement
     estimator — bit-for-bit. est_jaccard = agreeing-component fraction."""
-    import hashlib
     import tempfile
 
     from mini_etl_spark.functions.dedup_index import (
@@ -2697,10 +2695,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter("doc_id % 10 != 0")
     batch = docs.filter("doc_id % 10 = 0")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "mini_etl_mh_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
+    # per-call unique dir: concurrent runs must not race a fixed path
+    path = tempfile.mkdtemp(prefix="mini_etl_mh_index_")
     minhash_index_write(
         corpus, path, num_hashes=16, bands=4, hash_fn="md5"
     )

@@ -688,7 +688,11 @@ class ConfigLoader:
                 n_bits = o.get("n_bits", "auto")
                 if n_bits != "auto":
                     n_bits = int(float(n_bits))
-                n_hashes = int(o.get("hashes", 7))
+                # a user-pinned hashes: is honored under auto sizing too
+                # (n_bits is then sized FOR that k — bloom_parameters_for_k
+                # — instead of the auto pair silently discarding it)
+                hashes = o.get("hashes")
+                n_hashes = "auto" if hashes is None else int(hashes)
                 seed = int(o.get("seed", 42))
                 return lambda df: bloom_decontaminate(
                     df,
@@ -736,8 +740,6 @@ class ConfigLoader:
 
             def _drift(df, _b=baseline, _c=column, _n=bins, _lo=lo, _hi=hi,
                        _cap=max_psi):
-                from pyspark.sql import functions as FF
-
                 base = df.sparkSession.read.parquet(_b)
                 out = distribution_drift(
                     base, df, _c, bins=_n,
@@ -746,12 +748,14 @@ class ConfigLoader:
                 )
                 if _cap is not None:
                     # the gate's sum is an action and the sink is another:
-                    # cache the bins-row report so both epochs are scanned
-                    # once, not twice (the report itself is tiny)
-                    out = out.persist()
-                    psi = out.agg(
-                        FF.coalesce(FF.sum("psi_contrib"), FF.lit(0.0))
-                    ).first()[0]
+                    # collect the ≤bins-row report once (single scan of
+                    # both epochs), gate on the driver-side sum, and
+                    # re-create the frame locally for the sink — no
+                    # persist, so nothing stays cached in a long-lived
+                    # shared session (and nothing leaks on the raise path)
+                    schema = out.schema
+                    rows = out.collect()
+                    psi = sum(r["psi_contrib"] or 0.0 for r in rows)
                     if psi > float(_cap):
                         raise ValueError(
                             f"drift: PSI {psi:.4f} of column {_c!r} vs "
@@ -763,6 +767,7 @@ class ConfigLoader:
                         "drift: column %r PSI %.4f <= max_psi %s vs %r",
                         _c, psi, _cap, _b,
                     )
+                    out = df.sparkSession.createDataFrame(rows, schema)
                 return out
 
             return _drift

@@ -123,7 +123,11 @@ class PipelineDAG:
         return self._add(Node(name, NodeType.BRANCH, condition=condition))
 
     def add_checkpoint(
-        self, name: str, path: str | None = None, version: str = "1"
+        self,
+        name: str,
+        path: str | None = None,
+        version: str = "1",
+        force: bool = False,
     ) -> "PipelineDAG":
         """Durable materialization barrier: the upstream result is written
         to parquet once and RESTORED (not recomputed) by later runs whose
@@ -149,12 +153,19 @@ class PipelineDAG:
         the fingerprint when the expression changes). Non-introspectable
         changes (new data under an unchanged source path, an edited
         extension module) are invisible — bump ``version`` to force
-        recomputation, exactly like a dbt model checksum bump."""
+        recomputation, exactly like a dbt model checksum bump, or pass
+        ``force=True`` for a one-shot re-materialize (recompute and
+        rewrite this run regardless of the marker; the fresh marker
+        makes later non-forced runs restore normally)."""
         return self._add(
             Node(
                 name,
                 NodeType.CHECKPOINT,
-                metadata={"path": path, "version": str(version)},
+                metadata={
+                    "path": path,
+                    "version": str(version),
+                    "force": bool(force),
+                },
             )
         )
 
@@ -240,15 +251,55 @@ class PipelineDAG:
         return sorted(seen)
 
     @staticmethod
+    def _canon_value(v: Any, depth: int = 0) -> str | None:
+        """Deterministic canonical form of a closure/constant value, or
+        None when the value is opaque (custom objects, frames, modules).
+        Covers the containers a config-style closure actually captures —
+        list/tuple/dict/set/frozenset of primitives, nested — because a
+        closure like ``lambda df: df.drop(*cols)`` must change token when
+        the captured LIST changes. Unordered containers are sorted by
+        their canonical form, never by ``repr`` order: frozenset/set/dict
+        iteration is hash-randomized per process, and a repr-ordered
+        token would silently never match across driver restarts."""
+        if depth > 6:
+            return None
+        if v is None or isinstance(v, (str, int, float, bool, bytes)):
+            return f"{type(v).__name__}:{v!r}"
+        if isinstance(v, (list, tuple)):
+            parts = [PipelineDAG._canon_value(x, depth + 1) for x in v]
+            if any(p is None for p in parts):
+                return None
+            tag = "list" if isinstance(v, list) else "tuple"
+            return f"{tag}({','.join(parts)})"
+        if isinstance(v, (set, frozenset)):
+            parts = [PipelineDAG._canon_value(x, depth + 1) for x in v]
+            if any(p is None for p in parts):
+                return None
+            return f"set({','.join(sorted(parts))})"
+        if isinstance(v, dict):
+            items = []
+            for k, val in v.items():
+                ck = PipelineDAG._canon_value(k, depth + 1)
+                cv = PipelineDAG._canon_value(val, depth + 1)
+                if ck is None or cv is None:
+                    return None
+                items.append(f"{ck}={cv}")
+            return f"dict({','.join(sorted(items))})"
+        return None
+
+    @staticmethod
     def _callable_token(fn: Any) -> str | None:
         """Best-effort identity of a node callable: name + bytecode digest
-        + primitive constants and closure values (so a config-style
-        closure like filter_rows("x > 1") changes token when its captured
-        expression changes). Opaque callables degrade to their name —
-        the documented reason add_checkpoint has a ``version`` knob."""
+        + canonicalized constants and closure values (so a config-style
+        closure like filter_rows("x > 1") — or one capturing a list/dict,
+        like ``lambda df: df.drop(*cols)`` — changes token when its
+        captured value changes). Opaque closure values are logged and
+        skipped — the documented reason add_checkpoint has ``version``/
+        ``force`` knobs."""
         if fn is None:
             return None
-        parts = [getattr(fn, "__name__", type(fn).__name__)]
+        name = getattr(fn, "__name__", type(fn).__name__)
+        parts = [name]
         code = getattr(fn, "__code__", None)
         if code is not None:
             parts.append(hashlib.sha256(code.co_code).hexdigest()[:16])
@@ -266,8 +317,17 @@ class PipelineDAG:
                 v = cell.cell_contents
             except ValueError:  # empty cell
                 continue
-            if isinstance(v, (str, int, float, bool, tuple, frozenset)):
-                parts.append(repr(v))
+            c = PipelineDAG._canon_value(v)
+            if c is None:
+                logger.info(
+                    "checkpoint fingerprint: closure value of type %s in "
+                    "callable %r is opaque — not fingerprinted; bump "
+                    "version= (or pass force=True) to invalidate a "
+                    "checkpoint when it changes",
+                    type(v).__name__, name,
+                )
+            else:
+                parts.append(c)
         return "|".join(parts)
 
     def checkpoint_fingerprint(self, name: str) -> str:
@@ -316,13 +376,23 @@ class PipelineDAG:
             )
         fp = self.checkpoint_fingerprint(node.name)
         marker = f"{target}/_FINGERPRINT.json"
-        try:
-            state = _read_state(spark, marker)
-        except Exception:  # noqa: BLE001 — any unreadable marker (corrupt
-            # JSON, Hadoop checksum mismatch from an out-of-band edit, FS
-            # hiccup) means "no trustworthy marker"; recomputing is always
-            # safe, trusting a half-readable one never is
+        if node.metadata.get("force"):
+            # one-shot invalidation for changes the fingerprint cannot
+            # see (opaque closures, new data under an unchanged source
+            # path): skip the restore check entirely this run
+            logger.info(
+                "checkpoint %r: force=True — re-materializing %s",
+                node.name, target,
+            )
             state = {}
+        else:
+            try:
+                state = _read_state(spark, marker)
+            except Exception:  # noqa: BLE001 — any unreadable marker (corrupt
+                # JSON, Hadoop checksum mismatch from an out-of-band edit, FS
+                # hiccup) means "no trustworthy marker"; recomputing is always
+                # safe, trusting a half-readable one never is
+                state = {}
         if state.get("fingerprint") == fp:
             self._ckpt_log["restored"].append(node.name)
             logger.info("checkpoint %r: fingerprint match — restoring %s",

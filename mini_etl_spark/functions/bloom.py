@@ -71,6 +71,25 @@ def bloom_parameters(n_items: int, target_fp: float = 0.01) -> tuple[int, int]:
     return n_bits, int(k)
 
 
+def bloom_parameters_for_k(
+    n_items: int, k: int, target_fp: float = 0.01
+) -> int:
+    """n_bits for a FIXED hash count ``k`` at ``target_fp``:
+    m = −k·n / ln(1 − p^(1/k)) — the sizing inverse of
+    :func:`bloom_parameters` holding k constant, for the config path
+    where a user pins ``hashes:`` but leaves ``n_bits`` auto. Rounded up
+    to a whole word."""
+    if n_items <= 0:
+        raise ValueError("bloom_parameters_for_k: n_items must be positive")
+    if not 1 <= k <= 32:
+        raise ValueError("bloom_parameters_for_k: k must be in [1, 32]")
+    if not 0.0 < target_fp < 1.0:
+        raise ValueError("bloom_parameters_for_k: target_fp must be in (0, 1)")
+    n_bits = math.ceil(-k * n_items / math.log(1.0 - target_fp ** (1.0 / k)))
+    n_bits = ((n_bits + BITS_PER_WORD - 1) // BITS_PER_WORD) * BITS_PER_WORD
+    return max(n_bits, BITS_PER_WORD)
+
+
 def bloom_fp_rate(n_items: int, n_bits: int, k: int) -> float:
     """Expected false-positive rate (1 − e^(−k·n/m))^k — the sizing
     inverse of :func:`bloom_parameters`, for logging/assertions."""
@@ -120,11 +139,47 @@ def _reject_streaming(df: DataFrame, op: str) -> None:
         )
 
 
+def _free_prefix(df: DataFrame) -> str:
+    """Temp-column prefix guaranteed absent from ``df``: ``__`` normally,
+    lengthened until no existing column starts with it — so a caller
+    frame already carrying ``__h1``/``__w0``-style names is never
+    silently overwritten and dropped by the screen's scratch columns."""
+    pfx = "__"
+    while any(c.startswith(pfx) for c in df.columns):
+        pfx += "_"
+    return pfx
+
+
 def _validate(n_bits: int, k: int) -> None:
     if n_bits < BITS_PER_WORD:
         raise ValueError(f"bloom: n_bits must be >= {BITS_PER_WORD}")
     if not 1 <= k <= 32:
         raise ValueError("bloom: k must be in [1, 32]")
+
+
+def _resolve_sizing(
+    n_bits: int | str,
+    k: int | str,
+    target_fp: float,
+    op: str,
+    count_items,
+) -> tuple[int, int]:
+    """Resolve the (n_bits, k) pair from the user's (possibly "auto")
+    inputs. ``count_items`` is a thunk so the gram count (a Spark action)
+    only runs when auto sizing actually needs it. A user-pinned ``k``
+    with auto ``n_bits`` sizes the bitmask FOR that k
+    (:func:`bloom_parameters_for_k`) instead of silently discarding it;
+    ``k="auto"`` with explicit ``n_bits`` keeps the legacy default 7."""
+    if k != "auto" and not isinstance(k, int):
+        raise ValueError(f'{op}: k must be int or "auto", got {k!r}')
+    if n_bits == "auto":
+        n_items = count_items()
+        if k == "auto":
+            return bloom_parameters(n_items, target_fp)
+        return bloom_parameters_for_k(n_items, k, target_fp), k
+    if not isinstance(n_bits, int):
+        raise ValueError(f'{op}: n_bits must be int or "auto", got {n_bits!r}')
+    return n_bits, 7 if k == "auto" else k
 
 
 def bloom_build(
@@ -142,18 +197,22 @@ def bloom_build(
     (benchmark n-grams, a blocklist) — the table is what
     :func:`with_might_contain` broadcasts."""
     _validate(n_bits, k)
+    p = _free_prefix(df)
     h1, h2 = _hash_halves(F.col(column), seed)
     positions = F.array(
-        *[(F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(n_bits) for i in range(k)]
+        *[
+            (F.col(f"{p}h1") + F.lit(i) * F.col(f"{p}h2")) % F.lit(n_bits)
+            for i in range(k)
+        ]
     )
     return (
         df.filter(F.col(column).isNotNull())
         .select(F.col(column))
-        .withColumn("__h1", h1)
-        .withColumn("__h2", h2)
-        .select(F.explode(positions).alias("__pos"))
-        .groupBy(_word_idx(F.col("__pos")).alias("word_idx"))
-        .agg(F.bit_or(_word_mask(F.col("__pos"))).alias("word"))
+        .withColumn(f"{p}h1", h1)
+        .withColumn(f"{p}h2", h2)
+        .select(F.explode(positions).alias(f"{p}pos"))
+        .groupBy(_word_idx(F.col(f"{p}pos")).alias("word_idx"))
+        .agg(F.bit_or(_word_mask(F.col(f"{p}pos"))).alias("word"))
     )
 
 
@@ -179,26 +238,29 @@ def with_might_contain(
     localCheckpoint) so the build isn't recomputed per join. Null keys
     test false."""
     _validate(n_bits, k)
+    p = _free_prefix(df)
     h1, h2 = _hash_halves(F.col(column), seed)
-    d = df.withColumn("__h1", h1).withColumn("__h2", h2)
-    temp = ["__h1", "__h2"]
+    d = df.withColumn(f"{p}h1", h1).withColumn(f"{p}h2", h2)
+    temp = [f"{p}h1", f"{p}h2"]
     hit = None
     for i in range(k):
-        pos = (F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(n_bits)
-        d = d.withColumn(f"__m{i}", _word_mask(pos)).withColumn(
-            f"__w{i}", _word_idx(pos)
+        pos = (F.col(f"{p}h1") + F.lit(i) * F.col(f"{p}h2")) % F.lit(n_bits)
+        d = d.withColumn(f"{p}m{i}", _word_mask(pos)).withColumn(
+            f"{p}w{i}", _word_idx(pos)
         )
         side = bloom.select(
-            F.col("word_idx").alias(f"__bi{i}"), F.col("word").alias(f"__bw{i}")
+            F.col("word_idx").alias(f"{p}bi{i}"),
+            F.col("word").alias(f"{p}bw{i}"),
         )
         d = d.join(
-            F.broadcast(side), F.col(f"__w{i}") == F.col(f"__bi{i}"), "left"
+            F.broadcast(side), F.col(f"{p}w{i}") == F.col(f"{p}bi{i}"), "left"
         )
-        h = F.col(f"__bw{i}").isNotNull() & (
-            F.col(f"__bw{i}").bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}")
+        h = F.col(f"{p}bw{i}").isNotNull() & (
+            F.col(f"{p}bw{i}").bitwiseAND(F.col(f"{p}m{i}"))
+            == F.col(f"{p}m{i}")
         )
         hit = h if hit is None else hit & h
-        temp += [f"__m{i}", f"__w{i}", f"__bi{i}", f"__bw{i}"]
+        temp += [f"{p}m{i}", f"{p}w{i}", f"{p}bi{i}", f"{p}bw{i}"]
     return d.withColumn(out_col, F.coalesce(hit, F.lit(False))).drop(*temp)
 
 
@@ -210,7 +272,7 @@ def bloom_decontaminate(
     id_col: str = "doc_id",
     n: int = 5,
     n_bits: int | str = "auto",
-    k: int = 7,
+    k: int | str = "auto",
     seed: int = 42,
     target_fp: float = 0.01,
 ) -> DataFrame:
@@ -251,11 +313,10 @@ def bloom_decontaminate(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if n_bits == "auto":
-        n_bits, k = bloom_parameters(max(te_grams.count(), 1), target_fp)
-    elif not isinstance(n_bits, int):
-        raise ValueError(f'bloom_decontaminate: n_bits must be int or "auto", '
-                         f"got {n_bits!r}")
+    n_bits, k = _resolve_sizing(
+        n_bits, k, target_fp, "bloom_decontaminate",
+        lambda: max(te_grams.count(), 1),
+    )
     bloom = bloom_build(
         te_grams, "__gram", n_bits=n_bits, k=k, seed=seed
     ).localCheckpoint(eager=True)
@@ -279,7 +340,7 @@ def decontamination_index_write(
     id_col: str = "doc_id",
     n: int = 5,
     n_bits: int | str = "auto",
-    k: int = 7,
+    k: int | str = "auto",
     seed: int = 42,
     target_fp: float = 0.01,
 ) -> dict:
@@ -309,19 +370,144 @@ def decontamination_index_write(
         .parquet(f"{path}/grams")
     )
     grams = spark.read.parquet(f"{path}/grams")
-    if n_bits == "auto":
-        n_bits, k = bloom_parameters(max(grams.count(), 1), target_fp)
-    elif not isinstance(n_bits, int):
-        raise ValueError(
-            f'decontamination_index_write: n_bits must be int or "auto", '
-            f"got {n_bits!r}"
-        )
+    n_grams = max(grams.count(), 1)
+    n_bits, k = _resolve_sizing(
+        n_bits, k, target_fp, "decontamination_index_write", lambda: n_grams
+    )
     bloom_build(grams, "gram", n_bits=n_bits, k=k, seed=seed).write.mode(
         "overwrite"
     ).parquet(f"{path}/words")
-    params = {"n": n, "n_bits": n_bits, "k": k, "seed": seed, "format": 1}
+    params = {
+        "n": n,
+        "n_bits": n_bits,
+        "k": k,
+        "seed": seed,
+        "format": 2,
+        "state": "ready",
+        "n_grams": n_grams,
+        "target_fp": target_fp,
+        "appends": 0,
+    }
     _write_state(spark, f"{path}/_BLOOM.json", params)
     return params
+
+
+def decontamination_index_append(
+    benchmark_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Extend a persisted decontamination index with NEW benchmark docs
+    without rebuilding it: the new docs' distinct n-grams (under the
+    index's own ``n`` — parameters are never arguments here, exactly as
+    in :func:`bloom_decontaminate_indexed`) are anti-joined against the
+    stored grams, the genuinely-new ones appended to ``<path>/grams``,
+    and their Bloom words OR-merged into ``<path>/words`` — so
+    append ≡ rebuild over the concatenated benchmark at the same
+    (n_bits, k, seed). Closes the operational gap where a grown
+    benchmark suite forced a full rebuild (the MinHash index has had
+    :func:`mini_etl_spark.functions.dedup_index.minhash_index_append`
+    since round 7).
+
+    Crash protocol: the marker is republished with ``state="appending"``
+    BEFORE the words/grams mutate and flipped back to ``"ready"``
+    (tmp+rename, atomic) only after both writes commit. A crash
+    mid-append leaves the marker in ``appending`` and
+    :func:`bloom_decontaminate_indexed` refuses the index loudly —
+    a half-applied append could otherwise yield grams whose Bloom bits
+    are unset, i.e. silent FALSE NEGATIVES, the one failure mode a
+    Bloom screen must never have.
+
+    The bitmask is NOT resized (resizing would rehash every stored gram
+    — that is a rebuild); the false-positive rate therefore rises as the
+    gram count grows past what the original sizing assumed. Correctness
+    is unaffected (the exact verify join absorbs any fp rate), but the
+    screen prunes less, so when the projected fp exceeds 4× the design
+    target a WARNING recommends ``decontamination_index_write``.
+    Returns the updated params (with ``n_grams``/``appends`` advanced
+    and the projected ``fp_rate``)."""
+    import logging
+
+    from mini_etl_spark.functions.text import exploded_shingles
+    from mini_etl_spark.streaming.corpus import _read_state, _write_state
+
+    log = logging.getLogger(__name__)
+    spark = benchmark_df.sparkSession
+    marker = f"{path}/_BLOOM.json"
+    params = _read_state(spark, marker)
+    if not params or "n_bits" not in params:
+        raise ValueError(
+            f"{path!r} is not a decontamination index (no readable "
+            f"{marker!r}). Build it with decontamination_index_write."
+        )
+    if params.get("state", "ready") != "ready":
+        raise ValueError(
+            f"decontamination index {path!r} is mid-append "
+            f"(state={params.get('state')!r} — a previous append "
+            "crashed between the words and grams writes). Rebuild with "
+            "decontamination_index_write; screening now could miss "
+            "contamination."
+        )
+    existing = spark.read.parquet(f"{path}/grams")
+    new_grams = (
+        exploded_shingles(
+            benchmark_df, text_col, id_col, "__id", "gram", int(params["n"])
+        )
+        .select("gram")
+        .distinct()
+        .join(existing, "gram", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_new = new_grams.count()
+    if n_new == 0:
+        log.info(
+            "decontamination_index_append: no new grams for %s — no-op", path
+        )
+        return params
+    # legacy (format-1) markers predate gram-count tracking: count the
+    # stored grams NOW (before the append mutates the dir) so the fp
+    # projection stays honest
+    base = params.get("n_grams")
+    base = existing.count() if base is None else int(base)
+    n_bits, k = int(params["n_bits"]), int(params["k"])
+    # merged = existing ∪ new, bit_or per word; localCheckpoint severs
+    # the plan from the files the overwrite is about to replace (the
+    # same read-then-overwrite hazard minhash_index_filter documents)
+    merged = (
+        spark.read.parquet(f"{path}/words")
+        .unionByName(
+            bloom_build(
+                new_grams, "gram", n_bits=n_bits, k=k,
+                seed=int(params["seed"]),
+            )
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .localCheckpoint(eager=True)
+    )
+    updated = dict(params)
+    updated["state"] = "appending"
+    _write_state(spark, marker, updated)
+    merged.write.mode("overwrite").parquet(f"{path}/words")
+    new_grams.write.mode("append").parquet(f"{path}/grams")
+    updated["state"] = "ready"
+    updated["n_grams"] = base + n_new
+    updated["appends"] = int(params.get("appends", 0)) + 1
+    updated["fp_rate"] = bloom_fp_rate(updated["n_grams"], n_bits, k)
+    _write_state(spark, marker, updated)
+    target = float(params.get("target_fp", 0.01))
+    if updated["fp_rate"] > 4 * target:
+        log.warning(
+            "decontamination_index_append: projected fp rate %.4f exceeds "
+            "4x the design target %.4f (%d grams in a %d-bit filter) — "
+            "the screen still returns exact results (the verify join "
+            "absorbs false positives) but prunes less; rebuild with "
+            "decontamination_index_write to re-size.",
+            updated["fp_rate"], target, updated["n_grams"], n_bits,
+        )
+    return updated
 
 
 def bloom_decontaminate_indexed(
@@ -357,6 +543,14 @@ def bloom_decontaminate_indexed(
             f"{path!r} is not a decontamination index (no {marker!r} — "
             "half-built index from a crashed write, or wrong path). "
             "Rebuild with decontamination_index_write."
+        )
+    if params.get("state", "ready") != "ready":
+        raise ValueError(
+            f"decontamination index {path!r} is mid-append "
+            f"(state={params.get('state')!r} — an append crashed between "
+            "the words and grams writes). Screening against it could "
+            "MISS contamination (grams whose Bloom bits are unset); "
+            "rebuild with decontamination_index_write."
         )
     words = spark.read.parquet(f"{path}/words")
     te_grams = spark.read.parquet(f"{path}/grams").select(

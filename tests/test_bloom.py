@@ -341,3 +341,149 @@ def test_streaming_frame_rejected_with_guidance(spark, tmp_path):
     bl.decontamination_index_write(bench, idx, n=3)
     with pytest.raises(ValueError, match="foreachBatch"):
         bl.bloom_decontaminate_indexed(stream, idx)
+
+
+# -- append path (decontamination_index_append) ------------------------------
+
+def _bench_frames(spark):
+    a = spark.createDataFrame(
+        [(100 + i, f"alpha bench {i} tokens run through here {i}")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(200 + i, f"beta bench {i} other holdout material goes here {i}")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    return a, b
+
+
+def _train_frame(spark):
+    rows = [(1, "prefix alpha bench 3 tokens run through here 3 suffix"),
+            (2, "prefix beta bench 5 other holdout material goes here 5 end"),
+            (3, "completely unrelated training document about spark plans"),
+            (4, "another clean doc with nothing shared across benchmarks")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_index_append_equals_rebuild(spark, tmp_path):
+    """build(A) + append(B) screens identically to build(A ∪ B) at the
+    SAME (n_bits, k, seed) — the append ≡ rebuild differential, pinned
+    sizing so the rebuilt filter lays out the same bits."""
+    bench_a, bench_b = _bench_frames(spark)
+    train = _train_frame(spark)
+    appended = str(tmp_path / "appended")
+    rebuilt = str(tmp_path / "rebuilt")
+    bl.decontamination_index_write(
+        bench_a, appended, n=3, n_bits=62 * 64, k=4
+    )
+    out = bl.decontamination_index_append(bench_b, appended)
+    assert out["state"] == "ready" and out["appends"] == 1
+    bl.decontamination_index_write(
+        bench_a.unionByName(bench_b), rebuilt, n=3, n_bits=62 * 64, k=4
+    )
+    # the word tables are bit-identical, not just equivalent
+    words = lambda p: {  # noqa: E731
+        r["word_idx"]: r["word"]
+        for r in spark.read.parquet(f"{p}/words").collect()
+    }
+    assert words(appended) == words(rebuilt)
+    kept_app = {
+        r["doc_id"]
+        for r in bl.bloom_decontaminate_indexed(train, appended).collect()
+    }
+    kept_reb = {
+        r["doc_id"]
+        for r in bl.bloom_decontaminate_indexed(train, rebuilt).collect()
+    }
+    assert kept_app == kept_reb == {3, 4}
+    # n_grams advanced to the union's distinct gram count
+    assert out["n_grams"] == spark.read.parquet(
+        f"{rebuilt}/grams"
+    ).count()
+
+
+def test_index_append_noop_and_missing(spark, tmp_path):
+    bench_a, _ = _bench_frames(spark)
+    path = str(tmp_path / "idx")
+    params = bl.decontamination_index_write(bench_a, path, n=3)
+    # same benchmark again: every gram already stored -> no-op
+    out = bl.decontamination_index_append(bench_a, path)
+    assert out["appends"] == params["appends"] == 0
+    with pytest.raises(ValueError, match="not a decontamination index"):
+        bl.decontamination_index_append(bench_a, str(tmp_path / "nope"))
+
+
+def test_index_append_crash_refused(spark, tmp_path):
+    """A marker stuck in state=appending (crash between the words and
+    grams writes) must refuse BOTH further appends and screening — a
+    half-applied append is the one path to Bloom false negatives."""
+    import json
+    import os
+
+    bench_a, bench_b = _bench_frames(spark)
+    path = str(tmp_path / "idx")
+    bl.decontamination_index_write(bench_a, path, n=3)
+    with open(f"{path}/_BLOOM.json") as f:
+        params = json.load(f)
+    params["state"] = "appending"
+    with open(f"{path}/_BLOOM.json", "w") as f:
+        json.dump(params, f)
+    # the out-of-band edit invalidates Hadoop's checksum sidecar; drop it
+    crc = f"{path}/._BLOOM.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="mid-append"):
+        bl.bloom_decontaminate_indexed(_train_frame(spark), path)
+    with pytest.raises(ValueError, match="mid-append"):
+        bl.decontamination_index_append(bench_b, path)
+
+
+def test_index_append_fp_saturation_warns(spark, tmp_path, caplog):
+    """Appending far past the original sizing degrades fp (never
+    correctness) — the append logs a rebuild recommendation."""
+    import logging
+
+    bench_a, bench_b = _bench_frames(spark)
+    path = str(tmp_path / "idx")
+    # one word of filter: saturates immediately
+    bl.decontamination_index_write(bench_a, path, n=3, n_bits=62, k=2)
+    with caplog.at_level(logging.WARNING, logger="mini_etl_spark.functions.bloom"):
+        out = bl.decontamination_index_append(bench_b, path)
+    assert out["fp_rate"] > 0.04
+    assert any("rebuild" in r.message for r in caplog.records)
+    # and the screen is still EXACT despite the saturated filter
+    kept = {
+        r["doc_id"]
+        for r in bl.bloom_decontaminate_indexed(_train_frame(spark), path)
+        .collect()
+    }
+    assert kept == {3, 4}
+
+
+def test_pinned_hashes_honored_under_auto_sizing(spark):
+    """k pinned + n_bits auto sizes the mask FOR that k (the config
+    `hashes:` path) instead of silently overriding it."""
+    assert bl.bloom_parameters_for_k(1000, 4, 0.01) >= 62
+    bench_a, _ = _bench_frames(spark)
+    train = _train_frame(spark)
+    out = bl.bloom_decontaminate(train, bench_a, n=3, k=4)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {2, 3, 4}
+    with pytest.raises(ValueError, match="k must be"):
+        bl.bloom_decontaminate(train, bench_a, n=3, k=3.5)
+
+
+def test_temp_columns_never_clobber_caller(spark):
+    """A caller frame already carrying __h1/__w0-style names survives
+    the screen intact (collision-free derived prefix)."""
+    words = bl.bloom_build(
+        spark.createDataFrame([("a",)], ["g"]), "g", n_bits=62 * 4, k=2
+    ).localCheckpoint(eager=True)
+    probe = spark.createDataFrame(
+        [("a", 11, 22), ("b", 33, 44)], ["g", "__h1", "__w0"]
+    )
+    out = bl.with_might_contain(probe, "g", words, n_bits=62 * 4, k=2)
+    assert set(out.columns) == {"g", "__h1", "__w0", "might_contain"}
+    rows = {r["g"]: (r["__h1"], r["__w0"]) for r in out.collect()}
+    assert rows == {"a": (11, 22), "b": (33, 44)}

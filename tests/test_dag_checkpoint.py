@@ -164,3 +164,102 @@ def test_validation_requires_single_input(spark):
     )
     assert any("checkpoint" in e and "exactly one input" in e
                for e in dag.validate())
+
+
+def test_captured_list_change_invalidates(spark, tmp_path):
+    """A closure capturing a LIST (the `df.drop(*cols)` shape) must
+    change the fingerprint when the list's contents change — the ADVICE
+    gap where list/dict closure values were skipped and a stale
+    checkpoint silently restored."""
+    src = str(tmp_path / "src")
+    ckdir = str(tmp_path / "ck")
+    _write_src(spark, src, [1, 2, 3])
+
+    def dag_with(cols, rows):
+        return (
+            PipelineDAG("ckpt_list", spark=spark)
+            .add_source("src", lambda s: s.read.parquet(src))
+            .add_transform(
+                "sel", lambda df: df.withColumns(
+                    {c: F.col("v") * (i + 10) for i, c in enumerate(cols)}
+                )
+            )
+            .add_checkpoint("stage1")
+            .add_sink("out", lambda df: rows.extend(sorted(df.columns)))
+            .add_edge("src", "sel").add_edge("sel", "stage1")
+            .add_edge("stage1", "out")
+        )
+
+    rows: list = []
+    dag_with(["a"], rows).run(spark, checkpoint_dir=ckdir)
+    assert rows == ["a", "v"]
+    rows2: list = []
+    stats = dag_with(["a", "b"], rows2).run(spark, checkpoint_dir=ckdir)
+    assert stats["checkpoints_materialized"] == ["stage1"]
+    assert rows2 == ["a", "b", "v"]
+
+
+def test_set_and_dict_fingerprints_are_order_stable(spark):
+    """Canonical tokens for unordered containers sort by value, never by
+    hash-randomized iteration order — two same-content closures built in
+    different insertion orders tokenize identically."""
+    def make(vals):
+        s = vals
+        return lambda df: (df, s)
+
+    a = PipelineDAG._callable_token(make(frozenset(["xx", "yy", "zz"])))
+    b = PipelineDAG._callable_token(make(frozenset(["zz", "yy", "xx"])))
+    assert a == b and "xx" in a
+    c = PipelineDAG._callable_token(make({"k1": [1, 2], "k2": {"n": 3}}))
+    d = PipelineDAG._callable_token(make({"k2": {"n": 3}, "k1": [1, 2]}))
+    assert c == d and c != PipelineDAG._callable_token(
+        make({"k2": {"n": 4}, "k1": [1, 2]})
+    )
+
+
+def test_opaque_closure_logged_not_fingerprinted(caplog):
+    import logging
+
+    class Opaque:
+        pass
+
+    o = Opaque()
+    with caplog.at_level(logging.INFO, logger="mini_etl_spark.dag"):
+        tok = PipelineDAG._callable_token(lambda df: (df, o))
+    assert tok is not None
+    assert any("opaque" in r.message for r in caplog.records)
+
+
+def test_force_rematerializes_once(spark, tmp_path):
+    """force=True skips the restore check for one run (picking up data
+    the fingerprint cannot see) and republishes a fresh marker, so the
+    NEXT non-forced run restores the new materialization."""
+    src = str(tmp_path / "src")
+    ckdir = str(tmp_path / "ck")
+    _write_src(spark, src, [1, 2])
+    _dag(spark, src, None, []).run(spark, checkpoint_dir=ckdir)
+    _write_src(spark, src, [7])
+
+    def forced(rows):
+        return (
+            PipelineDAG("ckpt_dag", spark=spark)
+            .add_source("src", lambda s: s.read.parquet(src))
+            .add_transform("flt", ops.filter_rows("v >= 0"))
+            .add_checkpoint("stage1", force=True)
+            .add_transform("dbl", lambda df: df.withColumn("v2", F.col("v") * 2))
+            .add_sink("out", lambda df: rows.extend(
+                sorted(r["v"] for r in df.collect())
+            ))
+            .add_edge("src", "flt").add_edge("flt", "stage1")
+            .add_edge("stage1", "dbl").add_edge("dbl", "out")
+        )
+
+    rows: list = []
+    stats = forced(rows).run(spark, checkpoint_dir=ckdir)
+    assert stats["checkpoints_materialized"] == ["stage1"]
+    assert rows == [7]
+    # back to normal: the forced materialization restores
+    rows2: list = []
+    stats2 = _dag(spark, src, None, rows2).run(spark, checkpoint_dir=ckdir)
+    assert stats2["checkpoints_restored"] == ["stage1"]
+    assert rows2 == [7]

@@ -148,3 +148,44 @@ def test_drift_config_node_report_and_gate(spark, tmp_path):
     import pytest as pt
     with pt.raises(ValueError, match="exceeds max_psi"):
         loader.build_pipeline(loader.parse(cfg(shifted, max_psi=0.1))).run(spark)
+
+
+def test_drift_gate_leaves_nothing_cached(spark, tmp_path):
+    """The gated drift node must not leak cached blocks into a
+    long-lived session — on the pass path NOR the raise path (the
+    report is collected once and re-created locally, never persisted)."""
+    from mini_etl_spark.config import ConfigLoader
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = str(tmp_path / "baseline.parquet")
+    spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v").write.parquet(base)
+    same = str(tmp_path / "same.parquet")
+    spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v").write.parquet(same)
+    shifted = str(tmp_path / "shift.parquet")
+    spark.range(1000).selectExpr("CAST(50 + id % 100 AS DOUBLE) AS v").write.parquet(shifted)
+
+    def cfg(src):
+        return {
+            "pipeline": {
+                "name": "drift_nocache",
+                "source": {"type": "parquet", "path": src},
+                "transformers": [
+                    {"type": "drift", "baseline": base, "column": "v",
+                     "max_psi": 0.1}
+                ],
+                "sink": {"type": "parquet",
+                         "path": str(tmp_path / "rep.parquet"), "mode": "w"},
+            }
+        }
+
+    import pytest as pt
+
+    loader = ConfigLoader()
+    before = n_cached()
+    loader.build_pipeline(loader.parse(cfg(same))).run(spark)
+    assert n_cached() == before
+    with pt.raises(ValueError, match="exceeds max_psi"):
+        loader.build_pipeline(loader.parse(cfg(shifted))).run(spark)
+    assert n_cached() == before
