@@ -448,6 +448,87 @@ def build_ivf_index(
     return np.asarray(centroids, dtype="float64")
 
 
+def ivf_index_append(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    skew_warn: float = 4.0,
+) -> dict:
+    """Grow a persisted IVF index (:func:`build_ivf_index`) without
+    retraining: assign the new vectors to the EXISTING centroids and
+    append them to the cell-partitioned vectors table — one assignment
+    pass + one partitioned append, stored cells untouched, so
+    append ≡ rebuild over the concatenated corpus at the same centroid
+    matrix. Closes the operational gap where every nightly embedding
+    batch forced a full index rebuild (the MinHash and Bloom indexes
+    have had append since rounds 7/10).
+
+    The codebook is frozen: appended vectors land in whichever existing
+    cell is nearest, so a corpus whose distribution drifts away from the
+    trained centroids piles up in few cells and probe pruning degrades
+    (results stay EXACT within the probed cells — only recall/cost
+    shifts). After the append, per-cell counts of the GROWN index (one
+    ≤k-row aggregate over the partition column — satisfied from parquet
+    metadata-scale work, never the vectors) feed a skew check: hottest
+    cell > ``skew_warn``× the mean logs a WARNING recommending a
+    retrain via :func:`build_ivf_index`. Returns
+    ``{appended, cells, max_cell, mean_cell, skew_ratio,
+    retrain_recommended}``.
+
+    Dimension drift fails loudly before anything is written: a batch
+    whose vectors disagree with the centroid width would otherwise be
+    assigned by a truncated dot product."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    spark = df.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    dim = int(centroids.shape[1])
+    probe = df.select(F.size(vec_col).alias("__d")).filter(
+        F.col("__d") != dim
+    )
+    bad = probe.first()
+    if bad is not None:
+        raise ValueError(
+            f"ivf_index_append: batch vectors have dimension {bad['__d']} "
+            f"but the index at {path!r} was built over dimension {dim} — "
+            "refusing to append (the assignment dot product would "
+            "silently truncate). Rebuild with build_ivf_index."
+        )
+    n_new = df.count()
+    ivf_assign(df, centroids, vec_col).repartition(
+        F.col("ivf_cell")
+    ).write.mode("append").partitionBy("ivf_cell").parquet(f"{path}/vectors")
+    sizes = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = [r["n"] for r in sizes]
+    mean_cell = sum(counts) / max(len(counts), 1)
+    max_cell = max(counts) if counts else 0
+    skew = max_cell / mean_cell if mean_cell else 0.0
+    report = {
+        "appended": n_new,
+        "cells": len(counts),
+        "max_cell": max_cell,
+        "mean_cell": mean_cell,
+        "skew_ratio": skew,
+        "retrain_recommended": skew > skew_warn,
+    }
+    if report["retrain_recommended"]:
+        log.warning(
+            "ivf_index_append: hottest cell holds %d vectors vs mean %.1f "
+            "(%.1fx > %.1fx threshold) — the corpus has drifted from the "
+            "trained centroids and probe pruning is degrading; retrain "
+            "with build_ivf_index.",
+            max_cell, mean_cell, skew, skew_warn,
+        )
+    return report
+
+
 def load_ivf_centroids(spark, path: str) -> np.ndarray:
     """Centroid matrix of a :func:`build_ivf_index` index (cell-ordered)."""
     rows = (

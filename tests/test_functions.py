@@ -2045,3 +2045,66 @@ def test_group_linear_trend_known_line(spark):
     assert out["a"].slope_e6 == 2_000_000
     assert out["a"].intercept_e6 == 300_000_000  # 3.0 * 100 * 1e6
     assert out["b"].slope_e6 is None and out["b"].intercept_e6 is None
+
+
+def test_ivf_index_append_equals_rebuild(spark, tmp_path, caplog):
+    """build(A) + ivf_index_append(B) serves identically to
+    build(A ∪ B) at the SAME frozen centroids — the append ≡ rebuild
+    differential for the vector index; plus the skew flag and the
+    dimension guard."""
+    import logging
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 12))
+    def batch(lo, n_per):
+        rows, vid = [], lo
+        out = []
+        for c in centers:
+            for _ in range(n_per):
+                v = c + rng.standard_normal(12) * 0.01
+                out.append((vid, [float(x) for x in v]))
+                vid += 1
+        return out
+    rows_a = batch(0, 20)
+    rows_b = batch(1000, 10)
+    df_a = spark.createDataFrame(rows_a, "vec_id bigint, embedding array<float>")
+    df_b = spark.createDataFrame(rows_b, "vec_id bigint, embedding array<float>")
+    cents = sim.random_unit_centroids(dim=12, k=5, seed=3)
+
+    appended = str(tmp_path / "appended")
+    rebuilt = str(tmp_path / "rebuilt")
+    sim.build_ivf_index(df_a, appended, centroids=cents)
+    report = sim.ivf_index_append(df_b, appended)
+    assert report["appended"] == len(rows_b) and report["cells"] >= 1
+    sim.build_ivf_index(df_a.unionByName(df_b), rebuilt, centroids=cents)
+
+    # stored vectors identical (id -> cell), not just query-equal
+    stored = lambda p: {  # noqa: E731
+        r["vec_id"]: r["ivf_cell"]
+        for r in spark.read.parquet(f"{p}/vectors").collect()
+    }
+    assert stored(appended) == stored(rebuilt)
+    q = [float(x) for x in centers[2]]
+    got = {r.vec_id for r in sim.ivf_topk_indexed(spark, appended, q, k=8, nprobe=2).collect()}
+    want = {r.vec_id for r in sim.ivf_topk_indexed(spark, rebuilt, q, k=8, nprobe=2).collect()}
+    assert got == want
+
+    # dimension drift refuses before writing anything
+    df_bad = spark.createDataFrame(
+        [(5000, [0.0] * 7)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        sim.ivf_index_append(df_bad, appended)
+    assert stored(appended) == stored(rebuilt)  # untouched
+
+    # a pathologically hot batch trips the retrain flag
+    hot = spark.createDataFrame(
+        [(6000 + i, [float(x) for x in centers[0] + rng.standard_normal(12) * 0.01])
+         for i in range(300)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="mini_etl_spark.functions.similarity"):
+        rep2 = sim.ivf_index_append(hot, appended, skew_warn=2.0)
+    assert rep2["retrain_recommended"] is True
+    assert any("retrain" in r.message for r in caplog.records)
