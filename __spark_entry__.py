@@ -3033,6 +3033,32 @@ def q_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-PSI epoch monitor (maintenance.category_drift): value
+    mix of documents.source between the doc_id-parity epochs — top-8
+    values by combined count (ties to the lexically smallest), the rest
+    folded into one __other__ row so the report stays bounded at any
+    cardinality; fractions over FULL epoch totals, epsilon guard for a
+    vanished value. The value-mix sibling of `column_drift` — real
+    ingestion drifts on source/lang mixes at least as often as on
+    numeric features. Floats rounded 6 (ln/division ulp contract)."""
+    from mini_etl_spark import maintenance as mt
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mt.category_drift(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+        "source", top_k=8,
+    )
+    return out.select(
+        "value",
+        "count_a",
+        "count_b",
+        F.round("frac_a", 6).alias("frac_a"),
+        F.round("frac_b", 6).alias("frac_b"),
+        F.round("psi_contrib", 6).alias("psi_contrib"),
+    )
+
+
 def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency decile assignment (maintenance.quantile_buckets):
     exact cents-fixed percentile boundaries from one tiny aggregate,
@@ -3256,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "quantile_buckets": q_quantile_buckets,
         "column_drift": q_column_drift,
+        "category_drift": q_category_drift,
         "group_trend": q_group_trend,
         # --- driver-stamped green in r01-r04 ---
         "temperature_mix": q_temperature_mix,
@@ -5623,6 +5650,58 @@ def oracle_sql() -> dict[str, str]:
                           - CASE WHEN frac_b <= 0 THEN 0.000001 ELSE frac_b END)
                          * ln(CASE WHEN frac_a <= 0 THEN 0.000001 ELSE frac_a END
                               / CASE WHEN frac_b <= 0 THEN 0.000001 ELSE frac_b END),
+                         6) AS psi_contrib
+            FROM f
+        """,
+        # category_drift: replays the bounded value-mix PSI chain — per-
+        # epoch value counts, full-outer join, top-8 by (combined DESC,
+        # value ASC), __other__ fold, full-total fractions, epsilon guard,
+        # (pa-pb)*ln(pa/pb) — rounded 6 (ln ulp contract). SUMs cast back
+        # to BIGINT (DuckDB widens to HUGEINT).
+        "category_drift": """
+            WITH v AS (SELECT CAST(source AS VARCHAR) AS value,
+                              doc_id % 2 AS side
+                       FROM documents WHERE source IS NOT NULL),
+            ca AS (SELECT value, count(*) AS count_a
+                   FROM v WHERE side = 0 GROUP BY value),
+            cb AS (SELECT value, count(*) AS count_b
+                   FROM v WHERE side = 1 GROUP BY value),
+            j AS (SELECT COALESCE(ca.value, cb.value) AS value,
+                         COALESCE(count_a, 0) AS count_a,
+                         COALESCE(count_b, 0) AS count_b
+                  FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
+            top AS (SELECT * FROM j
+                    ORDER BY (count_a + count_b) DESC, value ASC LIMIT 8),
+            oth AS (SELECT '__other__' AS value,
+                           CAST(COALESCE(SUM(count_a), 0) AS BIGINT)
+                             AS count_a,
+                           CAST(COALESCE(SUM(count_b), 0) AS BIGINT)
+                             AS count_b
+                    FROM j WHERE value NOT IN (SELECT value FROM top)
+                    HAVING COALESCE(SUM(count_a), 0)
+                           + COALESCE(SUM(count_b), 0) > 0),
+            rep AS (SELECT * FROM top UNION ALL SELECT * FROM oth),
+            n AS (SELECT CAST(SUM(count_a) AS BIGINT) AS na,
+                         CAST(SUM(count_b) AS BIGINT) AS nb FROM j),
+            f AS (SELECT rep.*,
+                         CASE WHEN na > 0
+                              THEN count_a / CAST(na AS DOUBLE)
+                              ELSE 0.0 END AS frac_a,
+                         CASE WHEN nb > 0
+                              THEN count_b / CAST(nb AS DOUBLE)
+                              ELSE 0.0 END AS frac_b
+                  FROM rep, n)
+            SELECT value, count_a, count_b,
+                   round(frac_a, 6) AS frac_a,
+                   round(frac_b, 6) AS frac_b,
+                   round((CASE WHEN frac_a <= 0 THEN 0.000001
+                               ELSE frac_a END
+                          - CASE WHEN frac_b <= 0 THEN 0.000001
+                                 ELSE frac_b END)
+                         * ln(CASE WHEN frac_a <= 0 THEN 0.000001
+                                   ELSE frac_a END
+                              / CASE WHEN frac_b <= 0 THEN 0.000001
+                                    ELSE frac_b END),
                          6) AS psi_contrib
             FROM f
         """,

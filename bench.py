@@ -533,6 +533,8 @@ def main() -> None:
         "quantile_buckets": queries["quantile_buckets"],
         "group_trend": queries["group_trend"],
         "word_histogram_topk": queries["word_histogram_topk"],
+        "column_drift": queries["column_drift"],
+        "category_drift": queries["category_drift"],
     }
     # one-time index build for the incremental-dedup probe (untimed setup,
     # mirroring a served index)

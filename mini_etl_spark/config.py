@@ -729,23 +729,35 @@ class ConfigLoader:
             # node REPLACES the frame with the per-bin drift report —
             # put it on a branch/multi-sink leg, or follow with
             # max_psi to fail the run on a shifted distribution.
-            from mini_etl_spark.maintenance import distribution_drift
+            from mini_etl_spark.maintenance import (
+                category_drift,
+                distribution_drift,
+            )
 
             baseline = o["baseline"]
             column = o["column"]
+            mode = o.get("mode", "numeric")
+            if mode not in ("numeric", "categorical"):
+                raise ValueError(
+                    f"drift: mode must be numeric|categorical, got {mode!r}"
+                )
             bins = int(o.get("bins", 10))
+            top_k = int(o.get("top_k", 20))
             lo = o.get("lo")
             hi = o.get("hi")
             max_psi = o.get("max_psi")
 
-            def _drift(df, _b=baseline, _c=column, _n=bins, _lo=lo, _hi=hi,
-                       _cap=max_psi):
+            def _drift(df, _b=baseline, _c=column, _m=mode, _n=bins,
+                       _k=top_k, _lo=lo, _hi=hi, _cap=max_psi):
                 base = df.sparkSession.read.parquet(_b)
-                out = distribution_drift(
-                    base, df, _c, bins=_n,
-                    lo=None if _lo is None else float(_lo),
-                    hi=None if _hi is None else float(_hi),
-                )
+                if _m == "categorical":
+                    out = category_drift(base, df, _c, top_k=_k)
+                else:
+                    out = distribution_drift(
+                        base, df, _c, bins=_n,
+                        lo=None if _lo is None else float(_lo),
+                        hi=None if _hi is None else float(_hi),
+                    )
                 if _cap is not None:
                     # the gate's sum is an action and the sink is another:
                     # collect the ≤bins-row report once (single scan of

@@ -309,6 +309,105 @@ def distribution_drift(
     )
 
 
+def category_drift(
+    df_a,
+    df_b,
+    column: str,
+    top_k: int = 20,
+    epsilon: float = 1e-6,
+):
+    """Population Stability Index between two epochs of one CATEGORICAL
+    column — the value-mix sibling of :func:`distribution_drift`: real
+    ingestion drifts on ``source``/``lang``/``domain`` at least as often
+    as on numeric features. Returns one row per retained value:
+    (``value``, ``count_a``, ``count_b``, ``frac_a``, ``frac_b``,
+    ``psi_contrib``); PSI = Σ psi_contrib, same rule of thumb as the
+    numeric monitor.
+
+    The report stays BOUNDED regardless of column cardinality: the
+    ``top_k`` values by combined count (ties to the lexically-smallest
+    value — deterministic, replayable) are reported individually and
+    everything else folds into one ``__other__`` row, so a high-cardinality
+    column cannot blow up the report or the gate. Fractions are over the
+    FULL epoch totals (other included); a value absent on one side takes
+    ``epsilon`` in place of its fraction (the standard PSI guard — a
+    vanished category IS drift, not a division error). NULLs are dropped
+    on both sides, matching the numeric monitor.
+
+    Plan shape: one count-distinct-style hash aggregate per epoch
+    (exchange carries one row per distinct value — the monitor is meant
+    for categorical columns, where that is bounded), a full-outer join of
+    the two count tables, localCheckpointed so the top-k pick, the
+    ``__other__`` fold, and the totals all reuse ONE scan of each epoch;
+    the top-k pick is a TakeOrderedAndProject (no global window)."""
+    from pyspark.sql import functions as F
+
+    if top_k < 1:
+        raise ValueError("category_drift: top_k must be >= 1")
+    counts = []
+    for df, name in ((df_a, "count_a"), (df_b, "count_b")):
+        counts.append(
+            df.select(F.col(column).cast("string").alias("value"))
+            .filter(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    joined = (
+        counts[0]
+        .join(counts[1], "value", "full_outer")
+        .select(
+            "value",
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if joined.isEmpty():
+        raise ValueError(
+            f"category_drift: column {column!r} has no non-null values "
+            "in either epoch"
+        )
+    top = joined.orderBy(
+        (F.col("count_a") + F.col("count_b")).desc(), F.col("value").asc()
+    ).limit(top_k)
+    other = (
+        joined.join(top.select("value"), "value", "left_anti")
+        .agg(
+            F.sum("count_a").alias("count_a"),
+            F.sum("count_b").alias("count_b"),
+        )
+        .filter((F.col("count_a") + F.col("count_b")) > 0)
+        .select(
+            F.lit("__other__").alias("value"), "count_a", "count_b"
+        )
+    )
+    report = top.unionByName(other)
+    totals = joined.agg(
+        F.sum("count_a").alias("__na"), F.sum("count_b").alias("__nb")
+    )
+    frac_a = F.when(
+        F.col("__na") > 0, F.col("count_a") / F.col("__na")
+    ).otherwise(F.lit(0.0))
+    frac_b = F.when(
+        F.col("__nb") > 0, F.col("count_b") / F.col("__nb")
+    ).otherwise(F.lit(0.0))
+    pa = F.when(F.col("frac_a") <= 0, F.lit(epsilon)).otherwise(F.col("frac_a"))
+    pb = F.when(F.col("frac_b") <= 0, F.lit(epsilon)).otherwise(F.col("frac_b"))
+    return (
+        report.crossJoin(F.broadcast(totals))
+        .withColumn("frac_a", frac_a)
+        .withColumn("frac_b", frac_b)
+        .select(
+            "value",
+            "count_a",
+            "count_b",
+            "frac_a",
+            "frac_b",
+            ((pa - pb) * F.log(pa / pb)).alias("psi_contrib"),
+        )
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -189,3 +189,108 @@ def test_drift_gate_leaves_nothing_cached(spark, tmp_path):
     with pt.raises(ValueError, match="exceeds max_psi"):
         loader.build_pipeline(loader.parse(cfg(shifted))).run(spark)
     assert n_cached() == before
+
+
+# ---------------------------------------------------------------------------
+# category_drift (maintenance.py) — the categorical-PSI epoch monitor
+# ---------------------------------------------------------------------------
+
+def test_category_drift_identical_epochs_is_zero(spark):
+    from mini_etl_spark import maintenance as mt
+
+    df = spark.range(300).selectExpr("CAST(id % 3 AS STRING) AS src")
+    rows = mt.category_drift(df, df, "src").collect()
+    assert len(rows) == 3
+    assert abs(_psi(rows)) < 1e-12
+    assert all(r["count_a"] == r["count_b"] for r in rows)
+
+
+def test_category_drift_detects_mix_shift_and_vanished_value(spark):
+    from mini_etl_spark import maintenance as mt
+
+    a = spark.createDataFrame(
+        [("web",)] * 50 + [("books",)] * 40 + [("code",)] * 10, ["src"]
+    )
+    b = spark.createDataFrame(
+        [("web",)] * 90 + [("books",)] * 10, ["src"]
+    )
+    rows = mt.category_drift(a, b, "src").collect()
+    by_val = {r["value"]: r for r in rows}
+    # "code" vanished in epoch b: epsilon guard, still contributes drift
+    assert by_val["code"]["count_b"] == 0
+    assert by_val["code"]["psi_contrib"] > 0
+    assert _psi(rows) > 0.25
+
+
+def test_category_drift_top_k_folds_other(spark):
+    from mini_etl_spark import maintenance as mt
+
+    # 50 distinct values; top_k=5 -> 5 named rows + one __other__
+    df = spark.range(1000).selectExpr("CAST(id % 50 AS STRING) AS v")
+    rows = mt.category_drift(df, df, "v", top_k=5).collect()
+    assert len(rows) == 6
+    vals = {r["value"] for r in rows}
+    assert "__other__" in vals
+    other = next(r for r in rows if r["value"] == "__other__")
+    assert other["count_a"] == 1000 - sum(
+        r["count_a"] for r in rows if r["value"] != "__other__"
+    )
+    # fractions are over FULL totals: report fractions sum to 1
+    assert abs(sum(r["frac_a"] for r in rows) - 1.0) < 1e-9
+
+
+def test_category_drift_deterministic_tiebreak(spark):
+    from mini_etl_spark import maintenance as mt
+
+    # all values equally frequent: top_k picks lexically smallest
+    df = spark.range(100).selectExpr("CAST(id % 10 AS STRING) AS v")
+    rows = mt.category_drift(df, df, "v", top_k=3).collect()
+    named = sorted(r["value"] for r in rows if r["value"] != "__other__")
+    assert named == ["0", "1", "2"]
+
+
+def test_category_drift_validation(spark):
+    from mini_etl_spark import maintenance as mt
+    import pytest as pt
+
+    df = spark.createDataFrame([("a",)], ["v"])
+    nulls = spark.createDataFrame([(None,)], "v string")
+    with pt.raises(ValueError, match="top_k"):
+        mt.category_drift(df, df, "v", top_k=0)
+    with pt.raises(ValueError, match="no non-null"):
+        mt.category_drift(nulls, nulls, "v")
+
+
+def test_drift_config_node_categorical_gate(spark, tmp_path):
+    from mini_etl_spark.config import ConfigLoader
+    import pytest as pt
+
+    base = str(tmp_path / "base.parquet")
+    spark.range(100).selectExpr("CAST(id % 4 AS STRING) AS src").write.parquet(base)
+    shifted = str(tmp_path / "shifted.parquet")
+    spark.range(100).selectExpr("'only_one' AS src").write.parquet(shifted)
+
+    def cfg(src, **extra):
+        return {
+            "pipeline": {
+                "name": "cat_drift",
+                "source": {"type": "parquet", "path": src},
+                "transformers": [
+                    {"type": "drift", "baseline": base, "column": "src",
+                     "mode": "categorical", **extra}
+                ],
+                "sink": {"type": "parquet",
+                         "path": str(tmp_path / "rep.parquet"), "mode": "w"},
+            }
+        }
+
+    loader = ConfigLoader()
+    loader.build_pipeline(loader.parse(cfg(base, max_psi=0.1))).run(spark)
+    rep = spark.read.parquet(str(tmp_path / "rep.parquet"))
+    assert {"value", "frac_a", "frac_b", "psi_contrib"} <= set(rep.columns)
+    with pt.raises(ValueError, match="exceeds max_psi"):
+        loader.build_pipeline(loader.parse(cfg(shifted, max_psi=0.1))).run(spark)
+    with pt.raises(ValueError, match="mode must be"):
+        loader.build_pipeline(
+            loader.parse(cfg(base, mode="nope"))
+        )

@@ -36,6 +36,8 @@ SCALAR_BROADCAST_JOINS = {
     "benford",
     # 1-row epoch-totals broadcast (PSI fractions need both scalar counts)
     "column_drift",
+    # same 1-row totals broadcast over the bounded (top_k+1)-row report
+    "category_drift",
 }
 
 
