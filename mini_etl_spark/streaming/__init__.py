@@ -28,6 +28,7 @@ from mini_etl_spark.streaming.events import (
     stream_static_join,
     stream_stream_join,
     stream_classify_gate,
+    stream_drift_gate,
     stream_dedup_against_index,
     stream_lm_gate,
     stream_cm_update,
@@ -53,6 +54,7 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "stream_classify_gate",
+    "stream_drift_gate",
     "stream_dedup_against_index",
     "stream_lm_gate",
     "stream_cm_update",

@@ -675,6 +675,89 @@ def stream_lm_gate(
     return query
 
 
+def stream_drift_gate(
+    stream_df: DataFrame,
+    baseline_path: str,
+    out_path: str,
+    checkpoint: str,
+    column: str,
+    max_psi: float,
+    mode: str = "numeric",
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    top_k: int = 20,
+    report_path: str | None = None,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming PSI gate: every micro-batch's distribution of ``column``
+    is compared against a PERSISTED baseline epoch (parquet) and batches
+    within ``max_psi`` are appended to ``out_path``; a drifted batch
+    raises BEFORE anything is written, failing the query so the batch is
+    re-gated on restart instead of slipping through — the streaming twin
+    of the declarative ``drift`` node, completing the batch/stream story
+    the way stream_classify_gate/stream_lm_gate did for their batch ops.
+    ``mode="numeric"`` uses :func:`mini_etl_spark.maintenance
+    .distribution_drift` (pin ``lo``/``hi`` for a stationary gate — left
+    None, the bin range adapts to each batch's min/max, which measures
+    shape drift but moves the goalposts batch to batch);
+    ``mode="categorical"`` uses :func:`mini_etl_spark.maintenance
+    .category_drift` over the top ``top_k`` values.
+
+    With ``report_path``, the bounded per-batch drift report (plus a
+    ``batch_id`` column) is appended there for audit — written only
+    AFTER the gated batch commits its own append, so a refused batch
+    leaves no report either. The baseline is re-read inside foreachBatch:
+    replacing the parquet between batches rolls the reference epoch
+    forward without restarting the query. Pure per-batch function of
+    (batch, baseline) → replay-safe gating decision."""
+    from mini_etl_spark.maintenance import category_drift, distribution_drift
+
+    if mode not in ("numeric", "categorical"):
+        raise ValueError(
+            f"stream_drift_gate: mode must be numeric|categorical, "
+            f"got {mode!r}"
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(baseline_path)
+        if mode == "categorical":
+            report = category_drift(base, batch_df, column, top_k=top_k)
+        else:
+            report = distribution_drift(
+                base, batch_df, column, bins=bins, lo=lo, hi=hi
+            )
+        schema = report.schema
+        rows = report.collect()  # bounded: ≤ bins / top_k+1 rows
+        psi = sum(r["psi_contrib"] or 0.0 for r in rows)
+        if psi > max_psi:
+            raise ValueError(
+                f"stream_drift_gate: batch {batch_id} PSI {psi:.4f} of "
+                f"column {column!r} vs baseline {baseline_path!r} exceeds "
+                f"max_psi {max_psi} — refusing the batch (nothing "
+                "written; fix or refresh the baseline and restart)"
+            )
+        batch_df.write.mode("append").parquet(out_path)
+        if report_path is not None:
+            spark.createDataFrame(rows, schema).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(report_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now and await_termination:
+        query.awaitTermination()
+    return query
+
+
 def read_latest_snapshot(spark: SparkSession, target_path: str) -> DataFrame | None:
     """Read the snapshot the ``_LATEST`` pointer names (see
     :func:`stream_upsert_to_parquet`); None when no snapshot exists yet.

@@ -607,3 +607,110 @@ def test_stream_cm_update_equals_batch_sketch(spark, tmp_path):
     assert est["alpha"] >= 70      # true count 70, never underestimated
     assert est["common"] >= 70
     assert est["absent"] >= 0
+
+
+def test_stream_drift_gate_matches_batch_and_refuses(spark, tmp_path):
+    """Streaming PSI gate twin: a staged two-batch run (maxFilesPerTrigger=1)
+    where batch 1 matches the baseline and batch 2 is shifted — batch 1
+    lands in the sink with its audit report equal to the BATCH monitor's
+    report (stream == batch equivalence at pinned lo/hi), batch 2 fails
+    the query and leaves nothing behind."""
+    import pytest as pt
+
+    from mini_etl_spark import maintenance as mt
+    from mini_etl_spark.streaming.events import stream_drift_gate
+
+    base = str(tmp_path / "baseline")
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    ).write.parquet(base)
+
+    src = str(tmp_path / "in")
+    ok = spark.range(2000, 2500).selectExpr("id", "CAST(id % 100 AS DOUBLE) AS v")
+    ok.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    rep = str(tmp_path / "rep")
+    cp = str(tmp_path / "cp")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_drift_gate(
+            stream, base, out, cp, "v", max_psi=0.1,
+            lo=0.0, hi=100.0, report_path=rep,
+        )
+
+    run()
+    assert spark.read.parquet(out).count() == 500
+    srep = spark.read.parquet(rep)
+    assert srep.select("batch_id").distinct().count() == 1
+    # stream report == batch monitor report at the same pinned range
+    batch_rows = sorted(
+        (r["bin"], r["count_a"], r["count_b"], round(r["psi_contrib"], 9))
+        for r in mt.distribution_drift(
+            spark.read.parquet(base), ok, "v", bins=10, lo=0.0, hi=100.0
+        ).collect()
+    )
+    stream_rows = sorted(
+        (r["bin"], r["count_a"], r["count_b"], round(r["psi_contrib"], 9))
+        for r in srep.collect()
+    )
+    assert stream_rows == batch_rows
+
+    # batch 2: shifted — the query fails and nothing is appended
+    spark.range(3000, 3500).selectExpr(
+        "id", "CAST(70 + id % 100 AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pt.raises(Exception, match="exceeds max_psi"):
+        run()
+    assert spark.read.parquet(out).count() == 500
+    assert spark.read.parquet(rep).select("batch_id").distinct().count() == 1
+
+
+def test_stream_drift_gate_categorical(spark, tmp_path):
+    """Categorical mode: value-mix gate over a stream; same-mix batch
+    passes, a collapsed-mix batch is refused."""
+    import pytest as pt
+
+    from mini_etl_spark.streaming.events import stream_drift_gate
+
+    base = str(tmp_path / "baseline")
+    spark.range(400).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS src"
+    ).write.parquet(base)
+
+    src_dir = str(tmp_path / "in")
+    spark.range(400, 600).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS src"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    out = str(tmp_path / "out")
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema("id long, src string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return stream_drift_gate(
+            stream, base, out, str(tmp_path / cp), "src",
+            max_psi=0.1, mode="categorical",
+        )
+
+    run("cp1")
+    assert spark.read.parquet(out).count() == 200
+
+    spark.range(700, 900).selectExpr(
+        "id", "'only_one' AS src"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    with pt.raises(Exception, match="exceeds max_psi"):
+        run("cp1")
+    assert spark.read.parquet(out).count() == 200
+
+    with pt.raises(ValueError, match="mode must be"):
+        stream_drift_gate(
+            spark.readStream.schema("id long, src string").parquet(src_dir),
+            base, out, str(tmp_path / "cpx"), "src", 0.1, mode="bogus",
+        )
