@@ -246,10 +246,24 @@ def main() -> None:
 
     queries = entry.queries()
     names = pick_queries(queries)
-    print(f"# sweeping {len(names)} queries", file=sys.stderr)
+    # SCALE_SESSION_RESET=N: recycle the SparkSession every N queries.
+    # Measured in the round-10 full-registry sweep: a single session
+    # accumulates heap/GC pressure over ~150 queries that inflates LATE
+    # big-side runs 2-4x (three false SUPERLINEAR flags, all of which
+    # re-timed clean in a fresh session). Stopping the context drops the
+    # block manager, caches, and codegen state; the replica build is
+    # keyed on the _OK marker so the new session skips it.
+    reset_every = int(os.environ.get("SCALE_SESSION_RESET", "0"))
+    print(f"# sweeping {len(names)} queries"
+          + (f" (session reset every {reset_every})" if reset_every else ""),
+          file=sys.stderr)
     results = {}
     errors = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if reset_every and qi and qi % reset_every == 0:
+            spark.stop()
+            spark = get_spark("scale-check")
+            print(f"# session recycled at query {qi}", file=sys.stderr)
         fn = queries[name]
         times = {}
         try:
