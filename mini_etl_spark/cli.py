@@ -270,6 +270,59 @@ def compact(path: str, target_file_mb: int, kind: str,
     click.echo(json.dumps(stats))
 
 
+@main.command("index-append")
+@click.argument("path", type=click.Path(exists=True))
+@click.option(
+    "--kind",
+    type=click.Choice(["minhash", "bloom", "ivf"]),
+    required=True,
+    help="Index layout at PATH: minhash_index_write / "
+    "decontamination_index_write / build_ivf_index.",
+)
+@click.option(
+    "--input", "input_path", required=True,
+    type=click.Path(exists=True),
+    help="Parquet of new documents (minhash: accepted batch; bloom: new "
+    "benchmark docs; ivf: new vectors).",
+)
+@click.option("--column", default="text",
+              help="Text column (bloom kind; minhash uses the index's "
+              "own recorded columns).")
+@click.option("--id", "id_col", default="doc_id", help="Id column.")
+@click.option("--vec-col", default="embedding",
+              help="Vector column (ivf kind).")
+def index_append(path: str, kind: str, input_path: str, column: str,
+                 id_col: str, vec_col: str) -> None:
+    """Grow a persisted index in place with a new batch — the
+    operational companion of `compact`: all three build-once indexes
+    (MinHash near-dup, Bloom decontamination, IVF vectors) append
+    instead of rebuilding. Single-writer contract: quiesce other
+    writers for the duration."""
+    from mini_etl_spark.session import get_spark
+
+    spark = get_spark("mini-etl-index-append")
+    df = spark.read.parquet(input_path)
+    if kind == "minhash":
+        from mini_etl_spark.functions.dedup_index import minhash_index_append
+
+        minhash_index_append(df, path)
+        report: dict = {"kind": kind, "appended_docs": df.count()}
+    elif kind == "bloom":
+        from mini_etl_spark.functions.bloom import decontamination_index_append
+
+        params = decontamination_index_append(
+            df, path, text_col=column, id_col=id_col
+        )
+        report = {"kind": kind, **params}
+    else:
+        from mini_etl_spark.functions.similarity import ivf_index_append
+
+        report = {"kind": kind, **ivf_index_append(
+            df, path, vec_col=vec_col, id_col=id_col
+        )}
+    click.echo(json.dumps(report))
+
+
 @main.command()
 def info() -> None:
     """Show engine / environment info."""

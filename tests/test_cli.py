@@ -155,3 +155,71 @@ def test_cli_card(tmp_path, spark):
     assert "# Data card: toy" in card and "- rows: 2" in card
     res2 = CliRunner().invoke(main, ["card", str(src)])
     assert res2.exit_code == 0 and "## Columns" in res2.output
+
+
+def test_cli_index_append_all_kinds(spark, tmp_path):
+    """`index-append` grows all three persisted indexes from the shell:
+    screening/serving results afterward equal a fresh rebuild over the
+    concatenated input (the append differentials proper live in
+    tests/test_bloom.py / test_functions.py — here the CLI wiring)."""
+    import json as js
+
+    from mini_etl_spark.functions import bloom as bl
+    from mini_etl_spark.functions import similarity as sim
+    from mini_etl_spark.functions.dedup_index import minhash_index_write
+
+    runner = CliRunner()
+
+    # bloom
+    bench_a = spark.createDataFrame(
+        [(1, "alpha bench one two three")], ["doc_id", "text"]
+    )
+    bench_b = spark.createDataFrame(
+        [(2, "beta bench four five six")], ["doc_id", "text"]
+    )
+    bpath = str(tmp_path / "bloom_idx")
+    bl.decontamination_index_write(bench_a, bpath, n=3)
+    binput = str(tmp_path / "bench_b.parquet")
+    bench_b.write.parquet(binput)
+    res = runner.invoke(
+        main, ["index-append", bpath, "--kind", "bloom", "--input", binput]
+    )
+    assert res.exit_code == 0, res.output
+    rep = js.loads(res.output.strip().splitlines()[-1])
+    assert rep["kind"] == "bloom" and rep["appends"] == 1
+
+    # minhash
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with words {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    mpath = str(tmp_path / "mh_idx")
+    minhash_index_write(docs.filter("doc_id < 8"), mpath,
+                        num_hashes=16, bands=4)
+    minput = str(tmp_path / "mh_batch.parquet")
+    docs.filter("doc_id >= 8").write.parquet(minput)
+    res = runner.invoke(
+        main, ["index-append", mpath, "--kind", "minhash", "--input", minput]
+    )
+    assert res.exit_code == 0, res.output
+    assert js.loads(res.output.strip().splitlines()[-1])["appended_docs"] == 2
+
+    # ivf
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ipath = str(tmp_path / "ivf_idx")
+    cents = sim.random_unit_centroids(dim=8, k=4, seed=1)
+    sim.build_ivf_index(vecs.filter("vec_id < 30"), ipath, centroids=cents)
+    iinput = str(tmp_path / "ivf_batch.parquet")
+    vecs.filter("vec_id >= 30").write.parquet(iinput)
+    res = runner.invoke(
+        main, ["index-append", ipath, "--kind", "ivf", "--input", iinput]
+    )
+    assert res.exit_code == 0, res.output
+    rep = js.loads(res.output.strip().splitlines()[-1])
+    assert rep["appended"] == 10 and "skew_ratio" in rep
