@@ -296,8 +296,10 @@ def index_append(path: str, kind: str, input_path: str, column: str,
     """Grow a persisted index in place with a new batch — the
     operational companion of `compact`: all three build-once indexes
     (MinHash near-dup, Bloom decontamination, IVF vectors) append
-    instead of rebuilding. Single-writer contract: quiesce other
-    writers for the duration."""
+    instead of rebuilding. Serialize contract: quiesce other writers
+    AND in-flight screens/probes for the duration (the bloom append
+    overwrites its words table in place; a reader planned over the old
+    file listing fails mid-scan)."""
     from mini_etl_spark.session import get_spark
 
     spark = get_spark("mini-etl-index-append")

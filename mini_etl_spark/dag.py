@@ -295,7 +295,11 @@ class PipelineDAG:
         like ``lambda df: df.drop(*cols)`` — changes token when its
         captured value changes). Opaque closure values are logged and
         skipped — the documented reason add_checkpoint has ``version``/
-        ``force`` knobs."""
+        ``force`` knobs. Note: the canonical format replaced raw repr
+        in round 10, so checkpoints written by earlier builds whose
+        callables capture closure values re-materialize ONCE after the
+        upgrade (safe — recompute is always safe; restore of stale data
+        is what the fingerprint exists to prevent)."""
         if fn is None:
             return None
         name = getattr(fn, "__name__", type(fn).__name__)

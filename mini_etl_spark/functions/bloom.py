@@ -420,6 +420,13 @@ def decontamination_index_append(
     are unset, i.e. silent FALSE NEGATIVES, the one failure mode a
     Bloom screen must never have.
 
+    The marker guards CRASHES, not concurrent readers: the words table
+    is overwritten in place, so a screen whose lazy plan already listed
+    the old files fails mid-scan (FileNotFoundException) if an append
+    replaces them under it. Quiesce screens as well as writers for the
+    append window — the same serialize contract as the in-place index
+    compactions.
+
     The bitmask is NOT resized (resizing would rehash every stored gram
     — that is a rebuild); the false-positive rate therefore rises as the
     gram count grows past what the original sizing assumed. Correctness

@@ -476,9 +476,17 @@ def ivf_index_append(
     ``{appended, cells, max_cell, mean_cell, skew_ratio,
     retrain_recommended}``.
 
-    Dimension drift fails loudly before anything is written: a batch
-    whose vectors disagree with the centroid width would otherwise be
-    assigned by a truncated dot product."""
+    Idempotent under re-runs and convergent after a crash: batch ids
+    already present in the stored vectors table are anti-joined away
+    before the write (same contract as the decontamination index's
+    gram anti-join), so re-running the same append is a no-op and a
+    crashed append re-run appends only what is missing. Dimension
+    drift fails loudly before anything is written: a batch whose
+    vectors disagree with the centroid width would otherwise be
+    assigned by a truncated dot product. Single-writer contract, like
+    every persisted-index mutation here — and quiesce concurrent
+    SCREENS too: an append rewrites nothing, but readers planned over
+    a mid-append file listing can see a partially-visible batch."""
     import logging
 
     log = logging.getLogger(__name__)
@@ -496,10 +504,19 @@ def ivf_index_append(
             "refusing to append (the assignment dot product would "
             "silently truncate). Rebuild with build_ivf_index."
         )
-    n_new = df.count()
-    ivf_assign(df, centroids, vec_col).repartition(
-        F.col("ivf_cell")
-    ).write.mode("append").partitionBy("ivf_cell").parquet(f"{path}/vectors")
+    stored_ids = spark.read.parquet(f"{path}/vectors").select(id_col)
+    fresh = df.join(stored_ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_new = fresh.count()
+    if n_new == 0:
+        log.info("ivf_index_append: no new ids for %s — no-op", path)
+    else:
+        ivf_assign(fresh, centroids, vec_col).repartition(
+            F.col("ivf_cell")
+        ).write.mode("append").partitionBy("ivf_cell").parquet(
+            f"{path}/vectors"
+        )
     sizes = (
         spark.read.parquet(f"{path}/vectors")
         .groupBy("ivf_cell")

@@ -722,6 +722,20 @@ def stream_drift_gate(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # an empty micro-batch (all rows dropped upstream, or an
+            # empty source file) carries no distribution to gate — PSI
+            # against it would read as MAXIMAL drift (every baseline bin
+            # -> epsilon) and the raised batch would replay forever, a
+            # poison pill no baseline refresh can clear. Nothing to
+            # write either; commit the batch as a no-op.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "stream_drift_gate: batch %d is empty — skipping the "
+                "gate (nothing to write)", batch_id,
+            )
+            return
         base = spark.read.parquet(baseline_path)
         if mode == "categorical":
             report = category_drift(base, batch_df, column, top_k=top_k)

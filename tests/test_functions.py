@@ -2089,6 +2089,12 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path, caplog):
     want = {r.vec_id for r in sim.ivf_topk_indexed(spark, rebuilt, q, k=8, nprobe=2).collect()}
     assert got == want
 
+    # idempotent: re-appending the same batch is a no-op (already-stored
+    # ids anti-joined away), so a crashed/re-run append never duplicates
+    again = sim.ivf_index_append(df_b, appended)
+    assert again["appended"] == 0
+    assert stored(appended) == stored(rebuilt)
+
     # dimension drift refuses before writing anything
     df_bad = spark.createDataFrame(
         [(5000, [0.0] * 7)], "vec_id bigint, embedding array<float>"

@@ -714,3 +714,39 @@ def test_stream_drift_gate_categorical(spark, tmp_path):
             spark.readStream.schema("id long, src string").parquet(src_dir),
             base, out, str(tmp_path / "cpx"), "src", 0.1, mode="bogus",
         )
+
+
+def test_stream_drift_gate_empty_batch_is_skipped_not_poisoned(spark, tmp_path):
+    """An empty micro-batch (all rows dropped upstream) must commit as a
+    no-op — gating it would read as maximal drift (every baseline bin ->
+    epsilon), raise, and replay forever: a poison pill no baseline
+    refresh can clear."""
+    from mini_etl_spark.streaming.events import stream_drift_gate
+
+    base = str(tmp_path / "baseline")
+    spark.range(500).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    ).write.parquet(base)
+
+    src = str(tmp_path / "in")
+    # file 1: survives the upstream filter; file 2: fully filtered out
+    spark.range(1000, 1400).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.range(5000, 5200).selectExpr(
+        "id", "CAST(-1 AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter("v >= 0")  # empties the second file's batch entirely
+    )
+    stream_drift_gate(
+        stream, base, out, str(tmp_path / "cp"), "v",
+        max_psi=0.1, lo=0.0, hi=100.0,
+    )
+    # the non-empty batch landed; the empty one neither raised nor wrote
+    assert spark.read.parquet(out).count() == 400
