@@ -3265,15 +3265,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate samples ~50
     # entries starting from the FRONT of this dict. The criterion for the
     # lead block is "has NO GREEN row (rows+schema+hash all true) in the
-    # union of CORRECTNESS_r01-r04" — NOT merely "was sampled" (the r4
+    # union of CORRECTNESS_r01-r10" — NOT merely "was sampled" (the r4
     # front-load counted r01 `no_oracle` appearances as stamped, leaving
     # 8 genuinely unverified keys behind the window; VERDICT r4 #2).
-    # Exactly 10 keys lack a green stamp; they lead, followed by the
-    # 122 green-stamped keys in their prior order. Every entry,
-    # regardless of position, is differentially tested bit-level by
-    # tests/test_oracle.py on every pytest run.
+    # Re-applied against the r01-r10 union in r11: exactly 5 keys still
+    # lack a green stamp (the r8/r9 additions that landed at positions
+    # 70-72/123-124, behind the front-50 window — VERDICT r10 #2); they
+    # lead now, followed by the green-stamped keys in their prior order.
+    # Every entry, regardless of position, is differentially tested
+    # bit-level by tests/test_oracle.py on every pytest run.
     return {
-        # --- never driver-GREEN in r01-r04 (lead for sampling) ---
+        # --- never driver-GREEN in r01-r10 (lead for sampling) ---
+        "bloom_decontaminated": q_bloom_decontaminated,
+        "bloom_decontaminated_indexed": q_bloom_decontaminated_indexed,
+        "bloom_bits": q_bloom_bits,
+        "jaccard_pairs_budget": q_jaccard_pairs_budget,
+        "budget_cap_fit": q_budget_cap_fit,
+        # --- green-stamped keys, prior order ---
         "hashed_vectors": q_hashed_vectors,
         "approx_sketches": q_approx_sketches,
         "bpe_vocab": q_bpe_vocab,
@@ -3345,9 +3353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_cap": q_source_cap,
         "decontaminated": q_decontaminated,
-        "bloom_decontaminated": q_bloom_decontaminated,
-        "bloom_decontaminated_indexed": q_bloom_decontaminated_indexed,
-        "bloom_bits": q_bloom_bits,
         "corpus_shuffle": q_corpus_shuffle,
         "embedding_centroids": q_embedding_centroids,
         "lm_score": q_lm_score,
@@ -3398,8 +3403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
-        "jaccard_pairs_budget": q_jaccard_pairs_budget,
-        "budget_cap_fit": q_budget_cap_fit,
         "near_dup_groups": q_near_dup_groups,
         "corpus_clean": q_corpus_clean,
         "contamination": q_contamination,

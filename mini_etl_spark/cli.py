@@ -288,9 +288,12 @@ def compact(path: str, target_file_mb: int, kind: str,
 @click.option("--column", default="text",
               help="Text column (bloom kind; minhash uses the index's "
               "own recorded columns).")
-@click.option("--id", "id_col", default="doc_id", help="Id column.")
-@click.option("--vec-col", default="embedding",
-              help="Vector column (ivf kind).")
+@click.option("--id", "id_col", default=None,
+              help="Id column. Default: the index's own recorded name "
+              "(ivf/minhash) or doc_id (bloom).")
+@click.option("--vec-col", default=None,
+              help="Vector column (ivf kind). Default: the index's "
+              "recorded name.")
 def index_append(path: str, kind: str, input_path: str, column: str,
                  id_col: str, vec_col: str) -> None:
     """Grow a persisted index in place with a new batch — the
@@ -307,16 +310,20 @@ def index_append(path: str, kind: str, input_path: str, column: str,
     if kind == "minhash":
         from mini_etl_spark.functions.dedup_index import minhash_index_append
 
-        minhash_index_append(df, path)
-        report: dict = {"kind": kind, "appended_docs": df.count()}
+        report: dict = {
+            "kind": kind, "appended_docs": minhash_index_append(df, path),
+        }
     elif kind == "bloom":
         from mini_etl_spark.functions.bloom import decontamination_index_append
 
         params = decontamination_index_append(
-            df, path, text_col=column, id_col=id_col
+            df, path, text_col=column, id_col=id_col or "doc_id"
         )
         report = {"kind": kind, **params}
     else:
+        # vec/id default to None → ivf_index_append resolves them from
+        # the index's own _IVF.json record (r10 shipped this path broken
+        # by passing --id's doc_id default into a vec_id-named table)
         from mini_etl_spark.functions.similarity import ivf_index_append
 
         report = {"kind": kind, **ivf_index_append(

@@ -193,15 +193,31 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
-def minhash_index_append(df: DataFrame, path: str) -> None:
-    """Append an accepted batch to the index (ids must be new — the index
-    never rewrites history; re-ingesting an id duplicates its postings)."""
+def minhash_index_append(df: DataFrame, path: str) -> int:
+    """Append an accepted batch to the index. Idempotent: batch ids
+    already present in the stored signatures are anti-joined away before
+    anything is written (the same contract as ivf_index_append's
+    stored-id anti-join and the Bloom gram anti-join), so re-running the
+    same append — e.g. a crashed CLI `index-append` retried — is a no-op
+    instead of silently duplicating postings. The anti-join result is
+    localCheckpoint'ed because the append WRITES to the very signatures
+    table the probe reads; a lazy plan would re-list files mid-write.
+    Returns the number of documents actually appended."""
     meta = _read_meta(path)
+    id_col = meta["id_col"]
+    stored = df.sparkSession.read.parquet(
+        os.path.join(path, "signatures")
+    ).select(id_col)
+    fresh = df.join(stored, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
     sig = minhash_signatures(
-        df, meta["text_col"], meta["id_col"], meta["n"], meta["num_hashes"],
+        fresh, meta["text_col"], id_col, meta["n"], meta["num_hashes"],
         meta["hash_fn"],
     )
-    _write_parts(sig, path, meta["id_col"], meta, mode="append")
+    _write_parts(sig, path, id_col, meta, mode="append")
+    return n_new
 
 
 def minhash_index_filter(

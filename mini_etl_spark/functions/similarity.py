@@ -425,7 +425,16 @@ def build_ivf_index(
     write), serve many (:func:`ivf_topk_indexed`).
 
     Trains spherical k-means centroids via :func:`ivf_centroids_kmeans`
-    unless ``centroids`` is passed. Returns the centroid matrix."""
+    unless ``centroids`` is passed. Returns the centroid matrix.
+
+    The index records its own ``vec_col``/``id_col`` (plus dim and cell
+    count) in ``{path}/_IVF.json``, published LAST via the tmp+rename
+    state protocol — so :func:`ivf_index_append` and
+    :func:`ivf_topk_indexed` never have to be told the column names
+    ("parameters are never arguments", the same discipline as the Bloom
+    index marker in bloom.py decontamination_index_write)."""
+    from mini_etl_spark.streaming.corpus import _write_state
+
     spark = df.sparkSession
     if centroids is None:
         centroids = ivf_centroids_kmeans(
@@ -445,14 +454,66 @@ def build_ivf_index(
     ivf_assign(df, centroids, vec_col).repartition(
         F.col("ivf_cell")
     ).write.mode(mode).partitionBy("ivf_cell").parquet(f"{path}/vectors")
-    return np.asarray(centroids, dtype="float64")
+    cent_mat = np.asarray(centroids, dtype="float64")
+    _write_state(spark, f"{path}/_IVF.json", {
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "cells": int(cent_mat.shape[0]),
+        "dim": int(cent_mat.shape[1]),
+        "format": 1,
+        "state": "ready",
+        "appends": 0,
+    })
+    return cent_mat
+
+
+def _ivf_resolve_cols(
+    spark, path: str, vec_col: str | None, id_col: str | None,
+) -> tuple[str, str, dict | None]:
+    """Resolve (vec_col, id_col, params) for a persisted IVF index. The
+    ``_IVF.json`` params doc written by :func:`build_ivf_index` is the
+    source of truth: explicit arguments must AGREE with it (the stored
+    vectors table is named by the build — a divergent name would either
+    fail the anti-join or append a mixed-schema batch). Pre-marker
+    indexes (built before round 11) fall back to the stored vectors
+    schema: the single array column is the vector and, if exactly one
+    other non-``ivf_cell`` column remains, it is the id; otherwise the
+    legacy defaults apply."""
+    from pyspark.sql.types import ArrayType
+
+    from mini_etl_spark.streaming.corpus import _read_state
+
+    params = _read_state(spark, f"{path}/_IVF.json")
+    if params and "vec_col" in params:
+        for arg, key in ((vec_col, "vec_col"), (id_col, "id_col")):
+            if arg is not None and arg != params[key]:
+                raise ValueError(
+                    f"IVF index at {path!r} records {key}="
+                    f"{params[key]!r} but {key}={arg!r} was passed — "
+                    "the stored vectors table is named by the build. "
+                    "Pass None (or the recorded name), or rebuild with "
+                    "build_ivf_index."
+                )
+        return params["vec_col"], params["id_col"], params
+    if vec_col is None or id_col is None:
+        fields = spark.read.parquet(f"{path}/vectors").schema.fields
+        arrays = [f.name for f in fields if isinstance(f.dataType, ArrayType)]
+        others = [
+            f.name for f in fields
+            if f.name not in arrays and f.name != "ivf_cell"
+        ]
+        if vec_col is None:
+            vec_col = arrays[0] if len(arrays) == 1 else "embedding"
+        if id_col is None:
+            id_col = others[0] if len(others) == 1 else "vec_id"
+    return vec_col, id_col, None
 
 
 def ivf_index_append(
     df: DataFrame,
     path: str,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    vec_col: str | None = None,
+    id_col: str | None = None,
     skew_warn: float = 4.0,
 ) -> dict:
     """Grow a persisted IVF index (:func:`build_ivf_index`) without
@@ -486,11 +547,19 @@ def ivf_index_append(
     assigned by a truncated dot product. Single-writer contract, like
     every persisted-index mutation here — and quiesce concurrent
     SCREENS too: an append rewrites nothing, but readers planned over
-    a mid-append file listing can see a partially-visible batch."""
+    a mid-append file listing can see a partially-visible batch.
+
+    ``vec_col``/``id_col`` default to the index's own recorded names
+    (``_IVF.json``, see :func:`build_ivf_index`); an explicit argument
+    that disagrees with the record raises (see
+    :func:`_ivf_resolve_cols`)."""
     import logging
+
+    from mini_etl_spark.streaming.corpus import _write_state
 
     log = logging.getLogger(__name__)
     spark = df.sparkSession
+    vec_col, id_col, params = _ivf_resolve_cols(spark, path, vec_col, id_col)
     centroids = load_ivf_centroids(spark, path)
     dim = int(centroids.shape[1])
     probe = df.select(F.size(vec_col).alias("__d")).filter(
@@ -535,6 +604,10 @@ def ivf_index_append(
         "skew_ratio": skew,
         "retrain_recommended": skew > skew_warn,
     }
+    if n_new and params is not None:
+        _write_state(spark, f"{path}/_IVF.json", {
+            **params, "appends": int(params.get("appends", 0)) + 1,
+        })
     if report["retrain_recommended"]:
         log.warning(
             "ivf_index_append: hottest cell holds %d vectors vs mean %.1f "
@@ -560,14 +633,17 @@ def ivf_topk_indexed(
     query: Sequence[float],
     k: int = 10,
     nprobe: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    vec_col: str | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Serve a top-k query from a persisted IVF index: pick the ``nprobe``
     nearest cells driver-side (k tiny dot products against the loaded
     centroids), then scan ONLY those hive partitions of the vectors table
     — the ``ivf_cell`` filter prunes at file-listing time, so the job
-    reads nprobe cells' worth of parquet and nothing else."""
+    reads nprobe cells' worth of parquet and nothing else.
+    ``vec_col``/``id_col`` default to the index's recorded names
+    (see :func:`_ivf_resolve_cols`)."""
+    vec_col, id_col, _ = _ivf_resolve_cols(spark, path, vec_col, id_col)
     cents = load_ivf_centroids(spark, path)
     q = np.asarray(query, dtype="float64")
     # stable sort: same (−dot, index) tie rule as ivf_topk/probe_cells

@@ -315,6 +315,7 @@ def category_drift(
     column: str,
     top_k: int = 20,
     epsilon: float = 1e-6,
+    max_distinct: int | None = 100_000,
 ):
     """Population Stability Index between two epochs of one CATEGORICAL
     column — the value-mix sibling of :func:`distribution_drift`: real
@@ -339,19 +340,53 @@ def category_drift(
     for categorical columns, where that is bounded), a full-outer join of
     the two count tables, localCheckpointed so the top-k pick, the
     ``__other__`` fold, and the totals all reuse ONE scan of each epoch;
-    the top-k pick is a TakeOrderedAndProject (no global window)."""
+    the top-k pick is a TakeOrderedAndProject (no global window).
+
+    ``max_distinct`` guards against corpus-cardinality misuse: pointed
+    at a URL or doc-id column, the distinct-value join materializes a
+    corpus-sized table to executor storage via the localCheckpoint. The
+    guard is an ``approx_count_distinct`` over the two projected columns
+    BEFORE anything is materialized (one column-pruned pass; ±~5%, so
+    treat the threshold as an order-of-magnitude tripwire, not an exact
+    boundary) and fails loudly over the limit — use
+    :func:`distribution_drift` over a derived numeric feature for such
+    columns, or raise/None the limit deliberately. The report plan
+    itself is unchanged for the bounded case.
+
+    A REAL category value equal to the fold sentinel ``__other__``
+    raises when a fold row would also be emitted (the report's contract
+    is one row per reported value — a collision would silently merge or
+    duplicate); rename the value upstream or raise ``top_k`` past the
+    column's cardinality so no fold happens."""
     from pyspark.sql import functions as F
 
     if top_k < 1:
         raise ValueError("category_drift: top_k must be >= 1")
+    projs = []
     counts = []
     for df, name in ((df_a, "count_a"), (df_b, "count_b")):
-        counts.append(
-            df.select(F.col(column).cast("string").alias("value"))
-            .filter(F.col("value").isNotNull())
-            .groupBy("value")
-            .agg(F.count(F.lit(1)).alias(name))
+        proj = df.select(F.col(column).cast("string").alias("value")).filter(
+            F.col("value").isNotNull()
         )
+        projs.append(proj)
+        counts.append(proj.groupBy("value").agg(F.count(F.lit(1)).alias(name)))
+    if max_distinct is not None:
+        approx = int(
+            projs[0].unionByName(projs[1])
+            .agg(F.approx_count_distinct("value").alias("nd"))
+            .first()["nd"]
+        )
+        if approx > max_distinct:
+            raise ValueError(
+                f"category_drift: column {column!r} has ~{approx} distinct "
+                f"values (> max_distinct={max_distinct}) — this monitor "
+                "is for genuinely categorical columns; a corpus-"
+                "cardinality column (URL, doc id, text) would "
+                "materialize a corpus-sized count table to executor "
+                "storage. Monitor a bounded derived feature (e.g. "
+                "distribution_drift over a length/hash), or pass a "
+                "higher max_distinct / max_distinct=None deliberately."
+            )
     joined = (
         counts[0]
         .join(counts[1], "value", "full_outer")
@@ -362,10 +397,22 @@ def category_drift(
         )
         .localCheckpoint(eager=True)
     )
-    if joined.isEmpty():
+    n_values = joined.count()  # cheap: counts checkpointed partitions
+    if n_values == 0:
         raise ValueError(
             f"category_drift: column {column!r} has no non-null values "
             "in either epoch"
+        )
+    if n_values > top_k and not joined.filter(
+        F.col("value") == F.lit("__other__")
+    ).isEmpty():
+        raise ValueError(
+            f"category_drift: column {column!r} contains a REAL value "
+            "'__other__', which collides with the fold sentinel while "
+            f"the report is folding (distinct values {n_values} > "
+            f"top_k {top_k}) — the report would carry two rows for one "
+            "value (or silently merge them). Rename the value upstream "
+            "or raise top_k above the column's cardinality."
         )
     top = joined.orderBy(
         (F.col("count_a") + F.col("count_b")).desc(), F.col("value").asc()

@@ -693,31 +693,58 @@ def stream_drift_gate(
 ):
     """Streaming PSI gate: every micro-batch's distribution of ``column``
     is compared against a PERSISTED baseline epoch (parquet) and batches
-    within ``max_psi`` are appended to ``out_path``; a drifted batch
+    within ``max_psi`` are written to ``out_path``; a drifted batch
     raises BEFORE anything is written, failing the query so the batch is
     re-gated on restart instead of slipping through — the streaming twin
     of the declarative ``drift`` node, completing the batch/stream story
     the way stream_classify_gate/stream_lm_gate did for their batch ops.
+
     ``mode="numeric"`` uses :func:`mini_etl_spark.maintenance
-    .distribution_drift` (pin ``lo``/``hi`` for a stationary gate — left
-    None, the bin range adapts to each batch's min/max, which measures
-    shape drift but moves the goalposts batch to batch);
+    .distribution_drift`. Left unset, ``lo``/``hi`` default to the
+    BASELINE epoch's min/max (one tiny aggregate over the baseline per
+    batch, zero extra scans of the stream side) — stationary by
+    construction, so a mean-shifted batch is refused even when its own
+    values would stretch a shared bin range until both epochs collapse
+    into one bin (the pre-r11 default derived the range from
+    baseline∪batch, and one batch outlier could flatten the PSI to ~0).
+    Out-of-range batch values clamp into the edge bins, which is
+    exactly the drift signal. Pin ``lo``/``hi`` explicitly to gate
+    against a fixed design range instead.
     ``mode="categorical"`` uses :func:`mini_etl_spark.maintenance
     .category_drift` over the top ``top_k`` values.
 
-    With ``report_path``, the bounded per-batch drift report (plus a
-    ``batch_id`` column) is appended there for audit — written only
-    AFTER the gated batch commits its own append, so a refused batch
-    leaves no report either. The baseline is re-read inside foreachBatch:
+    Exactly-once output: each accepted batch lands under its own
+    ``batch_id=<B>`` hive partition of ``out_path`` via dynamic
+    partition overwrite, so the at-least-once replay window of
+    foreachBatch (crash after the write, before the checkpoint commit)
+    REPLACES the batch's partition instead of appending a duplicate —
+    the same replay-idempotence contract as stream_token_shards'
+    per-batch dirs (streaming/corpus.py), without needing its marker
+    protocol because the gate keeps no cross-batch state. Read with a
+    plain ``spark.read.parquet(out_path)`` (``batch_id`` arrives as a
+    partition column); only a reader racing a mid-write batch can see
+    a partially-written partition.
+
+    With ``report_path``, the bounded per-batch drift report (plus the
+    ``batch_id`` column) is published there the same way — written only
+    AFTER the gated batch commits its own write, so a refused batch
+    leaves no report, and a crash between the two writes replays into
+    an overwrite of both. The baseline is re-read inside foreachBatch:
     replacing the parquet between batches rolls the reference epoch
     forward without restarting the query. Pure per-batch function of
-    (batch, baseline) → replay-safe gating decision."""
+    (batch, baseline) → replay-safe gating decision AND sink."""
     from mini_etl_spark.maintenance import category_drift, distribution_drift
 
     if mode not in ("numeric", "categorical"):
         raise ValueError(
             f"stream_drift_gate: mode must be numeric|categorical, "
             f"got {mode!r}"
+        )
+    if "batch_id" in stream_df.columns:
+        raise ValueError(
+            "stream_drift_gate: input column 'batch_id' collides with "
+            "the per-batch overwrite partition of the output — rename "
+            "it upstream."
         )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -740,8 +767,30 @@ def stream_drift_gate(
         if mode == "categorical":
             report = category_drift(base, batch_df, column, top_k=top_k)
         else:
+            blo, bhi = lo, hi
+            if blo is None or bhi is None:
+                # stationary default: the bin range is a function of the
+                # BASELINE epoch alone (re-derived per batch only because
+                # the baseline parquet may be rolled forward between
+                # batches) — never of the batch, whose outliers must
+                # CLAMP into edge bins rather than stretch the range
+                span = (
+                    base.select(F.col(column).cast("double").alias("__v"))
+                    .filter(F.col("__v").isNotNull())
+                    .agg(F.min("__v").alias("mn"), F.max("__v").alias("mx"))
+                    .first()
+                )
+                if span["mn"] is None:
+                    raise ValueError(
+                        f"stream_drift_gate: baseline {baseline_path!r} "
+                        f"has no non-null values in column {column!r} — "
+                        "nothing to derive the bin range from; pin "
+                        "lo/hi or fix the baseline."
+                    )
+                blo = span["mn"] if blo is None else blo
+                bhi = span["mx"] if bhi is None else bhi
             report = distribution_drift(
-                base, batch_df, column, bins=bins, lo=lo, hi=hi
+                base, batch_df, column, bins=bins, lo=blo, hi=bhi
             )
         schema = report.schema
         rows = report.collect()  # bounded: ≤ bins / top_k+1 rows
@@ -753,11 +802,22 @@ def stream_drift_gate(
                 f"max_psi {max_psi} — refusing the batch (nothing "
                 "written; fix or refresh the baseline and restart)"
             )
-        batch_df.write.mode("append").parquet(out_path)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
         if report_path is not None:
-            spark.createDataFrame(rows, schema).withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(report_path)
+            (
+                spark.createDataFrame(rows, schema)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(report_path)
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)

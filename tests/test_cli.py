@@ -223,3 +223,77 @@ def test_cli_index_append_all_kinds(spark, tmp_path):
     assert res.exit_code == 0, res.output
     rep = js.loads(res.output.strip().splitlines()[-1])
     assert rep["appended"] == 10 and "skew_ratio" in rep
+
+
+def test_cli_index_append_defaults_and_idempotency(spark, tmp_path):
+    """The r10 regression class: `index-append --kind ivf` with DEFAULT
+    options against an index built with NON-default column names — the
+    index's own _IVF.json record resolves the columns, never the CLI
+    defaults. Also: re-running the exact same CLI append (crash-retry
+    shape) is a no-op for both the ivf and minhash kinds."""
+    import json as js
+
+    import numpy as np
+
+    from mini_etl_spark.functions import similarity as sim
+    from mini_etl_spark.functions.dedup_index import (
+        minhash_index_write,
+    )
+
+    runner = CliRunner()
+
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(30)],
+        "item_key bigint, emb array<float>",
+    )
+    ipath = str(tmp_path / "ivf_custom")
+    cents = sim.random_unit_centroids(dim=6, k=3, seed=3)
+    sim.build_ivf_index(
+        vecs.filter("item_key < 20"), ipath, centroids=cents,
+        vec_col="emb", id_col="item_key",
+    )
+    iinput = str(tmp_path / "ivf_batch.parquet")
+    vecs.filter("item_key >= 20").write.parquet(iinput)
+    res = runner.invoke(
+        main, ["index-append", ipath, "--kind", "ivf", "--input", iinput]
+    )
+    assert res.exit_code == 0, res.output
+    assert js.loads(res.output.strip().splitlines()[-1])["appended"] == 10
+    # crash-retry: the identical invocation appends nothing
+    res = runner.invoke(
+        main, ["index-append", ipath, "--kind", "ivf", "--input", iinput]
+    )
+    assert res.exit_code == 0, res.output
+    assert js.loads(res.output.strip().splitlines()[-1])["appended"] == 0
+    # serving resolves the recorded columns too — no names passed
+    q = [float(x) for x in rng.standard_normal(6)]
+    got = sim.ivf_topk_indexed(spark, ipath, q, k=5).collect()
+    assert len(got) == 5 and "item_key" in got[0].asDict()
+    # a conflicting explicit name fails loudly, not with UNRESOLVED_COLUMN
+    import pytest as pt
+
+    with pt.raises(ValueError, match="records"):
+        sim.ivf_topk_indexed(spark, ipath, q, k=5, id_col="doc_id")
+
+    # minhash: re-running the same CLI append duplicates no postings
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body words {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    mpath = str(tmp_path / "mh_idx")
+    minhash_index_write(docs.filter("doc_id < 8"), mpath,
+                        num_hashes=16, bands=4)
+    minput = str(tmp_path / "mh_batch.parquet")
+    docs.filter("doc_id >= 8").write.parquet(minput)
+    for expect in (2, 0):
+        res = runner.invoke(
+            main,
+            ["index-append", mpath, "--kind", "minhash", "--input", minput],
+        )
+        assert res.exit_code == 0, res.output
+        rep = js.loads(res.output.strip().splitlines()[-1])
+        assert rep["appended_docs"] == expect
+    sigs = spark.read.parquet(f"{mpath}/signatures")
+    assert sigs.count() == 10
+    assert sigs.select("doc_id").distinct().count() == 10

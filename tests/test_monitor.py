@@ -294,3 +294,43 @@ def test_drift_config_node_categorical_gate(spark, tmp_path):
         loader.build_pipeline(
             loader.parse(cfg(base, mode="nope"))
         )
+
+
+def test_category_drift_max_distinct_guard(spark):
+    """Corpus-cardinality misuse fails loudly BEFORE the distinct-value
+    join materializes: a doc-id-like column trips the approximate
+    distinct guard; the bounded case is untouched and the guard can be
+    raised or disabled deliberately."""
+    import pytest as pt
+
+    from mini_etl_spark import maintenance as mt
+
+    ids = spark.range(20000).selectExpr("CAST(id AS STRING) AS v")
+    with pt.raises(ValueError, match="max_distinct"):
+        mt.category_drift(ids, ids, "v", max_distinct=1000)
+    # explicit opt-outs still run (the fold bounds the REPORT regardless)
+    rows = mt.category_drift(ids, ids, "v", top_k=3, max_distinct=None)
+    assert rows.count() == 4
+    rows2 = mt.category_drift(ids, ids, "v", top_k=3, max_distinct=50_000)
+    assert rows2.count() == 4
+
+
+def test_category_drift_other_sentinel_collision(spark):
+    """A REAL '__other__' category raises when a fold row would also be
+    emitted (one row per reported value is the contract); with no fold
+    (top_k covers the cardinality) the real value passes through
+    unambiguously."""
+    import pytest as pt
+
+    from mini_etl_spark import maintenance as mt
+
+    df = spark.createDataFrame(
+        [("__other__",)] * 5 + [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1,
+        ["v"],
+    )
+    with pt.raises(ValueError, match="__other__"):
+        mt.category_drift(df, df, "v", top_k=2)
+    # no fold -> no ambiguity: the real value is reported as itself
+    rows = mt.category_drift(df, df, "v", top_k=10).collect()
+    by_val = {r["value"]: r for r in rows}
+    assert len(rows) == 4 and by_val["__other__"]["count_a"] == 5

@@ -750,3 +750,115 @@ def test_stream_drift_gate_empty_batch_is_skipped_not_poisoned(spark, tmp_path):
     )
     # the non-empty batch landed; the empty one neither raised nor wrote
     assert spark.read.parquet(out).count() == 400
+
+
+def test_stream_drift_gate_replay_is_exactly_once(spark, tmp_path):
+    """Kill-and-replay: deleting a batch's checkpoint COMMIT marker (but
+    keeping its offsets entry) reproduces the exact at-least-once window
+    — crash after the output write, before the checkpoint commit. On
+    restart the batch re-executes with the SAME batch id; the per-batch
+    dynamic-overwrite partition must replace its earlier attempt, never
+    append a duplicate (pre-r11 this sink was a bare mode("append") and
+    the replay doubled the batch; VERDICT r10 #3 / ADVICE r10)."""
+    import os
+
+    from mini_etl_spark.streaming.events import stream_drift_gate
+
+    base = str(tmp_path / "baseline")
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    ).write.parquet(base)
+
+    src = str(tmp_path / "in")
+    spark.range(2000, 2500).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.range(4000, 4300).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    rep = str(tmp_path / "rep")
+    cp = str(tmp_path / "cp")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_drift_gate(
+            stream, base, out, cp, "v", max_psi=0.1,
+            lo=0.0, hi=100.0, report_path=rep,
+        )
+
+    run()
+    assert spark.read.parquet(out).count() == 800
+    assert spark.read.parquet(rep).select("batch_id").distinct().count() == 2
+
+    # simulate the crash window: batch 1's output is on disk but its
+    # checkpoint commit never landed → restart replays batch 1
+    # (the Hadoop .crc sidecar must go with it or the re-commit's
+    # rename fails on the stale checksum)
+    os.remove(os.path.join(cp, "commits", "1"))
+    crc = os.path.join(cp, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 800  # replay replaced, not duplicated
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(per_batch.values()) == [300, 500]
+    # the audit report replays the same way
+    assert spark.read.parquet(rep).groupBy("batch_id").count().filter(
+        "count != 10"
+    ).isEmpty()
+    # ids survive intact — no row lost or doubled
+    assert got.select("id").distinct().count() == 800
+
+
+def test_stream_drift_gate_default_range_is_stationary(spark, tmp_path):
+    """With lo/hi unset the bin range comes from the BASELINE alone: a
+    mean-shifted batch whose own outlier would stretch a shared
+    (baseline∪batch) range until both epochs collapse into bin 0 — the
+    pre-r11 default, PSI ≈ 0, batch accepted — must now clamp into the
+    baseline's edge bin and be refused."""
+    import pytest as pt
+
+    from mini_etl_spark.streaming.events import stream_drift_gate
+
+    base = str(tmp_path / "baseline")
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    ).write.parquet(base)
+
+    src = str(tmp_path / "in")
+    shifted = spark.range(2000, 2200).selectExpr(
+        "id", "CAST(500 + id % 100 AS DOUBLE) AS v"
+    ).union(
+        spark.range(1).selectExpr("9999999 AS id", "CAST(1e9 AS DOUBLE) AS v")
+    )
+    shifted.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+
+    stream = spark.readStream.schema("id long, v double").parquet(src)
+    with pt.raises(Exception, match="exceeds max_psi"):
+        stream_drift_gate(
+            stream, base, out, str(tmp_path / "cp"), "v", max_psi=0.25
+        )
+    import os
+
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+
+    # an empty-column baseline cannot seed a range: loud refusal
+    ebase = str(tmp_path / "ebase")
+    spark.range(10).selectExpr(
+        "id", "CAST(NULL AS DOUBLE) AS v"
+    ).write.parquet(ebase)
+    stream2 = spark.readStream.schema("id long, v double").parquet(src)
+    with pt.raises(Exception, match="no non-null values"):
+        stream_drift_gate(
+            stream2, ebase, out, str(tmp_path / "cp2"), "v", max_psi=0.25
+        )
