@@ -1455,7 +1455,13 @@ def q_set_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     here are the distinct tokens of each document's first 60 chars
     (stand-ins for per-frame fingerprints; the real video path decodes
     frames executor-side and is pytest-gated on PPM-stream fixtures).
-    Inverted-index join with the hot-element cap; full hash oracle."""
+    Inverted-index join through the DEFAULT candidate-volume budget cap
+    (``"auto:10000000"`` since r11 — the fixed-1000 default was the
+    one standing superlinear 20× sweep row, 90× vs 1.73× budgeted). At
+    the oracle SF nothing binds: Σdf² ≈ 7e5 « 1e7 and the quantile cap
+    (max(64, 4·p99.9) ≈ 692) sits above the max df (173), so results
+    equal the uncapped SQL twin bit-for-bit while the driver exercises
+    the budget-fit path end-to-end. Full hash oracle."""
     from mini_etl_spark.functions import dedup as dd
     from mini_etl_spark.functions import text as tx
 
@@ -6111,6 +6117,12 @@ def oracle_sql() -> dict[str, str]:
                    len(t) - len(kept) AS n_removed_tokens
             FROM rebuilt
         """,
+        # set_jaccard: capless twin — the Spark side's default budget cap
+        # ("auto:10000000") binds nothing at the oracle SF (Σdf² ≈ 7e5,
+        # quantile cap ≈ 692 > max df 173; measured), same adjudication
+        # as the jaccard_pairs_budget oracle. The budget-fit MATH has its
+        # own binding oracle (budget_cap_fit); scale behavior is the 20×
+        # sweep's job.
         "set_jaccard": """
             WITH s AS (
               SELECT doc_id,
@@ -6120,12 +6132,9 @@ def oracle_sql() -> dict[str, str]:
                        t -> t != ''))) AS e
               FROM documents),
             siz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
-            hot AS (SELECT e FROM (SELECT e, count(*) AS c FROM s GROUP BY e)
-                    WHERE c > 1000),
-            s2 AS (SELECT * FROM s WHERE e NOT IN (SELECT e FROM hot)),
             sh AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-              FROM s2 a JOIN s2 b ON a.e = b.e AND a.doc_id < b.doc_id
+              FROM s a JOIN s b ON a.e = b.e AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b,
                    round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 4)

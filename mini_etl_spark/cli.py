@@ -270,6 +270,77 @@ def compact(path: str, target_file_mb: int, kind: str,
     click.echo(json.dumps(stats))
 
 
+@main.command("index-build")
+@click.argument("path", type=click.Path())
+@click.option(
+    "--kind",
+    type=click.Choice(["minhash", "bloom", "ivf"]),
+    required=True,
+    help="Index to build at PATH: minhash near-dup (signatures + band "
+    "postings), bloom decontamination (grams + word bitmask), or ivf "
+    "(trained centroids + cell-partitioned vectors).",
+)
+@click.option(
+    "--input", "input_path", required=True,
+    type=click.Path(exists=True),
+    help="Parquet corpus to index (minhash: documents; bloom: the "
+    "benchmark suite to screen against; ivf: vectors).",
+)
+@click.option("--column", default="text",
+              help="Text column (minhash/bloom kinds).")
+@click.option("--id", "id_col", default=None,
+              help="Id column. Default: doc_id (minhash/bloom), "
+              "vec_id (ivf).")
+@click.option("--vec-col", default="embedding",
+              help="Vector column (ivf kind).")
+@click.option("--n", "n_gram", default=None, type=int,
+              help="Shingle size (minhash default 3, bloom default 5).")
+@click.option("--cells", default=16, type=int,
+              help="IVF cell count (k-means k; ivf kind).")
+def index_build(path: str, kind: str, input_path: str, column: str,
+                id_col: str | None, vec_col: str, n_gram: int | None,
+                cells: int) -> None:
+    """Build one of the three persisted indexes from the shell — the
+    build-once half of the build-once/append-many story `index-append`
+    serves. Each index records its own parameters (column names, hash
+    config, sizing) so later appends, probes and screens never have to
+    be told them again. Overwrites PATH."""
+    from mini_etl_spark.session import get_spark
+
+    spark = get_spark("mini-etl-index-build")
+    df = spark.read.parquet(input_path)
+    n_docs = df.count()
+    if kind == "minhash":
+        from mini_etl_spark.functions.dedup_index import minhash_index_write
+
+        minhash_index_write(
+            df, path, text_col=column, id_col=id_col or "doc_id",
+            n=n_gram or 3,
+        )
+        report: dict = {"kind": kind, "indexed_docs": n_docs}
+    elif kind == "bloom":
+        from mini_etl_spark.functions.bloom import decontamination_index_write
+
+        params = decontamination_index_write(
+            df, path, text_col=column, id_col=id_col or "doc_id",
+            n=n_gram or 5,
+        )
+        report = {"kind": kind, "indexed_docs": n_docs, **params}
+    else:
+        from mini_etl_spark.functions.similarity import build_ivf_index
+
+        cents = build_ivf_index(
+            df, path, k=cells, vec_col=vec_col, id_col=id_col or "vec_id"
+        )
+        report = {
+            "kind": kind,
+            "indexed_vectors": n_docs,
+            "cells": int(cents.shape[0]),
+            "dim": int(cents.shape[1]),
+        }
+    click.echo(json.dumps(report))
+
+
 @main.command("index-append")
 @click.argument("path", type=click.Path(exists=True))
 @click.option(

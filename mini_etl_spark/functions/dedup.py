@@ -245,7 +245,7 @@ def set_jaccard_pairs(
     set_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_element_freq: int | str | None = 1000,
+    max_element_freq: int | str | None = "auto:10000000",
 ) -> DataFrame:
     """Generic exact Jaccard join over SET-VALUED columns: all
     (id_a < id_b) pairs with |A∩B| / |A∪B| ≥ threshold, where A/B are
@@ -258,7 +258,16 @@ def set_jaccard_pairs(
     Σ df(element)², never N²) with a hot-element document-frequency cap
     (``max_element_freq``; a dropped element no longer counts toward the
     intersection but set sizes are unchanged, so reported Jaccard is a
-    lower bound for affected pairs). Elements md5-hash to 32-byte keys
+    lower bound for affected pairs). The default is the CANDIDATE-VOLUME
+    BUDGET form (``"auto:10000000"`` → operators/skew.py
+    auto_frequency_cap(max_candidate_volume=1e7)): set-valued corpora
+    (frame hashes, tag sets) concentrate document frequency in few keys
+    whose Σdf² explodes superlinearly under replication even though no
+    single key crosses a quantile cap — the 20× sweep measured 90×
+    wall growth under a fixed cap vs 1.73× under this budget
+    (SCALE20_SJ_BUDGET.json). Raise the budget (or pass a fixed cap)
+    when recall through high-frequency elements matters more than a
+    work bound. Elements md5-hash to 32-byte keys
     before the join so wide payloads never shuffle — BINARY elements
     hash their raw bytes (a cast through string would decode invalid
     UTF-8 with replacement chars and collapse distinct fingerprints onto

@@ -297,3 +297,78 @@ def test_cli_index_append_defaults_and_idempotency(spark, tmp_path):
     sigs = spark.read.parquet(f"{mpath}/signatures")
     assert sigs.count() == 10
     assert sigs.select("doc_id").distinct().count() == 10
+
+
+def test_cli_index_build_then_append_lifecycle(spark, tmp_path):
+    """Full build-once/append-many lifecycle from the shell: `index-build`
+    creates each of the three persisted indexes, `index-append` (all
+    defaults — the indexes record their own parameters) grows them, and
+    the library probes serve from the grown index."""
+    import json as js
+
+    import numpy as np
+
+    from mini_etl_spark.functions import similarity as sim
+    from mini_etl_spark.functions.bloom import bloom_decontaminate_indexed
+    from mini_etl_spark.functions.dedup_index import minhash_index_filter
+
+    runner = CliRunner()
+
+    # --- minhash ---
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} carries words {i} {i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    corpus = str(tmp_path / "docs.parquet")
+    docs.write.parquet(corpus)
+    mpath = str(tmp_path / "mh")
+    res = runner.invoke(main, [
+        "index-build", mpath, "--kind", "minhash", "--input", corpus,
+    ])
+    assert res.exit_code == 0, res.output
+    assert js.loads(res.output.strip().splitlines()[-1])["indexed_docs"] == 8
+    batch = spark.createDataFrame(
+        [(100, "document number 3 carries words 3 3"),  # near-dup of doc 3
+         (101, "wholly novel content nothing shared")],
+        ["doc_id", "text"],
+    )
+    bpq = str(tmp_path / "batch.parquet")
+    batch.write.parquet(bpq)
+    kept = minhash_index_filter(batch, mpath, threshold=0.5)
+    assert {r.doc_id for r in kept.collect()} == {101}
+    res = runner.invoke(main, [
+        "index-append", mpath, "--kind", "minhash", "--input", bpq,
+    ])
+    assert res.exit_code == 0, res.output
+    assert js.loads(res.output.strip().splitlines()[-1])["appended_docs"] == 2
+
+    # --- bloom ---
+    blpath = str(tmp_path / "bl")
+    res = runner.invoke(main, [
+        "index-build", blpath, "--kind", "bloom", "--input", corpus,
+        "--n", "3",
+    ])
+    assert res.exit_code == 0, res.output
+    rep = js.loads(res.output.strip().splitlines()[-1])
+    assert rep["state"] == "ready" and rep["n"] == 3
+    screened = bloom_decontaminate_indexed(docs, blpath)
+    assert screened.count() == 0  # the corpus IS the benchmark here
+
+    # --- ivf ---
+    rng = np.random.default_rng(11)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    vpq = str(tmp_path / "vecs.parquet")
+    vecs.write.parquet(vpq)
+    ipath = str(tmp_path / "ivf")
+    res = runner.invoke(main, [
+        "index-build", ipath, "--kind", "ivf", "--input", vpq,
+        "--cells", "4",
+    ])
+    assert res.exit_code == 0, res.output
+    rep = js.loads(res.output.strip().splitlines()[-1])
+    assert rep["indexed_vectors"] == 40 and rep["cells"] == 4
+    q = [float(x) for x in rng.standard_normal(8)]
+    assert len(sim.ivf_topk_indexed(spark, ipath, q, k=5).collect()) == 5
