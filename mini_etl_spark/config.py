@@ -38,7 +38,7 @@ SOURCE_TYPES = {
 }
 SINK_TYPES = {
     "csv", "json", "jsonl", "parquet", "orc", "xml", "sql", "excel", "null",
-    "shards",
+    "shards", "drift_gate",
 }
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
@@ -749,6 +749,12 @@ class ConfigLoader:
 
             def _drift(df, _b=baseline, _c=column, _m=mode, _n=bins,
                        _k=top_k, _lo=lo, _hi=hi, _cap=max_psi):
+                if df.isStreaming:
+                    raise ValueError(
+                        "drift node is batch-only (it collects a bounded "
+                        "report); gate a stream per micro-batch with the "
+                        "drift_gate SINK instead."
+                    )
                 base = df.sparkSession.read.parquet(_b)
                 if _m == "categorical":
                     out = category_drift(base, df, _c, top_k=_k)
@@ -887,6 +893,54 @@ class ConfigLoader:
                 max_segments=int(o.pop("max_segments", 16)),
                 **o,
             )
+        if spec.type == "drift_gate":
+            # declarative form of streaming.events.stream_drift_gate —
+            # the streaming half of the drift story (the batch half is
+            # the `drift` transformer node with max_psi + any sink).
+            # Each micro-batch is PSI-gated against a persisted baseline
+            # epoch; accepted batches publish exactly-once under
+            # batch_id partitions, a drifted batch fails the query
+            # before anything lands.
+            from mini_etl_spark.streaming.events import stream_drift_gate
+
+            baseline = o.pop("baseline")
+            checkpoint = o.pop("checkpoint")
+            column = o.pop("column")
+            max_psi = float(o.pop("max_psi"))
+            # `mode:` is consumed above as the generic write mode; accept
+            # it here when it names a gate mode, else `drift_mode:`
+            gmode = o.pop(
+                "drift_mode",
+                mode if mode in ("numeric", "categorical") else "numeric",
+            )
+            bins = int(o.pop("bins", 10))
+            top_k = int(o.pop("top_k", 20))
+            lo = o.pop("lo", None)
+            hi = o.pop("hi", None)
+            report = o.pop("report", o.pop("report_path", None))
+            if o:
+                raise ValueError(
+                    f"drift_gate sink: unknown option(s) {sorted(o)}"
+                )
+
+            def _gate(df, _p=path, _b=baseline, _cp=checkpoint, _c=column,
+                      _cap=max_psi, _m=gmode, _n=bins, _k=top_k, _lo=lo,
+                      _hi=hi, _r=report):
+                if not df.isStreaming:
+                    raise ValueError(
+                        "drift_gate sink requires a streaming source "
+                        "(add `stream: true` to the source); for batch "
+                        "epochs use the `drift` transformer with "
+                        "max_psi followed by a parquet sink."
+                    )
+                return stream_drift_gate(
+                    df, _b, _p, _cp, _c, _cap, mode=_m, bins=_n,
+                    lo=None if _lo is None else float(_lo),
+                    hi=None if _hi is None else float(_hi),
+                    top_k=_k, report_path=_r,
+                )
+
+            return _gate
         raise ValueError(f"unknown sink type {spec.type!r}")
 
 

@@ -749,6 +749,12 @@ def stream_drift_gate(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # one materialization for the batch's three consumers (empty
+        # check, drift scan, publish): without it each action re-reads
+        # the micro-batch source — and any observed metrics upstream
+        # (Pipeline row stats) fire once per ACTION instead of once per
+        # batch. Blocks release when the frame drops, raise path included.
+        batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             # an empty micro-batch (all rows dropped upstream, or an
             # empty source file) carries no distribution to gate — PSI

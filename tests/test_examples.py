@@ -320,3 +320,55 @@ def test_decontaminate_release_example_runs(spark, tmp_path, monkeypatch):
     assert not (set(eval_ids) & kept)  # leaked docs are gone
     assert kept  # but the gate is not a drop-everything
     assert "lang_id" in out.columns  # text_features ran downstream
+
+
+def test_streaming_drift_gate_example_runs(spark, tmp_path, monkeypatch):
+    """The declarative streaming drift gate: batch 1 (same distribution
+    as the baseline) publishes exactly-once under its batch_id
+    partition; a later shifted batch fails the run and leaves nothing
+    new behind. Re-running the SAME config continues the checkpoint —
+    the scheduled-ingestion shape."""
+    base_dir = str(tmp_path / "baseline")
+    spark.range(1000).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS value"
+    ).write.parquet(base_dir)
+    events = str(tmp_path / "events")
+    spark.range(2000, 2500).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS value"
+    ).coalesce(1).write.mode("append").parquet(events)
+
+    monkeypatch.setenv("EVENTS_DIR", events)
+    monkeypatch.setenv("BASELINE_DIR", base_dir)
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    loader = ConfigLoader()
+    config = loader.load("examples/streaming_drift_gate.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0 and stats["rows"] == 500
+    out = spark.read.parquet(str(tmp_path / "gated"))
+    assert out.count() == 500
+    assert {r["batch_id"] for r in out.select("batch_id").distinct().collect()} == {0}
+    assert spark.read.parquet(str(tmp_path / "drift_reports")).count() == 10
+
+    # a shifted epoch arrives: the gate refuses the batch, nothing lands
+    spark.range(9000, 9400).selectExpr(
+        "id", "CAST(500 + id % 100 AS DOUBLE) AS value"
+    ).coalesce(1).write.mode("append").parquet(events)
+    config2 = loader.load("examples/streaming_drift_gate.yaml")
+    with pytest.raises(Exception, match="exceeds max_psi"):
+        loader.build_pipeline(config2).run(spark)
+    assert spark.read.parquet(str(tmp_path / "gated")).count() == 500
+
+    # misuse guard: the drift_gate sink on a BATCH source fails loudly
+    batch_cfg = loader.parse({
+        "name": "bad",
+        "source": {"type": "parquet", "path": base_dir},
+        "transformers": [],
+        "sink": {
+            "type": "drift_gate", "path": str(tmp_path / "x"),
+            "baseline": base_dir, "checkpoint": str(tmp_path / "xcp"),
+            "column": "value", "max_psi": 0.2,
+        },
+    })
+    with pytest.raises(Exception, match="streaming source"):
+        loader.build_pipeline(batch_cfg).run(spark)
