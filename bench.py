@@ -291,7 +291,37 @@ def _host_load() -> dict:
                 continue
     except OSError:
         running = None
-    return {"loadavg_1_5_15": la, "procs_running": running}
+    return {
+        "loadavg_1_5_15": la,
+        "procs_running": running,
+        "cpu_jiffies": _cpu_jiffies(),
+    }
+
+
+def _cpu_jiffies() -> dict | None:
+    """Raw aggregate /proc/stat cpu counters (user/system/idle/iowait/
+    steal). The round-11 lesson behind recording these: a NOISY NEIGHBOR
+    on a shared VM inflates every query uniformly while the guest's
+    loadavg stays ~0 — invisible to :func:`_host_load`'s fields. Steal
+    time (hypervisor ran someone else while this guest was runnable) is
+    the one guest-visible signal of that; the before/after DELTA of
+    these counters gives the run's steal and iowait fractions, so the
+    artifact self-adjudicates host contention, not just guest load."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(v) for v in parts[1:9]]
+        user, nice, system, idle, iowait, irq, softirq, steal = (
+            vals + [0] * 8
+        )[:8]
+        return {
+            "user": user + nice, "system": system + irq + softirq,
+            "idle": idle, "iowait": iowait, "steal": steal,
+        }
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def main() -> None:
@@ -629,6 +659,16 @@ def main() -> None:
     spark_b = round(sum(timings[k] for k in ok_paired), 3)
     ref_b = round(sum(ok_ref.values()), 3)
     host_load = {"before": host_load_before, "after": _host_load()}
+    _jb = host_load_before.get("cpu_jiffies")
+    _ja = host_load["after"].get("cpu_jiffies")
+    if _jb and _ja:
+        _tot = sum(_ja.values()) - sum(_jb.values())
+        if _tot > 0:
+            # whole-run CPU split; steal > ~2-3% = host-side contention
+            # even when the guest loadavg reads idle
+            host_load["run_cpu_fractions"] = {
+                k: round((_ja[k] - _jb[k]) / _tot, 4) for k in _ja
+            }
     full = {
         "metric": "headline_queries_total",
         "value": total,

@@ -746,9 +746,12 @@ class ConfigLoader:
             lo = o.get("lo")
             hi = o.get("hi")
             max_psi = o.get("max_psi")
+            md = o.get("max_distinct", 100_000)
+            max_distinct = None if md is None else int(md)
 
             def _drift(df, _b=baseline, _c=column, _m=mode, _n=bins,
-                       _k=top_k, _lo=lo, _hi=hi, _cap=max_psi):
+                       _k=top_k, _lo=lo, _hi=hi, _cap=max_psi,
+                       _md=max_distinct):
                 if df.isStreaming:
                     raise ValueError(
                         "drift node is batch-only (it collects a bounded "
@@ -757,7 +760,9 @@ class ConfigLoader:
                     )
                 base = df.sparkSession.read.parquet(_b)
                 if _m == "categorical":
-                    out = category_drift(base, df, _c, top_k=_k)
+                    out = category_drift(
+                        base, df, _c, top_k=_k, max_distinct=_md
+                    )
                 else:
                     out = distribution_drift(
                         base, df, _c, bins=_n,

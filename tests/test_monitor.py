@@ -334,3 +334,36 @@ def test_category_drift_other_sentinel_collision(spark):
     rows = mt.category_drift(df, df, "v", top_k=10).collect()
     by_val = {r["value"]: r for r in rows}
     assert len(rows) == 4 and by_val["__other__"]["count_a"] == 5
+
+
+def test_drift_config_node_max_distinct_passthrough(spark, tmp_path):
+    """The YAML drift node threads max_distinct through to
+    category_drift: a low explicit limit trips the guard, None disables
+    it for the same column."""
+    import pytest as pt
+
+    from mini_etl_spark.config import ConfigLoader
+
+    base = str(tmp_path / "base.parquet")
+    spark.range(3000).selectExpr("CAST(id AS STRING) AS v").write.parquet(base)
+
+    def cfg(md):
+        return {
+            "pipeline": {
+                "name": "md",
+                "source": {"type": "parquet", "path": base},
+                "transformers": [
+                    {"type": "drift", "baseline": base, "column": "v",
+                     "mode": "categorical", "top_k": 3,
+                     "max_distinct": md}
+                ],
+                "sink": {"type": "parquet",
+                         "path": str(tmp_path / "rep.parquet"), "mode": "w"},
+            }
+        }
+
+    loader = ConfigLoader()
+    with pt.raises(ValueError, match="max_distinct"):
+        loader.build_pipeline(loader.parse(cfg(100))).run(spark)
+    loader.build_pipeline(loader.parse(cfg(None))).run(spark)
+    assert spark.read.parquet(str(tmp_path / "rep.parquet")).count() == 4
