@@ -2114,3 +2114,38 @@ def test_ivf_index_append_equals_rebuild(spark, tmp_path, caplog):
         rep2 = sim.ivf_index_append(hot, appended, skew_warn=2.0)
     assert rep2["retrain_recommended"] is True
     assert any("retrain" in r.message for r in caplog.records)
+
+
+def test_ivf_legacy_index_without_marker_resolves_from_schema(spark, tmp_path):
+    """Pre-r11 IVF indexes have no _IVF.json: column resolution falls
+    back to the stored vectors schema (single array column = vector;
+    single other non-cell column = id) so old indexes keep serving and
+    appending with default arguments."""
+    import os
+
+    import numpy as np
+
+    from mini_etl_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(5)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(30)],
+        "item bigint, vec array<float>",
+    )
+    path = str(tmp_path / "legacy")
+    cents = sim.random_unit_centroids(dim=6, k=3, seed=9)
+    sim.build_ivf_index(vecs.filter("item < 20"), path, centroids=cents,
+                        vec_col="vec", id_col="item")
+    # simulate a pre-marker index (mind the Hadoop .crc sidecar)
+    os.remove(f"{path}/_IVF.json")
+    crc = f"{path}/._IVF.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q = [float(x) for x in rng.standard_normal(6)]
+    got = sim.ivf_topk_indexed(spark, path, q, k=4).collect()
+    assert len(got) == 4 and "item" in got[0].asDict()
+    rep = sim.ivf_index_append(vecs.filter("item >= 20"), path)
+    assert rep["appended"] == 10
+    # idempotent re-append still resolves the same way
+    assert sim.ivf_index_append(vecs.filter("item >= 20"), path)["appended"] == 0
