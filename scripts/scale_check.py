@@ -233,11 +233,35 @@ def autocap_evidence(spark) -> dict:
     }
 
 
+def _cpu_jiffies() -> dict | None:
+    """Aggregate /proc/stat counters — the before/after delta exposes the
+    run's STEAL fraction, the one guest-visible signal of a noisy
+    neighbor on a shared VM (guest loadavg stays ~0 under host-side
+    contention; see bench.py's twin helper and the round-11 BASELINE.md
+    adjudication). Ratios measured under steal > ~2% are box noise."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(v) for v in parts[1:9]]
+        user, nice, system, idle, iowait, irq, softirq, steal = (
+            vals + [0] * 8
+        )[:8]
+        return {
+            "user": user + nice, "system": system + irq + softirq,
+            "idle": idle, "iowait": iowait, "steal": steal,
+        }
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     from mini_etl_spark import get_spark
 
     import __spark_entry__ as entry
 
+    jiffies_before = _cpu_jiffies()
     spark = get_spark("scale-check")
     t0 = time.monotonic()
     build_big(spark)
@@ -329,12 +353,22 @@ def main() -> None:
         autocap = autocap_evidence(spark)
         print(f"# autocap evidence: {autocap} "
               f"({time.monotonic() - t:.1f}s)", file=sys.stderr)
+    fractions = None
+    jiffies_after = _cpu_jiffies()
+    if jiffies_before and jiffies_after:
+        tot = sum(jiffies_after.values()) - sum(jiffies_before.values())
+        if tot > 0:
+            fractions = {
+                k: round((jiffies_after[k] - jiffies_before[k]) / tot, 4)
+                for k in jiffies_after
+            }
     print(json.dumps({
         "replicas": REPLICAS,
         "n_queries": len(results),
         "n_superlinear": sum(1 for r in results.values() if r["superlinear"]),
         "autocap": autocap,
         "errors": errors,
+        "run_cpu_fractions": fractions,
         "results": results,
     }))
 
