@@ -3268,106 +3268,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness gate samples ~50
-    # entries starting from the FRONT of this dict. The criterion for the
-    # lead block is "has NO GREEN row (rows+schema+hash all true) in the
-    # union of CORRECTNESS_r01-r10" — NOT merely "was sampled" (the r4
-    # front-load counted r01 `no_oracle` appearances as stamped, leaving
-    # 8 genuinely unverified keys behind the window; VERDICT r4 #2).
-    # Re-applied against the r01-r10 union in r11: exactly 5 keys still
-    # lack a green stamp (the r8/r9 additions that landed at positions
-    # 70-72/123-124, behind the front-50 window — VERDICT r10 #2); they
-    # lead now, followed by the green-stamped keys in their prior order.
-    # Every entry, regardless of position, is differentially tested
-    # bit-level by tests/test_oracle.py on every pytest run.
+    # ROTATION RULE (since r12): all 158 keys are driver-green in the
+    # r01-r11 union, so the ordering criterion moved from "never stamped"
+    # to FRESHNESS — keys sorted ASCENDING by the round of their most
+    # recent green driver stamp (ties keep prior order), so the driver's
+    # front-50 correctness sample always RE-stamps the 50 stalest keys as
+    # the code evolves. Re-derive each round from
+    # artifacts/CORRECTNESS_r* + the root CORRECTNESS_r{N}.json files
+    # (green = rows+schema+hash all true). Every entry, regardless of
+    # position, is differentially tested bit-level by
+    # tests/test_oracle.py on every pytest run.
     return {
-        # --- never driver-GREEN in r01-r10 (lead for sampling) ---
-        "bloom_decontaminated": q_bloom_decontaminated,
-        "bloom_decontaminated_indexed": q_bloom_decontaminated_indexed,
-        "bloom_bits": q_bloom_bits,
-        "jaccard_pairs_budget": q_jaccard_pairs_budget,
-        "budget_cap_fit": q_budget_cap_fit,
-        # --- green-stamped keys, prior order ---
-        "hashed_vectors": q_hashed_vectors,
-        "approx_sketches": q_approx_sketches,
-        "bpe_vocab": q_bpe_vocab,
-        "word_histogram_topk": q_word_histogram_topk,
-        "span_removal": q_span_removal,
-        "snapshot_diff": q_snapshot_diff,
-        "resample": q_resample,
-        "ivf_topk": q_ivf_topk,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_dedup": q_simhash_dedup,
-        "lsh_topk": q_lsh_topk,
-        # --- new in r05 (no stamp possible yet) ---
-        "psl_domain_cap": q_psl_domain_cap,
-        "sparse_cosine_pairs": q_sparse_cosine_pairs,
-        "kmeans_clusters": q_kmeans_clusters,
-        "bpe_encode": q_bpe_encode,
-        "heavy_hitters": q_heavy_hitters,
-        "grouping_sets": q_grouping_sets,
-        "mad_outliers": q_mad_outliers,
-        "conversation_redaction": q_conversation_redaction,
-        "semantic_decontaminated": q_semantic_decontaminated,
-        "token_shards": q_token_shards,
-        "chat_json_roundtrip": q_chat_json_roundtrip,
-        "pagerank_personalized": q_pagerank_personalized,
-        "set_jaccard": q_set_jaccard,
-        "containment_pairs": q_containment_pairs,
-        "l_diversity": q_l_diversity,
-        "benford": q_benford,
-        "quantile_buckets": q_quantile_buckets,
-        "column_drift": q_column_drift,
-        "category_drift": q_category_drift,
-        "group_trend": q_group_trend,
-        # --- driver-stamped green in r01-r04 ---
-        "temperature_mix": q_temperature_mix,
-        "common_ngrams": q_common_ngrams,
-        "conversation_stats": q_conversation_stats,
-        "preference_pairs": q_preference_pairs,
-        "url_parse": q_url_parse,
-        "url_blocklist": q_url_blocklist,
-        "link_hosts": q_link_hosts,
-        "html_text": q_html_text,
-        "near_dup_groups_star": q_near_dup_groups_star,
-        "rolling_hour": q_rolling_hour,
-        "k_anonymized": q_k_anonymized,
-        "zorder_key": q_zorder_key,
-        "script_id": q_script_id,
-        "pagerank": q_pagerank,
-        "pagerank_redistribute": q_pagerank_redistribute,
-        "domain_score": q_domain_score,
-        "diverse_sample": q_diverse_sample,
-        "ivf_topk_indexed": q_ivf_topk_indexed,
-        "triangles": q_triangles,
-        "profile": q_profile,
-        "histogram": q_histogram,
-        "top_values": q_top_values,
-        "key_skew": q_key_skew,
-        "token_mixture": q_token_mixture,
-        "semantic_cell_pairs": q_semantic_cell_pairs,
-        "line_hygiene": q_line_hygiene,
-        "multimodal_features": q_multimodal_features,
-        "semi_join": q_semi_join,
-        "percentiles": q_percentiles,
-        "json_extract": q_json_extract,
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "vocab_top_terms": q_vocab_top_terms,
-        "embedding_quantize": q_embedding_quantize,
-        "pq_topk": q_pq_topk,
-        "stratified_sample": q_stratified_sample,
-        "source_cap": q_source_cap,
-        "decontaminated": q_decontaminated,
-        "corpus_shuffle": q_corpus_shuffle,
-        "embedding_centroids": q_embedding_centroids,
-        "lm_score": q_lm_score,
-        "lm_perplexity": q_lm_perplexity,
-        "normalized_text": q_normalized_text,
-        "unpivot": q_unpivot,
-        "simhash_pairs": q_simhash_pairs,
-        "knn_join": q_knn_join,
-        "duplicate_spans": q_duplicate_spans,
+        # --- last driver-green stamp: r01 ---
+        "cosine_pairs": q_cosine_pairs,
+        # --- last driver-green stamp: r02 ---
+        "fillna_ffill": q_fillna_ffill,
+        "rollup": q_rollup,
+        "order_gaps": q_order_gaps,
+        "part_type_revenue": q_part_type_revenue,
+        "dedup_unique_only": q_dedup_unique_only,
+        "cube": q_cube,
+        "set_ops": q_set_ops,
+        "distinct_agg": q_distinct_agg,
+        "order_priority": q_order_priority,
+        "market_share": q_market_share,
+        "priority_lines": q_priority_lines,
+        "promo_revenue": q_promo_revenue,
+        "brand_revenue": q_brand_revenue,
+        "volume_shipping": q_volume_shipping,
+        "top_supplier": q_top_supplier,
+        "waiting_supplier": q_waiting_supplier,
+        "customer_distribution": q_customer_distribution,
+        "cheapest_per_part": q_cheapest_per_part,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "large_volume_orders": q_large_volume_orders,
+        "dormant_customers": q_dormant_customers,
+        "important_parts": q_important_parts,
+        "supplier_part_count": q_supplier_part_count,
+        "dominant_shippers": q_dominant_shippers,
+        # --- last driver-green stamp: r03 ---
         "group_agg": q_group_agg,
         "filter_expression": q_filter_expression,
         "select_rename_project": q_select_rename_project,
@@ -3418,31 +3357,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert": q_upsert,
         "scd2": q_scd2,
         "scd2_snapshot": q_scd2_snapshot,
-        "fillna_ffill": q_fillna_ffill,
-        "rollup": q_rollup,
-        "order_gaps": q_order_gaps,
-        "part_type_revenue": q_part_type_revenue,
-        "dedup_unique_only": q_dedup_unique_only,
-        "cube": q_cube,
-        "set_ops": q_set_ops,
-        "distinct_agg": q_distinct_agg,
-        "order_priority": q_order_priority,
-        "market_share": q_market_share,
-        "priority_lines": q_priority_lines,
-        "promo_revenue": q_promo_revenue,
-        "brand_revenue": q_brand_revenue,
-        "volume_shipping": q_volume_shipping,
-        "top_supplier": q_top_supplier,
-        "waiting_supplier": q_waiting_supplier,
-        "customer_distribution": q_customer_distribution,
-        "cheapest_per_part": q_cheapest_per_part,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "large_volume_orders": q_large_volume_orders,
-        "dormant_customers": q_dormant_customers,
-        "important_parts": q_important_parts,
-        "supplier_part_count": q_supplier_part_count,
-        "dominant_shippers": q_dominant_shippers,
-        "cosine_pairs": q_cosine_pairs,
+        # --- last driver-green stamp: r04 ---
+        "key_skew": q_key_skew,
+        "token_mixture": q_token_mixture,
+        "semantic_cell_pairs": q_semantic_cell_pairs,
+        "line_hygiene": q_line_hygiene,
+        "multimodal_features": q_multimodal_features,
+        "semi_join": q_semi_join,
+        "percentiles": q_percentiles,
+        "json_extract": q_json_extract,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "vocab_top_terms": q_vocab_top_terms,
+        "embedding_quantize": q_embedding_quantize,
+        "pq_topk": q_pq_topk,
+        "stratified_sample": q_stratified_sample,
+        "source_cap": q_source_cap,
+        "decontaminated": q_decontaminated,
+        "corpus_shuffle": q_corpus_shuffle,
+        "embedding_centroids": q_embedding_centroids,
+        "lm_score": q_lm_score,
+        "lm_perplexity": q_lm_perplexity,
+        "normalized_text": q_normalized_text,
+        "unpivot": q_unpivot,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_join": q_knn_join,
+        "duplicate_spans": q_duplicate_spans,
+        # --- last driver-green stamp: r05 ---
+        "top_values": q_top_values,
+        # --- last driver-green stamp: r08 ---
+        "histogram": q_histogram,
+        # --- last driver-green stamp: r09 ---
+        "profile": q_profile,
+        # --- last driver-green stamp: r10 ---
+        "pagerank_redistribute": q_pagerank_redistribute,
+        "domain_score": q_domain_score,
+        "diverse_sample": q_diverse_sample,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
+        "triangles": q_triangles,
+        # --- last driver-green stamp: r11 ---
+        "bloom_decontaminated": q_bloom_decontaminated,
+        "bloom_decontaminated_indexed": q_bloom_decontaminated_indexed,
+        "bloom_bits": q_bloom_bits,
+        "jaccard_pairs_budget": q_jaccard_pairs_budget,
+        "budget_cap_fit": q_budget_cap_fit,
+        "hashed_vectors": q_hashed_vectors,
+        "approx_sketches": q_approx_sketches,
+        "bpe_vocab": q_bpe_vocab,
+        "word_histogram_topk": q_word_histogram_topk,
+        "span_removal": q_span_removal,
+        "snapshot_diff": q_snapshot_diff,
+        "resample": q_resample,
+        "ivf_topk": q_ivf_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_dedup": q_simhash_dedup,
+        "lsh_topk": q_lsh_topk,
+        "psl_domain_cap": q_psl_domain_cap,
+        "sparse_cosine_pairs": q_sparse_cosine_pairs,
+        "kmeans_clusters": q_kmeans_clusters,
+        "bpe_encode": q_bpe_encode,
+        "heavy_hitters": q_heavy_hitters,
+        "grouping_sets": q_grouping_sets,
+        "mad_outliers": q_mad_outliers,
+        "conversation_redaction": q_conversation_redaction,
+        "semantic_decontaminated": q_semantic_decontaminated,
+        "token_shards": q_token_shards,
+        "chat_json_roundtrip": q_chat_json_roundtrip,
+        "pagerank_personalized": q_pagerank_personalized,
+        "set_jaccard": q_set_jaccard,
+        "containment_pairs": q_containment_pairs,
+        "l_diversity": q_l_diversity,
+        "benford": q_benford,
+        "quantile_buckets": q_quantile_buckets,
+        "column_drift": q_column_drift,
+        "category_drift": q_category_drift,
+        "group_trend": q_group_trend,
+        "temperature_mix": q_temperature_mix,
+        "common_ngrams": q_common_ngrams,
+        "conversation_stats": q_conversation_stats,
+        "preference_pairs": q_preference_pairs,
+        "url_parse": q_url_parse,
+        "url_blocklist": q_url_blocklist,
+        "link_hosts": q_link_hosts,
+        "html_text": q_html_text,
+        "near_dup_groups_star": q_near_dup_groups_star,
+        "rolling_hour": q_rolling_hour,
+        "k_anonymized": q_k_anonymized,
+        "zorder_key": q_zorder_key,
+        "script_id": q_script_id,
+        "pagerank": q_pagerank,
     }
 
 

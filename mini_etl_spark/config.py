@@ -38,7 +38,7 @@ SOURCE_TYPES = {
 }
 SINK_TYPES = {
     "csv", "json", "jsonl", "parquet", "orc", "xml", "sql", "excel", "null",
-    "shards", "drift_gate",
+    "shards", "drift_gate", "classify_gate", "lm_gate",
 }
 TRANSFORMER_TYPES = {
     "filter", "rename", "select", "drop", "cast", "fillna",
@@ -95,6 +95,30 @@ def _parse_freq_cap(cap):
         parse_freq_budget(cap)  # build-time validation, same grammar
         return cap
     return int(cap)
+
+
+def _require_sink_options(sink: str, o: dict, *required: str, path=None) -> None:
+    """Streaming-gate sinks validate their required keys up front so a
+    missing key surfaces as a config ValueError naming the sink and the
+    key — not a bare KeyError mid-build — and a missing ``path`` cannot
+    silently flow ``None`` into the gate's out_path (ADVICE r11)."""
+    missing = ([] if path is not None else ["path"]) + [
+        k for k in required if o.get(k) is None
+    ]
+    if missing:
+        raise ValueError(
+            f"{sink} sink: missing required option(s) "
+            f"{', '.join(missing)} (requires: path, {', '.join(required)})"
+        )
+
+
+def _require_streaming_source(df, sink: str) -> None:
+    if not df.isStreaming:
+        raise ValueError(
+            f"{sink} sink requires a streaming source (add `stream: true` "
+            "to the source); for batch frames use the matching transformer "
+            "node (nb_classify / lm_score) followed by a parquet sink."
+        )
 
 
 @dataclass
@@ -908,6 +932,10 @@ class ConfigLoader:
             # before anything lands.
             from mini_etl_spark.streaming.events import stream_drift_gate
 
+            _require_sink_options(
+                spec.type, o, "baseline", "checkpoint", "column", "max_psi",
+                path=path,
+            )
             baseline = o.pop("baseline")
             checkpoint = o.pop("checkpoint")
             column = o.pop("column")
@@ -946,6 +974,70 @@ class ConfigLoader:
                 )
 
             return _gate
+        if spec.type == "classify_gate":
+            # declarative form of streaming.events.stream_classify_gate —
+            # the streaming twin of the `nb_classify` transformer node:
+            # every micro-batch is scored against a persisted NB model
+            # and only keep_label rows publish (exactly-once, batch_id
+            # partitions).
+            from mini_etl_spark.streaming.events import stream_classify_gate
+
+            if "model" not in o and "model_path" in o:
+                o["model"] = o.pop("model_path")
+            _require_sink_options(
+                spec.type, o, "model", "checkpoint", "keep_label", path=path
+            )
+            model = o.pop("model")
+            checkpoint = o.pop("checkpoint")
+            keep = o.pop("keep_label")
+            text_col = o.pop("column", o.pop("text", "text"))
+            id_col = o.pop("id", "doc_id")
+            if o:
+                raise ValueError(
+                    f"classify_gate sink: unknown option(s) {sorted(o)}"
+                )
+
+            def _cgate(df, _p=path, _m=model, _cp=checkpoint, _k=keep,
+                       _t=text_col, _i=id_col):
+                _require_streaming_source(df, "classify_gate")
+                return stream_classify_gate(
+                    df, _m, _p, _cp, keep_label=_k, text_col=_t, id_col=_i
+                )
+
+            return _cgate
+        if spec.type == "lm_gate":
+            # declarative form of streaming.events.stream_lm_gate — the
+            # streaming twin of the `lm_score` quality filter: rows whose
+            # bigram-LM perplexity exceeds max_perplexity are dropped,
+            # survivors publish exactly-once under batch_id partitions.
+            from mini_etl_spark.streaming.events import stream_lm_gate
+
+            if "model" not in o and "model_path" in o:
+                o["model"] = o.pop("model_path")
+            _require_sink_options(
+                spec.type, o, "model", "checkpoint", "max_perplexity",
+                path=path,
+            )
+            model = o.pop("model")
+            checkpoint = o.pop("checkpoint")
+            max_ppl = float(o.pop("max_perplexity"))
+            text_col = o.pop("column", o.pop("text", "text"))
+            id_col = o.pop("id", "doc_id")
+            alpha = float(o.pop("alpha", 1.0))
+            if o:
+                raise ValueError(
+                    f"lm_gate sink: unknown option(s) {sorted(o)}"
+                )
+
+            def _lgate(df, _p=path, _m=model, _cp=checkpoint, _x=max_ppl,
+                       _t=text_col, _i=id_col, _a=alpha):
+                _require_streaming_source(df, "lm_gate")
+                return stream_lm_gate(
+                    df, _m, _p, _cp, max_perplexity=_x, text_col=_t,
+                    id_col=_i, alpha=_a,
+                )
+
+            return _lgate
         raise ValueError(f"unknown sink type {spec.type!r}")
 
 

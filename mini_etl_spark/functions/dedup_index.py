@@ -160,6 +160,49 @@ def _write_parts(
         sig.unpersist()
 
 
+def _append_parts(sig: DataFrame, path: str, id_col: str, meta: dict) -> None:
+    """Append with PER-COMPONENT idempotence: each table (signatures,
+    bands) is anti-joined against ITS OWN stored ids before writing, so
+    the crash window between the two writes is self-healing — a retry
+    after "signatures landed, bands didn't" writes ONLY the missing band
+    postings, never duplicate signature rows, and never no-ops the batch
+    away. (Keying idempotence on the signatures table alone — the pre-r12
+    scheme — lost the bands postings FOREVER on that window: the retry
+    saw the ids stored and skipped the whole batch, leaving it invisible
+    to every future probe while recorded as indexed.) Each anti-join
+    result is localCheckpoint'ed before its write because the write
+    lands in the very directory the anti-join reads — a lazy plan would
+    re-list the files mid-write."""
+    spark = sig.sparkSession
+    num_hashes, bands, hash_fn = meta["num_hashes"], meta["bands"], meta["hash_fn"]
+    sig = sig.persist()
+    try:
+        stored_sig = spark.read.parquet(os.path.join(path, "signatures")).select(
+            F.col(id_col).alias("__id")
+        )
+        new_sig = sig.join(stored_sig, "__id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        new_sig.withColumnRenamed("__id", id_col).write.mode("append").parquet(
+            os.path.join(path, "signatures")
+        )
+        stored_band = (
+            spark.read.parquet(os.path.join(path, "bands"))
+            .select(F.col(id_col).alias("__id"))
+            .distinct()
+        )
+        band_src = sig.join(stored_band, "__id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        _band_postings(band_src, num_hashes, bands, hash_fn).withColumnRenamed(
+            "__id", id_col
+        ).write.mode("append").partitionBy("band").parquet(
+            os.path.join(path, "bands")
+        )
+    finally:
+        sig.unpersist()
+
+
 def minhash_index_write(
     df: DataFrame,
     path: str,
@@ -194,21 +237,33 @@ def _read_meta(path: str) -> dict:
 
 
 def minhash_index_append(df: DataFrame, path: str) -> int:
-    """Append an accepted batch to the index. Idempotent: batch ids
-    already present in the stored signatures are anti-joined away before
-    anything is written (the same contract as ivf_index_append's
-    stored-id anti-join and the Bloom gram anti-join), so re-running the
-    same append — e.g. a crashed CLI `index-append` retried — is a no-op
-    instead of silently duplicating postings. The anti-join result is
-    localCheckpoint'ed because the append WRITES to the very signatures
-    table the probe reads; a lazy plan would re-list files mid-write.
-    Returns the number of documents actually appended."""
+    """Append an accepted batch to the index. Idempotent AND
+    crash-window-safe: a batch id is considered indexed only when it is
+    present in BOTH component tables, and each component write
+    anti-joins against its own stored ids (:func:`_append_parts`), so
+
+    - re-running a completed append (e.g. a crashed CLI ``index-append``
+      retried after the fact) is a no-op — nothing duplicates;
+    - retrying after a crash BETWEEN the two writes (signatures landed,
+      bands didn't) re-shingles the batch and back-fills only the
+      missing band postings — the batch is never silently lost to
+      probes the way a signatures-only idempotence key lost it.
+
+    Same contract as ivf_index_append's stored-id anti-join and the
+    Bloom gram anti-join. Returns the number of documents (re-)appended;
+    a heal-only retry counts the healed docs."""
     meta = _read_meta(path)
     id_col = meta["id_col"]
-    stored = df.sparkSession.read.parquet(
-        os.path.join(path, "signatures")
-    ).select(id_col)
-    fresh = df.join(stored, id_col, "left_anti").localCheckpoint(eager=True)
+    spark = df.sparkSession
+    stored_sig = spark.read.parquet(os.path.join(path, "signatures")).select(
+        id_col
+    )
+    stored_band = spark.read.parquet(os.path.join(path, "bands")).select(id_col)
+    # fully indexed = present in BOTH tables (semi-join of distinct ids);
+    # anything else — brand new, or stranded by a crash between the two
+    # component writes — flows through _append_parts' per-table anti-joins
+    complete = stored_sig.join(stored_band, id_col, "left_semi").distinct()
+    fresh = df.join(complete, id_col, "left_anti").localCheckpoint(eager=True)
     n_new = fresh.count()
     if n_new == 0:
         return 0
@@ -216,7 +271,7 @@ def minhash_index_append(df: DataFrame, path: str) -> int:
         fresh, meta["text_col"], id_col, meta["n"], meta["num_hashes"],
         meta["hash_fn"],
     )
-    _write_parts(sig, path, id_col, meta, mode="append")
+    _append_parts(sig, path, id_col, meta)
     return n_new
 
 
@@ -310,7 +365,11 @@ def minhash_index_filter(
             "__id",
             "left_semi",
         )
-        _write_parts(surv_sig, path, id_col, meta, mode="append")
+        # per-component idempotent append: a foreachBatch replay of this
+        # batch (stream_dedup_against_index crash window) re-probes, and
+        # any survivor whose signatures landed but whose bands didn't is
+        # healed instead of duplicated or dropped
+        _append_parts(surv_sig, path, id_col, meta)
     return kept
 
 

@@ -343,15 +343,17 @@ def category_drift(
     the top-k pick is a TakeOrderedAndProject (no global window).
 
     ``max_distinct`` guards against corpus-cardinality misuse: pointed
-    at a URL or doc-id column, the distinct-value join materializes a
-    corpus-sized table to executor storage via the localCheckpoint. The
-    guard is an ``approx_count_distinct`` over the two projected columns
-    BEFORE anything is materialized (one column-pruned pass; ±~5%, so
-    treat the threshold as an order-of-magnitude tripwire, not an exact
-    boundary) and fails loudly over the limit — use
-    :func:`distribution_drift` over a derived numeric feature for such
-    columns, or raise/None the limit deliberately. The report plan
-    itself is unchanged for the bounded case.
+    at a URL or doc-id column, the distinct-value join would materialize
+    a corpus-sized table to executor storage via the localCheckpoint.
+    The guard is a ``limit(max_distinct+1)`` on the joined count table
+    itself — executor storage stays bounded at ``max_distinct+1`` rows
+    no matter the true cardinality, and landing over the cap fails
+    loudly (exact, and ZERO extra epoch scans — the r11 version paid a
+    separate approx-count pass per call, which streaming categorical
+    gates inherited per micro-batch). Use :func:`distribution_drift`
+    over a derived numeric feature for such columns, or raise/None the
+    limit deliberately. The report plan itself is unchanged for the
+    bounded case apart from the limit.
 
     A REAL category value equal to the fold sentinel ``__other__``
     raises when a fold row would also be emitted (the report's contract
@@ -362,31 +364,12 @@ def category_drift(
 
     if top_k < 1:
         raise ValueError("category_drift: top_k must be >= 1")
-    projs = []
     counts = []
     for df, name in ((df_a, "count_a"), (df_b, "count_b")):
         proj = df.select(F.col(column).cast("string").alias("value")).filter(
             F.col("value").isNotNull()
         )
-        projs.append(proj)
         counts.append(proj.groupBy("value").agg(F.count(F.lit(1)).alias(name)))
-    if max_distinct is not None:
-        approx = int(
-            projs[0].unionByName(projs[1])
-            .agg(F.approx_count_distinct("value").alias("nd"))
-            .first()["nd"]
-        )
-        if approx > max_distinct:
-            raise ValueError(
-                f"category_drift: column {column!r} has ~{approx} distinct "
-                f"values (> max_distinct={max_distinct}) — this monitor "
-                "is for genuinely categorical columns; a corpus-"
-                "cardinality column (URL, doc id, text) would "
-                "materialize a corpus-sized count table to executor "
-                "storage. Monitor a bounded derived feature (e.g. "
-                "distribution_drift over a length/hash), or pass a "
-                "higher max_distinct / max_distinct=None deliberately."
-            )
     joined = (
         counts[0]
         .join(counts[1], "value", "full_outer")
@@ -395,9 +378,31 @@ def category_drift(
             F.coalesce("count_a", F.lit(0)).alias("count_a"),
             F.coalesce("count_b", F.lit(0)).alias("count_b"),
         )
-        .localCheckpoint(eager=True)
     )
+    if max_distinct is not None:
+        # cardinality tripwire WITHOUT the extra epoch scan the r11
+        # version paid (ADVICE r11): instead of a pre-materialization
+        # approx_count_distinct pass over both epochs, cap what the
+        # localCheckpoint below may MATERIALIZE — the limit bounds
+        # executor storage to max_distinct+1 count rows while the single
+        # pass that builds the count tables runs, and landing exactly at
+        # the cap+1 proves the column is over it, raising before any
+        # report math. Streaming categorical gates thus pay one pass per
+        # epoch per micro-batch, same as the unguarded path.
+        joined = joined.limit(max_distinct + 1)
+    joined = joined.localCheckpoint(eager=True)
     n_values = joined.count()  # cheap: counts checkpointed partitions
+    if max_distinct is not None and n_values > max_distinct:
+        raise ValueError(
+            f"category_drift: column {column!r} has more than "
+            f"max_distinct={max_distinct} distinct values — this monitor "
+            "is for genuinely categorical columns; a corpus-"
+            "cardinality column (URL, doc id, text) would "
+            "materialize a corpus-sized count table to executor "
+            "storage. Monitor a bounded derived feature (e.g. "
+            "distribution_drift over a length/hash), or pass a "
+            "higher max_distinct / max_distinct=None deliberately."
+        )
     if n_values == 0:
         raise ValueError(
             f"category_drift: column {column!r} has no non-null values "

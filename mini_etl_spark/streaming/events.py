@@ -478,6 +478,7 @@ def stream_dedup_against_index(
     checkpoint: str,
     threshold: float = 0.5,
     max_bucket_freq: int | None = 1000,
+    at_least_once: bool = False,
     available_now: bool = True,
     await_termination: bool = True,
 ):
@@ -490,24 +491,53 @@ def stream_dedup_against_index(
     query; the corpus text is never re-read, only its bucket postings.
 
     Exactly-once caveat, stated: the append-to-index and the parquet
-    append are two non-atomic writes — a crash between them can leave a
-    survivor indexed but unwritten (it is then dropped forever on replay,
-    since re-probing finds it in the index). For ingest dedup this
-    direction of failure is the safe one (no duplicates ever land in
-    ``out_path``); flip the write order if at-least-once output matters
-    more than at-most-once.
-    """
-    from mini_etl_spark.functions.dedup_index import minhash_index_filter
+    append are two non-atomic writes, so a crash between them fails in
+    one direction, chosen by ``at_least_once``:
+
+    - ``False`` (default, AT-MOST-ONCE output): index first, output
+      second — a crash between them leaves a survivor indexed but
+      unwritten, and the replay DROPS it (re-probing finds it indexed).
+      No duplicate ever lands in ``out_path``; the dropped rows are
+      observable as "indexed ids absent from out_path" (the replay's
+      probe reports them as index matches). Locked by
+      tests/test_streaming.py::test_stream_dedup_against_index_replay_
+      directions.
+    - ``True`` (AT-LEAST-ONCE output): output first, index second — a
+      crash between them replays the batch with the survivor not yet
+      indexed, so it is kept and APPENDED AGAIN; downstream must
+      tolerate (or re-dedup) occasional duplicate rows, but no accepted
+      row is ever lost.
+
+    The index appends themselves are per-component idempotent either
+    way (:func:`mini_etl_spark.functions.dedup_index._append_parts`) —
+    a replay never duplicates or strands postings."""
+    from mini_etl_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_filter,
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        kept = minhash_index_filter(
-            batch_df,
-            index_path,
-            threshold=threshold,
-            max_bucket_freq=max_bucket_freq,
-            append_survivors=True,
-        )
-        kept.write.mode("append").parquet(out_path)
+        if at_least_once:
+            # output-first: survivors land before they are indexed, so a
+            # crash window replays into a duplicate append, never a drop
+            kept = minhash_index_filter(
+                batch_df,
+                index_path,
+                threshold=threshold,
+                max_bucket_freq=max_bucket_freq,
+                append_survivors=False,
+            ).localCheckpoint(eager=True)  # one computation for write+append
+            kept.write.mode("append").parquet(out_path)
+            minhash_index_append(kept, index_path)
+        else:
+            kept = minhash_index_filter(
+                batch_df,
+                index_path,
+                threshold=threshold,
+                max_bucket_freq=max_bucket_freq,
+                append_survivors=True,
+            )
+            kept.write.mode("append").parquet(out_path)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -520,6 +550,68 @@ def stream_dedup_against_index(
     if available_now and await_termination:
         query.awaitTermination()
     return query
+
+
+def _guard_batch_partition_sink(
+    stream_df: DataFrame, gate: str, *sink_paths: str | None
+) -> None:
+    """Shared preflight for the exactly-once streaming gates
+    (classify/lm/drift), run on the driver BEFORE the query starts:
+
+    - the input must not carry a ``batch_id`` column — it collides with
+      the per-batch overwrite partition of the output;
+    - each sink path must not hold ROOT-LEVEL data files (the pre-r12
+      plain ``mode("append")`` layout): mixing root part files with
+      ``batch_id=<B>`` subdirectories breaks Spark partition discovery
+      ("Conflicting directory structures"), so resuming an old gate
+      output fails HERE with a migration message instead of producing a
+      dataset the reader can't open."""
+    import os
+
+    if "batch_id" in stream_df.columns:
+        raise ValueError(
+            f"{gate}: input column 'batch_id' collides with the "
+            "per-batch overwrite partition of the output — rename it "
+            "upstream."
+        )
+    for p in sink_paths:
+        if p is None or not os.path.isdir(p):
+            continue
+        flat = [
+            e
+            for e in os.listdir(p)
+            if not e.startswith(("_", "."))
+            and not e.startswith("batch_id=")
+        ]
+        if flat:
+            raise ValueError(
+                f"{gate}: output {p!r} holds root-level data files from "
+                "a pre-batch_id (plain append) run of this gate — mixing "
+                "them with batch_id=<B> partitions breaks parquet "
+                "partition discovery. Migrate the old output first, e.g. "
+                "spark.read.parquet(old).write.parquet(elsewhere), then "
+                "empty the directory (checkpoint state may be kept)."
+            )
+
+
+def _publish_batch_partition(
+    out: DataFrame, out_path: str, batch_id: int
+) -> None:
+    """Exactly-once micro-batch publish for the streaming gates: the
+    batch's rows land under their own ``batch_id=<B>`` hive partition via
+    dynamic partition overwrite, so foreachBatch's at-least-once replay
+    window (crash after the write, before the checkpoint commit)
+    REPLACES the earlier attempt instead of appending a duplicate. Read
+    with a plain ``spark.read.parquet(out_path)`` — ``batch_id`` arrives
+    as a partition column; only a reader racing a mid-write batch can see
+    a partially-written partition."""
+    (
+        out.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
 
 
 def stream_classify_gate(
@@ -535,16 +627,27 @@ def stream_classify_gate(
 ):
     """Streaming model gate: every micro-batch is scored against a
     PERSISTED Naive-Bayes model (:func:`mini_etl_spark.functions.classify
-    .nb_save`) and only rows classified as ``keep_label`` are appended to
+    .nb_save`) and only rows classified as ``keep_label`` are written to
     ``out_path`` (parquet, with ``label`` and ``score`` columns) — the
     streaming form of the ``nb_classify`` config gate, completing the
     train-once / gate-forever loop: curate a labeled seed corpus, persist
     the model, and every future ingestion stream filters through it.
     The model is read inside foreachBatch, so replacing the parquet
     frames between batches rolls the model forward without restarting
-    the query. Idempotent per micro-batch (pure function of the batch),
-    so checkpoint replay cannot double-gate."""
+    the query.
+
+    Exactly-once output: the gating decision is a pure function of the
+    batch, and each accepted batch lands under its own ``batch_id=<B>``
+    hive partition via dynamic partition overwrite
+    (:func:`_publish_batch_partition`) — a checkpoint replay (crash
+    after the write, before the commit) overwrites its earlier attempt
+    instead of appending a duplicate, the same contract as
+    :func:`stream_drift_gate`. Inputs carrying a ``batch_id`` column and
+    pre-partitioned (plain-append era) sink directories are refused up
+    front (:func:`_guard_batch_partition_sink`)."""
     from mini_etl_spark.functions.classify import nb_classify, nb_load
+
+    _guard_batch_partition_sink(stream_df, "stream_classify_gate", out_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         model = nb_load(batch_df.sparkSession, model_path)
@@ -552,7 +655,7 @@ def stream_classify_gate(
         kept = batch_df.join(
             labeled.filter(F.col("label") == keep_label), id_col
         )
-        kept.write.mode("append").parquet(out_path)
+        _publish_batch_partition(kept, out_path, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -646,10 +749,19 @@ def stream_lm_gate(
     a clean seed corpus once, then every future ingestion stream drops
     gibberish/boilerplate as it arrives. Model parquet is re-read inside
     foreachBatch, so refreshing it between batches rolls the gate forward
-    without restarting the query; pure per-batch function → idempotent
-    under checkpoint replay. Documents with < 2 tokens have no perplexity
-    and are dropped (same contract as the batch scorer)."""
+    without restarting the query. Documents with < 2 tokens have no
+    perplexity and are dropped (same contract as the batch scorer).
+
+    Exactly-once output: the gating decision is a pure per-batch
+    function, and each accepted batch publishes under its own
+    ``batch_id=<B>`` partition via dynamic partition overwrite
+    (:func:`_publish_batch_partition`), so a checkpoint replay replaces
+    its earlier attempt instead of appending a duplicate — same contract
+    and same preflight guards as :func:`stream_classify_gate` /
+    :func:`stream_drift_gate`."""
     from mini_etl_spark.functions.lm import bigram_logprob_score
+
+    _guard_batch_partition_sink(stream_df, "stream_lm_gate", out_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         model = batch_df.sparkSession.read.parquet(model_path)
@@ -660,7 +772,7 @@ def stream_lm_gate(
             ),
             id_col,
         )
-        kept.write.mode("append").parquet(out_path)
+        _publish_batch_partition(kept, out_path, batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -709,7 +821,9 @@ def stream_drift_gate(
     baseline∪batch, and one batch outlier could flatten the PSI to ~0).
     Out-of-range batch values clamp into the edge bins, which is
     exactly the drift signal. Pin ``lo``/``hi`` explicitly to gate
-    against a fixed design range instead.
+    against a fixed design range instead. A CONSTANT baseline column is
+    refused (zero-width derived range would collapse the histogram to
+    one bin and pass any shift with PSI ~ 0 — pin lo/hi).
     ``mode="categorical"`` uses :func:`mini_etl_spark.maintenance
     .category_drift` over the top ``top_k`` values.
 
@@ -740,12 +854,9 @@ def stream_drift_gate(
             f"stream_drift_gate: mode must be numeric|categorical, "
             f"got {mode!r}"
         )
-    if "batch_id" in stream_df.columns:
-        raise ValueError(
-            "stream_drift_gate: input column 'batch_id' collides with "
-            "the per-batch overwrite partition of the output — rename "
-            "it upstream."
-        )
+    _guard_batch_partition_sink(
+        stream_df, "stream_drift_gate", out_path, report_path
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -795,6 +906,22 @@ def stream_drift_gate(
                     )
                 blo = span["mn"] if blo is None else blo
                 bhi = span["mx"] if bhi is None else bhi
+                if blo >= bhi:
+                    # zero-width derived range (constant baseline, or a
+                    # pinned bound degenerate against the derived one):
+                    # distribution_drift would collapse to ONE bucket and
+                    # a fully mean-shifted batch would PASS with PSI ~ 0
+                    # — refuse to gate blind instead of false-negating
+                    raise ValueError(
+                        f"stream_drift_gate: derived bin range for "
+                        f"column {column!r} is zero-width "
+                        f"[{blo}, {bhi}] — the baseline "
+                        f"{baseline_path!r} is constant in that column, "
+                        "so a PSI histogram cannot see a shift. Pin "
+                        "lo/hi to the design range (any batch value "
+                        "outside it will then clamp into an edge bin "
+                        "and register as drift)."
+                    )
             report = distribution_drift(
                 base, batch_df, column, bins=bins, lo=blo, hi=bhi
             )
@@ -808,21 +935,10 @@ def stream_drift_gate(
                 f"max_psi {max_psi} — refusing the batch (nothing "
                 "written; fix or refresh the baseline and restart)"
             )
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_path)
-        )
+        _publish_batch_partition(batch_df, out_path, batch_id)
         if report_path is not None:
-            (
-                spark.createDataFrame(rows, schema)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(report_path)
+            _publish_batch_partition(
+                spark.createDataFrame(rows, schema), report_path, batch_id
             )
 
     writer = (

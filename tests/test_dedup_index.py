@@ -229,3 +229,57 @@ def test_index_filter_in_batch_near_dups(spark, tmp_path):
     assert {r["doc_id"] for r in kept.collect()} == {201, 203}
     resub = minhash_index_filter(_df(spark, [(301, near)]), path)
     assert resub.count() == 0  # 202's survivor twin (201) now guards it
+
+
+def test_append_retry_heals_bands_lost_in_crash_window(spark, tmp_path):
+    """ADVICE r11 (medium): _write_parts lands signatures BEFORE bands,
+    and the pre-r12 idempotence anti-join keyed on signatures alone — a
+    crash between the two writes followed by the advertised retry
+    anti-joined the batch away, leaving it in signatures but PERMANENTLY
+    absent from the band postings (invisible to every probe). The append
+    is now per-component idempotent: the retry must back-fill the missing
+    bands without duplicating the signature rows."""
+    import os
+
+    from mini_etl_spark.functions.dedup_index import _read_meta
+
+    idx = str(tmp_path / "idx")
+    minhash_index_write(_df(spark, CORPUS), idx, num_hashes=32, bands=8)
+    meta = _read_meta(idx)
+
+    novel = [(500, "entirely fresh paragraph describing alpine glacier hydrology")]
+    batch = _df(spark, novel)
+
+    # simulate the crash window: the batch's SIGNATURES landed, its band
+    # postings did not (exactly what a kill between the two writes leaves)
+    sig = minhash_signatures(
+        batch, meta["text_col"], meta["id_col"], meta["n"],
+        meta["num_hashes"], meta["hash_fn"],
+    )
+    sig.withColumnRenamed("__id", meta["id_col"]).write.mode("append").parquet(
+        os.path.join(idx, "signatures")
+    )
+    # stranded: probes cannot see doc 500 (no postings)
+    pre = minhash_index_dedup(spark, idx, _df(spark, [(900, novel[0][1])]),
+                              threshold=0.9)
+    assert pre.isEmpty()
+
+    # the advertised retry — must HEAL, not no-op
+    n = minhash_index_append(batch, idx)
+    assert n == 1
+
+    sigs = spark.read.parquet(os.path.join(idx, "signatures"))
+    assert sigs.filter(F.col("doc_id") == 500).count() == 1  # not duplicated
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    assert bands.filter(F.col("doc_id") == 500).count() == meta["bands"]
+
+    post = minhash_index_dedup(spark, idx, _df(spark, [(900, novel[0][1])]),
+                               threshold=0.9)
+    assert {(r["batch_id"], r["corpus_id"]) for r in post.collect()} == {(900, 500)}
+
+    # a full retry AFTER success stays a no-op (idempotence preserved)
+    assert minhash_index_append(batch, idx) == 0
+    assert sigs.filter(F.col("doc_id") == 500).count() == 1
+    assert spark.read.parquet(os.path.join(idx, "bands")).filter(
+        F.col("doc_id") == 500
+    ).count() == meta["bands"]

@@ -372,3 +372,131 @@ def test_streaming_drift_gate_example_runs(spark, tmp_path, monkeypatch):
     })
     with pytest.raises(Exception, match="streaming source"):
         loader.build_pipeline(batch_cfg).run(spark)
+
+
+def test_streaming_classify_gate_example_runs(spark, tmp_path, monkeypatch):
+    """The declarative NB model gate (VERDICT r11 #7): only keep_label
+    rows publish, exactly-once under batch_id partitions; missing
+    required sink keys fail at BUILD time with a named ValueError, not a
+    KeyError mid-run (ADVICE r11)."""
+    from mini_etl_spark.functions import classify as cl
+
+    train = spark.createDataFrame(
+        [
+            (1, "code", "def main return import module function class"),
+            (2, "code", "compile function stack import module error"),
+            (3, "news", "election results announced by the government"),
+            (4, "news", "the government said election results arrived"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    mdir = str(tmp_path / "model")
+    cl.nb_save(cl.nb_train(train, label_col="source"), mdir)
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(100, "import function module return"),
+         (101, "government election results today"),
+         (102, "class import module function")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(docs)
+
+    monkeypatch.setenv("DOCS_DIR", docs)
+    monkeypatch.setenv("MODEL_DIR", mdir)
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    monkeypatch.setenv("KEEP_LABEL", "code")
+    loader = ConfigLoader()
+    config = loader.load("examples/streaming_classify_gate.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0
+    out = spark.read.parquet(str(tmp_path / "kept"))
+    assert {r["doc_id"] for r in out.collect()} == {100, 102}
+    assert all(r["label"] == "code" for r in out.collect())
+    assert "batch_id" in out.columns  # exactly-once partition layout
+
+    # missing required keys → named config error at build, not KeyError
+    bad = loader.parse({
+        "name": "bad",
+        "source": {"type": "parquet", "path": docs, "stream": True},
+        "transformers": [],
+        "sink": {"type": "classify_gate", "path": str(tmp_path / "x"),
+                 "checkpoint": str(tmp_path / "xcp")},
+    })
+    with pytest.raises(ValueError, match="classify_gate sink.*model"):
+        loader.build_pipeline(bad)
+    # missing path can't silently flow None into out_path
+    bad2 = loader.parse({
+        "name": "bad2",
+        "source": {"type": "parquet", "path": docs, "stream": True},
+        "transformers": [],
+        "sink": {"type": "classify_gate", "model": mdir,
+                 "checkpoint": str(tmp_path / "xcp"), "keep_label": "code"},
+    })
+    with pytest.raises(ValueError, match="classify_gate sink.*path"):
+        loader.build_pipeline(bad2)
+
+
+def test_streaming_lm_gate_example_runs(spark, tmp_path, monkeypatch):
+    """The declarative perplexity gate: fluent rows publish, gibberish is
+    dropped; a batch source fails loudly; drift_gate's missing-key
+    validation is shared across the gate family."""
+    from mini_etl_spark.functions import lm
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    mdir = str(tmp_path / "lm_model")
+    lm.train_bigram_lm(train).write.parquet(mdir)
+    cut = (
+        lm.bigram_logprob_score(
+            spark.createDataFrame(
+                [(0, "the quick brown fox")], "doc_id long, text string"
+            ),
+            spark.read.parquet(mdir),
+        ).collect()[0].perplexity
+        + 0.5
+    )
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "zz qq xx yy ww")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(docs)
+
+    monkeypatch.setenv("DOCS_DIR", docs)
+    monkeypatch.setenv("MODEL_DIR", mdir)
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    monkeypatch.setenv("MAX_PPL", str(cut))
+    loader = ConfigLoader()
+    config = loader.load("examples/streaming_lm_gate.yaml")
+    assert config.validate() == []
+    stats = loader.build_pipeline(config).run(spark)
+    assert stats["errors"] == 0
+    out = spark.read.parquet(str(tmp_path / "kept"))
+    assert [r["doc_id"] for r in out.collect()] == [100]
+    assert "perplexity" in out.columns and "batch_id" in out.columns
+
+    # batch source misuse fails loudly, mirroring drift_gate
+    batch_cfg = loader.parse({
+        "name": "bad",
+        "source": {"type": "parquet", "path": docs},
+        "transformers": [],
+        "sink": {"type": "lm_gate", "path": str(tmp_path / "x"),
+                 "model": mdir, "checkpoint": str(tmp_path / "xcp"),
+                 "max_perplexity": 100.0},
+    })
+    with pytest.raises(Exception, match="streaming source"):
+        loader.build_pipeline(batch_cfg).run(spark)
+
+    # drift_gate shares the up-front key validation (ADVICE r11)
+    bad_drift = loader.parse({
+        "name": "bad_drift",
+        "source": {"type": "parquet", "path": docs, "stream": True},
+        "transformers": [],
+        "sink": {"type": "drift_gate", "path": str(tmp_path / "y"),
+                 "checkpoint": str(tmp_path / "ycp"), "column": "v"},
+    })
+    with pytest.raises(ValueError, match="drift_gate sink.*baseline"):
+        loader.build_pipeline(bad_drift)

@@ -862,3 +862,335 @@ def test_stream_drift_gate_default_range_is_stationary(spark, tmp_path):
         stream_drift_gate(
             stream2, ebase, out, str(tmp_path / "cp2"), "v", max_psi=0.25
         )
+
+
+def _force_replay(cp: str, batch: int) -> None:
+    """Simulate the foreachBatch crash window: delete the batch's
+    checkpoint COMMIT marker (keeping its offsets entry) so restart
+    re-executes that batch id — crash after the sink write, before the
+    checkpoint commit. The Hadoop .crc sidecar must go too or the
+    re-commit's rename fails on the stale checksum."""
+    import os
+
+    os.remove(os.path.join(cp, "commits", str(batch)))
+    crc = os.path.join(cp, "commits", f".{batch}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_stream_classify_gate_replay_is_exactly_once(spark, tmp_path):
+    """Kill-and-replay for the model gate (mirrors the drift gate's
+    test): replaying a batch must REPLACE its batch_id partition, never
+    append a duplicate — pre-r12 this sink was a bare mode('append') and
+    its docstring overclaimed replay-idempotence (VERDICT r11 #1)."""
+    from mini_etl_spark.functions import classify as cl
+    from mini_etl_spark.streaming.events import stream_classify_gate
+
+    train = spark.createDataFrame(
+        [
+            (1, "code", "def main return import module function class"),
+            (2, "code", "compile function stack import module error"),
+            (3, "news", "election results announced by the government"),
+            (4, "news", "the government said election results arrived"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    mdir = str(tmp_path / "model")
+    cl.nb_save(cl.nb_train(train, label_col="source"), mdir)
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(100, "import function module return"),
+         (101, "government election results today")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(200, "class import module function"),
+         (201, "def return import class")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_classify_gate(stream, mdir, out, cp, keep_label="code")
+
+    run()
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {100, 200, 201}
+    assert got.select("batch_id").distinct().count() == 2
+
+    _force_replay(cp, 1)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # replay replaced its partition, no dupes
+    assert {r["doc_id"] for r in got.collect()} == {100, 200, 201}
+    assert all(r["label"] == "code" for r in got.collect())
+
+
+def test_stream_lm_gate_replay_is_exactly_once(spark, tmp_path):
+    """Kill-and-replay for the perplexity gate — same contract as the
+    classify/drift gates (VERDICT r11 #1)."""
+    from mini_etl_spark.functions import lm
+    from mini_etl_spark.streaming.events import stream_lm_gate
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    mdir = str(tmp_path / "lm_model")
+    lm.train_bigram_lm(train).write.parquet(mdir)
+
+    fluent = "the quick brown fox"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(100, fluent), (101, "zz qq xx yy ww")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(200, fluent)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    batch = spark.createDataFrame([(0, fluent)], "doc_id long, text string")
+    cut = (
+        lm.bigram_logprob_score(batch, spark.read.parquet(mdir))
+        .collect()[0]
+        .perplexity
+        + 0.5
+    )
+
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_lm_gate(stream, mdir, out, cp, max_perplexity=cut)
+
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {100, 200}
+
+    _force_replay(cp, 1)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # no duplicate of doc 200
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_batch == {0: 1, 1: 1}
+
+
+def test_stream_dedup_against_index_replay_directions(spark, tmp_path):
+    """The dedup gate's documented failure directions (VERDICT r11 #2):
+
+    default (at-most-once): a replayed batch re-probes, finds itself
+    indexed, and appends NOTHING — out_path never duplicates; a survivor
+    stranded 'indexed but unwritten' by the crash window is dropped on
+    replay (never written), and the drop is observable in the index.
+
+    at_least_once=True: the stranded state is the opposite ('written but
+    unindexed'), and the replay appends the survivor AGAIN — duplicates
+    possible, drops impossible."""
+    from mini_etl_spark.functions.dedup_index import (
+        minhash_index_filter,
+        minhash_index_write,
+    )
+    from mini_etl_spark.streaming.events import stream_dedup_against_index
+
+    corpus_text = "the quick brown fox jumps over the lazy dog by the river"
+    novel1 = "completely new essay about distributed query engines at scale"
+    novel2 = "another unseen document describing garden landscaping advice"
+    novel3 = "a third fresh text on watercolor painting techniques at home"
+
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(1, corpus_text)], "doc_id long, text string"
+    )
+    minhash_index_write(corpus, idx, num_hashes=32, bands=8)
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(100, corpus_text), (101, novel1)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(200, novel2)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_dedup_against_index(stream, idx, out, checkpoint=cp)
+
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {101, 200}
+
+    # replay batch 1: doc 200 is already indexed → re-probe drops it →
+    # nothing appended → no duplicate
+    _force_replay(cp, 1)
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # the 'indexed but unwritten' stranded state: index a survivor the
+    # way the gate's first write does, then let the stream see it as a
+    # NEW batch — the replayed probe finds it indexed and DROPS it
+    stranded = spark.createDataFrame(
+        [(300, novel3)], "doc_id long, text string"
+    )
+    minhash_index_filter(stranded, idx, append_survivors=True).count()
+    stranded.coalesce(1).write.mode("append").parquet(src)
+    run()
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 300 not in kept_ids  # dropped, not duplicated (at-most-once)
+    # ...and the drop is observable: the index knows doc 300
+    import os
+
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(idx, "signatures"))
+        .select("doc_id")
+        .collect()
+    }
+    assert 300 in idx_ids
+
+    # at_least_once=True: simulate the opposite stranded state — output
+    # written, index append lost — by pre-seeding out_path; the replay
+    # (fresh checkpoint) keeps the doc again → duplicate, never a drop
+    idx2 = str(tmp_path / "idx2")
+    minhash_index_write(corpus, idx2, num_hashes=32, bands=8)
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(400, novel1)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src2)
+    out2 = str(tmp_path / "out2")
+    spark.createDataFrame(
+        [(400, novel1)], "doc_id long, text string"
+    ).write.mode("append").parquet(out2)  # the crash-stranded output
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src2)
+    stream_dedup_against_index(
+        stream2, idx2, out2, checkpoint=str(tmp_path / "cp2"),
+        at_least_once=True,
+    )
+    dup = spark.read.parquet(out2).filter(F.col("doc_id") == 400)
+    assert dup.count() == 2  # duplicated, not dropped
+    idx2_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(idx2, "signatures"))
+        .select("doc_id")
+        .collect()
+    }
+    assert 400 in idx2_ids  # index append landed after the output
+
+
+def test_gates_refuse_pre_partition_output_layout(spark, tmp_path):
+    """Migration guard (ADVICE r11): resuming a batch_id-partitioned gate
+    over an out_path holding ROOT-LEVEL part files (the plain-append era
+    layout) would break parquet partition discovery — the gate must
+    refuse up front with a migration message, for out_path AND
+    report_path, before any query starts."""
+    import pytest as pt
+
+    from mini_etl_spark.streaming.events import (
+        stream_classify_gate,
+        stream_drift_gate,
+        stream_lm_gate,
+    )
+
+    import os
+
+    old_out = str(tmp_path / "old_out")
+    spark.range(3).write.parquet(old_out)  # root-level part files
+    base = str(tmp_path / "base")
+    spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v").write.parquet(base)
+    os.makedirs(str(tmp_path / "never_read"))
+    os.makedirs(str(tmp_path / "never_read2"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path / "never_read")
+    )
+
+    for gate, kwargs in [
+        (stream_classify_gate, dict(model_path="m", keep_label="x")),
+        (stream_lm_gate, dict(model_path="m", max_perplexity=1.0)),
+        (stream_drift_gate, dict(baseline_path=base, column="v", max_psi=1.0)),
+    ]:
+        with pt.raises(ValueError, match="root-level"):
+            gate(stream, out_path=old_out, checkpoint=str(tmp_path / "cp"),
+                 **kwargs)
+
+    # report_path is guarded the same way
+    with pt.raises(ValueError, match="root-level"):
+        stream_drift_gate(
+            stream, base, str(tmp_path / "fresh_out"), str(tmp_path / "cp"),
+            "v", max_psi=1.0, report_path=old_out,
+        )
+
+    # a batch_id input column collides with the overwrite partition
+    bad = spark.readStream.schema("batch_id long, text string").parquet(
+        str(tmp_path / "never_read2")
+    )
+    with pt.raises(ValueError, match="batch_id"):
+        stream_lm_gate(
+            bad, "m", str(tmp_path / "o"), str(tmp_path / "cp"),
+            max_perplexity=1.0,
+        )
+
+    # an already-partitioned (batch_id=N) output resumes fine: the guard
+    # must not false-positive on the gate's own layout
+    import os
+
+    ok_out = str(tmp_path / "ok_out")
+    os.makedirs(os.path.join(ok_out, "batch_id=0"))
+    from mini_etl_spark.streaming.events import _guard_batch_partition_sink
+
+    _guard_batch_partition_sink(
+        spark.range(1).selectExpr("id AS doc_id"), "g", ok_out, None
+    )
+
+
+def test_stream_drift_gate_constant_baseline_raises(spark, tmp_path):
+    """ADVICE r11: a CONSTANT baseline column yields a zero-width derived
+    bin range — one bucket, PSI ~ 0 for ANY batch, silent false negative.
+    The gate must refuse and demand explicit lo/hi; pinned lo/hi over the
+    same baseline still gates (shifted batch clamps into an edge bin)."""
+    import pytest as pt
+
+    from mini_etl_spark.streaming.events import stream_drift_gate
+
+    base = str(tmp_path / "base")
+    spark.range(1000).selectExpr("CAST(5.0 AS DOUBLE) AS v").write.parquet(base)
+    src = str(tmp_path / "in")
+    spark.range(200).selectExpr(
+        "CAST(500.0 AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+
+    stream = spark.readStream.schema("v double").parquet(src)
+    with pt.raises(Exception, match="zero-width"):
+        stream_drift_gate(
+            stream, base, out, str(tmp_path / "cp"), "v", max_psi=0.1
+        )
+    import os
+
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+
+    # with a pinned design range the same mean-shifted batch is refused
+    # as DRIFT (clamps into the hi edge bin), not accepted
+    stream2 = spark.readStream.schema("v double").parquet(src)
+    with pt.raises(Exception, match="exceeds max_psi"):
+        stream_drift_gate(
+            stream2, base, out, str(tmp_path / "cp2"), "v", max_psi=0.1,
+            lo=0.0, hi=10.0,
+        )
