@@ -160,19 +160,29 @@ def _write_parts(
         sig.unpersist()
 
 
-def _append_parts(sig: DataFrame, path: str, id_col: str, meta: dict) -> None:
-    """Append with PER-COMPONENT idempotence: each table (signatures,
-    bands) is anti-joined against ITS OWN stored ids before writing, so
-    the crash window between the two writes is self-healing — a retry
-    after "signatures landed, bands didn't" writes ONLY the missing band
-    postings, never duplicate signature rows, and never no-ops the batch
-    away. (Keying idempotence on the signatures table alone — the pre-r12
-    scheme — lost the bands postings FOREVER on that window: the retry
-    saw the ids stored and skipped the whole batch, leaving it invisible
-    to every future probe while recorded as indexed.) Each anti-join
-    result is localCheckpoint'ed before its write because the write
-    lands in the very directory the anti-join reads — a lazy plan would
-    re-list the files mid-write."""
+def _append_parts(sig: DataFrame, path: str, id_col: str, meta: dict) -> int:
+    """Append signature rows + their band postings with PER-COMPONENT
+    idempotence (ADVICE r11: keying idempotence on the signatures table
+    alone lost a batch's band postings FOREVER when a crash landed
+    between the two writes — the retry saw the ids stored and no-op'd,
+    leaving the batch recorded in signatures but invisible to every
+    probe). Returns the number of documents whose postings landed
+    (new + healed).
+
+    Cost model, because this runs per micro-batch at index scale:
+
+    - FAST PATH (every normal append): one scan of the stored signature
+      IDS — the same screen the pre-r12 append paid — plus the two
+      writes. The bands table (``bands×`` more rows) is NOT read.
+    - HEAL PATH (only when some batch id is already in signatures, i.e.
+      a retry after the crash window or a replayed micro-batch): the
+      bands table's distinct ids are read once, and the stranded ids'
+      postings are re-derived from the IN-HAND signature rows (no
+      re-shingling, no duplicate signature rows) and back-filled.
+
+    Frames that feed a write into the directory their own plan read are
+    localCheckpoint'ed first — a lazy plan would re-list files
+    mid-write."""
     spark = sig.sparkSession
     num_hashes, bands, hash_fn = meta["num_hashes"], meta["bands"], meta["hash_fn"]
     sig = sig.persist()
@@ -180,25 +190,41 @@ def _append_parts(sig: DataFrame, path: str, id_col: str, meta: dict) -> None:
         stored_sig = spark.read.parquet(os.path.join(path, "signatures")).select(
             F.col(id_col).alias("__id")
         )
-        new_sig = sig.join(stored_sig, "__id", "left_anti").localCheckpoint(
-            eager=True
+        held = (
+            sig.select("__id")
+            .join(stored_sig, "__id", "left_semi")
+            .localCheckpoint(eager=True)
         )
-        new_sig.withColumnRenamed("__id", id_col).write.mode("append").parquet(
-            os.path.join(path, "signatures")
-        )
-        stored_band = (
-            spark.read.parquet(os.path.join(path, "bands"))
-            .select(F.col(id_col).alias("__id"))
-            .distinct()
-        )
-        band_src = sig.join(stored_band, "__id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        _band_postings(band_src, num_hashes, bands, hash_fn).withColumnRenamed(
-            "__id", id_col
-        ).write.mode("append").partitionBy("band").parquet(
-            os.path.join(path, "bands")
-        )
+        healing = not held.isEmpty()
+        new_sig = sig.join(held, "__id", "left_anti") if healing else sig
+        n_new = new_sig.count()
+        if n_new:
+            new_sig.withColumnRenamed("__id", id_col).write.mode(
+                "append"
+            ).parquet(os.path.join(path, "signatures"))
+        band_src = new_sig
+        n_heal = 0
+        if healing:
+            stored_band = (
+                spark.read.parquet(os.path.join(path, "bands"))
+                .select(F.col(id_col).alias("__id"))
+                .distinct()
+            )
+            stranded = held.join(stored_band, "__id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            n_heal = stranded.count()
+            if n_heal:
+                band_src = new_sig.unionByName(
+                    sig.join(stranded, "__id", "left_semi")
+                )
+        if n_new or n_heal:
+            _band_postings(band_src, num_hashes, bands, hash_fn).withColumnRenamed(
+                "__id", id_col
+            ).write.mode("append").partitionBy("band").parquet(
+                os.path.join(path, "bands")
+            )
+        return n_new + n_heal
     finally:
         sig.unpersist()
 
@@ -251,28 +277,17 @@ def minhash_index_append(df: DataFrame, path: str) -> int:
 
     Same contract as ivf_index_append's stored-id anti-join and the
     Bloom gram anti-join. Returns the number of documents (re-)appended;
-    a heal-only retry counts the healed docs."""
+    a heal-only retry counts the healed docs. Cost: the fast path (no
+    batch id already stored) scans only the stored signature ids — the
+    pre-r12 screen — and the batch is shingled once; the bands table is
+    read only on the heal path (see :func:`_append_parts`)."""
     meta = _read_meta(path)
     id_col = meta["id_col"]
-    spark = df.sparkSession
-    stored_sig = spark.read.parquet(os.path.join(path, "signatures")).select(
-        id_col
-    )
-    stored_band = spark.read.parquet(os.path.join(path, "bands")).select(id_col)
-    # fully indexed = present in BOTH tables (semi-join of distinct ids);
-    # anything else — brand new, or stranded by a crash between the two
-    # component writes — flows through _append_parts' per-table anti-joins
-    complete = stored_sig.join(stored_band, id_col, "left_semi").distinct()
-    fresh = df.join(complete, id_col, "left_anti").localCheckpoint(eager=True)
-    n_new = fresh.count()
-    if n_new == 0:
-        return 0
     sig = minhash_signatures(
-        fresh, meta["text_col"], id_col, meta["n"], meta["num_hashes"],
+        df, meta["text_col"], id_col, meta["n"], meta["num_hashes"],
         meta["hash_fn"],
     )
-    _append_parts(sig, path, id_col, meta)
-    return n_new
+    return _append_parts(sig, path, id_col, meta)
 
 
 def minhash_index_filter(
