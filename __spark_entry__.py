@@ -1472,6 +1472,29 @@ def q_set_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.set_jaccard_pairs(docs, "tags", threshold=0.5)
 
 
+def q_set_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-Jaccard join
+    (dedup.set_jaccard_pairs_exact — AllPairs candidate generation,
+    Bayardo et al. WWW'07): elements ranked by ascending global document
+    frequency, candidates only where the RAREST |s|−⌈t·|s|⌉+1 elements
+    intersect, then exact verification over full postings. Unlike
+    `set_jaccard` (budget-capped, lower-bound scores when the cap
+    binds), this is bit-equal to the uncapped SQL truth AT ANY SCALE by
+    construction — it is the plan that computes the 20× sweep's
+    "uncapped truth" where the naive Σdf² inverted index is a
+    single-reducer hazard (SCALE20_SJ_BUDGET.json). Full hash oracle
+    (same SQL as set_jaccard: there the equality is an oracle-SF
+    adjudication, here it is the algorithm's contract)."""
+    from mini_etl_spark.functions import dedup as dd
+    from mini_etl_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(tx.tokens(F.substring("text", 1, 60))).alias("tags"),
+    )
+    return dd.set_jaccard_pairs_exact(docs, "tags", threshold=0.5)
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (splits.token_balanced_shard_ids):
     deterministic md5 layout cut every 2000 tokens via a DISTRIBUTED
@@ -2154,6 +2177,20 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dd.jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
+
+
+def q_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT 3-gram Jaccard join
+    (dedup.jaccard_pairs_exact): no shingle-frequency cap at all —
+    candidates come from the rarest |s|−⌈t·|s|⌉+1 shingles of each
+    document (AllPairs, Bayardo et al. WWW'07), verified exactly over
+    the full postings. Bit-equal to the uncapped SQL truth at ANY scale
+    by the algorithm's contract — the capped `jaccard_pairs` twin is
+    equal only because nothing binds at oracle SF."""
+    from mini_etl_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs_exact(docs, threshold=0.5)
 
 
 def q_jaccard_pairs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3279,6 +3316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position, is differentially tested bit-level by
     # tests/test_oracle.py on every pytest run.
     return {
+        # --- never stamped (new in r12) ---
+        "set_jaccard_exact": q_set_jaccard_exact,
+        "jaccard_pairs_exact": q_jaccard_pairs_exact,
         # --- last driver-green stamp: r01 ---
         "cosine_pairs": q_cosine_pairs,
         # --- last driver-green stamp: r02 ---
@@ -6711,4 +6751,10 @@ def oracle_sql() -> dict[str, str]:
     # ivf_topk result (same seeded codebook) — one oracle checks both
     # the search semantics and the index lifecycle.
     sqls["ivf_topk_indexed"] = sqls["ivf_topk"]
+    # the prefix-filtered exact joins compute the SAME uncapped truth
+    # their capped twins' oracles state — there the match is an
+    # oracle-SF adjudication (nothing binds), here it is the algorithm's
+    # contract (exact at any scale).
+    sqls["set_jaccard_exact"] = sqls["set_jaccard"]
+    sqls["jaccard_pairs_exact"] = sqls["jaccard_pairs"]
     return sqls

@@ -586,6 +586,8 @@ def main() -> None:
         "mad_outliers": queries["mad_outliers"],
         "containment_pairs": queries["containment_pairs"],
         "set_jaccard": queries["set_jaccard"],
+        "set_jaccard_exact": queries["set_jaccard_exact"],
+        "jaccard_pairs_exact": queries["jaccard_pairs_exact"],
         "pagerank_personalized": queries["pagerank_personalized"],
         "chat_json_roundtrip": queries["chat_json_roundtrip"],
         "l_diversity": queries["l_diversity"],

@@ -1933,6 +1933,130 @@ def test_set_jaccard_binary_elements_distinct(spark):
     assert out == {(1, 3)}  # a string cast would also pair (1,2)/(2,3)
 
 
+def test_set_jaccard_exact_generic(spark):
+    """Prefix-filtered exact join: same contract as the uncapped
+    inverted index — set semantics, empty/NULL silent, binary elements
+    keyed on raw bytes, threshold on the ROUNDED ratio."""
+    from mini_etl_spark.functions.dedup import set_jaccard_pairs_exact
+
+    rows = [
+        (1, ["a", "b", "c", "c"]),       # set {a,b,c}
+        (2, ["b", "c", "d"]),            # |∩{1}|=2, |∪|=4 -> 0.5
+        (3, ["x", "y"]),
+        (4, []),
+        (5, None),
+        (6, ["a", "b", "c"]),            # identical to 1 -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in set_jaccard_pairs_exact(df, "tags", threshold=0.5).collect()}
+    assert out == {(1, 2): 0.5, (1, 6): 1.0, (2, 6): 0.5}
+    # threshold=1.0: only the exact duplicate survives
+    out = {(r.id_a, r.id_b)
+           for r in set_jaccard_pairs_exact(df, "tags", threshold=1.0).collect()}
+    assert out == {(1, 6)}
+    # binary elements: raw-byte keys, no replacement-char collapse
+    brows = [
+        (1, [bytearray(b"\xfe\xff"), bytearray(b"\x01")]),
+        (2, [bytearray(b"\xff\xfe"), bytearray(b"\x02")]),
+        (3, [bytearray(b"\xfe\xff"), bytearray(b"\x01")]),
+    ]
+    bdf = spark.createDataFrame(brows, "doc_id long, sigs array<binary>")
+    out = {(r.id_a, r.id_b) for r in
+           set_jaccard_pairs_exact(bdf, "sigs", threshold=0.5).collect()}
+    assert out == {(1, 3)}
+
+
+def test_set_jaccard_exact_rounded_threshold_boundary(spark):
+    """The output filter compares the ROUNDED jaccard: true J = 7/17 =
+    0.41176... < 0.41175+ rounds to 0.4118 and must be KEPT — the
+    prefix/length pruning bounds derive from threshold−5e-5 so they
+    cannot discard what the final filter admits."""
+    from mini_etl_spark.functions.dedup import set_jaccard_pairs_exact
+
+    shared = [f"s{i}" for i in range(7)]
+    rows = [
+        (1, shared + [f"a{i}" for i in range(5)]),   # |A|=12
+        (2, shared + [f"b{i}" for i in range(5)]),   # |B|=12, |∪|=17
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in set_jaccard_pairs_exact(df, "tags",
+                                            threshold=0.41175).collect()}
+    assert out == {(1, 2): 0.4118}
+
+
+def test_set_jaccard_exact_matches_uncapped(spark):
+    """Randomized differential: the prefix-filtered plan is bit-identical
+    to the uncapped inverted-index plan (pairs AND rounded scores) on a
+    skewed vocabulary (hot elements force the prefix filter to matter)
+    across thresholds, including one where ceil(t·|s|) ties land exactly
+    on integers."""
+    import random
+
+    from mini_etl_spark.functions.dedup import (
+        set_jaccard_pairs,
+        set_jaccard_pairs_exact,
+    )
+
+    rng = random.Random(1207)
+    vocab = [f"v{i}" for i in range(30)]        # small vocab -> hot keys
+    weights = [1.0 / (i + 1) for i in range(30)]  # zipf-ish
+    rows = []
+    for i in range(90):
+        k = rng.randint(1, 10)
+        rows.append((i, list({rng.choices(vocab, weights)[0]
+                              for _ in range(k)})))
+    # seed guaranteed near-dups (superset/subset + identical)
+    rows.append((900, ["v0", "v1", "v2", "v3"]))
+    rows.append((901, ["v0", "v1", "v2", "v3", "v4"]))
+    rows.append((902, ["v0", "v1", "v2", "v3"]))
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
+    for thr in (0.3333, 0.5, 0.8):
+        truth = {(r.id_a, r.id_b, r.jaccard) for r in
+                 set_jaccard_pairs(df, "tags", threshold=thr,
+                                   max_element_freq=None).collect()}
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               set_jaccard_pairs_exact(df, "tags", threshold=thr).collect()}
+        assert got == truth, (thr, sorted(truth - got)[:3],
+                              sorted(got - truth)[:3])
+        assert truth  # fixture must actually exercise the join
+
+
+def test_jaccard_pairs_exact_matches_uncapped(spark):
+    """Text-shingle twin of the prefix-filter differential: identical
+    to jaccard_pairs(max_shingle_freq=None) — pairs AND scores — on a
+    corpus with a shared stop-phrase (hot shingles) and true near-dups;
+    sub-n-token docs vanish from both."""
+    import random
+
+    from mini_etl_spark.functions.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_exact,
+    )
+
+    rng = random.Random(42)
+    stop = "the quick brown fox jumps"
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choice("abcdefgh") + str(rng.randint(0, 9))
+                        for _ in range(rng.randint(3, 12)))
+        rows.append((i, f"{stop} {body}"))
+        if i % 7 == 0:  # near-dup: same body, one token changed
+            rows.append((1000 + i, f"{stop} {body} zz"))
+    rows.append((2000, "too short"))  # < 3 tokens -> no shingles
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.75):
+        truth = {(r.id_a, r.id_b, r.jaccard) for r in
+                 jaccard_pairs(df, threshold=thr,
+                               max_shingle_freq=None).collect()}
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               jaccard_pairs_exact(df, threshold=thr).collect()}
+        assert got == truth, (thr, sorted(truth - got)[:3],
+                              sorted(got - truth)[:3])
+    assert truth  # the near-dup seeds must pair at 0.75
+
+
 def test_token_shards_null_text_and_writer_dups(spark, tmp_path):
     """r5 review: NULL text counts 0 tokens (never -1 into the prefix
     sum); the token-balanced writer keeps NULL-keyed rows and does not
