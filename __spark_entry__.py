@@ -1495,6 +1495,28 @@ def q_set_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.set_jaccard_pairs_exact(docs, "tags", threshold=0.5)
 
 
+def q_jaccard_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted EXACT-Jaccard prefix index
+    (functions/jaccard_index.py): even-doc_id documents are indexed
+    once (frozen-frequency prefix postings, build-once serve-many —
+    the exact member of the minhash/bloom/ivf index family), odd
+    documents probe it; output is every (batch, indexed) pair with
+    TRUE 3-gram shingle Jaccard ≥ 0.5. Exactness is the algorithm's
+    contract (prefix lemma under the frozen order + full-postings
+    verification), so the brute-force SQL truth matches at any scale.
+    Index built in a per-process temp dir — the build is part of what
+    is verified, mirroring `ivf_topk_indexed`. Full hash oracle."""
+    from mini_etl_spark.functions import jaccard_index as ji
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path, fresh = _per_process_index_dir("jacc_idx", sf_dir)
+    if fresh:
+        ji.jaccard_index_write(docs.filter("doc_id % 2 = 0"), path)
+    return ji.jaccard_index_dedup(
+        docs.filter("doc_id % 2 = 1"), path, threshold=0.5
+    )
+
+
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment (splits.token_balanced_shard_ids):
     deterministic md5 layout cut every 2000 tokens via a DISTRIBUTED
@@ -3319,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never stamped (new in r12) ---
         "set_jaccard_exact": q_set_jaccard_exact,
         "jaccard_pairs_exact": q_jaccard_pairs_exact,
+        "jaccard_index_probe": q_jaccard_index_probe,
         # --- last driver-green stamp: r01 ---
         "cosine_pairs": q_cosine_pairs,
         # --- last driver-green stamp: r02 ---
@@ -5604,6 +5627,28 @@ def oracle_sql() -> dict[str, str]:
                                / (a.sz + b.sz - len(list_intersect(a.sh, b.sh)))::DOUBLE,
                                4) AS jaccard
                   FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5
+        """,
+        # jaccard_index_probe: the persisted prefix index is EXACT by
+        # contract (frozen-order prefix lemma + full-postings verify),
+        # so the brute-force cross join over the two halves is its truth
+        # at any scale — not an oracle-SF adjudication
+        "jaccard_index_probe": f"""
+            WITH s AS (
+              SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+            bat AS (
+              SELECT doc_id, sh, len(sh) AS sz FROM s
+              WHERE doc_id % 2 = 1 AND len(sh) > 0),
+            idx AS (
+              SELECT doc_id, sh, len(sh) AS sz FROM s
+              WHERE doc_id % 2 = 0 AND len(sh) > 0)
+            SELECT batch_id, index_id, jaccard
+            FROM (SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+                         round(len(list_intersect(b.sh, i.sh))
+                               / (b.sz + i.sz
+                                  - len(list_intersect(b.sh, i.sh)))::DOUBLE,
+                               4) AS jaccard
+                  FROM bat b, idx i)
             WHERE jaccard >= 0.5
         """,
         # jaccard_pairs_budget: the budget cap is fitted from the observed

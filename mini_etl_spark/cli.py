@@ -274,11 +274,12 @@ def compact(path: str, target_file_mb: int, kind: str,
 @click.argument("path", type=click.Path())
 @click.option(
     "--kind",
-    type=click.Choice(["minhash", "bloom", "ivf"]),
+    type=click.Choice(["minhash", "bloom", "ivf", "jaccard"]),
     required=True,
     help="Index to build at PATH: minhash near-dup (signatures + band "
-    "postings), bloom decontamination (grams + word bitmask), or ivf "
-    "(trained centroids + cell-partitioned vectors).",
+    "postings), bloom decontamination (grams + word bitmask), ivf "
+    "(trained centroids + cell-partitioned vectors), or jaccard "
+    "(frozen-order prefix postings — EXACT threshold near-dup).",
 )
 @click.option(
     "--input", "input_path", required=True,
@@ -287,14 +288,15 @@ def compact(path: str, target_file_mb: int, kind: str,
     "benchmark suite to screen against; ivf: vectors).",
 )
 @click.option("--column", default="text",
-              help="Text column (minhash/bloom kinds).")
+              help="Text column (minhash/bloom/jaccard kinds).")
 @click.option("--id", "id_col", default=None,
-              help="Id column. Default: doc_id (minhash/bloom), "
+              help="Id column. Default: doc_id (minhash/bloom/jaccard), "
               "vec_id (ivf).")
 @click.option("--vec-col", default="embedding",
               help="Vector column (ivf kind).")
 @click.option("--n", "n_gram", default=None, type=int,
-              help="Shingle size (minhash default 3, bloom default 5).")
+              help="Shingle size (minhash/jaccard default 3, bloom "
+              "default 5).")
 @click.option("--cells", default=16, type=int,
               help="IVF cell count (k-means k; ivf kind).")
 def index_build(path: str, kind: str, input_path: str, column: str,
@@ -326,6 +328,14 @@ def index_build(path: str, kind: str, input_path: str, column: str,
             n=n_gram or 5,
         )
         report = {"kind": kind, "indexed_docs": n_docs, **params}
+    elif kind == "jaccard":
+        from mini_etl_spark.functions.jaccard_index import jaccard_index_write
+
+        indexed = jaccard_index_write(
+            df, path, text_col=column, id_col=id_col or "doc_id",
+            n=n_gram or 3,
+        )
+        report = {"kind": kind, "indexed_docs": indexed}
     else:
         from mini_etl_spark.functions.similarity import build_ivf_index
 
@@ -345,10 +355,11 @@ def index_build(path: str, kind: str, input_path: str, column: str,
 @click.argument("path", type=click.Path(exists=True))
 @click.option(
     "--kind",
-    type=click.Choice(["minhash", "bloom", "ivf"]),
+    type=click.Choice(["minhash", "bloom", "ivf", "jaccard"]),
     required=True,
     help="Index layout at PATH: minhash_index_write / "
-    "decontamination_index_write / build_ivf_index.",
+    "decontamination_index_write / build_ivf_index / "
+    "jaccard_index_write.",
 )
 @click.option(
     "--input", "input_path", required=True,
@@ -383,6 +394,14 @@ def index_append(path: str, kind: str, input_path: str, column: str,
 
         report: dict = {
             "kind": kind, "appended_docs": minhash_index_append(df, path),
+        }
+    elif kind == "jaccard":
+        # column/shingle config resolves from the index's _JACCARD.json
+        # params marker — parameters are never arguments
+        from mini_etl_spark.functions.jaccard_index import jaccard_index_append
+
+        report = {
+            "kind": kind, "appended_docs": jaccard_index_append(df, path),
         }
     elif kind == "bloom":
         from mini_etl_spark.functions.bloom import decontamination_index_append

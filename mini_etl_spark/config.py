@@ -659,9 +659,23 @@ class ConfigLoader:
                 return lambda df: fingerprint_index_filter(
                     df, path, text_col, id_col, append
                 )
+            if kind == "jaccard":
+                # exact THRESHOLD similarity against the persisted
+                # prefix index; shingle/column config resolves from the
+                # index's _JACCARD.json marker, never from the YAML
+                from mini_etl_spark.functions.jaccard_index import (
+                    jaccard_index_filter,
+                )
+
+                j_threshold = float(o.get("threshold", 0.5))
+                j_in_batch = bool(o.get("in_batch", True))
+                return lambda df: jaccard_index_filter(
+                    df, path, j_threshold, append, j_in_batch
+                )
             if kind != "minhash":
                 raise ValueError(
-                    f"index_dedup: kind must be minhash|exact, got {kind!r}"
+                    "index_dedup: kind must be minhash|exact|jaccard, "
+                    f"got {kind!r}"
                 )
             threshold = float(o.get("threshold", 0.5))
             # "auto" / "auto:<budget>" = corpus-adaptive cap (skew.py)

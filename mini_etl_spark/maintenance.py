@@ -550,12 +550,14 @@ def compact_minhash_index(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> dict:
     """Compact an incremental dedup index
-    (:mod:`mini_etl_spark.functions.dedup_index`) in place: every
+    (:mod:`mini_etl_spark.functions.dedup_index` or the exact-Jaccard
+    :mod:`mini_etl_spark.functions.jaccard_index`) in place: every
     per-batch ``mode("append")`` from the ingestion gate
     (``minhash_index_filter(append_survivors=True)``,
-    ``fingerprint_index_filter``, or the streaming
-    ``stream_dedup_against_index``) adds one small file per component
-    per batch — at a real trigger cadence the index accrues thousands
+    ``fingerprint_index_filter``, ``jaccard_index_filter``, or the
+    streaming ``stream_dedup_against_index``) adds one small file per
+    growing component per batch — at a real trigger cadence the index
+    accrues thousands
     of tiny files and every probe pays the per-file open cost. This
     folds each component (``signatures``, the band-partitioned
     ``bands`` postings — hive layout preserved so probes keep pruning
@@ -574,10 +576,13 @@ def compact_minhash_index(
         spark._jsc.hadoopConfiguration()
     )
     out = {}
+    # "postings" is the jaccard index's one growing component (its
+    # "freq" table is frozen at build time and never appended to)
     for comp, part_by in (
         ("signatures", None),
         ("bands", ["band"]),
         ("fingerprints", None),
+        ("postings", None),
     ):
         cdir = os.path.join(path, comp)
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(cdir)) and not fs.exists(
@@ -590,7 +595,7 @@ def compact_minhash_index(
     if not out:
         raise ValueError(
             f"compact_minhash_index: {path!r} holds no index components "
-            "(signatures/bands/fingerprints)"
+            "(signatures/bands/fingerprints/postings)"
         )
     return out
 
