@@ -481,14 +481,24 @@ def stream_dedup_against_index(
     at_least_once: bool = False,
     available_now: bool = True,
     await_termination: bool = True,
+    kind: str = "minhash",
 ):
-    """Streaming near-dup gate over a persisted MinHash index: every
-    micro-batch is probed against the corpus index
-    (:func:`mini_etl_spark.functions.dedup_index.minhash_index_filter`),
-    survivors are appended to ``out_path`` (parquet) AND to the index, so
-    later batches — and later *streams* — dedup against everything ever
+    """Streaming near-dup gate over a persisted similarity index: every
+    micro-batch is probed against the corpus index, survivors are
+    appended to ``out_path`` (parquet) AND to the index, so later
+    batches — and later *streams* — dedup against everything ever
     accepted. The complete continuous-ingestion loop as one streaming
-    query; the corpus text is never re-read, only its bucket postings.
+    query; the corpus text is never re-read, only its postings.
+
+    ``kind`` selects the index at ``index_path``: ``"minhash"``
+    (default — approximate, signature-agreement scoring,
+    :func:`mini_etl_spark.functions.dedup_index.minhash_index_filter`)
+    or ``"jaccard"`` (EXACT threshold similarity over the frozen-order
+    prefix index,
+    :func:`mini_etl_spark.functions.jaccard_index.jaccard_index_filter`
+    — no false drops, no misses, same crash-direction contract;
+    ``max_bucket_freq`` is minhash-only and must stay at its default
+    for the exact kind, which needs no cap).
 
     Exactly-once caveat, stated: the append-to-index and the parquet
     append are two non-atomic writes, so a crash between them fails in
@@ -508,35 +518,60 @@ def stream_dedup_against_index(
       tolerate (or re-dedup) occasional duplicate rows, but no accepted
       row is ever lost.
 
-    The index appends themselves are per-component idempotent either
-    way (:func:`mini_etl_spark.functions.dedup_index._append_parts`) —
-    a replay never duplicates or strands postings."""
-    from mini_etl_spark.functions.dedup_index import (
-        minhash_index_append,
-        minhash_index_filter,
-    )
+    The index appends themselves are idempotent either way (the minhash
+    appends per-component,
+    :func:`mini_etl_spark.functions.dedup_index._append_parts`; the
+    jaccard index has one growing component and a stored-id anti-join)
+    — a replay never duplicates or strands postings."""
+    if kind == "jaccard":
+        if max_bucket_freq != 1000:
+            raise ValueError(
+                "stream_dedup_against_index: max_bucket_freq is a minhash "
+                "bucket cap — the exact jaccard kind has no cap to tune; "
+                "leave it at its default"
+            )
+        from mini_etl_spark.functions.jaccard_index import (
+            jaccard_index_append as _idx_append,
+        )
+        from mini_etl_spark.functions.jaccard_index import (
+            jaccard_index_filter,
+        )
+
+        def _gate(batch_df: DataFrame, append: bool) -> DataFrame:
+            return jaccard_index_filter(
+                batch_df, index_path, threshold=threshold,
+                append_survivors=append,
+            )
+    elif kind == "minhash":
+        from mini_etl_spark.functions.dedup_index import (
+            minhash_index_append as _idx_append,
+        )
+        from mini_etl_spark.functions.dedup_index import (
+            minhash_index_filter,
+        )
+
+        def _gate(batch_df: DataFrame, append: bool) -> DataFrame:
+            return minhash_index_filter(
+                batch_df, index_path, threshold=threshold,
+                max_bucket_freq=max_bucket_freq, append_survivors=append,
+            )
+    else:
+        raise ValueError(
+            f"stream_dedup_against_index: kind must be minhash|jaccard, "
+            f"got {kind!r}"
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if at_least_once:
             # output-first: survivors land before they are indexed, so a
             # crash window replays into a duplicate append, never a drop
-            kept = minhash_index_filter(
-                batch_df,
-                index_path,
-                threshold=threshold,
-                max_bucket_freq=max_bucket_freq,
-                append_survivors=False,
-            ).localCheckpoint(eager=True)  # one computation for write+append
+            kept = _gate(batch_df, False).localCheckpoint(
+                eager=True
+            )  # one computation for write+append
             kept.write.mode("append").parquet(out_path)
-            minhash_index_append(kept, index_path)
+            _idx_append(kept, index_path)
         else:
-            kept = minhash_index_filter(
-                batch_df,
-                index_path,
-                threshold=threshold,
-                max_bucket_freq=max_bucket_freq,
-                append_survivors=True,
-            )
+            kept = _gate(batch_df, True)
             kept.write.mode("append").parquet(out_path)
 
     writer = (

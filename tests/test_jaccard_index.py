@@ -238,6 +238,57 @@ def test_index_dedup_config_node_jaccard_kind(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {11}
 
 
+def test_stream_dedup_jaccard_kind(spark, tmp_path):
+    """Streaming ingestion gate over the EXACT index: stream 1 seeds
+    survivors; stream 2 must drop re-submissions of both corpus docs
+    and stream-1 survivors, pass novel docs. max_bucket_freq is
+    minhash-only and is refused for the exact kind."""
+    from mini_etl_spark.streaming.events import stream_dedup_against_index
+
+    corpus_text = "the quick brown fox jumps over the lazy dog by the river"
+    novel1 = "completely new essay about distributed query engines at scale"
+    novel2 = "another unseen document describing garden landscaping advice"
+    idx = str(tmp_path / "idx")
+    JI.jaccard_index_write(
+        spark.createDataFrame([(1, corpus_text)], "doc_id long, text string"),
+        idx,
+    )
+    src1 = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [(100, corpus_text), (101, novel1)], "doc_id long, text string"
+    ).write.parquet(src1)
+    out = str(tmp_path / "out")
+    import warnings as W
+
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        stream_dedup_against_index(
+            spark.readStream.schema("doc_id long, text string").parquet(src1),
+            idx, out, checkpoint=str(tmp_path / "cp1"), kind="jaccard",
+        )
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {101}
+        src2 = str(tmp_path / "in2")
+        spark.createDataFrame(
+            [(200, novel1), (201, novel2)], "doc_id long, text string"
+        ).write.parquet(src2)
+        stream_dedup_against_index(
+            spark.readStream.schema("doc_id long, text string").parquet(src2),
+            idx, out, checkpoint=str(tmp_path / "cp2"), kind="jaccard",
+        )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {101, 201}
+    with pytest.raises(ValueError, match="minhash bucket cap"):
+        stream_dedup_against_index(
+            spark.readStream.schema("doc_id long, text string").parquet(src2),
+            idx, out, checkpoint=str(tmp_path / "cp3"),
+            kind="jaccard", max_bucket_freq=10,
+        )
+    with pytest.raises(ValueError, match="kind must be"):
+        stream_dedup_against_index(
+            spark.readStream.schema("doc_id long, text string").parquet(src2),
+            idx, out, checkpoint=str(tmp_path / "cp4"), kind="nope",
+        )
+
+
 def test_compact_preserves_probe(spark, tmp_path):
     """compact_minhash_index folds the jaccard postings component; probe
     results are unchanged and the file count drops."""
