@@ -3327,7 +3327,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION RULE (since r12): all 158 keys are driver-green in the
+    # ROTATION RULE (since r12): all 158 pre-r12 keys are driver-green in the
     # r01-r11 union, so the ordering criterion moved from "never stamped"
     # to FRESHNESS — keys sorted ASCENDING by the round of their most
     # recent green driver stamp (ties keep prior order), so the driver's
