@@ -1492,7 +1492,12 @@ def q_set_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(tx.tokens(F.substring("text", 1, 60))).alias("tags"),
     )
-    return dd.set_jaccard_pairs_exact(docs, "tags", threshold=0.5)
+    # naive_volume_limit=0 pins the PREFIX branch: the cost-based
+    # dispatcher would pick the naive inverted index at this Σdf² (same
+    # exact result, cheaper constants — already oracled via set_jaccard),
+    # and the novel plan is the one this key exists to verify
+    return dd.set_jaccard_pairs_exact(docs, "tags", threshold=0.5,
+                                      naive_volume_limit=0)
 
 
 def q_jaccard_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2212,7 +2217,8 @@ def q_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_etl_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
-    return dd.jaccard_pairs_exact(docs, threshold=0.5)
+    # force the prefix branch — see q_set_jaccard_exact's note
+    return dd.jaccard_pairs_exact(docs, threshold=0.5, naive_volume_limit=0)
 
 
 def q_jaccard_pairs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

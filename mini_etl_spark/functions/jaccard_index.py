@@ -237,19 +237,35 @@ def jaccard_index_dedup(
     b_pre = (
         _ranked(b_elems, frozen)
         .filter(_prefix_keep(t_eff))
-        .select("__id", "__g", "__size")
+        .select("__id", "__g", "__size", "__r")
     )
     stored = _stored(spark, path, id_col)
     s_pre = stored.filter(_prefix_keep(t_eff)).select(
-        "__id", "__g", "__size"
+        "__id", "__g", "__size", "__r"
     )
     b, s = b_pre.alias("b"), s_pre.alias("s")
+    # PPJoin positional refinement (safe: a qualifying pair's FIRST
+    # shared element in the frozen order always satisfies the bound —
+    # see dedup._prefix_exact_pairs)
+    alpha = F.ceil(
+        F.lit(t_eff / (1.0 + t_eff))
+        * (F.col("b.__size") + F.col("s.__size"))
+        - F.lit(1e-9)
+    )
     cand = (
         b.join(
             s,
             (F.col("b.__g") == F.col("s.__g"))
             & (F.col("b.__size") >= t_eff * F.col("s.__size") - 1e-9)
-            & (F.col("s.__size") >= t_eff * F.col("b.__size") - 1e-9),
+            & (F.col("s.__size") >= t_eff * F.col("b.__size") - 1e-9)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("b.__size") - F.col("b.__r"),
+                    F.col("s.__size") - F.col("s.__r"),
+                )
+                >= alpha
+            ),
         )
         .select(
             F.col("b.__id").alias("batch_id"),

@@ -104,15 +104,24 @@ def _pairs(spark, sf_dir, cap) -> tuple[set, float]:
 
 
 def _pairs_exact(spark, sf_dir) -> tuple[set, float]:
-    """(pair set, warm wall-clock) of the prefix-filtered EXACT join —
-    the truth the capped configurations are scored against."""
+    """(pair set, warm wall-clock) of the PREFIX-FILTERED exact join —
+    the truth the capped configurations are scored against.
+    naive_volume_limit=0 FORCES the prefix branch at every scale: at
+    base the production dispatcher would pick the naive inverted index
+    (Σdf² under the limit — cheaper constants, same exact result), but
+    this artifact's base row exists to assert the prefix plan's
+    bit-equality against that naive join, and its big row to measure
+    the prefix plan where the naive one cannot run."""
     from mini_etl_spark.functions import dedup as dd
 
     d = _tags(spark, sf_dir)
-    dd.set_jaccard_pairs_exact(d, "tags", threshold=0.5).count()  # warm
+    dd.set_jaccard_pairs_exact(d, "tags", threshold=0.5,
+                               naive_volume_limit=0).count()  # warm
     spark.catalog.clearCache()
     t = time.monotonic()
-    rows = dd.set_jaccard_pairs_exact(d, "tags", threshold=0.5).collect()
+    rows = dd.set_jaccard_pairs_exact(
+        d, "tags", threshold=0.5, naive_volume_limit=0
+    ).collect()
     dt = time.monotonic() - t
     spark.catalog.clearCache()
     return {(r.id_a, r.id_b) for r in rows}, dt

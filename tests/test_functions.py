@@ -1980,10 +1980,12 @@ def test_set_jaccard_exact_rounded_threshold_boundary(spark):
         (2, shared + [f"b{i}" for i in range(5)]),   # |B|=12, |∪|=17
     ]
     df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
-    out = {(r.id_a, r.id_b): r.jaccard
-           for r in set_jaccard_pairs_exact(df, "tags",
-                                            threshold=0.41175).collect()}
-    assert out == {(1, 2): 0.4118}
+    for limit in (2e8, 0):  # naive-dispatch AND forced-prefix branch
+        out = {(r.id_a, r.id_b): r.jaccard
+               for r in set_jaccard_pairs_exact(
+                   df, "tags", threshold=0.41175,
+                   naive_volume_limit=limit).collect()}
+        assert out == {(1, 2): 0.4118}, limit
 
 
 def test_set_jaccard_exact_matches_uncapped(spark):
@@ -2016,10 +2018,15 @@ def test_set_jaccard_exact_matches_uncapped(spark):
         truth = {(r.id_a, r.id_b, r.jaccard) for r in
                  set_jaccard_pairs(df, "tags", threshold=thr,
                                    max_element_freq=None).collect()}
-        got = {(r.id_a, r.id_b, r.jaccard) for r in
-               set_jaccard_pairs_exact(df, "tags", threshold=thr).collect()}
-        assert got == truth, (thr, sorted(truth - got)[:3],
-                              sorted(got - truth)[:3])
+        # default dispatch (small Σdf² -> naive branch) AND the forced
+        # prefix branch (naive_volume_limit=0) must both be bit-equal
+        for limit in (2e8, 0):
+            got = {(r.id_a, r.id_b, r.jaccard) for r in
+                   set_jaccard_pairs_exact(
+                       df, "tags", threshold=thr,
+                       naive_volume_limit=limit).collect()}
+            assert got == truth, (thr, limit, sorted(truth - got)[:3],
+                                  sorted(got - truth)[:3])
         assert truth  # fixture must actually exercise the join
 
 
@@ -2050,10 +2057,12 @@ def test_jaccard_pairs_exact_matches_uncapped(spark):
         truth = {(r.id_a, r.id_b, r.jaccard) for r in
                  jaccard_pairs(df, threshold=thr,
                                max_shingle_freq=None).collect()}
-        got = {(r.id_a, r.id_b, r.jaccard) for r in
-               jaccard_pairs_exact(df, threshold=thr).collect()}
-        assert got == truth, (thr, sorted(truth - got)[:3],
-                              sorted(got - truth)[:3])
+        for limit in (2e8, 0):  # naive-dispatch AND forced-prefix branch
+            got = {(r.id_a, r.id_b, r.jaccard) for r in
+                   jaccard_pairs_exact(df, threshold=thr,
+                                       naive_volume_limit=limit).collect()}
+            assert got == truth, (thr, limit, sorted(truth - got)[:3],
+                                  sorted(got - truth)[:3])
     assert truth  # the near-dup seeds must pair at 0.75
 
 
