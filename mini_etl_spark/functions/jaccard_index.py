@@ -329,8 +329,9 @@ def jaccard_index_append(
     frequency-0 rule), but prefixes built from a drifted order lose
     selectivity — rebuild to re-freeze, mirroring
     ``ivf_index_append``'s centroid-skew signal. Docs with < n tokens
-    have no shingles: they are never indexed and are re-counted on
-    every append (same contract as the MinHash index)."""
+    have no shingles: they are never indexed, never counted in the
+    return, and are re-shingled (to nothing) on every re-submission —
+    the same contract as the MinHash index."""
     spark = df.sparkSession
     params = _read_params(spark, path)
     id_col = params["id_col"]
