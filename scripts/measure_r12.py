@@ -82,8 +82,11 @@ def main() -> None:
         clear_cached_state()
         best = float("inf")
         for _ in range(args.runs):
-            df = fn(spark, SF_DIR)
+            # bench.py parity: the timed region covers CONSTRUCTION + action
+            # (construction includes any driver-side scalar jobs and eager
+            # checkpoints an iterative operator performs)
             t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
             clear_cached_state()
