@@ -1503,12 +1503,32 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs over an ``array<float>`` column.
 
-    Baseline implementation is the exact pair join (id_a < id_b) with the
-    dot product as a JVM-side ``aggregate(zip_with(...))`` — fine up to ~10⁵
-    vectors; beyond that use :func:`embedding_cosine_pairs_lsh` (bucketed
-    candidates via ``similarity.lsh_pair_candidates``, then the same exact
-    verification).
-    """
+    Block-GEMM candidate generation + exact verification. The O(N²) pair
+    space is unavoidable for the exact join, but evaluating an interpreted
+    ``aggregate(zip_with(...))`` dot product per pair (the pre-r12 plan:
+    a broadcast nested loop over row pairs) costs ~16 µs per pair — the
+    classic per-row-JVM-expression tax. Instead:
+
+    1. hash the vectors into K = defaultParallelism deterministic blocks
+       (``pmod(xxhash64(id), K)`` — guide §2.5's deterministic synthetic
+       key), collect each block's (id, vec) rows into one array row;
+    2. cross-join the K(K+1)/2 block pairs and compute each block-pair's
+       full cosine matrix with one numpy GEMM inside ``mapInArrow``
+       (guide §4.2: hand whole batches to vectorized native code; the
+       arrays cross the boundary once, zero-copy, as Arrow buffers);
+    3. emit (id_a, id_b) candidates at ``threshold − 6e-5`` — the 5e-5
+       round-to-4 admission slack plus float-summation-order slop, so no
+       pair the exact filter would keep can be missed — and re-score the
+       few survivors with the ORIGINAL JVM expression, making the output
+       bit-identical to the pre-r12 plan by construction (the GEMM only
+       ever decides which pairs are worth scoring exactly).
+
+    Fine up to ~10⁵ vectors (GEMM flops, not per-pair overhead, become
+    the bound); beyond that use :func:`embedding_cosine_pairs_lsh`
+    (bucketed candidates via ``similarity.lsh_pair_candidates``, then the
+    same exact verification)."""
+    import pyarrow as pa_mod
+
     norm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -1521,30 +1541,144 @@ def embedding_cosine_pairs(
         F.col(vec_col).alias("__v"),
         norm.alias("__n"),
     )
-    # The theta join plans as a broadcast nested loop streaming the LEFT
-    # side — its partition count IS the task count. Embedding tables are
-    # byte-small, so the scan often lands in one partition and the whole
-    # O(N²) pair scan would grind on a single core; spreading the
-    # streamed side across the cluster first makes the documented
-    # baseline at least embarrassingly parallel (same work, ~cores× the
-    # throughput). The broadcast side stays as-scanned.
     sc = df.sparkSession.sparkContext
-    a = base.repartition(sc.defaultParallelism).alias("a")
-    b = base.alias("b")
+    K = sc.defaultParallelism
+    blocks = (
+        base.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(K)).cast("int"))
+        .groupBy("__blk")
+        # one collect_list of structs, THEN unzip: ids/vecs stay aligned by
+        # construction (separate collect_list aggs guarantee no shared order)
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("__rows"))
+        .select(
+            "__blk",
+            F.expr("transform(__rows, r -> r.__id)").alias("__ids"),
+            F.expr("transform(__rows, r -> r.__v)").alias("__vs"),
+        )
+    )
+    a = blocks.select(
+        F.col("__blk").alias("__ba"),
+        F.col("__ids").alias("__ia"),
+        F.col("__vs").alias("__va"),
+    )
+    b = blocks.select(
+        F.col("__blk").alias("__bb"),
+        F.col("__ids").alias("__ib"),
+        F.col("__vs").alias("__vb"),
+    )
+    # K(K+1)/2 block-pair rows; round-robin spread so the GEMM tasks use
+    # the whole cluster (the groupBy leaves blocks on few AQE-coalesced
+    # partitions)
+    crossed = a.join(b, F.col("__ba") <= F.col("__bb")).repartition(K)
+    thr = threshold - 6e-5
+
+    def _cell(ids_col, vs_col, i):
+        """One block: (ids int64, {dim: (ids subset, float64 matrix)}).
+        Vectors are grouped by length — pairs of unequal length can never
+        pass the exact filter (zip_with pads with null → null cosine), so
+        only equal-length groups are compared. Null vectors / elements
+        become NaN rows, which fail every >= test, matching the exact
+        path's null propagation."""
+        ids = ids_col[i].values.to_numpy(zero_copy_only=False)
+        inner = vs_col[i].values
+        lens_arr = inner.value_lengths()
+        if lens_arr.null_count:
+            lens = np.asarray(
+                lens_arr.fill_null(-1).to_numpy(zero_copy_only=False),
+                dtype="int64",
+            )
+        else:
+            lens = lens_arr.to_numpy().astype("int64")
+        flat = inner.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        offs = np.zeros(len(lens) + 1, dtype="int64")
+        np.cumsum(np.where(lens < 0, 0, lens), out=offs[1:])
+        out = {}
+        for L in np.unique(lens):
+            if L <= 0:
+                continue
+            idx = np.nonzero(lens == L)[0]
+            M = np.empty((len(idx), L), dtype="float64")
+            for j, r in enumerate(idx):
+                M[j] = flat[offs[r] : offs[r] + L]
+            out[int(L)] = (ids[idx], M)
+        return out
+
+    def _gemm(batches):
+        for batch in batches:
+            ba = batch.column("__ba")
+            bb = batch.column("__bb")
+            ia_c = batch.column("__ia")
+            va_c = batch.column("__va")
+            ib_c = batch.column("__ib")
+            vb_c = batch.column("__vb")
+            outs_a, outs_b = [], []
+            for i in range(batch.num_rows):
+                same = ba[i].as_py() == bb[i].as_py()
+                ca = _cell(ia_c, va_c, i)
+                cb = ca if same else _cell(ib_c, vb_c, i)
+                for L, (ia, A) in ca.items():
+                    got = cb.get(L)
+                    if got is None:
+                        continue
+                    ib, B = got
+                    na = np.linalg.norm(A, axis=1)
+                    nb = na if same else np.linalg.norm(B, axis=1)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        C = (A @ B.T) / np.outer(na, nb)
+                        mask = C >= thr
+                    if same:
+                        # diagonal block: the matrix holds both orientations
+                        mask &= ia[:, None] < ib[None, :]
+                    xi, yi = np.nonzero(mask)
+                    pa_ids, pb_ids = ia[xi], ib[yi]
+                    # off-diagonal: each unordered pair appears exactly once;
+                    # orient by id, never by block
+                    outs_a.append(np.minimum(pa_ids, pb_ids))
+                    outs_b.append(np.maximum(pa_ids, pb_ids))
+            if outs_a:
+                oa = np.concatenate(outs_a)
+                ob = np.concatenate(outs_b)
+            else:
+                oa, ob = [], []
+            yield pa_mod.RecordBatch.from_arrays(
+                [pa_mod.array(oa, type=id_pa_type), pa_mod.array(ob, type=id_pa_type)],
+                ["id_a", "id_b"],
+            )
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    id_dt = df.schema[id_col].dataType
+    id_pa_type = to_arrow_type(id_dt)
+    cand = crossed.mapInArrow(
+        _gemm, f"id_a {id_dt.simpleString()}, id_b {id_dt.simpleString()}"
+    )
+    # exact verification with the pre-r12 expression — bit-identical output
     dot = F.aggregate(
-        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(
+            F.col("__va"), F.col("__vb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, F.col("a.__id") < F.col("b.__id"))
-        .withColumn("cosine", F.round(dot / (F.col("a.__n") * F.col("b.__n")), 4))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            "cosine",
+        cand.join(
+            base.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
         )
+        .join(
+            base.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", F.round(dot / (F.col("__na") * F.col("__nb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
