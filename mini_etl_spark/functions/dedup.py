@@ -422,8 +422,8 @@ def _prefix_exact_pairs(
     element in the global order — every other shared element sits at
     later positions in both sets, so o ≤ 1 + min(|A|−pa, |B|−pb) at
     that match; requiring the bound on SOME match is therefore safe,
-    and it prunes ~30% of candidates before the pair-distinct shuffle
-    on the measured fixture."""
+    and it prunes ~30% of the candidate stream before verification on
+    the measured fixture."""
     from pyspark.sql import Window
 
     elems = elems.persist()
@@ -431,26 +431,44 @@ def _prefix_exact_pairs(
     # rounded-output filter admits true J ≥ threshold − 5e-5 → derive
     # all pruning bounds from that effective threshold
     t = max(threshold - 5e-5, 0.0)
-    vol = (
-        freq.agg(
-            F.sum(F.col("__f").cast("double") * F.col("__f")).alias("v")
-        ).first()["v"]
-        or 0.0
-    )
-    if vol <= naive_volume_limit:
-        return _jaccard_from_postings(sizes, elems, threshold)
+    if naive_volume_limit > 0:
+        # cost probe only when the dispatch can actually go naive — a
+        # pinned prefix branch (limit ≤ 0) skips the driver action
+        vol = (
+            freq.agg(
+                F.sum(F.col("__f").cast("double") * F.col("__f")).alias("v")
+            ).first()["v"]
+            or 0.0
+        )
+        if vol <= naive_volume_limit:
+            return _jaccard_from_postings(sizes, elems, threshold)
+    # Integer element surrogates (r12, guide §2.3 "narrower types"): every
+    # downstream consumer — the prefix window's tie-break, the candidate
+    # self-join key, and the verify array_intersect — only needs element
+    # EQUALITY plus some shared total order, never the md5 text. A 32-char
+    # md5 string costs ~10× a long to hash in every hash join / hash set
+    # probe (measured: the verify stage dominated the whole query). Any
+    # per-run injective map works; monotonically_increasing_id over the
+    # vocabulary is injective by construction, and the localCheckpoint pins
+    # ONE materialization so every consumer sees the same ids (and gives
+    # the planner exact size stats). Vocabulary-sized, not corpus-sized.
+    vocab = freq.withColumn(
+        "__gi", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    ie = elems.join(vocab, "__g").select("__id", "__gi", "__f")
     need = F.ceil(F.lit(t) * F.col("__size") - F.lit(1e-9))
     prefix = (
-        elems.join(freq, "__g")
-        .join(sizes, "__id")
+        ie.join(sizes, "__id")
         .withColumn(
             "__r",
             F.row_number().over(
-                Window.partitionBy("__id").orderBy("__f", "__g")
+                Window.partitionBy("__id").orderBy("__f", "__gi")
             ),
         )
         .filter(F.col("__r") <= F.col("__size") - need + F.lit(1))
-        .select("__id", "__g", "__size", "__r")
+        .select("__id", "__gi", "__size", "__r")
+        # persisted: the candidate self-join reads it twice
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     alpha = F.ceil(
@@ -458,29 +476,31 @@ def _prefix_exact_pairs(
         * (F.col("a.__size") + F.col("b.__size"))
         - F.lit(1e-9)
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__id") < F.col("b.__id"))
-            & (F.col("a.__size") >= t * F.col("b.__size") - 1e-9)
-            & (F.col("b.__size") >= t * F.col("a.__size") - 1e-9)
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("a.__size") - F.col("a.__r"),
-                    F.col("b.__size") - F.col("b.__r"),
-                )
-                >= alpha
-            ),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    # NO pre-verify distinct (r12): a pair sharing k prefix elements is
+    # verified k times (k is small — the prefix is the rare tail), which
+    # is far cheaper than a distinct shuffle of the multi-million-row
+    # candidate stream; the survivors of the threshold filter (≈ true
+    # pairs) are deduplicated at the end instead.
+    cand = a.join(
+        b,
+        (F.col("a.__gi") == F.col("b.__gi"))
+        & (F.col("a.__id") < F.col("b.__id"))
+        & (F.col("a.__size") >= t * F.col("b.__size") - 1e-9)
+        & (F.col("b.__size") >= t * F.col("a.__size") - 1e-9)
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("a.__size") - F.col("a.__r"),
+                F.col("b.__size") - F.col("b.__r"),
+            )
+            >= alpha
+        ),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
     # exact verification: per-doc element arrays built once (one
     # shuffle of the postings), then a JVM-side set intersect per
-    # candidate — no candidates×|A| row explosion
-    arrs = elems.groupBy("__id").agg(F.collect_list("__g").alias("__arr"))
+    # candidate — no candidates×|A| row explosion; long arrays, so the
+    # per-candidate hash set is built over 8-byte keys
+    arrs = ie.groupBy("__id").agg(F.collect_list("__gi").alias("__arr"))
     shared = (
         cand.join(
             arrs.select(
@@ -500,7 +520,9 @@ def _prefix_exact_pairs(
             F.size(F.array_intersect("__aa", "__ab")).alias("__shared"),
         )
     )
-    return _jaccard_ratio_tail(shared, sizes, threshold)
+    return _jaccard_ratio_tail(shared, sizes, threshold).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 def jaccard_pairs_exact(
