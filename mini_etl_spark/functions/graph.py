@@ -67,6 +67,7 @@ def pagerank(
     dst: str = "dst",
     dangling: str = "teleport",
     personalized: list | None = None,
+    broadcast_state_limit: int = 10_000_000,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` of the power method:
     rank = (1 − d) + d · Σ_in rank(u)/out_degree(u), uniform start at 1.0
@@ -113,7 +114,10 @@ def pagerank(
         seeds_list = sorted(set(personalized))
         if not seeds_list:
             raise ValueError("pagerank: personalized seed list is empty")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Both `nodes` and `routed` scan the edge list; persisting it once
+    # means the caller's (possibly expensive) edge derivation runs a single
+    # time instead of once per consumer.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -126,14 +130,24 @@ def pagerank(
     routed = e.join(out_deg, "src").persist()
 
     try:
+        # The node count drives the join strategy every iteration: the rank
+        # state is a localCheckpoint frame, which reports NO size stats, so
+        # without an explicit hint the per-iteration joins lower to
+        # sort-merge — the (much larger) routing table gets exchanged and
+        # sorted once per iteration for a state table that is O(V) and tiny
+        # on most graphs. Broadcasting rank/contrib frames whenever
+        # V <= broadcast_state_limit (10M nodes × 16B ≈ 160 MB — fine on a
+        # real executor) keeps `routed` pinned in place all rounds; above
+        # the limit the planner's shuffle strategies take over. `nodes` is
+        # persisted, so the count is one cheap job (redistribute and
+        # personalized modes needed it anyway).
+        n_nodes = nodes.count()
+        _hint = F.broadcast if n_nodes <= broadcast_state_limit else (lambda d: d)
         if dangling == "redistribute":
-            # static sink set (no out-edges) and node count — one pass each
+            # static sink set (no out-edges) — one pass
             sinks = nodes.join(
                 out_deg.select(F.col("src").alias("node")), "node", "left_anti"
             ).localCheckpoint(eager=True)
-            n_nodes = nodes.count()
-        elif seeds_list is not None:
-            n_nodes = nodes.count()
 
         if seeds_list is None:
             tele = F.lit(1.0 - damping)
@@ -177,9 +191,9 @@ def pagerank(
             ).otherwise(F.lit(0.0))
 
         ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-        for _ in range(iterations):
+        for _i in range(iterations):
             contrib = (
-                routed.join(ranks, routed.src == ranks.node)
+                routed.join(_hint(ranks), routed.src == ranks.node)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
             )
@@ -200,23 +214,39 @@ def pagerank(
                     ).otherwise(F.lit(0.0))
                 incoming = F.coalesce("__in", F.lit(0.0)) + dang_share
                 merged = nodes.join(
-                    contrib, nodes.node == contrib.dst, "left"
+                    _hint(contrib), nodes.node == contrib.dst, "left"
                 ).crossJoin(F.broadcast(dang))
             else:
                 incoming = F.coalesce("__in", F.lit(0.0))
-                merged = nodes.join(contrib, nodes.node == contrib.dst, "left")
-            # localCheckpoint (eager) materializes the new state AND cuts
-            # its lineage; the previous iteration's blocks are released by
-            # the context cleaner when the old frame is dropped — no cache
-            # entries pile up across iterations or across repeated
-            # pagerank() calls.
-            ranks = (
-                merged.select(
-                    "node",
-                    (tele + F.lit(damping) * incoming).alias("rank"),
+                merged = nodes.join(
+                    _hint(contrib), nodes.node == contrib.dst, "left"
                 )
-                .localCheckpoint(eager=True)
+            # localCheckpoint (eager) materializes the state AND cuts its
+            # lineage; old blocks are released by the context cleaner when
+            # the previous frame is dropped. But every eager checkpoint is
+            # its own Spark JOB — at a handful of power iterations the
+            # per-job latency dominates the tiny per-iteration compute, so
+            # the state is checkpointed every 4th round (bounding lineage
+            # depth and broadcast nesting) and unconditionally on the LAST
+            # round, which preserves the returned-frame-is-data contract
+            # the finally-block unpersist relies on. Values are unchanged:
+            # chained-lazy iterations execute the identical float chain in
+            # one job instead of one job each.
+            ranks = merged.select(
+                "node",
+                (tele + F.lit(damping) * incoming).alias("rank"),
             )
+            # redistribute references the previous state TWICE per round
+            # (contrib join + dangling-mass aggregate): chaining lazily
+            # would double the plan each iteration, so that mode
+            # materializes every round. The single-reference modes
+            # checkpoint every 4th.
+            if (
+                _i == iterations - 1
+                or dangling == "redistribute"
+                or (_i + 1) % 4 == 0
+            ):
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
         # the returned frame is checkpointed data — it no longer depends
         # on these, so their cache entries can be released immediately;
@@ -224,6 +254,7 @@ def pagerank(
         # which would otherwise leave both pinned for the session
         routed.unpersist()
         nodes.unpersist()
+        e.unpersist()
     return ranks
 
 
