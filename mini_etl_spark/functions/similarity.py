@@ -1313,16 +1313,26 @@ def kmeans_int(
 
     Pipeline per iteration (``iters`` updates, then one final assign):
 
-    - **assign**: squared L2 distance to each centroid as a codegen
-      ``aggregate(zip_with(codes, literal_centroid, (x,c)->(x-c)²))``
-      long sum — k expressions per row, no shuffle, no UDF; argmin via
-      ``array_min`` over (dist, cluster) structs, ties → smallest
-      cluster id.
-    - **update**: one posexplode aggregate per (cluster, dim) →
+    - **assign**: squared L2 distance to every centroid in one
+      ``mapInArrow`` block-GEMM — the code batch is viewed as an int64
+      matrix and ``‖x‖² − 2·X@Cᵀ + ‖c‖²`` computed in numpy integer
+      arithmetic (exact: the same longs the old interpreted
+      ``aggregate(zip_with(...))`` HOF chain produced element-by-element,
+      verified identical on the full sf0.1 table; max |code| is
+      ``levels``, so int64 never saturates for any real dim). argmin
+      ties break to the smallest cluster id, same as the old
+      (dist, cluster) struct-min. One Arrow batch crossing per task
+      instead of k interpreted HOF evaluations per row (guide §4.2).
+    - **update**: the SAME GEMM assigns clusters inside a stats pass
+      that emits per-partition (cluster, dim, Σcode, n) partials —
+      dimension-bounded rows per task — which one hash aggregate merges;
       ``sum // count`` floor division keeps centroids integer; empty
-      clusters keep their previous centroid. The k×dim stats row set is
-      dimension-bounded driver state (like the PQ/IVF codebooks), so the
-      loop's collect never scales with rows.
+      clusters keep their previous centroid. The old shape re-joined the
+      assignment frame back to the codes on id and posexploded every
+      code element into the aggregate; the fused pass removes that join
+      and shrinks the aggregate input from rows×dim to tasks×k×dim. The
+      k×dim stats row set is dimension-bounded driver state (like the
+      PQ/IVF codebooks), so the loop's collect never scales with rows.
 
     Init: the ``k`` smallest ``id_col`` rows' code vectors (cluster j =
     rank j in id order) — deterministic, engine-replayable. Codes come
@@ -1344,32 +1354,69 @@ def kmeans_int(
     cents: list[list[int]] = [list(r["__codes"]) for r in init_rows]
     dim = len(cents[0])
 
+    def _dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖², all int64 — exact, no float detour
+        xn = (X * X).sum(axis=1)
+        cn = (C * C).sum(axis=1)
+        return xn[:, None] - 2 * (X @ C.T) + cn[None, :]
+
     def _assign(cent_lists: list[list[int]]) -> DataFrame:
-        structs = []
-        for j, cent in enumerate(cent_lists):
-            lit_cent = F.array(*[F.lit(int(c)) for c in cent])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("__codes"), lit_cent, lambda x, c: (x - c) * (x - c)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            structs.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
-        m = F.array_min(F.array(*structs))
-        return codes.select(
-            F.col(id_col),
-            m["c"].alias("cluster"),
-            m["d"].alias("dist"),
-        )
+        C = np.asarray(cent_lists, dtype=np.int64)
+
+        def fn(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                tbl = pa.table(batch)
+                ids = tbl.column(0).combine_chunks()
+                X = np.asarray(
+                    tbl.column(1).combine_chunks().flatten(), dtype=np.int64
+                ).reshape(-1, C.shape[1])
+                D = _dists(X, C)
+                cl = np.argmin(D, axis=1)  # ties → first = smallest id
+                d = D[np.arange(len(cl)), cl]
+                yield pa.record_batch(
+                    [ids, pa.array(cl.astype(np.int32)), pa.array(d)],
+                    names=["__kid", "cluster", "dist"],
+                )
+
+        return codes.select(id_col, "__codes").mapInArrow(
+            fn, "__kid long, cluster int, dist long"
+        ).withColumnRenamed("__kid", id_col)
 
     for _ in range(iters):
-        assign = _assign(cents)
+        C = np.asarray(cents, dtype=np.int64)
+
+        def stats_fn(batches, C=C):
+            import pyarrow as pa
+
+            for batch in batches:
+                tbl = pa.table(batch)
+                X = np.asarray(
+                    tbl.column(0).combine_chunks().flatten(), dtype=np.int64
+                ).reshape(-1, C.shape[1])
+                cl = np.argmin(_dists(X, C), axis=1)
+                sums = np.zeros_like(C)
+                cnts = np.zeros(C.shape[0], dtype=np.int64)
+                np.add.at(sums, cl, X)
+                np.add.at(cnts, cl, 1)
+                nz = np.flatnonzero(cnts)
+                k_idx = np.repeat(nz, C.shape[1])
+                yield pa.record_batch(
+                    [
+                        pa.array(k_idx.astype(np.int32)),
+                        pa.array(np.tile(np.arange(C.shape[1], dtype=np.int32), len(nz))),
+                        pa.array(sums[nz].ravel()),
+                        pa.array(np.repeat(cnts[nz], C.shape[1])),
+                    ],
+                    names=["cluster", "__pos", "__s", "__n"],
+                )
+
         stats = (
-            assign.join(codes, id_col)
-            .select("cluster", F.posexplode("__codes").alias("__pos", "__x"))
+            codes.select("__codes")
+            .mapInArrow(stats_fn, "cluster int, __pos int, __s long, __n long")
             .groupBy("cluster", "__pos")
-            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .agg(F.sum("__s").alias("__s"), F.sum("__n").alias("__n"))
             .collect()
         )
         got = {(r["cluster"], r["__pos"]): r for r in stats}
