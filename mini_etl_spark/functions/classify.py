@@ -82,15 +82,27 @@ def nb_train(
     """
     # exploded_tokens, not explode(tokens(...)): the barrier pins ONE
     # tokenizer evaluation per document (the inline form re-evaluates the
-    # regex chain through the generator — measured 4× slower at sf0.1)
+    # regex chain through the generator — measured 4× slower at sf0.1).
+    # Everything downstream derives from the (label, token) occurrence
+    # counts: class totals are Σ __c per label and V is the distinct token
+    # count OF THE COUNTS FRAME — identical integers to aggregating the
+    # raw postings, but the corpus is tokenized ONCE (the old shape
+    # re-tokenized for counts, class totals and V separately — three full
+    # explode passes at every action). The counts frame is persisted for
+    # its three consumers and released below once the model tables are
+    # materialized.
     tok = exploded_tokens(df, text_col, label_col, "label", "token")
-    counts = tok.groupBy("label", "token").agg(F.count(F.lit(1)).alias("__c"))
+    raw_counts = (
+        tok.groupBy("label", "token").agg(F.count(F.lit(1)).alias("__c")).persist()
+    )
+    counts = raw_counts
     if min_count > 1:
         counts = counts.filter(F.col("__c") >= min_count)
-    class_tok = tok.groupBy("label").agg(F.count(F.lit(1)).alias("__ct"))
+    class_tok = raw_counts.groupBy("label").agg(F.sum("__c").alias("__ct"))
     # V and doc priors are tiny aggregates; evaluated once here (driver
-    # scalars) so the model frames carry plain literals
-    v = tok.select("token").distinct().count()
+    # scalars) so the model frames carry plain literals. This count also
+    # materializes raw_counts for the consumers above.
+    v = raw_counts.select("token").distinct().count()
     doc_counts = (
         df.groupBy(F.col(label_col).alias("label"))
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -124,7 +136,15 @@ def nb_train(
             ).alias("lp"),
         )
     )
-    return NaiveBayesModel(token_lp, classes.drop("__ct"))
+    # Materialize both model tables (vocabulary-sized and k-row — bounded
+    # driver-side state by the function's own contract) so the persisted
+    # counts frame can be released immediately instead of living until an
+    # unknowable downstream action, and so every scoring pass reads model
+    # DATA rather than re-running the training lineage.
+    token_lp = token_lp.localCheckpoint(eager=True)
+    classes = classes.drop("__ct").localCheckpoint(eager=True)
+    raw_counts.unpersist()
+    return NaiveBayesModel(token_lp, classes)
 
 
 def nb_save(model: NaiveBayesModel, path: str, mode: str = "overwrite") -> None:
@@ -173,7 +193,11 @@ def nb_score(
     )
     contrib = (
         tokc.crossJoin(F.broadcast(model.classes.select("label")))
-        .join(model.token_lp, ["token", "label"], "left")
+        # the model is vocabulary-sized by nb_train's contract (and often a
+        # checkpointed frame with no stats, which would otherwise lower
+        # this to a sort-merge join shuffling the per-document counts —
+        # the big side): broadcast it explicitly
+        .join(F.broadcast(model.token_lp), ["token", "label"], "left")
         .groupBy("__id", "label")
         .agg(
             # null lp × cnt is null → sum skips: seen tokens only

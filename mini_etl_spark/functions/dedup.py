@@ -1249,6 +1249,13 @@ def simhash_pairs(
     )
 
 
+# Broadcast ceiling for connected-component state frames (node-bounded:
+# labels / per-round min tables, two longs per row). 10M rows x 16B is
+# ~160 MB of payload — comfortable on any real executor; beyond it the
+# planner's shuffle strategies take over.
+_CC_BROADCAST_STATE_LIMIT = 10_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1322,9 +1329,20 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # The label state is a checkpointed frame — no size stats — so the
+        # per-round joins lower to sort-merge, exchanging AND sorting the
+        # (bigger) edge list every round. The node set is O(V) and fixed
+        # across rounds: one metadata-cheap count decides to broadcast the
+        # state frames instead (same checkpoint-kills-broadcast fix as
+        # graph.pagerank; above the limit the planner's strategies stand).
+        _bc = (
+            F.broadcast
+            if labels.count() <= _CC_BROADCAST_STATE_LIMIT
+            else (lambda d: d)
+        )
         for _ in range(max_iter):
             nbr = (
-                edges.join(labels, edges.src == labels.node)
+                edges.join(_bc(labels), edges.src == labels.node)
                 .groupBy("dst")
                 .agg(F.min("label").alias("__nbr_label"))
             )
@@ -1332,7 +1350,7 @@ def connected_components(
             # convergence check is a filter over the checkpointed frame —
             # no old-vs-new join, no recompute.
             cand = (
-                labels.join(nbr, labels.node == nbr.dst, "left")
+                labels.join(_bc(nbr), labels.node == nbr.dst, "left")
                 .select(
                     "node",
                     F.col("label").alias("__old"),
@@ -1410,6 +1428,14 @@ def _star_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        # same stats-blind-checkpoint issue as label mode: the per-round
+        # min tables are node-bounded, so broadcast them while the edge
+        # set (known exactly from the convergence signature) stays small
+        _bc = (
+            F.broadcast
+            if sig[0] <= _CC_BROADCAST_STATE_LIMIT
+            else (lambda d: d)
+        )
         # ---- large-star: both directions; neighbors v > u hook to m(u)
         both = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1418,7 +1444,7 @@ def _star_components(
             F.least(F.min("dst"), F.first("src")).alias("__m")
         )
         ls = (
-            both.join(mins, "src")
+            both.join(_bc(mins), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(
                 F.least(F.col("dst"), F.col("__m")).alias("src"),
@@ -1437,7 +1463,7 @@ def _star_components(
         )
         smins = oriented.groupBy("big").agg(F.min("small").alias("__m"))
         ss = (
-            oriented.join(smins, "big")
+            oriented.join(_bc(smins), "big")
             .select(
                 F.col("__m").alias("src"),
                 F.col("small").alias("dst"),
