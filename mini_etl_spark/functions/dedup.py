@@ -1210,8 +1210,18 @@ def simhash_pairs(
             return shifted
         return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
+    # r12 (guide §2.3 "shuffle keys and metadata instead of payloads" —
+    # here the 8-byte signature IS the metadata): carry the full simhash
+    # through the band rows and verify hamming INSIDE the band self-join,
+    # instead of materializing candidates, dedup-shuffling ALL of them and
+    # joining back to `sh` twice. The band shuffle grows by one long per
+    # row; in exchange the dropDuplicates exchange now carries only the
+    # verified true pairs and the two verify joins disappear outright
+    # (plan: 2 Exchange for the self-join + 1 tiny pair dedup, vs the same
+    # two plus a candidate-wide dedup and two id joins).
     band_rows = sh.select(
         "__id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -1220,32 +1230,25 @@ def simhash_pairs(
                 ]
             )
         ).alias("__b"),
-    ).select("__id", "__b.band", "__b.val")
+    ).select("__id", "simhash", "__b.band", "__b.val")
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
-    candidates = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (hamming <= F.lit(max_hamming)),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        candidates.join(
-            sh.select(F.col("__id").alias("id_a"), F.col("simhash").alias("__ha")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__hb")),
-            "id_b",
-        )
-        .withColumn(
-            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -721,9 +721,13 @@ def robust_outliers(
         .cast("double"),
     )
     pct = "percentile" if exact else "percentile_approx"
+    # persist the (tiny, one-row-per-group) median frame: it is referenced
+    # by BOTH broadcast joins below, and without the cache each broadcast
+    # build re-executes the whole scan + exact-percentile subtree (the
+    # med aggregate ran twice and the base table scanned 4x — guide §2.4)
     med = fixed.groupBy(*g).agg(
         F.expr(f"{pct}(__v, 0.5)").alias("group_median")
-    )
+    ).persist()
     # Null-safe stats joins: groupBy keeps a NULL-key group, so rows whose
     # group key is NULL must match that stats row (a plain inner join on
     # the key name drops them, breaking flag mode's every-row contract).

@@ -37,6 +37,13 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument(
+        "--gc",
+        action="store_true",
+        help="System.gc() between keys (drains ContextCleaner backlog of "
+        "broadcast/checkpoint blocks that otherwise inflates late-session "
+        "timings ~2x; outside every timed region)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -63,6 +70,16 @@ def main() -> None:
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+
+    def drain_session_state() -> None:
+        # Between KEYS only (never between timed passes of one key):
+        # broadcast pieces and checkpoint blocks are freed by the
+        # ContextCleaner only after the driver GCs their references — on a
+        # 32g heap full GCs are rare, so blocks pile up across a 161-query
+        # session and late keys measure ~2x slow from storage/GC pressure.
+        if args.gc:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.2)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -92,6 +109,7 @@ def main() -> None:
             clear_cached_state()
         timings[key] = round(best, 3)
         spark.sparkContext.setJobDescription(None)
+        drain_session_state()
         print(f"# {key}: warm {timings[key]} cold {cold[key]}", file=sys.stderr)
 
     print(json.dumps({
