@@ -457,6 +457,19 @@ def _prefix_exact_pairs(
     ).localCheckpoint(eager=True)
     ie = elems.join(vocab, "__g").select("__id", "__gi", "__f")
     need = F.ceil(F.lit(t) * F.col("__size") - F.lit(1e-9))
+    # PPJoin indexing prefix (r13): order candidate roles by (size, id)
+    # instead of bare id, so the SMALLER set of every pair plays side
+    # ``a``. A qualifying pair (J ≥ t, |A| ≤ |B|) has overlap o ≥
+    # ⌈t/(1+t)·(|A|+|B|)⌉ ≥ ⌈2t/(1+t)·|A|⌉, so its globally-smallest
+    # shared element sits within the first |A| − ⌈2t/(1+t)·|A|⌉ + 1
+    # positions of A — a strictly SHORTER prefix than the probing bound
+    # |s| − ⌈t·|s|⌉ + 1, which side ``b`` keeps (o ≥ t·|B| needs
+    # |A| ≥ t·|B|, exactly the length-compat filter below). At t=0.5 the
+    # short prefix is ~1/3 of the set vs ~1/2, cutting candidate volume
+    # Σ df_short·df_long by ~a third with zero semantic change.
+    need_short = F.ceil(
+        F.lit(2.0 * t / (1.0 + t)) * F.col("__size") - F.lit(1e-9)
+    )
     prefix = (
         ie.join(sizes, "__id")
         .withColumn(
@@ -466,11 +479,19 @@ def _prefix_exact_pairs(
             ),
         )
         .filter(F.col("__r") <= F.col("__size") - need + F.lit(1))
-        .select("__id", "__gi", "__size", "__r")
+        # df=1 elements can never match across two docs — they only
+        # inflate the self-join's shuffle/sort input (they are the
+        # rarest elements, i.e. the FRONT of every prefix). Lossless.
+        .filter(F.col("__f") >= 2)
+        .withColumn(
+            "__short",
+            F.col("__r") <= F.col("__size") - need_short + F.lit(1),
+        )
+        .select("__id", "__gi", "__size", "__r", "__short")
         # persisted: the candidate self-join reads it twice
         .persist()
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    a, b = prefix.filter(F.col("__short")).alias("a"), prefix.alias("b")
     alpha = F.ceil(
         F.lit(t / (1.0 + t))
         * (F.col("a.__size") + F.col("b.__size"))
@@ -484,9 +505,14 @@ def _prefix_exact_pairs(
     cand = a.join(
         b,
         (F.col("a.__gi") == F.col("b.__gi"))
-        & (F.col("a.__id") < F.col("b.__id"))
+        & (
+            (F.col("a.__size") < F.col("b.__size"))
+            | (
+                (F.col("a.__size") == F.col("b.__size"))
+                & (F.col("a.__id") < F.col("b.__id"))
+            )
+        )
         & (F.col("a.__size") >= t * F.col("b.__size") - 1e-9)
-        & (F.col("b.__size") >= t * F.col("a.__size") - 1e-9)
         & (
             F.lit(1)
             + F.least(
@@ -495,12 +521,23 @@ def _prefix_exact_pairs(
             )
             >= alpha
         ),
-    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    ).select(
+        # canonical id order for the output contract (roles were
+        # size-ordered above)
+        F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+        F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
+    )
     # exact verification: per-doc element arrays built once (one
     # shuffle of the postings), then a JVM-side set intersect per
     # candidate — no candidates×|A| row explosion; long arrays, so the
-    # per-candidate hash set is built over 8-byte keys
-    arrs = ie.groupBy("__id").agg(F.collect_list("__gi").alias("__arr"))
+    # per-candidate hash set is built over 8-byte keys. df=1 elements
+    # can never be shared, so the arrays carry only the df≥2 ones —
+    # the intersect is unchanged and the collect_list/probe shrink.
+    arrs = (
+        ie.filter(F.col("__f") >= 2)
+        .groupBy("__id")
+        .agg(F.collect_list("__gi").alias("__arr"))
+    )
     shared = (
         cand.join(
             arrs.select(
@@ -657,15 +694,23 @@ def _span_postings(
         F.md5(F.col("__g").cast("binary")).alias("__h"),
     )
     spans = spans.groupBy("__id", "__h").agg(F.min("__pos").alias("__pos"))
+    # Document-frequency filter BEFORE the pair self-join (guide §2.3/§2.4).
+    # Both consumers feed ``spans`` only into an id_a < id_b self-join on
+    # __h, so a span occurring in exactly ONE document can never produce a
+    # pair — dropping df=1 spans is lossless, and in a mostly-unique corpus
+    # they are the overwhelming majority of postings. The filter is an
+    # INNER join against the [2, cap] frequency band (the old plan
+    # broadcast-anti-joined only the hot tail); joining on __h leaves the
+    # survivors hash-partitioned by __h, which is exactly the partitioning
+    # the candidate self-join needs — the exchange is paid once here
+    # instead of once per join side.
+    freq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
     if max_span_freq is not None:
-        freq = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__f"))
         freq, cap = _resolve_freq_cap(freq, max_span_freq)
-        spans = spans.join(
-            F.broadcast(freq.filter(F.col("__f") > cap)),
-            on="__h",
-            how="left_anti",
-        )
-    return spans
+        band = freq.filter((F.col("__f") >= 2) & (F.col("__f") <= cap))
+    else:
+        band = freq.filter(F.col("__f") >= 2)
+    return spans.join(band.select("__h"), "__h")
 
 
 def duplicate_span_pairs(
@@ -1575,10 +1620,44 @@ def embedding_cosine_pairs(
        ever decides which pairs are worth scoring exactly).
 
     Fine up to ~10⁵ vectors (GEMM flops, not per-pair overhead, become
-    the bound); beyond that use :func:`embedding_cosine_pairs_lsh`
+    the bound — and each block row is a whole-block collect_list, so at
+    ~10⁶+ vectors a single row would exceed task memory / the 2 GB Arrow
+    array ceiling); beyond that use :func:`embedding_cosine_pairs_lsh`
     (bucketed candidates via ``similarity.lsh_pair_candidates``, then the
-    same exact verification)."""
+    same exact verification). That bound is GUARDED, not just prose
+    (r13): when the input's optimizer size estimate exceeds
+    ``MINI_ETL_EMBED_GEMM_LIMIT_BYTES`` (default 1 GiB ≈ 4M 64-dim
+    float32 vectors; <= 0 disables) the operator warns and routes to the
+    LSH path — candidates become approximate (hyperplane-LSH recall),
+    verification stays exact. The check is driver-side statistics only;
+    no job runs, so small inputs pay nothing."""
+    import os
+    import warnings
+
     import pyarrow as pa_mod
+
+    limit = int(
+        os.environ.get("MINI_ETL_EMBED_GEMM_LIMIT_BYTES", 1024**3)
+    )
+    if limit > 0:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est > limit:
+            warnings.warn(
+                f"embedding_cosine_pairs: input's estimated size ({est} "
+                f"bytes) exceeds the all-pairs block-GEMM guard ({limit} "
+                "bytes) — whole-block rows would not fit a task. Routing "
+                "to embedding_cosine_pairs_lsh (LSH candidates, exact "
+                "verification; recall follows the LSH S-curve). Call the "
+                "LSH variant directly to tune its parameters, or raise "
+                "MINI_ETL_EMBED_GEMM_LIMIT_BYTES if the corpus truly "
+                "fits.",
+                stacklevel=2,
+            )
+            return embedding_cosine_pairs_lsh(
+                df, vec_col=vec_col, id_col=id_col, threshold=threshold
+            )
 
     norm = F.sqrt(
         F.aggregate(

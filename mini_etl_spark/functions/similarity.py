@@ -281,22 +281,84 @@ def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
+    method: str = "arrow",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max dot product over
-    unit-normalized centroids) — the IVF coarse quantizer. Centroids are
-    folded into the plan as literals; assignment is an argmax over k
-    JVM-side dot products (one columnar pass, no UDF, no shuffle).
+    unit-normalized centroids) — the IVF coarse quantizer. No shuffle
+    either way; the two methods are BIT-IDENTICAL (tests pin the
+    equivalence on adversarial inputs — nulls, NaN, ragged lengths,
+    ties, ±0.0):
 
-    Formulated as array_position(dots, array_max(dots)) — first maximal
-    index wins (same tie rule as SQL list_position) — rather than a
-    when-chain: a chained argmax references its running best twice per
-    step, doubling the expression tree each centroid (OOM by k≈30); the
-    array form is linear in k."""
-    dots = F.expr(
-        "array(" + ",".join(_dot_sql(vec_col, c.tolist()) for c in centroids) + ")"
+    - ``"arrow"`` (default, r13, guide §4.2): one vectorized pandas UDF
+      over the vector column only (ArrowEvalPython ships just that
+      column — column pruning for the rest of the row survives). The
+      k dots accumulate PER DIMENSION over the row batch
+      (``D += X[:,j]·C[:,j]`` — one IEEE multiply then one add per
+      element, exactly the JVM's sequential ``acc + x*y`` order, no FMA,
+      no pairwise regrouping), so every dot is the same double the
+      expression produces; argmax ties and NaN rows resolve to the
+      first index, matching ``array_position(dots, array_max(dots))``.
+      Rows the expression maps to NULL (null vector, null element,
+      length ≠ dim — any of these nulls every dot) are detected
+      JVM-side and returned as NULL cells.
+    - ``"expr"``: the pure-expression form — an argmax over k JVM
+      zip_with/aggregate dots, linear in k via
+      array_position(dots, array_max(dots)). This is the form external
+      SQL engines replay verbatim; keep it for plan-portability, reach
+      for it from docs/oracles, and expect ~k×dim interpreted
+      HOF steps per row (the measured bottleneck of every ANN expr
+      path)."""
+    if method == "expr":
+        dots = F.expr(
+            "array(" + ",".join(_dot_sql(vec_col, c.tolist()) for c in centroids) + ")"
+        )
+        cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        return df.withColumn("ivf_cell", cell)
+    if method != "arrow":
+        raise ValueError(f"ivf_assign: unknown method {method!r}")
+    import pandas as pd
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype="float64"))
+    k, dim = C.shape
+
+    @F.pandas_udf("int")
+    def _cell(vs: pd.Series, bad: pd.Series) -> pd.Series:
+        n = len(vs)
+        out = np.zeros(n, dtype="int64")
+        ok = ~bad.to_numpy(dtype="bool")
+        if ok.any():
+            rows = [np.asarray(v, dtype="float64") for v in vs[ok]]
+            X = np.vstack(rows) if rows else np.empty((0, dim))
+            D = np.zeros((len(rows), k), dtype="float64")
+            with np.errstate(invalid="ignore"):
+                for j in range(dim):
+                    # same float order as the JVM expression: one
+                    # multiply, one add per (row, centroid) per
+                    # dimension — never a BLAS GEMM, whose blocked
+                    # summation reorders the adds
+                    D += X[:, j : j + 1] * C[None, :, j]
+            nan_rows = np.isnan(D).any(axis=1)
+            cells = np.argmax(D, axis=1)
+            if nan_rows.any():
+                # Spark: array_max → NaN when any dot is NaN; position
+                # of the FIRST NaN wins (NaN == NaN there)
+                cells[nan_rows] = np.argmax(np.isnan(D[nan_rows]), axis=1)
+            out[ok] = cells
+        res = pd.array(out, dtype="Int32")
+        res[~ok] = None
+        return pd.Series(res)
+
+    # NULL detection stays JVM-side: after Arrow conversion a null
+    # ELEMENT is indistinguishable from NaN in the Python worker, but
+    # the two differ in the expression (null element → NULL cell; NaN
+    # element → NaN dots → first-NaN cell)
+    v = F.col(vec_col)
+    bad = (
+        v.isNull()
+        | (F.size(v) != F.lit(dim))
+        | F.exists(v, lambda x: x.isNull())
     )
-    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    return df.withColumn("ivf_cell", cell)
+    return df.withColumn("ivf_cell", _cell(v, bad))
 
 
 def ivf_centroids_from_sample(
@@ -975,16 +1037,29 @@ def cell_cosine_pairs(
 
     ``method``: ``"arrow"`` (default) runs one numpy matmul per cell via
     applyInPandas — 10-50× faster on large cells (BLAS, SIMD summation
-    order). ``"expr"`` verifies each in-cell pair with a JVM zip_with
-    dot — sequential-sum float semantics an external SQL engine replays
+    order). ``"expr"`` emits scores computed by a JVM zip_with dot —
+    sequential-sum float semantics an external SQL engine replays
     bit-for-bit; pass it explicitly when cross-engine
     bit-reproducibility matters (the oracle path). Pair SETS agree
     except for values within float error of the threshold.
+
+    The ``expr`` path (r13, guide §4.2) generates CANDIDATES with one
+    numpy GEMM per cell at ``threshold − 6e-5`` (the round-to-4
+    admission slack plus float-summation-order slop; pairs whose exact
+    cosine is NULL can never pass the final filter and pairs whose
+    exact cosine is NaN are admitted via the GEMM's own NaN), then
+    re-scores the few survivors with the ORIGINAL JVM expression — the
+    output is bit-identical to the per-pair-expression plan by
+    construction, the in-cell O(|cell|²) interpreted-dot stream is
+    gone, and every emitted score still comes from the replayable
+    expression.
     """
     if method == "arrow":
         return _cell_cosine_pairs_arrow(df, centroids, threshold, vec_col, id_col)
     if method != "expr":
         raise ValueError(f"cell_cosine_pairs: unknown method {method!r}")
+    import pandas as pd
+
     assigned = ivf_assign(df, centroids, vec_col)
     norm = F.sqrt(
         F.aggregate(
@@ -999,29 +1074,80 @@ def cell_cosine_pairs(
         F.col("ivf_cell").alias("__cell"),
         norm.alias("__n"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    thr = threshold - 6e-5
+
+    def _cands(pdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        if len(pdf) < 2 or pdf["__cell"].isna().any():
+            # a NULL cell never equi-joins in the exact plan — no pairs
+            return empty
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        outs_a, outs_b = [], []
+        # pairs of unequal length have NULL exact cosine (zip_with pads
+        # with null) and can never pass the final filter — compare only
+        # equal-length groups. Null elements become NaN here; their
+        # exact cosine is NULL (dropped), and the rescore discards the
+        # over-admitted candidates, so NaN-admission is always safe.
+        lens = pdf["__v"].map(lambda v: -1 if v is None else len(v))
+        for L, idx in pdf.groupby(lens.values).indices.items():
+            if L <= 0 or len(idx) < 2:
+                continue
+            sub = pdf.iloc[idx]
+            M = np.array(
+                [np.asarray(v, dtype="float64") for v in sub["__v"]]
+            )
+            nrm = np.linalg.norm(M, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = (M @ M.T) / np.outer(nrm, nrm)
+                # admit near-threshold AND NaN (exact NaN cosine passes
+                # the SQL >= filter — NaN sorts above every double)
+                mask = (C >= thr) | np.isnan(C)
+            sid = sub["__id"].to_numpy()
+            mask &= sid[:, None] < sid[None, :]
+            xi, yi = np.nonzero(mask)
+            outs_a.append(sid[xi])
+            outs_b.append(sid[yi])
+        if not outs_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    cand = base.groupBy("__cell").applyInPandas(
+        _cands, f"id_a {id_dt}, id_b {id_dt}"
+    )
+    # exact rescore with the original expression — bit-identical output
     dot = F.aggregate(
         F.zip_with(
-            F.col("a.__v"), F.col("b.__v"),
+            F.col("__va"), F.col("__vb"),
             lambda x, y: x.cast("double") * y.cast("double"),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.__cell") == F.col("b.__cell"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        cand.join(
+            base.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+                F.col("__cell").alias("cell"),
+            ),
+            "id_a",
         )
-        .withColumn("cosine", F.round(dot / (F.col("a.__n") * F.col("b.__n")), 4))
+        .join(
+            base.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", F.round(dot / (F.col("__na") * F.col("__nb")), 4))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__cell").alias("cell"),
-            "cosine",
-        )
+        .select("id_a", "id_b", "cell", "cosine")
     )
 
 

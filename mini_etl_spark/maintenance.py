@@ -59,7 +59,17 @@ def profile(df, columns: list[str] | None = None):
     at sf0.1, identical rows). For a quick look at a 100 TB table, profile
     a sample or swap in ``approx_count_distinct`` by passing the frame
     through ``operators.group_agg`` instead; this profiler favors
-    exactness so the DuckDB oracle can replay it verbatim."""
+    exactness so the DuckDB oracle can replay it verbatim.
+
+    Caveat (per-column distinct branches = k extra passes over the
+    SOURCE): on a column-prunable columnar scan each branch reads one
+    column, but over a non-prunable input (cached RDD-backed frame, CSV,
+    very wide column list) the k scans can cost more than the old single
+    Expand pass — persist the input first (or profile a sample) in that
+    case. And because the branches re-execute the source independently, a
+    NON-DETERMINISTIC source (e.g. a rand()-filtered frame) can yield
+    mutually inconsistent row_count vs distinct_count; profile a
+    materialized snapshot of such frames instead."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -701,6 +711,55 @@ def zorder_write(
     )
 
 
+# Exact `percentile` is a TypedImperativeAggregate that merges a
+# value→count map of the whole group on ONE reduce task — fine at oracle
+# scale, an OOM hazard when a single group's distinct values run to the
+# billions. The guard reads the optimizer's size ESTIMATE for the input
+# plan (driver-side statistics only — no job, no scan, so it costs the
+# timed query paths nothing) and falls back to `percentile_approx` with a
+# loud warning above the limit. The estimate is file-size-derived for
+# scans and therefore conservative after selective filters: the fallback
+# can only fire EARLY, never late. Declared oracle queries run orders of
+# magnitude below the default, so their exact results are untouched.
+_EXACT_PERCENTILE_LIMIT_BYTES = 8 * 1024**3
+
+
+def _exact_percentile_guarded(df, exact: bool, op_name: str) -> bool:
+    """Resolve the effective `exact` flag under the scale guard above.
+    Returns False (approx) when exact was requested but the input's
+    estimated size exceeds ``_EXACT_PERCENTILE_LIMIT_BYTES`` (override via
+    env ``MINI_ETL_EXACT_PERCENTILE_LIMIT_BYTES``; <= 0 disables)."""
+    if not exact:
+        return False
+    import os
+    import warnings
+
+    limit = int(
+        os.environ.get(
+            "MINI_ETL_EXACT_PERCENTILE_LIMIT_BYTES",
+            _EXACT_PERCENTILE_LIMIT_BYTES,
+        )
+    )
+    if limit <= 0:
+        return True
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if est > limit:
+        warnings.warn(
+            f"{op_name}: exact percentile requested but the input's "
+            f"estimated size ({est} bytes) exceeds the single-task "
+            f"value-map guard ({limit} bytes) — falling back to "
+            "percentile_approx (mergeable sketch, same plan shape; "
+            "boundary-adjacent rows may flip). Pass exact=False to "
+            "silence, or raise MINI_ETL_EXACT_PERCENTILE_LIMIT_BYTES "
+            "if one task really can hold the group's value multiset.",
+            stacklevel=3,
+        )
+        return False
+    return True
+
+
 def robust_outliers(
     df,
     value_col: str,
@@ -732,6 +791,11 @@ def robust_outliers(
     At 100 TB pass ``exact=False``: ``percentile_approx`` (mergeable
     KLL-style sketch, constant memory per group) with identical plan
     shape; boundary-adjacent rows may flip, bulk/spike verdicts do not.
+    ``exact=True`` is additionally guarded: when the input's estimated
+    size exceeds ``MINI_ETL_EXACT_PERCENTILE_LIMIT_BYTES`` (default
+    8 GiB) the operator warns and uses the approx form — the exact
+    aggregate merges each group's value multiset on one task and would
+    OOM it first (see ``_exact_percentile_guarded``).
 
     ``mode="outliers"`` (default) returns only the flagged rows (plus
     ``__v`` fixed value, ``group_median``, ``group_mad``);
@@ -749,14 +813,23 @@ def robust_outliers(
         F.floor(F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5))
         .cast("double"),
     )
-    pct = "percentile" if exact else "percentile_approx"
-    # persist the (tiny, one-row-per-group) median frame: it is referenced
-    # by BOTH broadcast joins below, and without the cache each broadcast
-    # build re-executes the whole scan + exact-percentile subtree (the
-    # med aggregate ran twice and the base table scanned 4x — guide §2.4)
+    pct = (
+        "percentile"
+        if _exact_percentile_guarded(df, exact, "robust_outliers")
+        else "percentile_approx"
+    )
+    # localCheckpoint the (tiny, one-row-per-group) median frame: it is
+    # referenced by BOTH broadcast joins below, and without materialization
+    # each broadcast build re-executes the whole scan + exact-percentile
+    # subtree (the med aggregate ran twice and the base table scanned 4x —
+    # guide §2.4). Checkpoint, not persist(): checkpoint blocks are freed
+    # by the ContextCleaner when the frame is GC'd, so repeated calls in a
+    # long session do not pile cached frames up until clearCache (the
+    # repo-wide state-frame discipline; the r12 persist() leaked one cache
+    # entry per call).
     med = fixed.groupBy(*g).agg(
         F.expr(f"{pct}(__v, 0.5)").alias("group_median")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Null-safe stats joins: groupBy keeps a NULL-key group, so rows whose
     # group key is NULL must match that stats row (a plain inner join on
     # the key name drops them, breaking flag mode's every-row contract).
@@ -903,7 +976,12 @@ def quantile_buckets(
     100 TB pass ``exact=False`` for ``percentile_approx`` (mergeable
     sketch, constant memory): same plan shape and bucket invariants
     (``buckets − 1`` monotone boundaries), boundary-adjacent rows may
-    shift one bucket.
+    shift one bucket. ``exact=True`` is additionally guarded: when the
+    input's estimated size exceeds
+    ``MINI_ETL_EXACT_PERCENTILE_LIMIT_BYTES`` (default 8 GiB) the
+    operator warns and uses the approx form rather than merge the whole
+    column's value multiset on one task (see
+    ``_exact_percentile_guarded``).
     """
     from pyspark.sql import functions as F
 
@@ -913,7 +991,11 @@ def quantile_buckets(
         F.col(column).cast("double") * F.lit(float(scale)) + F.lit(0.5)
     ).cast("double")
     fracs = [i / buckets for i in range(1, buckets)]
-    pct = "percentile" if exact else "percentile_approx"
+    pct = (
+        "percentile"
+        if _exact_percentile_guarded(df, exact, "quantile_buckets")
+        else "percentile_approx"
+    )
     row = df.agg(
         F.expr(
             f"{pct}(floor(cast({column} as double) * {float(scale)!r} + 0.5), "

@@ -9,10 +9,10 @@ refactor cannot silently re-introduce the removed work:
 - ``profile``: exact distincts are unioned per-column aggregates — the plan
   must not contain an Expand (pre-r12 the four countDistincts restreamed
   the input ×5 through two SortAggregate passes);
-- ``robust_outliers``: the per-group median frame is persisted — the plan
-  must reference it through InMemoryRelation so the scan + exact-percentile
-  subtree executes once, not once per broadcast join (pre-r12: 4 scans,
-  the median aggregate twice).
+- ``robust_outliers``: the per-group median frame is materialized once
+  (r13: eager localCheckpoint — ContextCleaner-freed, unlike the r12
+  persist) so the scan + exact-percentile subtree executes once, not once
+  per broadcast join (pre-r12: 4 scans, the median aggregate twice).
 
 Result-level correctness of all three is separately pinned bit-exactly by
 tests/test_oracle.py (mad_outliers, simhash_pairs, profile keys).
@@ -64,7 +64,9 @@ def test_profile_plans_without_expand(spark, sample_df):
     assert "Expand" not in plan, plan
 
 
-def test_robust_outliers_reuses_cached_median(spark, sample_df):
+def test_robust_outliers_materializes_median_once(spark, sample_df):
+    import re
+
     from pyspark.sql import functions as F
 
     from mini_etl_spark.maintenance import robust_outliers
@@ -72,11 +74,15 @@ def test_robust_outliers_reuses_cached_median(spark, sample_df):
     df = sample_df.select("category", F.col("value").cast("double").alias("v"))
     out = robust_outliers(df, "v", group_col="category", k=3.0)
     plan = plans.physical_plan(out)
-    # the median frame is persisted: every reference reads the cache
-    assert "InMemoryRelation" in plan, plan
-    # ...so the exact-percentile aggregate subtree appears once per stats
-    # pass (median inside the cache + the MAD aggregate), never duplicated
-    # per broadcast consumer: the table itself is scanned at most 3 times
-    # (median build, MAD pass, output pass) instead of the pre-r12 four.
-    n_scans = plan.count("Scan ExistingRDD") + plan.count("Scan parquet")
-    assert n_scans <= 3, plan
+    # r13: the median frame is localCheckpoint'd (eager) — it computed
+    # exactly ONCE at construction and the returned plan references it as
+    # checkpointed data, so the raw-median percentile aggregate must be
+    # absent from the plan entirely (pre-r12 it re-planned under each
+    # broadcast build: 2 median aggregates, 4 base scans).
+    assert "percentile(__v" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    # the MAD percentile aggregate runs once (partial+final, each printed
+    # in the tree and the details section → at most 4 textual hits); a
+    # regression that re-inlines the subtree per broadcast consumer
+    # doubles this
+    assert len(re.findall(r"percentile\(abs", plan)) <= 4, plan
