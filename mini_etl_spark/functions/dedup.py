@@ -497,11 +497,15 @@ def _prefix_exact_pairs(
         * (F.col("a.__size") + F.col("b.__size"))
         - F.lit(1e-9)
     )
-    # NO pre-verify distinct (r12): a pair sharing k prefix elements is
-    # verified k times (k is small — the prefix is the rare tail), which
-    # is far cheaper than a distinct shuffle of the multi-million-row
-    # candidate stream; the survivors of the threshold filter (≈ true
-    # pairs) are deduplicated at the end instead.
+    # NO pre-verify distinct/aggregate: a pair sharing k prefix elements
+    # is verified k times, which measures CHEAPER than consolidating the
+    # match stream — the verify joins broadcast the (vocabulary-bounded)
+    # array frame, so duplicate candidates never cross an exchange, while
+    # a pair-level groupBy shuffles the whole match stream once (the
+    # accumulated PPJoin filter c + min(|A|−pa_max, |B|−pb_max) was
+    # implemented and A/B-measured in r13: 20× replica fixture wall
+    # 171 s → 254 s — rejected; see OPTIMIZATION_r13.md). Survivors of
+    # the threshold filter (≈ true pairs) are deduplicated at the end.
     cand = a.join(
         b,
         (F.col("a.__gi") == F.col("b.__gi"))
